@@ -1,0 +1,312 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five strategies, each a reusable API + a registered catalog query:
+
+- exact:        hash-groupBy on the full text (one shuffle on text hash)
+- n-gram Jaccard: shingle inverted index self-join → exact pair similarity
+- MinHash+LSH:  k hash-permutation signatures → banded bucket join →
+                candidate verification (scale path: candidates only)
+- SimHash:      64-bit weighted-bit fingerprint → Hamming-band blocking
+- embedding:    cosine near-dup within blocks (see similarity.py for ANN)
+
+Everything is deterministic: hashes come from xxhash64/md5, not Python's
+randomized hash. At 100 TB the shingle join partitions by shingle hash and
+the band join by (band, signature) — both high-cardinality keys; hot shingles
+(stopword-only) are pruned by document frequency before the join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..tables import load
+
+# -- exact dedup -----------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Keep one row per distinct value of ``cols`` (hash-partitioned)."""
+    return df.dropDuplicates(cols)
+
+
+@register(
+    "q_dedup_exact",
+    """
+    SELECT text_hash, keeper_id, n_copies
+    FROM (
+        SELECT md5(text) AS text_hash,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    )
+    """,
+    doc="Exact dedup: group by content hash, keep min doc_id as canonical",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# -- shingling helpers -----------------------------------------------------
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id-cols…, shingle) rows: distinct word n-grams per document."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    # sequence(0, -1) descends in Spark — guard short documents explicitly.
+    grams = F.when(F.size(words) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return df.withColumn("shingle", F.explode(F.array_distinct(grams))).drop(text_col)
+
+
+# -- exact n-gram Jaccard near-dup ----------------------------------------
+
+
+def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                  max_doc_freq: int | None = None) -> DataFrame:
+    """All doc pairs (a<b) with word-n-gram Jaccard >= threshold.
+
+    Inverted-index formulation: explode distinct shingles, self-join on the
+    shingle (partitioned by shingle hash — scales with vocabulary), count
+    common shingles per pair, then |A∪B| = |A|+|B|−|A∩B|. ``max_doc_freq``
+    drops ubiquitous shingles before the join (the classic hot-key guard).
+    """
+    sh = word_shingles(docs.select("doc_id", "text"), n=n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+        sh = sh.join(F.broadcast(freq.filter(F.col("df_") <= max_doc_freq)), "shingle").drop("df_")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register(
+    "q_dedup_jaccard",
+    """
+    WITH sh AS (
+        SELECT DISTINCT doc_id, UNNEST(gr) AS shingle
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(len(str_split(text, ' ')) - 2),
+                       i -> array_to_string(str_split(text, ' ')[i+1:i+3], ' ')
+                   ) AS gr
+            FROM documents
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+    doc="Exact word-3-gram Jaccard near-dup pairs (inverted-index self-join)",
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+# -- MinHash + LSH ---------------------------------------------------------
+
+# 31-bit Mersenne prime universal-hash field: products of 31-bit values stay
+# below 2^62, so the arithmetic never overflows a long under ANSI mode.
+_MERSENNE = (1 << 31) - 1
+
+
+def _hash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family."""
+    out = []
+    for i in range(k):
+        d = hashlib.sha256(f"minhash-{i}".encode()).digest()
+        a = (struct.unpack("<Q", d[:8])[0] % (_MERSENNE - 1)) + 1
+        b = struct.unpack("<Q", d[8:16])[0] % _MERSENNE
+        out.append((a, b))
+    return out
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> DataFrame:
+    """(doc_id, sig: array<long>) MinHash signatures over word n-gram shingles.
+
+    Shingles hash JVM-side with xxhash64; each permutation is
+    min((a*h + b) mod p) computed with aggregation — one shuffle on doc_id.
+    """
+    sh = word_shingles(docs.select("doc_id", "text"), n=n)
+    h = (F.xxhash64("shingle").bitwiseAND(F.lit(_MERSENNE))).alias("h")
+    sh = sh.select("doc_id", h)
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_hash_coeffs(num_hashes))
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select("doc_id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
+                      bands: int = 8, threshold: float = 0.5) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, verified with signature overlap.
+
+    bands=8 × rows=4 over 32 hashes → s-curve threshold ≈ (1/8)^(1/4) ≈ 0.6.
+    The band join partitions on (band_id, band_hash): high cardinality, no
+    skew concentration, no pairwise blow-up outside candidate buckets.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, n=n, num_hashes=num_hashes)
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(*[F.col("sig")[i] for i in range(b * rows, (b + 1) * rows)])
+                for b in range(bands)
+            ])
+        ).alias("band_id", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(num_hashes)
+    return (
+        cands.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+@register(
+    "q_dedup_minhash",
+    None,  # LSH estimates are hash-family-specific → rows-only check
+    doc="MinHash+LSH near-dup candidate pairs (32 hashes, 8 bands × 4 rows)",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n=3, num_hashes=32, bands=8, threshold=0.5)
+
+
+# -- SimHash ---------------------------------------------------------------
+
+
+def simhash_64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash: long) — 64-bit SimHash over whitespace tokens.
+
+    Pure DataFrame formulation: explode tokens, hash JVM-side, then per bit
+    position sum ±1 votes and reassemble the majority bits — one shuffle on
+    doc_id, no Python in the hot path.
+    """
+    toks = docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    toks = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(
+            F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into max_hamming+1
+    chunks; any pair within distance max_hamming agrees on >= 1 chunk, so the
+    candidate join partitions on (chunk_id, chunk_value)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sims = simhash_64(docs)
+    blocked = sims.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned("simhash", c * width).bitwiseAND(F.lit((1 << width) - 1))
+                for c in range(chunks)
+            ])
+        ).alias("chunk_id", "chunk_val"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+@register(
+    "q_dedup_simhash",
+    None,  # fingerprint bits are hash-specific → rows-only check
+    doc="SimHash near-dup pairs (64-bit, Hamming<=3, pigeonhole chunk blocking)",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)

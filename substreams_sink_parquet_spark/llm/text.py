@@ -1,0 +1,182 @@
+"""Text analysis operators over ``documents``: quality scoring, language ID,
+token counting, fingerprinting. All JVM-side expressions (regex + HOFs) —
+no Python in the hot path, so they ride whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..tables import load
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# Tiny deterministic marker lists for the rule-based language-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+}
+
+
+def _words(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+@register(
+    "q_text_stats",
+    r"""
+    SELECT doc_id, lang,
+           length(text) AS n_chars_calc,
+           len(str_split(text, ' ')) AS n_words,
+           CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+           CAST(len(list_filter(str_split(text, ' '),
+                                w -> w IN ('the','a','of','and','to','in','is','it'))) AS INTEGER)
+               AS n_stopwords,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(str_split(text, ' ')) AS avg_word_len
+    FROM documents
+    """,
+    doc="Quality-scoring statistics: char/word/punct counts, stopword count, avg word length",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    n_punct = F.length(F.regexp_replace("text", r"[^.,!?;:]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_calc"),
+        F.size(words).alias("n_words"),
+        n_punct.cast("long").alias("n_punct"),
+        (n_punct.cast("double") / F.length("text")).alias("punct_ratio"),
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).alias("n_stopwords"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(words)
+        ).alias("avg_word_len"),
+    )
+
+
+@register(
+    "q_text_quality",
+    r"""
+    SELECT doc_id,
+           CASE WHEN length(text) >= 200
+                 AND len(str_split(text, ' ')) >= 30
+                 AND len(list_filter(str_split(text, ' '),
+                                     w -> w IN ('the','a','of','and','to','in','is','it'))) > 0
+                THEN 'keep' ELSE 'drop' END AS quality_gate,
+           CAST(FLOOR(LEAST(length(text), 1000) / 10) AS BIGINT)
+             + len(list_filter(str_split(text, ' '),
+                               w -> w IN ('the','a','of','and','to','in','is','it'))) AS quality_score
+    FROM documents
+    """,
+    doc="Composite quality gate + integer quality score (filterable at scan time)",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    gate = (
+        F.when(
+            (F.length("text") >= 200) & (F.size(words) >= 30) & (n_stop > 0), "keep"
+        ).otherwise("drop")
+    )
+    score = F.floor(F.least(F.length("text"), F.lit(1000)) / 10) + n_stop
+    return docs.select("doc_id", gate.alias("quality_gate"), score.alias("quality_score"))
+
+
+@register(
+    "q_text_langid",
+    r"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(str_split(text, ' '), w -> w IN ('the','and','of'))) AS s_en,
+               len(list_filter(str_split(text, ' '), w -> w IN ('le','la','et'))) AS s_fr,
+               len(list_filter(str_split(text, ' '), w -> w IN ('der','die','und'))) AS s_de
+        FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en'
+                WHEN s_fr >= s_de THEN 'fr'
+                ELSE 'de' END AS guessed_lang,
+           CAST(GREATEST(s_en, s_fr, s_de) AS INTEGER) AS marker_hits
+    FROM scored
+    """,
+    doc="Rule-based language ID: marker-word scoring with deterministic argmax",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+
+    def marker_count(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(m) for m in markers])
+        # single-arg lambda: F.filter treats a second param as the index
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    scores = {lang: marker_count(m) for lang, m in LANG_MARKERS.items()}
+    guess = (
+        F.when((scores["en"] >= scores["fr"]) & (scores["en"] >= scores["de"]), "en")
+        .when(scores["fr"] >= scores["de"], "fr")
+        .otherwise("de")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        guess.alias("guessed_lang"),
+        F.greatest(*scores.values()).alias("marker_hits"),
+    )
+
+
+@register(
+    "q_text_tokens",
+    r"""
+    SELECT doc_id,
+           len(str_split(text, ' ')) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER)
+               AS bpe_ish_tokens,
+           CAST(CEIL(length(text) / 4.0) AS BIGINT) AS byte_est_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace, BPE-ish regex pieces, bytes/4 estimate",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_words()).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).alias("byte_est_tokens"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    r"""
+    SELECT fingerprint, COUNT(*) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    )
+    GROUP BY fingerprint
+    """,
+    doc="Document fingerprinting: md5 over whitespace-normalized text, grouped",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )

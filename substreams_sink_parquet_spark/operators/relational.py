@@ -1,0 +1,271 @@
+"""Scan / projection / filter / aggregation operators (SURVEY.md §2B).
+
+All plans are declared with the DataFrame API: filters and column selections
+compile to parquet PushedFilters/ReadSchema, aggregations get map-side partial
+aggregation, and Catalyst keeps everything inside whole-stage codegen.
+Capability parity targets: the reference delegates querying of its Parquet
+lake to downstream engines (reference README.md:3); these are the table-stakes
+relational ops over that lake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..tables import load
+from ._helpers import davg, dsum
+
+
+@register(
+    "q_scan",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+    """,
+    doc="Parquet scan with predicate pushdown + column pruning",
+)
+def q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+
+
+@register(
+    "q_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           l_quantity * 0.5 AS half_qty
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    """,
+    doc="Projection with computed columns (per-row IEEE arithmetic is deterministic)",
+)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("charge"),
+        (F.col("l_quantity") * 0.5).alias("half_qty"),
+    )
+
+
+@register(
+    "q_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_quantity BETWEEN 10 AND 30
+      AND l_linestatus LIKE 'F%'
+      AND (l_returnflag IS NOT DISTINCT FROM 'A' OR l_discount > 0.05)
+    """,
+    doc="Filter family: IN, BETWEEN, LIKE, null-safe equality",
+)
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_returnflag").isin("A", "R")
+        & F.col("l_quantity").between(10, 30)
+        & F.col("l_linestatus").like("F%")
+        & (F.col("l_returnflag").eqNullSafe("A") | (F.col("l_discount") > 0.05))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus")
+
+
+@register(
+    "q_agg_basic",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style multi-measure hash aggregation (map-side partials)",
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "22,6").alias("sum_disc_price"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_discount").alias("avg_disc"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q_agg_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Distinct aggregation (expand + two-phase agg under AQE)",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "q_agg_approx",
+    None,  # approximate results are engine-specific → rows-only check
+    doc="approx_count_distinct (HLL++) + approx percentiles; sketch-based, scale path for COUNT DISTINCT",
+)
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_p50_p95"),
+    ).select(
+        "l_returnflag",
+        "approx_parts",
+        F.col("price_p50_p95")[0].alias("p50"),
+        F.col("price_p50_p95")[1].alias("p95"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy aggregation (expands to grouping sets in one shuffle)",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), dsum("l_quantity").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q_agg_cube",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over two dimensions",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), dsum("l_extendedprice").alias("sum_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "q_agg_collect",
+    """
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           COUNT(DISTINCT l_linestatus) AS n_statuses
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="collect_set → sorted, stringified array (hash-stable array output)",
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
+        F.countDistinct("l_linestatus").alias("n_statuses"),
+    )
+
+
+@register(
+    "q_sort",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="Global multi-key sort + limit (range-partitioned sort; limit pushed to partial TakeOrdered)",
+)
+def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .limit(100)
+    )
+
+
+@register(
+    "q_topk",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rk
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    )
+    WHERE rk <= 3
+    """,
+    doc="Per-group top-k via ranking window (single shuffle on the group key)",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+    )

@@ -1,0 +1,116 @@
+"""Batch equivalents of the event-time streaming operators (SURVEY.md §2B).
+
+``F.window`` / ``F.session_window`` have identical semantics on static and
+streaming DataFrames, so the oracle-checked batch versions here certify the
+same logic the streaming pipeline (streaming/stream_sink.py) runs with
+watermarks. Window starts are emitted as epoch seconds: the fixture ``ts`` is
+nanosecond parquet, which engines read at different precisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..tables import load
+
+
+@register(
+    "q_stream_window",
+    """
+    SELECT user_id,
+           CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS wstart,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY user_id, wstart
+    """,
+    doc="Tumbling event-time window aggregation (6h), epoch-aligned like F.window",
+)
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("wstart"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_stream_window_slide",
+    """
+    WITH expanded AS (
+        SELECT e.*,
+               CAST(FLOOR(epoch(ts) / 7200) * 7200 - k.k * 7200 AS BIGINT) AS wstart
+        FROM events e, (SELECT UNNEST([0, 1, 2]) AS k) k
+        WHERE FLOOR(epoch(ts) / 7200) * 7200 - k.k * 7200 + 21600 > epoch(ts)
+    )
+    SELECT event_type, wstart, COUNT(*) AS n_events
+    FROM expanded
+    GROUP BY event_type, wstart
+    """,
+    doc="Sliding window (6h window, 2h slide): each event lands in 3 windows",
+)
+def q_stream_window_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "6 hours", "2 hours").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w.start")).alias("wstart"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "q_stream_session",
+    """
+    WITH seq AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq
+    )
+    SELECT user_id,
+           CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    doc="Session window (30 min gap) via F.session_window; oracle sessionizes with lag+cumsum",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

