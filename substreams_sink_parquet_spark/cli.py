@@ -1,0 +1,133 @@
+"""CLI mirroring the reference's commands (cmd/substreams-sink-parquet):
+
+- ``run``   (run.go:17-65): stream staged raw-block parquet into a
+  block-range-partitioned lake. The gRPC endpoint of the reference is
+  replaced by a staging directory an external feeder appends to — the
+  Structured Streaming file source provides ordered, checkpointed delivery.
+- ``setup`` (setup.go:18-66): validate store access with a write/read/delete
+  probe through the Hadoop filesystem API (file://, s3a://, gs://, abfs://).
+
+Flags map 1:1 to the reference's where semantics carry over:
+--partition-size, --start-block/--stop-block, --compression,
+--row-group-rows, --explode, --undo-buffer-size; --cursor-file is replaced
+by --checkpoint (strictly stronger semantics, SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from . import protowire as pw
+from .schema import SchemaOptions
+from .session import get_spark
+from .sink.writer import WriterOptions
+from .streaming.stream_sink import run_pipeline
+
+
+def _load_spec(descriptor_set_path: str, output_type: str) -> pw.MessageSpec:
+    with open(descriptor_set_path, "rb") as fh:
+        specs = pw.parse_file_descriptor_set(fh.read())
+    if output_type not in specs:
+        raise SystemExit(
+            f"output type {output_type!r} not found; descriptor set defines: "
+            + ", ".join(sorted(specs))
+        )
+    return specs[output_type]
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    spark = get_spark("sink-run")
+    spec = _load_spec(args.descriptor_set, args.output_type)
+    opts = WriterOptions(
+        partition_size=args.partition_size,
+        start_block=args.start_block,
+        end_block=args.stop_block,
+        compression=args.compression,
+        row_group_rows=args.row_group_rows,
+    )
+    query, _sink = run_pipeline(
+        spark,
+        input_dir=args.input_dir,
+        out_dir=args.store_url,
+        spec=spec,
+        checkpoint_dir=args.checkpoint,
+        opts=opts,
+        schema_opts=SchemaOptions(
+            uint64_as=args.uint64_as,
+            map_as=args.map_as,
+        ),
+        undo_holdback=args.undo_buffer_size,
+        explode=args.explode,
+        available_now=args.drain_and_exit,
+        flush_interval=f"{args.flush_interval_s} seconds",
+    )
+    # 30s stats cadence like the reference's ticker (sinker.go:19-90)
+    while query.isActive:
+        query.awaitTermination(30)
+        p = query.lastProgress
+        if p:
+            print(f"progress: batch={p.get('batchId')} rows={p.get('numInputRows')}",
+                  file=sys.stderr)
+    return 0
+
+
+def cmd_setup(args: argparse.Namespace) -> int:
+    """Probe round-trip (setup.go:31-66): write → read-back-compare → delete."""
+    spark = get_spark("sink-setup")
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    probe = path_cls(f"{args.store_url}/.parquet-sink-setup/probe-{int(time.time())}")
+    fs = probe.getFileSystem(conf)
+    payload = b"parquet-sink-probe"
+    out = fs.create(probe, True)
+    out.write(bytearray(payload))
+    out.close()
+    inp = fs.open(probe)
+    got = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(inp))
+    inp.close()
+    fs.delete(probe, False)
+    if bytes(got) != payload:
+        print("setup FAILED: probe read-back mismatch", file=sys.stderr)
+        return 1
+    print(f"setup OK: store {args.store_url} is writable/readable/deletable")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="substreams-sink-parquet-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run_p = sub.add_parser("run", help="stream staged blocks into a parquet lake")
+    run_p.add_argument("store_url")
+    run_p.add_argument("input_dir", help="staging dir of raw block parquet")
+    run_p.add_argument("--descriptor-set", required=True)
+    run_p.add_argument("--output-type", required=True)
+    run_p.add_argument("--checkpoint", required=True)
+    run_p.add_argument("--partition-size", type=int, default=5000)
+    run_p.add_argument("--start-block", type=int, default=0)
+    run_p.add_argument("--stop-block", type=int, default=None)
+    run_p.add_argument("--compression", default="zstd")
+    run_p.add_argument("--row-group-rows", type=int, default=20000)
+    run_p.add_argument("--flush-interval-s", type=int, default=1)
+    run_p.add_argument("--explode", action="store_true")
+    run_p.add_argument("--undo-buffer-size", type=int, default=0)
+    run_p.add_argument("--uint64-as", choices=("decimal", "long"), default="decimal")
+    run_p.add_argument("--map-as", choices=("map", "entries"), default="map")
+    run_p.add_argument("--drain-and-exit", action="store_true",
+                       help="process everything staged, then stop (availableNow)")
+    run_p.set_defaults(fn=cmd_run)
+
+    setup_p = sub.add_parser("setup", help="validate store access")
+    setup_p.add_argument("store_url")
+    setup_p.set_defaults(fn=cmd_setup)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,117 @@
+"""Batch writer: rotation, padded names, backfill, ordering, explode layout
+(SURVEY.md §5.3 round-trip fixtures)."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from substreams_sink_parquet_spark import protowire as pw
+from substreams_sink_parquet_spark.decode import decode_payloads
+from substreams_sink_parquet_spark.sink.explode import explode_all, explode_targets
+from substreams_sink_parquet_spark.sink.writer import WriterOptions, read_lake, write_ranges
+
+from .test_protowire import BLOCK, TRANSFER  # noqa: F401
+
+
+def _blocks_df(spark, block_numbers):
+    rows = [
+        (
+            bn,
+            f"0x{bn:x}",
+            bytearray(
+                pw.encode_message(
+                    {
+                        "i64": bn * 10,
+                        "s": f"blk-{bn}",
+                        "transfers": [
+                            {"from_addr": f"a{bn}", "amount": bn, "ok": True},
+                            {"from_addr": f"b{bn}", "amount": bn + 1, "ok": False},
+                        ],
+                        "tags": [f"t{bn}", f"t{bn + 1}"],
+                        "nums": [bn, -bn],
+                    },
+                    BLOCK,
+                )
+            ),
+        )
+        for bn in block_numbers
+    ]
+    return spark.createDataFrame(rows, "block_number bigint, block_id string, payload binary")
+
+
+def test_write_rotation_and_names(spark, tmp_path):
+    out = str(tmp_path / "lake")
+    os.makedirs(out)
+    # blocks spanning 3 ranges of 10, with a gap range [10,20)
+    df = decode_payloads(_blocks_df(spark, [0, 3, 9, 25, 21]), BLOCK)
+    files = write_ranges(df, out, WriterOptions(partition_size=10, start_block=0, pad=10))
+    assert files == [
+        "0000000000-0000000010.parquet",
+        "0000000010-0000000020.parquet",  # backfilled empty gap
+        "0000000020-0000000030.parquet",
+    ]
+    # gap file exists, has the right schema, zero rows
+    gap = pq.read_table(os.path.join(out, files[1]))
+    assert gap.num_rows == 0
+    assert "block_number" in gap.schema.names
+    # rows ordered by block inside each file (reference min-heap invariant)
+    f0 = pq.read_table(os.path.join(out, files[0]))
+    assert f0.column("block_number").to_pylist() == [0, 3, 9]
+    f2 = pq.read_table(os.path.join(out, files[2]))
+    assert f2.column("block_number").to_pylist() == [21, 25]
+    # lake reads back as one table
+    assert read_lake(spark, out).count() == 5
+
+
+def test_end_block_clamps_last_range(spark, tmp_path):
+    out = str(tmp_path / "lake")
+    os.makedirs(out)
+    df = decode_payloads(_blocks_df(spark, [12]), BLOCK)
+    files = write_ranges(
+        df, out, WriterOptions(partition_size=10, start_block=0, end_block=15, pad=6)
+    )
+    assert "000010-000015.parquet" in files
+
+
+def test_compression_codec_applied(spark, tmp_path):
+    out = str(tmp_path / "lake")
+    os.makedirs(out)
+    df = decode_payloads(_blocks_df(spark, [1, 2]), BLOCK)
+    write_ranges(df, out, WriterOptions(partition_size=10, compression="snappy"))
+    f = pq.ParquetFile(os.path.join(out, "0000000000-0000000010.parquet"))
+    assert f.metadata.row_group(0).column(0).compression == "SNAPPY"
+
+
+def test_explode_layout(spark, tmp_path):
+    df = decode_payloads(_blocks_df(spark, [1, 2]), BLOCK)
+    children = explode_all(df, BLOCK)
+    assert set(children) == {"transfers", "tags", "nums"}  # maps excluded
+    t = children["transfers"]
+    # message elements flattened: no wrapper struct (converter_field.go:28-35)
+    assert t.columns == ["block_number", "block_id", "from_addr", "amount", "ok"]
+    rows = t.orderBy("block_number", "from_addr").collect()
+    assert [r.from_addr for r in rows] == ["a1", "b1", "a2", "b2"]
+    # scalar list → single column named after the field (converter_field.go:24-27)
+    tags = children["tags"]
+    assert tags.columns == ["block_number", "block_id", "tags"]
+    assert tags.count() == 4
+    # attrs is a map → not an explode target (factory.go:207-220 guard)
+    assert all(f.name != "attrs" for f in explode_targets(BLOCK))
+
+
+def test_exploded_tables_write_to_subdirs(spark, tmp_path):
+    out = str(tmp_path / "lake")
+    os.makedirs(out)
+    df = decode_payloads(_blocks_df(spark, [1, 2]), BLOCK)
+    for name, child in explode_all(df, BLOCK).items():
+        sub = os.path.join(out, name)
+        os.makedirs(sub, exist_ok=True)
+        write_ranges(child, sub, WriterOptions(partition_size=10))
+    assert os.path.exists(
+        os.path.join(out, "transfers", "0000000000-0000000010.parquet")
+    )
+    back = spark.read.parquet(os.path.join(out, "transfers", "*.parquet"))
+    assert back.count() == 4
+    assert back.filter(F.col("block_number") == 1).count() == 2

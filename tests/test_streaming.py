@@ -1,0 +1,140 @@
+"""Structured Streaming sink: end-to-end drain, exactly-once resume via
+checkpoint (replacing the reference's cursor file), undo holdback, reorg."""
+
+import os
+
+import pyarrow.parquet as pq
+
+from substreams_sink_parquet_spark import protowire as pw
+from substreams_sink_parquet_spark.sink.writer import WriterOptions
+from substreams_sink_parquet_spark.streaming.stream_sink import run_pipeline
+
+from .test_protowire import BLOCK
+
+
+def _stage_blocks(spark, input_dir, block_numbers, batch_id):
+    rows = [
+        (
+            bn,
+            f"0x{bn:x}",
+            bytearray(
+                pw.encode_message(
+                    {"i64": bn * 10, "s": f"blk-{bn}",
+                     "transfers": [{"from_addr": f"a{bn}", "amount": bn, "ok": True}],
+                     "tags": [f"t{bn}"]},
+                    BLOCK,
+                )
+            ),
+        )
+        for bn in block_numbers
+    ]
+    df = spark.createDataFrame(rows, "block_number bigint, block_id string, payload binary")
+    df.coalesce(1).write.mode("append").parquet(input_dir)
+
+
+def _final_files(d):
+    return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+
+def test_stream_end_to_end(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _stage_blocks(spark, input_dir, list(range(0, 25)), 0)
+
+    opts = WriterOptions(partition_size=10, start_block=0)
+    query, sink = run_pipeline(
+        spark, input_dir, out_dir, BLOCK, ckpt, opts=opts, available_now=True
+    )
+    query.awaitTermination(120)
+
+    # ranges [0,10) and [10,20) are final; [20,30) still live (no block >= 29 seen)
+    assert _final_files(out_dir) == [
+        "0000000000-0000000010.parquet",
+        "0000000010-0000000020.parquet",
+    ]
+    t = pq.read_table(os.path.join(out_dir, "0000000000-0000000010.parquet"))
+    assert t.column("block_number").to_pylist() == list(range(10))  # sorted
+    assert os.path.isdir(os.path.join(out_dir, "_live", "range_start=20"))
+
+
+def test_stream_checkpoint_resume_no_duplicates(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    opts = WriterOptions(partition_size=10, start_block=0)
+
+    _stage_blocks(spark, input_dir, list(range(0, 12)), 0)
+    q1, _ = run_pipeline(spark, input_dir, out_dir, BLOCK, ckpt, opts=opts)
+    q1.awaitTermination(120)
+
+    # feeder appends more blocks; a NEW query with the same checkpoint resumes
+    _stage_blocks(spark, input_dir, list(range(12, 31)), 1)
+    q2, _ = run_pipeline(spark, input_dir, out_dir, BLOCK, ckpt, opts=opts)
+    q2.awaitTermination(120)
+
+    files = _final_files(out_dir)
+    assert files == [
+        "0000000000-0000000010.parquet",
+        "0000000010-0000000020.parquet",
+        "0000000020-0000000030.parquet",
+    ]
+    total = sum(
+        pq.read_table(os.path.join(out_dir, f)).num_rows for f in files
+    )
+    assert total == 30  # blocks 0..29 exactly once; block 30 still live
+
+
+def test_undo_holdback_delays_finalize(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    opts = WriterOptions(partition_size=10, start_block=0)
+
+    _stage_blocks(spark, input_dir, list(range(0, 25)), 0)
+    q, _ = run_pipeline(
+        spark, input_dir, out_dir, BLOCK, ckpt, opts=opts, undo_holdback=10
+    )
+    q.awaitTermination(120)
+    # with holdback 10, range [10,20) needs max_seen >= 29: only [0,10) final
+    assert _final_files(out_dir) == ["0000000000-0000000010.parquet"]
+
+
+def test_undo_retracts_live_blocks(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    opts = WriterOptions(partition_size=10, start_block=0)
+
+    _stage_blocks(spark, input_dir, list(range(0, 25)), 0)
+    q, sink = run_pipeline(
+        spark, input_dir, out_dir, BLOCK, ckpt, opts=opts, undo_holdback=100
+    )
+    q.awaitTermination(120)
+    assert _final_files(out_dir) == []  # everything held back
+
+    sink.undo(last_valid_block=17)  # reorg: drop blocks 18+
+    live = spark.read.parquet(os.path.join(out_dir, "_live"))
+    assert live.agg({"block_number": "max"}).collect()[0][0] == 17
+    assert live.count() == 18
+
+
+def test_stream_explode_child_tables(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    opts = WriterOptions(partition_size=10, start_block=0)
+
+    _stage_blocks(spark, input_dir, list(range(0, 15)), 0)
+    q, _ = run_pipeline(
+        spark, input_dir, out_dir, BLOCK, ckpt, opts=opts, explode=True
+    )
+    q.awaitTermination(120)
+    assert "0000000000-0000000010.parquet" in _final_files(
+        os.path.join(out_dir, "transfers")
+    )
+    t = pq.read_table(
+        os.path.join(out_dir, "transfers", "0000000000-0000000010.parquet")
+    )
+    assert t.schema.names == ["block_number", "block_id", "from_addr", "amount", "ok"]
+    assert t.num_rows == 10
