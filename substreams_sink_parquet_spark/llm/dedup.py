@@ -61,15 +61,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(id-cols…, shingle) rows: distinct word n-grams per document."""
-    words = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-    )
-    # sequence(0, -1) descends in Spark — guard short documents explicitly.
-    grams = F.when(F.size(words) >= n, grams).otherwise(F.array().cast("array<string>"))
-    return df.withColumn("shingle", F.explode(F.array_distinct(grams))).drop(text_col)
+    """(id-cols…, shingle) rows: distinct word n-grams per document
+    (inverted-index building block — used where a per-shingle join follows)."""
+    return df.withColumn("shingle", F.explode(shingle_array(text_col, n))).drop(text_col)
 
 
 # -- exact n-gram Jaccard near-dup ----------------------------------------
@@ -161,21 +155,43 @@ def _hash_coeffs(k: int) -> list[tuple[int, int]]:
     return out
 
 
+def shingle_array(text_col: str | F.Column, n: int = 3) -> F.Column:
+    """array<string> of word n-grams — per-row expression, no explode."""
+    words = F.split(text_col if not isinstance(text_col, str) else F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> DataFrame:
     """(doc_id, sig: array<long>) MinHash signatures over word n-gram shingles.
 
-    Shingles hash JVM-side with xxhash64; each permutation is
-    min((a*h + b) mod p) computed with aggregation — one shuffle on doc_id.
-    """
-    sh = word_shingles(docs.select("doc_id", "text"), n=n)
-    h = (F.xxhash64("shingle").bitwiseAND(F.lit(_MERSENNE))).alias("h")
-    sh = sh.select("doc_id", h)
-    mins = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{i}")
-        for i, (a, b) in enumerate(_hash_coeffs(num_hashes))
-    ]
-    agg = sh.groupBy("doc_id").agg(*mins)
-    return agg.select("doc_id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+    Entirely per-row (map-only, zero shuffle): shingles hash JVM-side with
+    xxhash64 inside a transform(), and each permutation min((a*h+b) mod p)
+    is an array_min over the hash array. At cluster scale this pipelines
+    straight from the parquet scan with no exchange."""
+    hashes = F.transform(
+        shingle_array("text", n),
+        lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MERSENNE)),
+    )
+    tmp = docs.select("doc_id", hashes.alias("__h"))
+
+    def perm(a: int, b: int):
+        # closure factory: F.transform requires a 1- or 2-arg lambda
+        return lambda h: (h * a + b) % _MERSENNE
+
+    sig = F.array(*[
+        F.coalesce(
+            F.array_min(F.transform("__h", perm(a, b))),
+            F.lit(_MERSENNE),  # empty doc sentinel
+        )
+        for (a, b) in _hash_coeffs(num_hashes)
+    ])
+    return tmp.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
@@ -187,6 +203,11 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
     skew concentration, no pairwise blow-up outside candidate buckets.
     """
     rows = num_hashes // bands
+    # signature computation is CPU-bound: spread a narrow (id, text) projection
+    # across all cores even when the input is a single small file
+    docs = docs.select("doc_id", "text").repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
     sigs = minhash_signatures(docs, n=n, num_hashes=num_hashes)
     banded = sigs.select(
         "doc_id",
@@ -242,27 +263,34 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash: long) — 64-bit SimHash over whitespace tokens.
 
-    Pure DataFrame formulation: explode tokens, hash JVM-side, then per bit
-    position sum ±1 votes and reassemble the majority bits — one shuffle on
-    doc_id, no Python in the hot path.
+    Map-only formulation (zero shuffle): token hashes are a per-row
+    transform() array; each bit's majority vote is a size(filter(...))
+    against the array length. The earlier explode+64-column-agg version
+    shuffled every token — this pipelines from the scan directly.
     """
-    toks = docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-    toks = toks.select("doc_id", F.xxhash64("tok").alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    agg = toks.groupBy("doc_id").agg(*votes)
+    toks = F.transform(
+        F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)
+    )
+    tmp = docs.select("doc_id", toks.alias("__h"), F.size(toks).alias("__n"))
+
+    def bit_majority(i: int):
+        # closure: F.filter requires a 1- or 2-arg lambda
+        ones = F.size(
+            F.filter("__h", lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
+        )
+        return (ones * 2 > F.col("__n")).cast("long")
+
     sim = None
     for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(
-            F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+        bit = bit_majority(i)
+        if i < 63:
+            term = bit * F.lit(1 << i).cast("long")
+        else:
+            term = F.when(bit == 1, F.lit(-(1 << 63)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         sim = term if sim is None else sim + term
-    return agg.select("doc_id", sim.alias("simhash"))
+    return tmp.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -273,6 +301,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     candidate join partitions on (chunk_id, chunk_value)."""
     chunks = max_hamming + 1
     width = 64 // chunks
+    docs = docs.select("doc_id", "text").repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
     sims = simhash_64(docs)
     blocked = sims.select(
         "doc_id",
