@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import protowire as pw
-from ..decode import RAW_SCHEMA_DDL, decode_payloads
+from ..decode import decode_payloads
 from ..partition import file_name, range_start_col
 from ..schema import SchemaOptions
 from ..sink.explode import explode_all
@@ -208,11 +208,9 @@ def run_pipeline(
         undo_holdback=undo_holdback,
         explode=explode,
     )
-    stream = (
-        spark.readStream.schema(RAW_SCHEMA_DDL)
-        .option("maxFilesPerTrigger", 8)
-        .parquet(input_dir)
-    )
+    from ..sources.staging import raw_stream
+
+    stream = raw_stream(spark, input_dir)
     writer = stream.writeStream.foreachBatch(sink.process_batch).option(
         "checkpointLocation", checkpoint_dir
     )

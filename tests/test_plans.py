@@ -1,0 +1,80 @@
+"""Physical-plan property tests: pin the scale-critical plan shapes so a
+regression fails here instead of on a cluster (SURVEY.md §4 goals)."""
+
+from pyspark.sql import functions as F
+
+from substreams_sink_parquet_spark.catalog import registry
+from substreams_sink_parquet_spark.plans import plan_report
+from substreams_sink_parquet_spark.tables import load
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    rep = plan_report(registry()["q_scan"].fn(spark, sf_dir))
+    # the shipdate predicate must reach the parquet scan
+    assert any("l_shipdate" in p for p in rep.pushed_filters), rep.pushed_filters
+    # column pruning: only the 4 projected cols + filter col are read
+    assert rep.read_schemas and "l_extendedprice" not in rep.read_schemas[0]
+    assert rep.shuffle_exchanges == 0  # pure scan+filter: no shuffle at all
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    rep = plan_report(registry()["q_join_broadcast"].fn(spark, sf_dir))
+    assert rep.broadcast_joins >= 1
+    # the fact table is not shuffled for the join; the single shuffle is the
+    # final aggregation exchange
+    assert rep.sortmerge_joins == 0
+    assert rep.shuffle_exchanges <= 1, rep.text
+    # dim-side filter pushed to its scan
+    assert any("p_size" in p for p in rep.pushed_filters)
+
+
+def test_small_dim_join_auto_broadcasts(spark, sf_dir):
+    rep = plan_report(registry()["q_join_inner"].fn(spark, sf_dir))
+    # customer fits under the broadcast threshold: Catalyst should choose BHJ
+    assert rep.broadcast_joins >= 1
+    assert not rep.has_cartesian
+
+
+def test_agg_is_single_shuffle(spark, sf_dir):
+    rep = plan_report(registry()["q_agg_basic"].fn(spark, sf_dir))
+    # partial (map-side) agg + final agg: exactly one shuffle on group keys
+    assert rep.shuffle_exchanges == 1, rep.text
+    assert "HashAggregate" in rep.text
+    assert rep.codegen_spans >= 1
+
+
+def test_minhash_signatures_are_map_only(spark, sf_dir):
+    from substreams_sink_parquet_spark.llm.dedup import minhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    rep = plan_report(minhash_signatures(docs))
+    assert rep.shuffle_exchanges == 0, "signature computation must not shuffle"
+
+
+def test_simhash_is_map_only(spark, sf_dir):
+    from substreams_sink_parquet_spark.llm.dedup import simhash_64
+
+    docs = load(spark, sf_dir, "documents")
+    rep = plan_report(simhash_64(docs))
+    assert rep.shuffle_exchanges == 0
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    rep = plan_report(registry()["q_join_asof"].fn(spark, sf_dir))
+    # union + window formulation: one shuffle on the key, no join blow-up
+    assert rep.shuffle_exchanges <= 2, rep.text  # key shuffle (+AQE read)
+    assert not rep.has_cartesian
+
+
+def test_topk_no_global_sort_of_full_data(spark, sf_dir):
+    df = registry()["q_sort"].fn(spark, sf_dir)
+    rep = plan_report(df)
+    # limit+orderBy compiles to TakeOrderedAndProject: no full-width global sort
+    assert "TakeOrderedAndProject" in rep.text
+
+
+def test_no_cartesian_anywhere_in_catalog(spark, sf_dir):
+    # cheap static sweep: no catalog query may plan a cartesian product
+    for name, spec in registry().items():
+        rep = plan_report(spec.fn(spark, sf_dir))
+        assert not rep.has_cartesian, f"{name} plans a CartesianProduct"

@@ -5,31 +5,24 @@ import os
 
 import pyarrow.parquet as pq
 
-from substreams_sink_parquet_spark import protowire as pw
 from substreams_sink_parquet_spark.sink.writer import WriterOptions
+from substreams_sink_parquet_spark.sources import stage_raw_blocks, synth_blocks
 from substreams_sink_parquet_spark.streaming.stream_sink import run_pipeline
 
 from .test_protowire import BLOCK
 
 
+def _payload(bn: int) -> dict:
+    return {
+        "i64": bn * 10,
+        "s": f"blk-{bn}",
+        "transfers": [{"from_addr": f"a{bn}", "amount": bn, "ok": True}],
+        "tags": [f"t{bn}"],
+    }
+
+
 def _stage_blocks(spark, input_dir, block_numbers, batch_id):
-    rows = [
-        (
-            bn,
-            f"0x{bn:x}",
-            bytearray(
-                pw.encode_message(
-                    {"i64": bn * 10, "s": f"blk-{bn}",
-                     "transfers": [{"from_addr": f"a{bn}", "amount": bn, "ok": True}],
-                     "tags": [f"t{bn}"]},
-                    BLOCK,
-                )
-            ),
-        )
-        for bn in block_numbers
-    ]
-    df = spark.createDataFrame(rows, "block_number bigint, block_id string, payload binary")
-    df.coalesce(1).write.mode("append").parquet(input_dir)
+    stage_raw_blocks(spark, input_dir, synth_blocks(BLOCK, block_numbers, _payload))
 
 
 def _final_files(d):
