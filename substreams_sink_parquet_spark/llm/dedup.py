@@ -179,18 +179,20 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> Dat
         lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MERSENNE)),
     )
     tmp = docs.select("doc_id", hashes.alias("__h"))
-
-    def perm(a: int, b: int):
-        # closure factory: F.transform requires a 1- or 2-arg lambda
-        return lambda h: (h * a + b) % _MERSENNE
-
-    sig = F.array(*[
-        F.coalesce(
-            F.array_min(F.transform("__h", perm(a, b))),
-            F.lit(_MERSENNE),  # empty doc sentinel
-        )
+    # hash-family constants as an array<struct<a,b>> so the whole signature is
+    # ONE nested-HOF expression rather than num_hashes copied subtrees — the
+    # codegen output shrinks ~30x, which dominates small-batch latency
+    coeffs = F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
         for (a, b) in _hash_coeffs(num_hashes)
     ])
+    sig = F.transform(
+        coeffs,
+        lambda c: F.coalesce(
+            F.array_min(F.transform(F.col("__h"), lambda h: (h * c["a"] + c["b"]) % _MERSENNE)),
+            F.lit(_MERSENNE),  # empty doc sentinel
+        ),
+    )
     return tmp.select("doc_id", sig.alias("sig"))
 
 
@@ -273,23 +275,24 @@ def simhash_64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     tmp = docs.select("doc_id", toks.alias("__h"), F.size(toks).alias("__n"))
 
-    def bit_majority(i: int):
-        # closure: F.filter requires a 1- or 2-arg lambda
+    # one nested-HOF expression over bit positions (vs 64 copied filter
+    # subtrees): per bit, majority vote then weight by 2^i; bit 63 is the
+    # sign bit, added as Long.MIN_VALUE. pow(2, i) is exact for i <= 62.
+    def bit_term(i):
         ones = F.size(
-            F.filter("__h", lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
+            F.filter(F.col("__h"), lambda h: F.getbit(h, i) == 1)
         )
-        return (ones * 2 > F.col("__n")).cast("long")
+        bit = (ones * 2 > F.col("__n")).cast("long")
+        weight = F.pow(F.lit(2.0), i.cast("double")).cast("long")
+        return F.when(i < 63, bit * weight).otherwise(
+            bit * F.lit(-(1 << 63)).cast("long")
+        )
 
-    sim = None
-    for i in range(64):
-        bit = bit_majority(i)
-        if i < 63:
-            term = bit * F.lit(1 << i).cast("long")
-        else:
-            term = F.when(bit == 1, F.lit(-(1 << 63)).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        sim = term if sim is None else sim + term
+    sim = F.aggregate(
+        F.transform(F.sequence(F.lit(0), F.lit(63)), bit_term),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return tmp.select("doc_id", sim.alias("simhash"))
 
 
