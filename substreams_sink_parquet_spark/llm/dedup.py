@@ -170,30 +170,30 @@ def shingle_array(text_col: str | F.Column, n: int = 3) -> F.Column:
 def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> DataFrame:
     """(doc_id, sig: array<long>) MinHash signatures over word n-gram shingles.
 
-    Entirely per-row (map-only, zero shuffle): shingles hash JVM-side with
-    xxhash64 inside a transform(), and each permutation min((a*h+b) mod p)
-    is an array_min over the hash array. At cluster scale this pipelines
-    straight from the parquet scan with no exchange."""
+    Shingles hash JVM-side (xxhash64 in a transform()), then explode and take
+    the num_hashes permutation minima min((a*h+b) mod p) as plain aggregate
+    expressions. The (h*a+b)%p projections run inside whole-stage codegen —
+    a higher-order-function formulation (array_min over transform) is
+    interpreted per element and measured ~11x slower. Partial aggregation
+    combines map-side, so the exchange carries one 32-long row per document;
+    the LSH band join downstream shuffles signatures anyway, so this adds no
+    asymptotic cost at cluster scale. Empty docs survive via explode_outer
+    (null hash -> null min -> sentinel coalesce)."""
     hashes = F.transform(
         shingle_array("text", n),
         lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MERSENNE)),
     )
-    tmp = docs.select("doc_id", hashes.alias("__h"))
-    # hash-family constants as an array<struct<a,b>> so the whole signature is
-    # ONE nested-HOF expression rather than num_hashes copied subtrees — the
-    # codegen output shrinks ~30x, which dominates small-batch latency
-    coeffs = F.array(*[
-        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-        for (a, b) in _hash_coeffs(num_hashes)
+    sh = docs.select("doc_id", F.explode_outer(hashes).alias("__h"))
+    coeffs = _hash_coeffs(num_hashes)
+    aggs = [
+        F.min((F.col("__h") * a + b) % _MERSENNE).alias(f"__m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = F.array(*[
+        F.coalesce(F.col(f"__m{i}"), F.lit(_MERSENNE))  # empty doc sentinel
+        for i in range(num_hashes)
     ])
-    sig = F.transform(
-        coeffs,
-        lambda c: F.coalesce(
-            F.array_min(F.transform(F.col("__h"), lambda h: (h * c["a"] + c["b"]) % _MERSENNE)),
-            F.lit(_MERSENNE),  # empty doc sentinel
-        ),
-    )
-    return tmp.select("doc_id", sig.alias("sig"))
+    return sh.groupBy("doc_id").agg(*aggs).select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
