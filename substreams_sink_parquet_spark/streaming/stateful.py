@@ -1,0 +1,135 @@
+"""Stateful Structured Streaming operators (SURVEY.md §2B streaming rows).
+
+The reference sink has no event-time or stateful processing at all — its only
+"state" is the resume cursor (parquet/sinker/cursor.go:27-32). These are the
+operators a Spark-native engine adds on top of the same staged-stream model
+(sources/staging.py):
+
+- ``watermarked_window_counts``: tumbling event-time window aggregation with a
+  watermark bounding state; late rows beyond the delay are dropped, which is
+  what bounds state size on an unbounded 100 TB/day stream.
+- ``dedup_within_watermark``: streaming exact dedup whose key-state is evicted
+  once the watermark passes (``dropDuplicatesWithinWatermark``) — the
+  streaming counterpart of llm/dedup.dedup_exact.
+- ``running_counts_stateful``: custom per-key running state via
+  ``applyInPandasWithState`` (GroupState): arbitrary Python state machines,
+  Arrow-batched per group, state persisted in the checkpoint. This is the
+  escape hatch for operators neither SQL aggregation nor window functions can
+  express (e.g. per-address balance tracking over the exploded transfer
+  stream).
+
+State scaling notes: all three shuffle by their key (window start / dedup key
+/ group key) into ``spark.sql.shuffle.partitions`` state stores; watermarks
+are what allow eviction. RocksDB state store
+(``spark.sql.streaming.stateStore.providerClass``) is the 100 TB setting —
+the default in-memory HDFS-backed store is fine at test scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def watermarked_window_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "kind",
+    window: str = "10 seconds",
+    delay: str = "10 seconds",
+) -> DataFrame:
+    """Tumbling-window count per key with bounded state.
+
+    Watermark = max(event time) - delay; windows older than the watermark are
+    finalized and their state evicted. Rows later than that are dropped —
+    the documented, deterministic-late-data contract the reference lacks.
+    """
+    return (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp("win.start").alias("win_start"),
+            F.col(key_col),
+            "n",
+        )
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming exact dedup with watermark-bounded key state.
+
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only until the
+    watermark passes its event time + delay, so state is O(keys per delay
+    window), not O(all keys ever) — the property that makes streaming dedup
+    viable on an unbounded stream.
+    """
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+# -- custom stateful operator ----------------------------------------------
+
+_RUNNING_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("events_total", LongType()),
+        StructField("value_total", LongType()),
+    ]
+)
+_RUNNING_STATE = StructType(
+    [
+        StructField("events_total", LongType()),
+        StructField("value_total", LongType()),
+    ]
+)
+
+
+def _running_counts_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key accumulator: total event count and value sum across batches."""
+    events, total = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        events += len(pdf)
+        total += int(pdf["value"].sum())
+    state.update((events, total))
+    yield pd.DataFrame(
+        {"key": [key[0]], "events_total": [events], "value_total": [total]}
+    )
+
+
+def running_counts_stateful(stream: DataFrame, key_col: str = "kind") -> DataFrame:
+    """Running per-key totals via applyInPandasWithState.
+
+    Demonstrates the custom-stateful-operator path: state is a typed tuple in
+    the checkpointed state store, groups arrive as Arrow batches, output mode
+    "update" emits the new running totals each micro-batch. NoTimeout keeps
+    state forever (a real deployment would use EventTimeTimeout + watermark
+    to evict idle keys).
+    """
+    return (
+        stream.select(F.col(key_col).alias("key"), F.col("value"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            _running_counts_fn,
+            outputStructType=_RUNNING_OUT,
+            stateStructType=_RUNNING_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

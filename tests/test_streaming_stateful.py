@@ -1,0 +1,109 @@
+"""Stateful Structured Streaming: watermarked windows, streaming dedup,
+applyInPandasWithState — state must survive query restarts (checkpoint) and
+watermarks must drop late rows / evict state deterministically."""
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from substreams_sink_parquet_spark.streaming.stateful import (
+    dedup_within_watermark,
+    running_counts_stateful,
+    watermarked_window_counts,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("kind", StringType()),
+        StructField("value", LongType()),
+    ]
+)
+
+
+def _stage(spark, in_dir, rows):
+    """Append one parquet file of (epoch_sec, kind, value) events."""
+    df = spark.createDataFrame(
+        [(int(ts), k, int(v)) for ts, k, v in rows], "sec long, kind string, value long"
+    ).select(F.timestamp_seconds("sec").alias("ts"), "kind", "value")
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+
+
+def _drain(spark, in_dir, transform, ckpt, output_mode):
+    """One availableNow pass → collected rows (foreachBatch: the memory sink
+    cannot resume from a checkpoint, which these tests depend on)."""
+    out: list = []
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(in_dir)
+    q = (
+        transform(stream)
+        .writeStream.foreachBatch(lambda df, _eid: out.extend(df.collect()))
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return out
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    tf = lambda s: watermarked_window_counts(s, window="10 seconds", delay="10 seconds")
+
+    # run 1: two rows in window [0,10), one at t=65 → watermark commits at 55
+    _stage(spark, in_dir, [(0, "a", 1), (5, "a", 1), (65, "a", 1)])
+    r1 = _drain(spark, in_dir, tf, ckpt, "update")
+    assert {(r.win_start, r.kind, r.n) for r in r1} == {(0, "a", 2), (60, "a", 1)}
+
+    # run 2: t=5 is behind the watermark → dropped (no n=3 update for window 0);
+    # t=70 lands in the still-open window [70,80)
+    _stage(spark, in_dir, [(5, "a", 1), (70, "a", 1)])
+    r2 = _drain(spark, in_dir, tf, ckpt, "update")
+    assert {(r.win_start, r.kind, r.n) for r in r2} == {(70, "a", 1)}
+
+
+def test_dedup_within_watermark_evicts_state(spark, tmp_path):
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    tf = lambda s: dedup_within_watermark(s, keys=["kind"], delay="10 seconds")
+
+    # run 1: duplicate kind within the window → emitted once
+    _stage(spark, in_dir, [(0, "k1", 1), (2, "k1", 2)])
+    r1 = _drain(spark, in_dir, tf, ckpt, "append")
+    assert [r.kind for r in r1] == ["k1"]
+
+    # run 2: k1 again while its state is alive → suppressed; k2 is new.
+    # t=200 pushes the watermark far past k1's expiry (0 + 10s)
+    _stage(spark, in_dir, [(3, "k1", 3), (200, "k2", 1)])
+    r2 = _drain(spark, in_dir, tf, ckpt, "append")
+    assert sorted(r.kind for r in r2) == ["k2"]
+
+    # run 3: k1's state was evicted at watermark 190 → re-emitted as new
+    _stage(spark, in_dir, [(205, "k1", 4)])
+    r3 = _drain(spark, in_dir, tf, ckpt, "append")
+    assert [r.kind for r in r3] == ["k1"]
+
+
+def test_apply_in_pandas_with_state_accumulates_across_restarts(spark, tmp_path):
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    tf = running_counts_stateful
+
+    _stage(spark, in_dir, [(0, "a", 1), (1, "a", 2), (2, "a", 3), (3, "b", 10)])
+    r1 = {(r.key): (r.events_total, r.value_total)
+          for r in _drain(spark, in_dir, tf, ckpt, "update")}
+    assert r1 == {"a": (3, 6), "b": (1, 10)}
+
+    # new query, same checkpoint: GroupState must resume, not restart
+    _stage(spark, in_dir, [(4, "a", 10), (5, "b", 20)])
+    r2 = {(r.key): (r.events_total, r.value_total)
+          for r in _drain(spark, in_dir, tf, ckpt, "update")}
+    assert r2 == {"a": (4, 16), "b": (2, 30)}
