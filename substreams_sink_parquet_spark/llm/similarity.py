@@ -154,6 +154,122 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, dim=dim, k=5, n_planes=8)
 
 
+# -- IVF-Flat ANN (coarse quantizer + nprobe) ------------------------------
+
+
+def _nearest_centroid(vecs: DataFrame, cent_rows: list[tuple[int, list[float]]],
+                      vec_col: str, keep: list[str], nprobe: int = 1) -> DataFrame:
+    """Attach the nprobe nearest centroid ids to each row of ``vecs``.
+
+    The quantizer is tiny (n_centroids x dim floats), so it ships as literal
+    expressions — the FAISS shape, where every worker holds the coarse
+    quantizer in memory. Assignment is then MAP-ONLY: per row, build the
+    n_centroids (−cos, cent_id) structs, array_sort (ascending ⇒ best cosine
+    first), slice nprobe, explode. No shuffle of the corpus at any point —
+    the earlier crossJoin + groupBy(argmin) formulation exchanged one row per
+    corpus vector, which is exactly the kind of needless full-corpus shuffle
+    that kills a 100 TB assignment pass."""
+    cands = F.array(*[
+        F.struct(
+            (-cosine(vec_col, F.array(*[F.lit(float(x)) for x in vec]))).alias("negcos"),
+            F.lit(cid).alias("cent_id"),
+        )
+        for cid, vec in cent_rows
+    ])
+    picked = F.slice(F.array_sort(cands), 1, nprobe)
+    return vecs.select(
+        *keep, F.explode(picked).alias("__p")
+    ).select(*keep, F.col("__p.cent_id").alias("cent_id"))
+
+
+def ivf_centroids(embeddings: DataFrame, vec_col: str = "embedding",
+                  n_centroids: int = 16,
+                  refine_iters: int = 1) -> list[tuple[int, list[float]]]:
+    """[(cent_id, cent_vec)] coarse-quantizer centroids (driver-side list —
+    n_centroids x dim floats, the part of an IVF index that is *supposed* to
+    be small and resident everywhere).
+
+    Seeds are a deterministic corpus sample (lowest vec_ids — at 100 TB a
+    seeded TABLESAMPLE); each Lloyd iteration reassigns the corpus map-only
+    and recomputes means by exploding (dimension, value) pairs — the
+    per-(centroid, dim) average combines map-side, so its exchange is
+    n_centroids x dim rows, independent of corpus size."""
+    seeds = (
+        embeddings.orderBy("vec_id").limit(n_centroids)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    cents = [(i + 1, list(r.v)) for i, r in enumerate(seeds)]
+    for _ in range(refine_iters):
+        assigned = _nearest_centroid(
+            embeddings.select("vec_id", vec_col), cents, vec_col, keep=["vec_id"]
+        ).join(embeddings.select("vec_id", vec_col), "vec_id")
+        by_dim = assigned.select(
+            "cent_id", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
+        )
+        rows = (
+            by_dim.groupBy("cent_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cent_vec")
+            )
+            .collect()
+        )
+        cents = sorted((r.cent_id, list(r.cent_vec)) for r in rows)
+    return cents
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, nprobe: int = 2,
+             refine_iters: int = 1) -> DataFrame:
+    """Approximate top-k via IVF-Flat: exact search inside the nprobe nearest
+    centroid cells only.
+
+    The corpus is assigned once (reusable — at scale, write it out bucketed
+    by cent_id so probes become partition-pruned scans); each probe touches
+    ~nprobe/n_centroids of the corpus. Raising nprobe trades cost for recall,
+    exactly like FAISS IVF-Flat."""
+    cents = ivf_centroids(embeddings, n_centroids=n_centroids,
+                          refine_iters=refine_iters)
+    corpus = _nearest_centroid(
+        embeddings.select("vec_id", "embedding"), cents, "embedding",
+        keep=["vec_id"],
+    ).join(embeddings.select("vec_id", "embedding"), "vec_id")
+    probes = _nearest_centroid(
+        queries, cents, "q_vec", keep=["q_id"], nprobe=nprobe
+    ).join(queries, "q_id")
+    joined = corpus.join(
+        F.broadcast(probes),
+        (corpus.cent_id == probes.cent_id) & (corpus.vec_id != probes.q_id),
+    )
+    scored = joined.select(
+        "q_id", "vec_id", cosine("q_vec", "embedding").alias("cos")
+    ).dropDuplicates(["q_id", "vec_id"])  # nprobe cells may overlap
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+@register(
+    "q_sim_topk_ivf",
+    None,  # approximate: cell recall depends on the quantizer → rows-only
+    doc="IVF-Flat approximate top-k cosine (16 centroids, 1 Lloyd iter, nprobe=2)",
+)
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=2)
+
+
 # -- embedding-cosine near-dup --------------------------------------------
 
 

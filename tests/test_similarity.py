@@ -1,0 +1,43 @@
+"""ANN operators: IVF-Flat recall floor vs brute force, and the plan
+property that makes it scale — centroid assignment must not shuffle."""
+
+from pyspark.sql import functions as F
+
+from substreams_sink_parquet_spark.llm import similarity as S
+from substreams_sink_parquet_spark.plans import plan_report
+from substreams_sink_parquet_spark.tables import load
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qs = _queries(emb)
+    exact = {(r.q_id, r.neighbor_id) for r in S.cosine_topk(emb, qs, 5).collect()}
+    ivf = {
+        (r.q_id, r.neighbor_id)
+        for r in S.ivf_topk(emb, qs, 5, n_centroids=16, nprobe=2).collect()
+    }
+    assert len(ivf & exact) / len(exact) >= 0.6  # deterministic quantizer
+
+
+def test_ivf_assignment_is_map_only(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    cents = S.ivf_centroids(emb, n_centroids=8, refine_iters=0)
+    rep = plan_report(
+        S._nearest_centroid(
+            emb.select("vec_id", "embedding"), cents, "embedding", keep=["vec_id"]
+        )
+    )
+    assert rep.shuffle_exchanges == 0, rep.text
+
+
+def test_lsh_buckets_are_deterministic(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    b1 = {(r.vec_id, r.bucket) for r in S.lsh_bucket(emb, "embedding", 16, 6).select("vec_id", "bucket").collect()}
+    b2 = {(r.vec_id, r.bucket) for r in S.lsh_bucket(emb, "embedding", 16, 6).select("vec_id", "bucket").collect()}
+    assert b1 == b2
