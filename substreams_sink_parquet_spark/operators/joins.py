@@ -179,3 +179,18 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_event_id_matched").alias("signup_event_id"),
         F.unix_timestamp("ts_matched").alias("signup_epoch"),
     )
+
+
+@register(
+    "q_join_cross",
+    """
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    doc="Cross join of two small dims (broadcast nested-loop, never a "
+        "partitioned CartesianProduct)",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").select("r_name")
+    nation = load(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(F.broadcast(nation))

@@ -269,3 +269,85 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
     )
+
+
+@register(
+    "q_agg_stats",
+    """
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))
+                        * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+               median(l_quantity) AS med_qty,
+               quantile_cont(l_quantity, 0.25) AS p25_qty
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS sd_qty,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+           med_qty, p25_qty
+    FROM m
+    """,
+    doc="Statistical aggregates: variance/stddev/corr from exact decimal "
+        "moment sums (order-independent, so cross-engine hash-stable — the "
+        "built-in stddev/corr accumulate doubles whose merge order varies "
+        "with partitioning), plus exact median / percentile_cont",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(4,0)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.median("l_quantity").alias("med_qty"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25_qty"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        var.alias("var_qty"),
+        F.sqrt(var).alias("sd_qty"),
+        corr.alias("corr_qty_price"),
+        "med_qty",
+        "p25_qty",
+    )
+
+
+@register(
+    "q_agg_stats_builtin",
+    None,  # double-accumulator builtins: merge order varies → rows-only
+    doc="Native statistical aggregate builtins: stddev/variance/corr/covar/"
+        "skewness/kurtosis (hash-unstable across engines by accumulation "
+        "order; the hash-stable decimal-moment versions are q_agg_stats)",
+)
+def q_agg_stats_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.stddev_samp("l_quantity").alias("sd"),
+        F.var_pop("l_quantity").alias("vp"),
+        F.corr("l_quantity", "l_extendedprice").alias("corr_qp"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("covar_qp"),
+        F.skewness("l_quantity").alias("skew"),
+        F.kurtosis("l_quantity").alias("kurt"),
+    )

@@ -241,3 +241,89 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.isNotNull().alias("has_k"),
         (k % 10).alias("k_mod10"),
     )
+
+
+@register(
+    "q_fn_bitwise",
+    """
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, o_custkey) AS keys_xor,
+           ~o_orderkey AS inverted,
+           o_orderkey << 2 AS shl2,
+           o_orderkey >> 3 AS shr3,
+           bit_count(o_orderkey) AS popcount
+    FROM orders
+    """,
+    doc="Bitwise functions: and/or/xor/not, shifts, popcount (exact ints)",
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("keys_xor"),
+        F.bitwise_not(k).alias("inverted"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+@register(
+    "q_fn_regex",
+    """
+    SELECT doc_id,
+           array_to_string(list_sort(regexp_extract_all(text, '[a-z]{5,}')), ',')
+               AS long_words,
+           len(regexp_extract_all(text, 'a')) AS n_a,
+           regexp_matches(text, '^[A-Z]') AS starts_upper,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS digits_masked
+    FROM documents
+    """,
+    doc="Regex family: extract_all (sorted-joined for order-insensitive "
+        "hashing), count, rlike, global replace",
+)
+def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(F.regexp_extract_all("text", F.lit("[a-z]{5,}"), 0)), ","
+        ).alias("long_words"),
+        F.regexp_count("text", F.lit("a")).alias("n_a"),
+        F.col("text").rlike("^[A-Z]").alias("starts_upper"),
+        F.regexp_replace("text", "[0-9]+", "#").alias("digits_masked"),
+    )
+
+
+@register(
+    "q_fn_struct",
+    """
+    SELECT o_orderkey,
+           o_orderpriority AS pri,
+           o_totalprice AS price,
+           CASE WHEN ROW(o_orderpriority, o_orderstatus)
+                     = ROW('1-URGENT', 'F') THEN TRUE ELSE FALSE END AS is_urgent_f
+    FROM orders
+    """,
+    doc="Struct ops: build (named_struct), field access via dot path, "
+        "struct equality comparison",
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("price"),
+    )
+    probe = F.struct(F.lit("1-URGENT").alias("pri"), F.lit("F").alias("st"))
+    return orders.withColumn("__s", s).select(
+        "o_orderkey",
+        F.col("__s.pri").alias("pri"),
+        F.col("__s.price").alias("price"),
+        (F.struct(F.col("__s.pri"), F.col("__s.st")) == probe).alias("is_urgent_f"),
+    )

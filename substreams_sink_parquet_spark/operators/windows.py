@@ -111,3 +111,28 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         moving.alias("moving_sum3"),
         F.count("*").over(w_range).alias("n_recent_ids"),
     )
+
+
+@register(
+    "q_win_dist",
+    """
+    SELECT o_orderpriority, o_orderkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           ntile(7) OVER w AS bucket7
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Distribution windows: percent_rank / cume_dist / ntile (exact "
+        "rational doubles — single IEEE division of small ints, hash-stable)",
+)
+def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(7).over(w).alias("bucket7"),
+    )
