@@ -107,3 +107,32 @@ def test_apply_in_pandas_with_state_accumulates_across_restarts(spark, tmp_path)
     r2 = {(r.key): (r.events_total, r.value_total)
           for r in _drain(spark, in_dir, tf, ckpt, "update")}
     assert r2 == {"a": (4, 16), "b": (2, 30)}
+
+
+def test_sink_stats_listener_accumulates(spark, tmp_path):
+    from substreams_sink_parquet_spark.streaming import observability as obs
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    listener = obs.attach(spark)
+    try:
+        _stage(spark, in_dir, [(0, "a", 1), (1, "b", 2), (2, "a", 3)])
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(in_dir)
+        q = (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener events arrive asynchronously after termination
+        import time as _t
+        for _ in range(50):
+            if listener.stats(q.id).rows >= 3:
+                break
+            _t.sleep(0.2)
+        s = listener.stats(q.id)
+        assert s.rows == 3 and s.batches >= 1
+        assert listener.totals().rows >= 3
+    finally:
+        obs.detach(spark, listener)
