@@ -54,17 +54,29 @@ def write_ranges(
     opts: WriterOptions,
     block_col: str = "block_number",
     backfill: bool = True,
+    ranges: list[int] | None = None,
 ) -> list[str]:
     """Write ``df`` as one zero-pad-named parquet file per block range.
 
     Returns the list of file names written (sorted). Empty input with
-    ``backfill`` still materializes empty ranges up to the anchor."""
+    ``backfill`` still materializes empty ranges up to the anchor.
+
+    ``ranges``: the distinct range starts present in ``df``, if the caller
+    already knows them. Discovering them here costs a full extra pass over
+    ``df``'s lineage — when ``df`` is the decoded stream, that means decoding
+    every payload twice. Callers that hold the raw (block_number, payload)
+    frame should derive the ranges from the raw block_number column (a
+    pruned one-column parquet scan) and pass them in."""
     spark = df.sparkSession
     ranged = df.withColumn(
         "__range_start", range_start_col(block_col, opts.start_block, opts.partition_size)
     )
 
-    distinct_ranges = [r[0] for r in ranged.select("__range_start").distinct().collect()]
+    distinct_ranges = (
+        list(ranges)
+        if ranges is not None
+        else [r[0] for r in ranged.select("__range_start").distinct().collect()]
+    )
     n_ranges = max(len(distinct_ranges), 1)
 
     staging = os.path.join(out_dir, "_staging")
