@@ -327,3 +327,42 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__s.price").alias("price"),
         (F.struct(F.col("__s.pri"), F.col("__s.st")) == probe).alias("is_urgent_f"),
     )
+
+
+@register(
+    "q_fn_hash",
+    """
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           md5(concat(CAST(doc_id AS VARCHAR), ':', text)) AS keyed_md5
+    FROM documents
+    """,
+    doc="Cryptographic hash functions: md5 / sha2-256, incl. keyed concat",
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))).alias("keyed_md5"),
+    )
+
+
+@register(
+    "q_lateral_posexplode",
+    """
+    SELECT doc_id, t.i - 1 AS pos, str_split(text, ' ')[t.i] AS word
+    FROM documents,
+         UNNEST(range(1, len(str_split(text, ' ')) + 1)) AS t(i)
+    WHERE doc_id < 50
+    """,
+    doc="Lateral table generator: posexplode with ordinal position (UDTF-"
+        "style row expansion as a built-in)",
+)
+def q_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
