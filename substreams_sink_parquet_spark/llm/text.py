@@ -180,3 +180,71 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
     )
+
+
+@register(
+    "q_text_ngram_tf",
+    """
+    WITH grams AS (
+        SELECT doc_id, UNNEST(g) AS bigram
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(len(str_split(text, ' ')) - 1),
+                       i -> array_to_string(str_split(text, ' ')[i+1:i+2], ' ')
+                   ) AS g
+            FROM documents
+        )
+    )
+    SELECT bigram, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM grams
+    GROUP BY bigram
+    HAVING COUNT(*) >= 20
+    """,
+    doc="Corpus n-gram term/document frequencies: per-row bigram expansion "
+        "(no stored intermediate), aggregated with map-side combine; the "
+        "HAVING mirrors the vocabulary-pruning cut of a TF pipeline",
+)
+def q_text_ngram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 2),
+        lambda i: F.array_join(F.slice(words, i + 1, 2), " "),
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(words) >= 2, bigrams).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("tf") >= 20)
+    )
+
+
+@register(
+    "q_text_hashing_tf",
+    None,  # hashed-bucket indices are implementation-specific → rows-only
+    doc="MLlib feature pipeline: Tokenizer → NGram → HashingTF sparse term "
+        "vectors (the standard Spark featurization path for text corpora)",
+)
+def q_text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, NGram, Tokenizer
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    grams = NGram(n=2, inputCol="words", outputCol="grams").transform(toks)
+    tf = HashingTF(inputCol="grams", outputCol="tf_vec", numFeatures=1 << 12)
+    out = tf.transform(grams)
+    # project the sparse vector to stable scalars (nnz + l1 mass)
+    from pyspark.ml.functions import vector_to_array
+
+    arr = vector_to_array("tf_vec")
+    return out.select(
+        "doc_id",
+        F.size(F.filter(arr, lambda x: x > 0)).alias("nnz"),
+        F.aggregate(arr, F.lit(0.0), lambda a, x: a + x).cast("long").alias("total_terms"),
+    )
