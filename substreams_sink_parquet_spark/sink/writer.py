@@ -160,6 +160,45 @@ def backfill_empty(
     return written
 
 
-def read_lake(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Read every range file of a sink output directory back as one table."""
-    return spark.read.parquet(f"{out_dir}/*.parquet")
+def read_lake(
+    spark: SparkSession,
+    out_dir: str,
+    start_block: int | None = None,
+    end_block: int | None = None,
+) -> DataFrame:
+    """Read a sink output directory back as one table, file-pruned by block
+    range.
+
+    The padded ``{start}-{end}.parquet`` file names ARE the lake's partition
+    index (partitioner.go:34-36 is the same contract): a block-range
+    predicate selects the overlapping files by name before Spark ever lists
+    a footer, so a 100-block probe of a 100 TB lake opens a handful of
+    files. The residual per-row filter still applies (ranges are half-open
+    supersets), and row-group stats prune within files because each file is
+    written block-sorted."""
+    if start_block is None and end_block is None:
+        return spark.read.parquet(f"{out_dir}/*.parquet")
+    names = []
+    for f in sorted(os.listdir(out_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        stem = f[: -len(".parquet")]
+        try:
+            rs, re_ = (int(p) for p in stem.split("-", 1))
+        except ValueError:
+            continue
+        if end_block is not None and rs > end_block:
+            continue
+        if start_block is not None and re_ <= start_block:
+            continue
+        names.append(os.path.join(out_dir, f))
+    if not names:
+        raise FileNotFoundError(
+            f"no range files overlap [{start_block}, {end_block}] in {out_dir}"
+        )
+    df = spark.read.parquet(*names)
+    if start_block is not None:
+        df = df.filter(F.col("block_number") >= start_block)
+    if end_block is not None:
+        df = df.filter(F.col("block_number") <= end_block)
+    return df

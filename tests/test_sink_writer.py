@@ -115,3 +115,27 @@ def test_exploded_tables_write_to_subdirs(spark, tmp_path):
     back = spark.read.parquet(os.path.join(out, "transfers", "*.parquet"))
     assert back.count() == 4
     assert back.filter(F.col("block_number") == 1).count() == 2
+
+
+def test_read_lake_prunes_files_by_range(spark, tmp_path):
+    out = str(tmp_path / "lake")
+    os.makedirs(out)
+    df = decode_payloads(_blocks_df(spark, [0, 5, 12, 17, 25, 33]), BLOCK)
+    write_ranges(df, out, WriterOptions(partition_size=10, start_block=0, pad=10))
+
+    # a probe of [12, 19] must open only the [10,20) file
+    probe = read_lake(spark, out, start_block=12, end_block=19)
+    assert sorted(r.block_number for r in probe.collect()) == [12, 17]
+    scanned = [
+        f for f in probe.inputFiles() if f.endswith(".parquet")
+    ]
+    assert len(scanned) == 1 and "0000000010-0000000020" in scanned[0]
+
+    # open-ended probes prune on the other side too
+    assert sorted(
+        r.block_number for r in read_lake(spark, out, start_block=25).collect()
+    ) == [25, 33]
+
+    # a probe with no overlapping files is an explicit error, not a scan
+    with pytest.raises(FileNotFoundError):
+        read_lake(spark, out, start_block=1000, end_block=2000)
