@@ -344,3 +344,108 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=3)
+
+
+# -- pair graph → clusters (canonical keeper assignment) -------------------
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph: (doc_id, canonical).
+
+    Iterative min-label propagation in plain DataFrame ops: every node
+    starts labeled with itself; each round, a node adopts the smallest label
+    in its neighborhood; fixpoint when a round changes nothing. Rounds are
+    O(component diameter) — near-dup clusters are shallow (dozens of docs
+    around shared content), so this converges in a handful of rounds even at
+    corpus scale; every round is one shuffle on doc_id. Each iteration's
+    result is cached and the previous uncached to keep the lineage flat
+    (no exponential plan growth).
+
+    Only docs that appear in >= 1 pair are returned — singletons are their
+    own keeper by definition and would dominate output size at scale.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("a").alias("doc_id")).distinct().withColumn(
+        "canonical", F.col("doc_id")
+    ).cache()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("canonical").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("canonical"), F.coalesce("nbr_min", "canonical")).alias(
+                    "canonical"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.canonical") != F.col("o.canonical"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+@register(
+    "q_dedup_clusters",
+    """
+    WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id, UNNEST(gr) AS shingle
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(len(str_split(text, ' ')) - 2),
+                       i -> array_to_string(str_split(text, ' ')[i+1:i+3], ' ')
+                   ) AS gr
+            FROM documents
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                    JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ),
+    e(a, b) AS (SELECT doc_a, doc_b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical
+    FROM reach GROUP BY src
+    """,
+    doc="Near-dup pair graph -> connected components (iterative min-label "
+        "propagation, one shuffle per round, rounds = component diameter); "
+        "oracle is a recursive-CTE transitive closure over the same Jaccard "
+        "pairs — the full pairs -> clusters -> canonical-keeper pipeline",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, n=3, threshold=0.5).select("doc_a", "doc_b")
+    return dedup_clusters(pairs)

@@ -41,3 +41,15 @@ def test_lsh_buckets_are_deterministic(spark, sf_dir):
     b1 = {(r.vec_id, r.bucket) for r in S.lsh_bucket(emb, "embedding", 16, 6).select("vec_id", "bucket").collect()}
     b2 = {(r.vec_id, r.bucket) for r in S.lsh_bucket(emb, "embedding", 16, 6).select("vec_id", "bucket").collect()}
     assert b1 == b2
+
+
+def test_dedup_clusters_label_propagation(spark):
+    from substreams_sink_parquet_spark.llm.dedup import dedup_clusters
+
+    # two components: a 4-chain (propagation needs >1 round) and a pair,
+    # plus ids deliberately out of order
+    pairs = spark.createDataFrame(
+        [(7, 9), (9, 3), (3, 11), (20, 15)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.canonical for r in dedup_clusters(pairs).collect()}
+    assert got == {3: 3, 7: 3, 9: 3, 11: 3, 15: 15, 20: 15}
