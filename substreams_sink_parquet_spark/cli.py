@@ -73,6 +73,27 @@ def cmd_run(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    """Run SQL over a sink lake: each ``--table name=dir`` registers the
+    directory's range files (block-range file-pruned when --start/--end are
+    given) as a temp view, then executes the query and prints it.
+
+    The reference hands its lake to downstream engines for this step
+    (README positions Clickhouse/DuckDB); here the engine is the same Spark
+    session that wrote the lake."""
+    from .sink.writer import read_lake
+
+    spark = get_spark("sink-query")
+    for spec_ in args.table:
+        name, _, d = spec_.partition("=")
+        if not d:
+            raise SystemExit(f"--table expects name=dir, got {spec_!r}")
+        read_lake(spark, d, args.start_block, args.stop_block).createOrReplaceTempView(name)
+    df = spark.sql(args.sql)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_setup(args: argparse.Namespace) -> int:
     """Probe round-trip (setup.go:31-66): write → read-back-compare → delete."""
     spark = get_spark("sink-setup")
@@ -124,6 +145,15 @@ def main(argv: list[str] | None = None) -> int:
     setup_p = sub.add_parser("setup", help="validate store access")
     setup_p.add_argument("store_url")
     setup_p.set_defaults(fn=cmd_setup)
+
+    query_p = sub.add_parser("query", help="run SQL over a sink lake")
+    query_p.add_argument("sql")
+    query_p.add_argument("--table", action="append", required=True,
+                         metavar="NAME=DIR", help="register lake dir as view")
+    query_p.add_argument("--start-block", type=int, default=None)
+    query_p.add_argument("--stop-block", type=int, default=None)
+    query_p.add_argument("--limit", type=int, default=100)
+    query_p.set_defaults(fn=cmd_query)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -35,3 +35,35 @@ def test_cli_run_drain(tmp_path, spark):
         "0000000000-0000000010.parquet",
         "0000000010-0000000020.parquet",
     ]
+
+
+def test_cli_query(tmp_path, spark, capsys):
+    import os
+
+    from substreams_sink_parquet_spark.cli import main
+    from substreams_sink_parquet_spark.decode import decode_payloads
+    from substreams_sink_parquet_spark.sink.writer import WriterOptions, write_ranges
+
+    from .test_protowire import BLOCK
+    from .test_sink_writer import _blocks_df
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    df = decode_payloads(_blocks_df(spark, [0, 5, 12]), BLOCK)
+    write_ranges(df, lake, WriterOptions(partition_size=10, start_block=0))
+
+    rc = main([
+        "query",
+        "SELECT COUNT(*) AS n, MAX(block_number) AS hi FROM lake",
+        "--table", f"lake={lake}",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "3" in out and "12" in out
+
+    # block-range pruned variant
+    rc = main([
+        "query", "SELECT COUNT(*) AS n FROM lake",
+        "--table", f"lake={lake}", "--start-block", "1", "--stop-block", "9",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "1" in out
