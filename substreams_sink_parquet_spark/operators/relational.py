@@ -351,3 +351,29 @@ def q_agg_stats_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.skewness("l_quantity").alias("skew"),
         F.kurtosis("l_quantity").alias("kurt"),
     )
+
+
+@register(
+    "q_agg_conditional",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           bool_and(o_totalprice > 900) AS all_above_900,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           arg_max(o_totalprice, o_orderkey) AS price_of_max_key,
+           arg_min(o_totalprice, o_orderkey) AS price_of_min_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Conditional/selective aggregates: count_if, bool_and/bool_or, "
+        "max_by/min_by (ordering key unique, so selection is deterministic)",
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 900).alias("all_above_900"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.max_by("o_totalprice", "o_orderkey").alias("price_of_max_key"),
+        F.min_by("o_totalprice", "o_orderkey").alias("price_of_min_key"),
+    )
