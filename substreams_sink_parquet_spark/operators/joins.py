@@ -194,3 +194,41 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region").select("r_name")
     nation = load(spark, sf_dir, "nation").select("n_name")
     return region.crossJoin(F.broadcast(nation))
+
+
+@register(
+    "q_join_asof_fwd",
+    """
+    WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         signups   AS (SELECT * FROM events WHERE event_type = 'signup')
+    SELECT p.event_id, p.user_id,
+           CASE WHEN s.ts IS NOT NULL
+                 AND epoch(s.ts) - epoch(p.ts) <= 7200.0
+                THEN s.event_id END AS next_signup_id,
+           CASE WHEN s.ts IS NOT NULL
+                 AND epoch(s.ts) - epoch(p.ts) <= 7200.0
+                THEN CAST(FLOOR(epoch(s.ts)) AS BIGINT) END AS next_signup_epoch
+    FROM purchases p ASOF LEFT JOIN signups s
+      ON p.user_id = s.user_id AND p.ts <= s.ts
+    """,
+    doc="Forward as-of join with tolerance: earliest signup at-or-after each "
+        "purchase, matches farther than 2h nulled (pandas merge_asof parity; "
+        "same one-shuffle union formulation, first(ignorenulls) forward)",
+)
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("s_event_id")
+    )
+    joined = asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["s_event_id", "ts"],
+        direction="forward", tolerance=7200.0,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("s_event_id_matched").alias("next_signup_id"),
+        F.unix_timestamp("ts_matched").alias("next_signup_epoch"),
+    )
