@@ -366,3 +366,36 @@ def q_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
     )
+
+
+@register(
+    "q_fn_url",
+    """
+    SELECT doc_id,
+           concat('https://', source, '.example.com/docs/', CAST(doc_id AS VARCHAR),
+                  '?lang=', lang) AS url,
+           concat(source, '.example.com') AS host,
+           concat('/docs/', CAST(doc_id AS VARCHAR)) AS path,
+           concat('lang=', lang) AS query,
+           lang AS lang_param
+    FROM documents
+    """,
+    doc="URL functions: parse_url host/path/query/parameter extraction, "
+        "oracled against the constructed ground truth (fixtures carry no "
+        "URL column, so the URL is built from columns and re-parsed)",
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    t = docs.select("doc_id", url.alias("url"))
+    return t.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

@@ -1,0 +1,59 @@
+"""Property-based checks of the LLM-op primitives against pure-Python
+references: the Spark expressions must compute the mathematically defined
+quantity on arbitrary inputs, not just on fixture shapes.
+
+One Spark round-trip per hypothesis example is expensive — examples are
+capped low; each example batches many documents so the coverage stays wide.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from substreams_sink_parquet_spark.llm.dedup import jaccard_pairs, shingle_array
+
+WORD = st.text(alphabet="abcdef", min_size=1, max_size=4)
+DOC = st.lists(WORD, min_size=0, max_size=12).map(" ".join)
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    w = text.split(" ")
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)} if len(w) >= n else set()
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(DOC, min_size=1, max_size=20))
+def test_shingle_array_matches_python_reference(spark, docs):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: set(r.sh)
+        for r in df.select("doc_id", shingle_array("text", 3).alias("sh")).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == _py_shingles(d), (i, d)
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(DOC, min_size=2, max_size=12))
+def test_jaccard_pairs_match_python_reference(spark, docs):
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(df, n=3, threshold=0.3).collect()
+    }
+    sh = {i: _py_shingles(d) for i, d in enumerate(docs)}
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and inter / union >= 0.3:
+                want[(a, b)] = inter / union
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
