@@ -377,3 +377,25 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_totalprice", "o_orderkey").alias("price_of_max_key"),
         F.min_by("o_totalprice", "o_orderkey").alias("price_of_min_key"),
     )
+
+
+@register(
+    "q_agg_bitwise",
+    """
+    SELECT o_orderpriority,
+           bit_and(o_orderkey) AS keys_and,
+           bit_or(o_orderkey) AS keys_or,
+           bit_xor(o_orderkey) AS keys_xor
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Bitwise aggregates: bit_and / bit_or / bit_xor (exact, "
+        "order-independent by definition)",
+)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.bit_and("o_orderkey").alias("keys_and"),
+        F.bit_or("o_orderkey").alias("keys_or"),
+        F.bit_xor("o_orderkey").alias("keys_xor"),
+    )

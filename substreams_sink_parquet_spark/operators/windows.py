@@ -136,3 +136,36 @@ def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.ntile(7).over(w).alias("bucket7"),
     )
+
+
+@register(
+    "q_win_nth",
+    """
+    SELECT o_orderpriority, o_orderkey,
+           first_value(o_orderkey) OVER w AS cheapest_key,
+           last_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND UNBOUNDED FOLLOWING) AS priciest_key,
+           nth_value(o_orderkey, 3) OVER w AS third_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Positional window values: first_value / last_value / nth_value over "
+        "an unbounded frame (unique ordering key for determinism)",
+)
+def q_win_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(w).alias("priciest_key"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+    )
