@@ -82,3 +82,19 @@ def test_no_cartesian_anywhere_in_catalog(spark, sf_dir):
     for name, spec in registry().items():
         rep = plan_report(spec.fn(spark, sf_dir))
         assert not rep.has_cartesian, f"{name} plans a CartesianProduct"
+
+
+def test_approx_aggs_within_error_bounds(spark, sf_dir):
+    # rows-only queries still need quality pins: at rsd=1% a 5% deviation
+    # is 5 sigma; percentile_approx at accuracy 10k is near-exact here
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_approx"),
+        F.median("l_quantity").alias("p50_exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+    assert abs(row.p50_approx - row.p50_exact) <= 1.0
