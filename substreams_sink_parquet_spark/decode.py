@@ -100,18 +100,37 @@ def decode_payloads(
     spec: pw.MessageSpec,
     opts: SchemaOptions | None = None,
     include_block_meta: bool = True,
+    on_error: str = "fail",
 ) -> DataFrame:
     """(block_number, block_id, payload) → typed columns per the derived schema.
 
     NULL payloads are skipped (the reference silently skips nil MapOutput,
     sinker.go:158-160). Unset proto fields decode to NULL columns
-    (converter_proto.go:137-143)."""
+    (converter_proto.go:137-143).
+
+    ``on_error``: "fail" (default) propagates decode errors and kills the
+    job — right for development; "null" quarantines corrupt payloads instead
+    of failing a 100 TB run: the row survives with all payload columns NULL
+    and ``_corrupt = true`` (requires ``include_block_meta`` so the bad block
+    stays addressable). The reference has no corrupt-input story at all —
+    proto.Unmarshal failure aborts the sink (converter_proto.go:55-57)."""
+    if on_error not in ("fail", "null"):
+        raise ValueError(f"on_error must be fail|null, got {on_error!r}")
+    quarantine = on_error == "null"
+    if quarantine and not include_block_meta:
+        raise ValueError("on_error='null' requires include_block_meta")
     opts = opts or SchemaOptions()
     out_schema = block_schema(spec, opts, include_block_meta=include_block_meta)
-    col_names = [f.name for f in out_schema.fields]
     struct_t = StructType(
         [f for f in out_schema.fields if f.name not in ("block_number", "block_id")]
     )
+    if quarantine:
+        from pyspark.sql.types import BooleanType, StructField
+
+        out_schema = StructType(
+            list(out_schema.fields) + [StructField("_corrupt", BooleanType())]
+        )
+    col_names = [f.name for f in out_schema.fields]
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -121,14 +140,32 @@ def decode_payloads(
             ):
                 if payload is None:
                     continue
-                decoded = pw.decode_message(bytes(payload), spec)
-                converted = _convert_message(decoded, spec, struct_t, opts)
+                try:
+                    decoded = pw.decode_message(bytes(payload), spec)
+                    converted = _convert_message(decoded, spec, struct_t, opts)
+                except Exception:
+                    if not quarantine:
+                        raise
+                    nulls = dict.fromkeys(col_names)
+                    rows.append({
+                        **nulls,
+                        "block_number": int(bn), "block_id": bid, "_corrupt": True,
+                    })
+                    continue
                 if include_block_meta:
                     row = {"block_number": int(bn), "block_id": bid, **converted}
                 else:
                     row = converted
+                if quarantine:
+                    row["_corrupt"] = False
                 rows.append(row)
-            yield pd.DataFrame(rows, columns=col_names)
+            if quarantine:
+                # object dtype so quarantined Nones stay None (numeric
+                # columns would otherwise coerce them to NaN, which the
+                # struct/long Arrow converters reject)
+                yield pd.DataFrame(rows, columns=col_names, dtype=object)
+            else:
+                yield pd.DataFrame(rows, columns=col_names)
 
     return raw.mapInPandas(decode_batches, out_schema)
 

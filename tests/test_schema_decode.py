@@ -94,3 +94,25 @@ def test_decode_entries_compat_mode(spark):
     r = decode_payloads(raw, BLOCK, opts).collect()[0]
     assert r.u64 == -1                                      # documented overflow wrap
     assert sorted((e.key, e.value) for e in r.attrs) == [("k1", 1), ("k2", -2)]
+
+
+def test_decode_on_error_null_quarantines_corrupt_payloads(spark):
+    from substreams_sink_parquet_spark.decode import decode_payloads
+
+    from .test_protowire import BLOCK
+
+    good = pw.encode_message({"i64": 7, "s": "ok"}, BLOCK)
+    corrupt = b"\xff\xff\xff\xff\xff"  # truncated varint tag
+    raw = spark.createDataFrame(
+        [(1, "a", bytearray(good)), (2, "b", bytearray(corrupt))],
+        "block_number bigint, block_id string, payload binary",
+    )
+    rows = {r.block_number: r for r in
+            decode_payloads(raw, BLOCK, on_error="null").collect()}
+    assert rows[1]._corrupt is False and rows[1].i64 == 7
+    assert rows[2]._corrupt is True and rows[2].i64 is None
+
+    # default mode still fails loudly
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        decode_payloads(raw, BLOCK).collect()
