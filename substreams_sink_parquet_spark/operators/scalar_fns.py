@@ -399,3 +399,30 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@register(
+    "q_fn_variant",
+    r"""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k_val,
+           CASE WHEN regexp_extract(props, '"k":\s*(-?\d+)', 1) <> ''
+                THEN 'BIGINT' END AS k_type
+    FROM events
+    """,
+    doc="Spark 4 VariantType: parse_json -> semi-structured variant column, "
+        "variant_get typed extraction + schema_of_variant (binary-encoded "
+        "JSON: ~8x faster repeated access than string re-parsing at scale; "
+        "oracle extracts the same ground truth with regex)",
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_val"),
+        F.when(
+            F.variant_get(v, "$.k", "bigint").isNotNull(),
+            F.schema_of_variant(F.variant_get(v, "$.k", "variant")),
+        ).alias("k_type"),
+    )
