@@ -131,3 +131,77 @@ def test_stream_explode_child_tables(spark, tmp_path):
     )
     assert t.schema.names == ["block_number", "block_id", "from_addr", "amount", "ok"]
     assert t.num_rows == 10
+
+
+def test_compact_live_preserves_rows(spark, tmp_path):
+    from substreams_sink_parquet_spark.sink.maintenance import (
+        compact_live,
+        live_file_counts,
+    )
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    opts = WriterOptions(partition_size=100, start_block=0)
+
+    # three micro-batch appends into the same (never-finalized) range
+    for batch, blocks in enumerate([range(0, 5), range(5, 10), range(10, 15)]):
+        _stage_blocks(spark, input_dir, list(blocks), batch)
+        q, _ = run_pipeline(
+            spark, input_dir, out_dir, BLOCK, ckpt, opts=opts, undo_holdback=1000
+        )
+        q.awaitTermination(120)
+
+    before = live_file_counts(out_dir)
+    assert before[0] >= 3  # one+ file per micro-batch
+    rows_before = sorted(
+        r.block_number
+        for r in spark.read.parquet(os.path.join(out_dir, "_live")).collect()
+    )
+
+    result = compact_live(spark, out_dir, target_files=1)
+    assert result[0][0] == before[0] and result[0][1] == 1
+    rows_after = sorted(
+        r.block_number
+        for r in spark.read.parquet(os.path.join(out_dir, "_live")).collect()
+    )
+    assert rows_after == rows_before == list(range(15))
+
+
+def test_streaming_with_rocksdb_state_store(spark, tmp_path):
+    """RocksDB is the 100 TB state-store setting — prove the provider loads
+    and checkpoints stateful aggregation state in this image."""
+    from substreams_sink_parquet_spark.streaming.stateful import (
+        watermarked_window_counts,
+    )
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    df = spark.createDataFrame(
+        [(0, "a", 1), (5, "a", 1), (65, "a", 1)], "sec long, kind string, value long"
+    ).selectExpr("timestamp_seconds(sec) AS ts", "kind", "value")
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out: list = []
+        stream = spark.readStream.schema(df.schema).parquet(in_dir)
+        q = (
+            watermarked_window_counts(stream)
+            .writeStream.foreachBatch(lambda d, _e: out.extend(d.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert {(r.win_start, r.n) for r in out} == {(0, 2), (60, 1)}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
