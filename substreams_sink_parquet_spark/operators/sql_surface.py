@@ -154,3 +154,32 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {v}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """)
+
+
+@register(
+    "q_agg_listagg",
+    """
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS statuses,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_totalprice DESC, o_orderkey) FILTER (
+               WHERE o_totalprice > 400000) AS top_keys
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Ordered string aggregation: LISTAGG ... WITHIN GROUP (Spark 4) vs "
+        "DuckDB ordered string_agg — deterministic via explicit ordering "
+        "with a unique tiebreaker",
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_la")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, '|')
+                   WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               listagg(CASE WHEN o_totalprice > 400000
+                            THEN CAST(o_orderkey AS STRING) END, ',')
+                   WITHIN GROUP (ORDER BY o_totalprice DESC, o_orderkey) AS top_keys
+        FROM orders_la
+        GROUP BY o_orderpriority
+    """)
