@@ -1,0 +1,149 @@
+"""Deterministic sampling, dataset splitting, and sequence packing for
+training-data pipelines.
+
+Random sampling (``TABLESAMPLE`` / ``df.sample``) is partition-layout
+dependent and engine-specific, so it can never be oracle-checked and — worse —
+is not reproducible across cluster re-runs at 100 TB. Production training
+pipelines use HASH-based selection instead: a universal hash of a stable key
+decides membership, so the same row lands in the same split on every engine,
+every run, at every parallelism. All three operators here are plain codegen
+arithmetic (no UDFs, no shuffles beyond the final agg) and hash-match DuckDB
+exactly.
+
+- ``q_sample_split`` — 80/10/10 train/val/test assignment from a universal
+  hash of ``doc_id`` (the standard reproducible-split idiom).
+- ``q_sample_stratified`` — per-language keep-rates (downsample the dominant
+  language, keep the tail) — the data-mixing primitive for corpus balancing.
+- ``q_pack_sequences`` — greedy concat-then-chunk sequence packing: order
+  documents within each source shard, running-sum their token counts, and
+  chunk into 4096-token training sequences. One window scan, partitioned by
+  shard — at scale each shard packs independently (shard = parquet range
+  file, so packing parallelizes with the lake layout).
+
+The 31-bit Mersenne universal-hash field keeps every product under 2^62 so
+ANSI mode (driver default) never overflows; constants mirror
+``llm.dedup``'s MinHash family (reference has no sampling surface —
+parity target is the training-pipeline brief, not a reference file).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..tables import load
+
+_M = (1 << 31) - 1  # Mersenne prime 2^31-1: products of 31-bit values < 2^62
+_A = 1_103_515_245  # classic LCG multiplier, < 2^31
+_B = 12_345
+
+
+def split_col(key: F.Column, train_pct: int = 80, val_pct: int = 10) -> F.Column:
+    """Deterministic split label from a universal hash of an integer key."""
+    bucket = ((key * _A + _B) % _M) % 100
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+_SPLIT_SQL = f"""
+    CASE WHEN ((doc_id * {_A} + {_B}) % {_M}) % 100 < 80 THEN 'train'
+         WHEN ((doc_id * {_A} + {_B}) % {_M}) % 100 < 90 THEN 'val'
+         ELSE 'test' END
+"""
+
+
+@register(
+    "q_sample_split",
+    f"""
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT n_chars, {_SPLIT_SQL} AS split FROM documents)
+    GROUP BY split
+    """,
+    doc="Deterministic 80/10/10 train/val/test split via universal hash of "
+        "doc_id — reproducible across engines, runs, and parallelism",
+)
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("n_chars", split_col(F.col("doc_id")).alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "q_sample_stratified",
+    f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (
+               WHERE ((doc_id * {_A} + {_B}) % {_M}) % 1000 <
+                     CASE WHEN lang = 'en' THEN 250 ELSE 900 END
+           ) AS BIGINT) AS n_sampled
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Stratified deterministic sampling: downsample 'en' to 25%, keep 90% "
+        "of tail languages — hash-based corpus rebalancing",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = ((F.col("doc_id") * _A + _B) % _M) % 1000
+    rate = F.when(F.col("lang") == "en", 250).otherwise(900)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.count_if(bucket < rate).alias("n_sampled"),
+    )
+
+
+@register(
+    "q_pack_sequences",
+    """
+    WITH toks AS (
+        SELECT source, doc_id, len(str_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                           - n_tokens) / 4096) AS BIGINT) AS seq_id
+        FROM toks
+    )
+    SELECT source, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM packed
+    GROUP BY source, seq_id
+    """,
+    doc="Sequence packing for LLM training: per-source-shard running token "
+        "sum chunked into 4096-token sequences (one window scan per shard)",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    packed = docs.select(
+        "source",
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+    ).withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 4096),
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
