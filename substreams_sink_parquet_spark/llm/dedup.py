@@ -449,3 +449,52 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, n=3, threshold=0.5).select("doc_a", "doc_b")
     return dedup_clusters(pairs)
+
+
+# -- Edit-distance verification -------------------------------------------
+
+
+@register(
+    "q_dedup_editdist",
+    """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) AS edit_dist
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang
+     AND a.n_chars // 16 = b.n_chars // 16
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) <= 24
+    """,
+    doc="Edit-distance candidate verification: block on (lang, length "
+        "bucket), Levenshtein over 64-char prefixes, keep close pairs. "
+        "This is the exact-verify stage that follows MinHash/SimHash "
+        "candidate generation at scale; the prefix bound keeps the O(n^2) "
+        "DP cost constant per pair, and the block join partitions on the "
+        "(lang, bucket) key with no pairwise blow-up outside blocks.",
+)
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        (F.col("n_chars") / 16).cast("long").alias("bkt_a"),
+        F.substring("text", 1, 64).alias("pre_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        (F.col("n_chars") / 16).cast("long").alias("bkt_b"),
+        F.substring("text", 1, 64).alias("pre_b"),
+    )
+    dist = F.levenshtein("pre_a", "pre_b")
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("bkt_a") == F.col("bkt_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", dist.alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 24)
+    )
