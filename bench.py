@@ -17,7 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: covers scan+agg, broadcast join, shuffle join, window frames,
 # event-time windows, top-k, dedup (exact + MinHash-LSH), similarity top-k,
-# text stats, JSON — the operators whose plans matter at 100 TB.
+# text stats, JSON, and the TPC-H-shaped composite pipelines — the operators
+# whose plans matter at 100 TB.
 HEADLINE = [
     "q_agg_basic",
     "q_join_broadcast",
@@ -33,6 +34,8 @@ HEADLINE = [
     "q_text_stats",
     "q_fn_json",
     "q_udtf",
+    "q_composite_topk",
+    "q_composite_volume",
 ]
 
 

@@ -98,3 +98,36 @@ def test_approx_aggs_within_error_bounds(spark, sf_dir):
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.05
     assert abs(row.p50_approx - row.p50_exact) <= 1.0
+
+
+def test_composite_pipelines_broadcast_all_dims(spark, sf_dir):
+    # TPC-H-shaped composites: every dimension join must broadcast (the fact
+    # table is never shuffled for a join) and the only exchange is the final
+    # aggregation — the plan that survives a 100x scale-up.
+    rep = plan_report(registry()["q_composite_topk"].fn(spark, sf_dir))
+    assert rep.broadcast_joins >= 2 and rep.sortmerge_joins == 0
+    assert rep.shuffle_exchanges <= 1, rep.text
+    assert any("c_mktsegment" in p or "o_orderdate" in p for p in rep.pushed_filters)
+
+    rep5 = plan_report(registry()["q_composite_volume"].fn(spark, sf_dir))
+    assert rep5.broadcast_joins >= 5 and rep5.sortmerge_joins == 0
+    assert rep5.shuffle_exchanges <= 1, rep5.text
+    assert not rep5.has_cartesian
+
+
+def test_sampling_queries_single_shuffle(spark, sf_dir):
+    # hash-based split/stratify are pure codegen arithmetic over the scan:
+    # one agg exchange, no joins, no extra passes
+    for q in ("q_sample_split", "q_sample_stratified"):
+        rep = plan_report(registry()[q].fn(spark, sf_dir))
+        assert rep.shuffle_exchanges == 1, (q, rep.text)
+        assert rep.codegen_spans >= 1
+
+
+def test_lateral_topk_decorrelates(spark, sf_dir):
+    # the correlated LATERAL subquery must decorrelate into a join + window,
+    # never a per-outer-row re-execution (no cartesian, no nested loops over
+    # the full customer table)
+    rep = plan_report(registry()["q_join_lateral"].fn(spark, sf_dir))
+    assert not rep.has_cartesian
+    assert "Window" in rep.text
