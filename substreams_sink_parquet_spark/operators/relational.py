@@ -399,3 +399,35 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("o_orderkey").alias("keys_or"),
         F.bit_xor("o_orderkey").alias("keys_xor"),
     )
+
+
+@register(
+    "q_agg_topk_freq",
+    """
+    SELECT event_type, user_id AS item, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM events
+    GROUP BY event_type, user_id
+    HAVING COUNT(*) >= 20
+    """,
+    doc="Heavy hitters via approx_top_k (Spark 4 frequent-items sketch). "
+        "The sketch tracks 10k items; fixture user cardinality (150) is far "
+        "below that, so counts are exact and the count-threshold cut is "
+        "deterministic — which makes the sketch path oracle-checkable "
+        "against an exact GROUP BY/HAVING. At real cardinality the same "
+        "query runs with k << NDV as a one-pass map-combined approximation "
+        "instead of a full shuffle of every (type, user) pair.",
+)
+def q_agg_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    topk = ev.groupBy("event_type").agg(
+        F.expr("approx_top_k(user_id, 500)").alias("tk")
+    )
+    return (
+        topk.select("event_type", F.explode("tk").alias("e"))
+        .select(
+            "event_type",
+            F.col("e.item").alias("item"),
+            F.col("e.count").alias("freq"),
+        )
+        .filter(F.col("freq") >= 20)
+    )

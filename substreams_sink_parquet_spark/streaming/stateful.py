@@ -133,3 +133,62 @@ def running_counts_stateful(stream: DataFrame, key_col: str = "kind") -> DataFra
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# -- transformWithState (Spark 4 stateful-processor API) -------------------
+
+
+class RunningTotalsProcessor:
+    """Per-key running totals as a Spark 4 ``StatefulProcessor``.
+
+    The modern replacement for ``applyInPandasWithState``: typed state
+    variables (ValueState/ListState/MapState) with per-variable TTL, timers,
+    and schema evolution, all backed by the RocksDB state store (required by
+    the API — which is also the right store at 100 TB). Declared lazily so
+    importing this module works even if a future image drops the API.
+    """
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", _RUNNING_STATE)
+
+    def handleInputRows(self, key, rows, timerValues):
+        events, total = (
+            self._totals.get() if self._totals.exists() else (0, 0)
+        )
+        for pdf in rows:
+            events += len(pdf)
+            total += int(pdf["value"].sum())
+        self._totals.update((events, total))
+        yield pd.DataFrame(
+            {"key": [key[0]], "events_total": [events], "value_total": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_counts_tws(stream: DataFrame, key_col: str = "kind") -> DataFrame:
+    """Running per-key totals via ``transformWithStateInPandas`` (Spark 4).
+
+    Same semantics as ``running_counts_stateful`` but on the stateful-v2
+    engine: state lives in named, typed state variables inside RocksDB, and
+    the processor object can register timers / TTL per variable. The caller
+    must run with the RocksDB state-store provider. NOTE: the API's Python
+    driver worker imports ``google.protobuf`` at runtime; in images without
+    the protobuf package (like this one) the query fails at start, so the
+    restart test skips itself and ``running_counts_stateful`` remains the
+    supported stateful path here.
+    """
+    from pyspark.sql.streaming import StatefulProcessor  # noqa: F401 (API gate)
+
+    proc = RunningTotalsProcessor()
+    return (
+        stream.select(F.col(key_col).alias("key"), F.col("value"))
+        .groupBy("key")
+        .transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=_RUNNING_OUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -4,6 +4,8 @@ watermarks must drop late rows / evict state deterministically."""
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
@@ -136,3 +138,46 @@ def test_sink_stats_listener_accumulates(spark, tmp_path):
         assert listener.totals().rows >= 3
     finally:
         obs.detach(spark, listener)
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python driver worker needs google.protobuf, "
+    "absent in this image (the operator is import-gated the same way)",
+)
+def test_transform_with_state_accumulates_across_restarts(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: typed ValueState in RocksDB must
+    resume across a query restart exactly like the v1 GroupState path."""
+    from substreams_sink_parquet_spark.streaming.stateful import running_counts_tws
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _stage(spark, in_dir, [(0, "a", 1), (1, "a", 2), (2, "b", 10)])
+        r1 = {r.key: (r.events_total, r.value_total)
+              for r in _drain(spark, in_dir, running_counts_tws, ckpt, "update")}
+        assert r1 == {"a": (2, 3), "b": (1, 10)}
+
+        _stage(spark, in_dir, [(3, "a", 10), (4, "b", 20)])
+        r2 = {r.key: (r.events_total, r.value_total)
+              for r in _drain(spark, in_dir, running_counts_tws, ckpt, "update")}
+        assert r2 == {"a": (3, 13), "b": (2, 30)}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
