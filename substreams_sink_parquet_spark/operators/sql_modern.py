@@ -253,3 +253,32 @@ def q_composite_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderdate <  DATE '1998-01-01'
         GROUP BY n_name
     """)
+
+
+@register(
+    "q_sql_parameterized",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
+    GROUP BY o_orderpriority
+    """,
+    doc="Parameterized SQL (Spark 4): named bind parameters + IDENTIFIER() "
+        "table resolution — the injection-safe templating surface; the "
+        "oracle is the same query with literals inlined",
+)
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _view(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderstatus = :status AND o_totalprice > :floor
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": v, "status": "F", "floor": 100000.0},
+    )
