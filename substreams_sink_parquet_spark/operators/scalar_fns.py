@@ -426,3 +426,33 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.schema_of_variant(F.variant_get(v, "$.k", "variant")),
         ).alias("k_type"),
     )
+
+
+@register(
+    "q_fn_try",
+    """
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+           TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER) AS prio_num,
+           o_totalprice / NULLIF(o_orderkey % 3, 0) AS safe_div,
+           CASE WHEN o_orderkey >= 2 THEN NULL
+                ELSE o_orderkey * 4611686018427387904 END AS safe_mul,
+           str_split(o_orderpriority, '-')[3] AS oob_elem
+    FROM orders
+    """,
+    doc="try_* error-safe functions (the ANSI-mode escape hatch: NULL "
+        "instead of abort on bad cast / div-by-zero / long overflow / "
+        "out-of-bounds access) — the production posture for dirty data "
+        "under ANSI, oracled against DuckDB TRY_CAST/NULLIF/CASE "
+        "equivalents",
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("try_cast(o_orderpriority AS INT)").alias("bad_cast"),
+        F.expr("try_cast(split_part(o_orderpriority, '-', 1) AS INT)").alias("prio_num"),
+        F.expr("try_divide(o_totalprice, o_orderkey % 3)").alias("safe_div"),
+        F.expr("try_multiply(o_orderkey, 4611686018427387904L)").alias("safe_mul"),
+        F.expr("try_element_at(split(o_orderpriority, '-'), 3)").alias("oob_elem"),
+    )
