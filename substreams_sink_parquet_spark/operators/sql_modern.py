@@ -64,7 +64,10 @@ def _view(spark: SparkSession, sf_dir: str, name: str) -> str:
     FROM months LEFT JOIN totals ON strftime(m, '%Y-%m') = om
     """,
     doc="WITH RECURSIVE month spine (Spark 4) left-joined to order totals — "
-        "every month reported even when empty; spine broadcasts at scale",
+        "every month reported even when empty; spine broadcasts at scale. "
+        "NOTE: the 80-iteration spine sits under Spark's default "
+        "spark.sql.cteRecursionLevelLimit=100; a longer span needs that "
+        "conf raised (or generate the spine with sequence() instead)",
 )
 def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _view(spark, sf_dir, "orders")
