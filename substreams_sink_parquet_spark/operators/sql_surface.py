@@ -183,3 +183,29 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_la
         GROUP BY o_orderpriority
     """)
+
+
+@register(
+    "q_agg_mode",
+    """
+    SELECT l_returnflag, l_linestatus,
+           mode() WITHIN GROUP (ORDER BY l_quantity) AS mode_qty,
+           mode() WITHIN GROUP (ORDER BY l_tax) AS mode_tax,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY ALL
+    """,
+    doc="Sorted-mode aggregate (mode() WITHIN GROUP, Spark 4) + GROUP BY "
+        "ALL — ties resolve to the ordering minimum in both engines, so "
+        "the result is deterministic and hash-checkable",
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               mode() WITHIN GROUP (ORDER BY l_quantity) AS mode_qty,
+               mode() WITHIN GROUP (ORDER BY l_tax) AS mode_tax,
+               COUNT(*) AS n_rows
+        FROM {v}
+        GROUP BY ALL
+    """)
