@@ -26,9 +26,32 @@ from .sink.writer import WriterOptions
 from .streaming.stream_sink import run_pipeline
 
 
-def _load_spec(descriptor_set_path: str, output_type: str) -> pw.MessageSpec:
-    with open(descriptor_set_path, "rb") as fh:
-        specs = pw.parse_file_descriptor_set(fh.read())
+def _load_manifest(path: str):
+    """Read a raw FileDescriptorSet file OR a .spkg package manifest
+    (factory.go:183-186: the reference always goes through the manifest).
+    Returns (specs dict, SpkgManifest | None)."""
+    from .spkg import parse_spkg
+
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    if path.endswith(".spkg"):
+        manifest = parse_spkg(buf)
+        return pw.parse_file_descriptor_set(manifest.file_descriptor_set), manifest
+    return pw.parse_file_descriptor_set(buf), None
+
+
+def _load_spec(descriptor_set_path: str, output_type: str | None,
+               output_module: str | None = None) -> pw.MessageSpec:
+    specs, manifest = _load_manifest(descriptor_set_path)
+    if output_type is None:
+        if output_module is None:
+            raise SystemExit("one of --output-type / --output-module is required")
+        if manifest is None:
+            raise SystemExit(
+                "--output-module requires an .spkg manifest (module output "
+                "types live in the package, not in a bare FileDescriptorSet)"
+            )
+        output_type = manifest.output_type_of(output_module)
     if output_type not in specs:
         raise SystemExit(
             f"output type {output_type!r} not found; descriptor set defines: "
@@ -37,17 +60,46 @@ def _load_spec(descriptor_set_path: str, output_type: str) -> pw.MessageSpec:
     return specs[output_type]
 
 
+def _resolve_endpoint(args: argparse.Namespace) -> None:
+    """Endpoint-mode skeleton (run.go:73-92 parity): resolve the endpoint
+    from --endpoint, --network, or the manifest's network, then report that
+    live gRPC delivery is not available in this build and point at the
+    staged-feeder contract that replaces it."""
+    endpoint = args.endpoint
+    if endpoint is None and args.network is None:
+        return  # staged-feeder mode: input_dir is the stream
+    network = args.network
+    if endpoint is None and network is None and args.descriptor_set.endswith(".spkg"):
+        _, manifest = _load_manifest(args.descriptor_set)
+        network = manifest.network if manifest else None
+    if endpoint is None and network is not None:
+        endpoint = f"{network}.streamingfast.io:443"  # ExtractNetworkEndpoint shape
+    raise SystemExit(
+        f"live gRPC endpoint mode ({endpoint or network}) is not available in "
+        "this build: no substreams gRPC client in the environment. Use the "
+        "staged-feeder contract instead — point any gRPC feeder at a staging "
+        "directory of raw-block parquet (block_number, block_id, payload) and "
+        "pass it as input_dir; delivery/ordering/checkpointing semantics are "
+        "identical (sources/staging.py)."
+    )
+
+
 def cmd_run(args: argparse.Namespace) -> int:
+    _resolve_endpoint(args)
     spark = get_spark("sink-run")
-    spec = _load_spec(args.descriptor_set, args.output_type)
+    spec = _load_spec(args.descriptor_set, args.output_type, args.output_module)
     opts = WriterOptions(
         partition_size=args.partition_size,
         start_block=args.start_block,
         end_block=args.stop_block,
         compression=args.compression,
+        compression_level=args.compression_level,
         row_group_rows=args.row_group_rows,
+        page_size=args.page_size,
+        write_stats=not args.no_parquet_stats,
+        target_file_bytes=args.target_file_bytes,
     )
-    query, _sink = run_pipeline(
+    query, sink = run_pipeline(
         spark,
         input_dir=args.input_dir,
         out_dir=args.store_url,
@@ -70,6 +122,12 @@ def cmd_run(args: argparse.Namespace) -> int:
         if p:
             print(f"progress: batch={p.get('batchId')} rows={p.get('numInputRows')}",
                   file=sys.stderr)
+    if args.stop_block is not None:
+        # terminal run: finalize held-back / clamped ranges (Close parity,
+        # writer.go:275-277). Only with --stop-block — a plain drain may be
+        # resumed later from the same checkpoint, and its live ranges must
+        # stay appendable (the resume-no-duplicates contract).
+        sink.close()
     return 0
 
 
@@ -125,14 +183,32 @@ def main(argv: list[str] | None = None) -> int:
     run_p = sub.add_parser("run", help="stream staged blocks into a parquet lake")
     run_p.add_argument("store_url")
     run_p.add_argument("input_dir", help="staging dir of raw block parquet")
-    run_p.add_argument("--descriptor-set", required=True)
-    run_p.add_argument("--output-type", required=True)
+    run_p.add_argument("--descriptor-set", required=True,
+                       help="FileDescriptorSet file or .spkg package manifest")
+    run_p.add_argument("--output-type", default=None,
+                       help="fully-qualified output message type")
+    run_p.add_argument("--output-module", default=None,
+                       help="module name to resolve the type from (.spkg only)")
     run_p.add_argument("--checkpoint", required=True)
+    run_p.add_argument("--endpoint", default=None,
+                       help="substreams gRPC endpoint (run.go:73-92 parity; "
+                            "errors in this build — see staged-feeder contract)")
+    run_p.add_argument("--network", default=None,
+                       help="network name for endpoint resolution")
     run_p.add_argument("--partition-size", type=int, default=5000)
     run_p.add_argument("--start-block", type=int, default=0)
     run_p.add_argument("--stop-block", type=int, default=None)
     run_p.add_argument("--compression", default="zstd")
+    run_p.add_argument("--compression-level", type=int, default=None,
+                       help="zstd compression level (run.go:44)")
     run_p.add_argument("--row-group-rows", type=int, default=20000)
+    run_p.add_argument("--page-size", type=int, default=None,
+                       help="parquet page size in bytes (run.go:46)")
+    run_p.add_argument("--no-parquet-stats", action="store_true",
+                       help="disable parquet column statistics (run.go:49)")
+    run_p.add_argument("--target-file-bytes", type=int, default=None,
+                       help="soft per-file byte target; oversize ranges "
+                            "split into -partNNNN files (run.go:48)")
     run_p.add_argument("--flush-interval-s", type=int, default=1)
     run_p.add_argument("--explode", action="store_true")
     run_p.add_argument("--undo-buffer-size", type=int, default=0)

@@ -53,6 +53,25 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_right",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name
+    FROM orders o RIGHT JOIN customer c
+      ON o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+    """,
+    doc="Right outer join with a join-side predicate (NULL-extended misses "
+        "on the order side); completes the left/right/full row of SURVEY §2B",
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    cond = (orders.o_custkey == cust.c_custkey) & (orders.o_totalprice > 150000)
+    return orders.join(cust, cond, "right").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )
+
+
+@register(
     "q_join_full",
     """
     WITH neg AS (SELECT * FROM customer WHERE c_acctbal < 0),

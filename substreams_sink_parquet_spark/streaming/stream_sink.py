@@ -14,15 +14,21 @@ Reference translation (SURVEY.md §3.1):
 - undo/reorg handling, which the reference stubs as a passthrough
   (undo_buffer.go:19-28): implemented here as the *intended* holdback — a
   range is finalized (renamed to its padded name) only once
-  ``max_seen_block >= range_end + undo_holdback``; younger blocks stay in a
-  re-writable staging area, and ``undo(last_valid_block)`` drops staged rows
-  above the fork point.
+  ``max_seen_block >= range_end + undo_holdback`` (range_end clamped to
+  ``--stop-block``); younger blocks stay in a re-writable staging area, and
+  ``undo(last_valid_block)`` drops staged rows above the fork point.
+- Close-time drain (writer.go:275-277: the reference finalizes the current
+  partial, end-clamped file on Close): :meth:`StreamingSink.close` finalizes
+  every remaining live range after the query stops — without it, a
+  ``--stop-block`` run's terminal clamped range could never satisfy the
+  holdback inequality and would sit in ``_live/`` forever.
+
+All file metadata operations go through :mod:`..fsio` (Hadoop FileSystem),
+so the lake root may be file://, s3a://, gs:// or abfs://.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,10 +36,11 @@ from pyspark.sql import functions as F
 
 from .. import protowire as pw
 from ..decode import decode_payloads
+from ..fsio import HadoopFS, url_join
 from ..partition import file_name, range_start_col
 from ..schema import SchemaOptions
 from ..sink.explode import explode_all
-from ..sink.writer import WriterOptions, backfill_empty
+from ..sink.writer import WriterOptions, backfill_empty, parquet_write_options
 
 
 @dataclass
@@ -55,9 +62,21 @@ class StreamingSink:
     explode: bool = False
     _max_seen: int = -1
 
+    def __post_init__(self) -> None:
+        self._fs = HadoopFS(self.spark, self.out_dir)
+
     @property
     def live_dir(self) -> str:
-        return os.path.join(self.out_dir, "_live")
+        return url_join(self.out_dir, "_live")
+
+    def _child_dirs(self) -> list[str]:
+        if not self.explode:
+            return []
+        return [
+            url_join(self.out_dir, f.name)
+            for f in self.spec.fields
+            if f.repeated and not f.is_map
+        ]
 
     # -- foreachBatch entry -------------------------------------------------
 
@@ -66,79 +85,86 @@ class StreamingSink:
         self._append_live(decoded, self.out_dir)
         if self.explode:
             for name, child in explode_all(decoded, self.spec).items():
-                child_dir = os.path.join(self.out_dir, name)
-                os.makedirs(child_dir, exist_ok=True)
+                child_dir = url_join(self.out_dir, name)
+                self._fs.mkdirs(child_dir)
                 self._append_live(child, child_dir)
         hi = raw_batch.agg(F.max("block_number")).collect()[0][0]
         if hi is not None:
             self._max_seen = max(self._max_seen, int(hi))
         self._finalize_ready(self.out_dir)
-        if self.explode:
-            for f in self.spec.fields:
-                if f.repeated and not f.is_map:
-                    self._finalize_ready(os.path.join(self.out_dir, f.name))
+        for child_dir in self._child_dirs():
+            self._finalize_ready(child_dir)
 
     def _append_live(self, df: DataFrame, table_dir: str) -> None:
         ranged = df.withColumn(
             "range_start",
             range_start_col("block_number", self.opts.start_block, self.opts.partition_size),
         )
-        (
-            ranged.write.mode("append")
-            .option("compression", self.opts.compression)
-            .partitionBy("range_start")
-            .parquet(os.path.join(table_dir, "_live"))
-        )
+        writer = ranged.write.mode("append")
+        for k, v in parquet_write_options(self.opts).items():
+            writer = writer.option(k, v)
+        writer.partitionBy("range_start").parquet(url_join(table_dir, "_live"))
 
     # -- finalize -----------------------------------------------------------
 
-    def _ready_ranges(self, live: str) -> list[int]:
-        if not os.path.isdir(live):
-            return []
-        ready = []
-        for d in os.listdir(live):
-            if not d.startswith("range_start="):
-                continue
-            rs = int(d.split("=", 1)[1])
-            re_ = rs + self.opts.partition_size
-            if self._max_seen >= re_ + self.undo_holdback - 1:
-                ready.append(rs)
-        return sorted(ready)
+    def _range_end(self, rs: int) -> int:
+        re_ = rs + self.opts.partition_size
+        if self.opts.end_block is not None:
+            re_ = min(re_, self.opts.end_block)
+        return re_
 
-    def _finalize_ready(self, table_dir: str) -> None:
-        """Compact each fully-past range to one sorted padded-name file."""
-        live = os.path.join(table_dir, "_live")
-        for rs in self._ready_ranges(live):
-            src = os.path.join(live, f"range_start={rs}")
+    def _live_ranges(self, live: str) -> list[int]:
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in self._fs.listdir(live)
+            if d.startswith("range_start=")
+        )
+
+    def _ready_ranges(self, live: str) -> list[int]:
+        """Ranges safely behind the holdback horizon. The end is CLAMPED to
+        --stop-block: a terminal partial range [rs, end_block) is ready once
+        every block below end_block has been seen (plus holdback)."""
+        return [
+            rs
+            for rs in self._live_ranges(live)
+            if self._max_seen >= self._range_end(rs) + self.undo_holdback - 1
+        ]
+
+    def _finalize_ready(self, table_dir: str, force: bool = False) -> None:
+        """Compact each fully-past range to one sorted padded-name file.
+        ``force`` finalizes every remaining live range regardless of the
+        holdback horizon — terminal drain only (Close parity)."""
+        live = url_join(table_dir, "_live")
+        ranges = self._live_ranges(live) if force else self._ready_ranges(live)
+        for rs in ranges:
+            src = url_join(live, f"range_start={rs}")
             df = self.spark.read.parquet(src)
-            re_ = rs + self.opts.partition_size
-            if self.opts.end_block is not None:
-                re_ = min(re_, self.opts.end_block)
-            tmp = os.path.join(table_dir, f"_final_{rs}")
-            (
+            tmp = url_join(table_dir, f"_final_{rs}")
+            writer = (
                 df.coalesce(1)
                 .sortWithinPartitions("block_number")
                 .write.mode("overwrite")
-                .option("compression", self.opts.compression)
-                .parquet(tmp)
             )
+            for k, v in parquet_write_options(self.opts).items():
+                writer = writer.option(k, v)
+            writer.parquet(tmp)
             part = next(
-                f for f in os.listdir(tmp)
-                if f.endswith(".parquet") and not f.startswith("_")
+                f for f in self._fs.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
             )
-            name = file_name(rs, re_, self.opts.pad)
-            shutil.move(os.path.join(tmp, part), os.path.join(table_dir, name))
-            shutil.rmtree(tmp, ignore_errors=True)
-            shutil.rmtree(src, ignore_errors=True)
-            self._backfill_before(table_dir, rs)
+            name = file_name(rs, self._range_end(rs), self.opts.pad)
+            self._fs.rename(url_join(tmp, part), url_join(table_dir, name))
+            self._fs.delete(tmp, recursive=True)
+            self._fs.delete(src, recursive=True)
+            self._backfill_before(table_dir, rs, name)
 
-    def _backfill_before(self, table_dir: str, rs: int) -> None:
-        """Contiguity guarantee: empty files for gaps below a finalized range."""
+    def _backfill_before(self, table_dir: str, rs: int, finalized_name: str) -> None:
+        """Contiguity guarantee: empty files for gaps below a finalized range.
+        The schema template is the file just finalized — by its ACTUAL
+        (possibly end-clamped) name."""
         if rs <= self.opts.start_block:
             return
-        template = self.spark.read.parquet(
-            os.path.join(table_dir, file_name(rs, rs + self.opts.partition_size, self.opts.pad))
-        )
+        template = self.spark.read.parquet(url_join(table_dir, finalized_name))
         backfill_empty(
             self.spark,
             template,
@@ -153,6 +179,18 @@ class StreamingSink:
             upto=rs - 1,
         )
 
+    # -- terminal drain -----------------------------------------------------
+
+    def close(self) -> None:
+        """Finalize every remaining live range (reference Close semantics,
+        writer.go:275-277). Call ONLY after the query has terminated at its
+        natural end (--stop-block reached, or availableNow drain complete):
+        a mid-stream restart should instead leave live ranges in place for
+        the resumed query to keep appending to."""
+        self._finalize_ready(self.out_dir, force=True)
+        for child_dir in self._child_dirs():
+            self._finalize_ready(child_dir, force=True)
+
     # -- reorg --------------------------------------------------------------
 
     def undo(self, last_valid_block: int) -> None:
@@ -160,23 +198,18 @@ class StreamingSink:
         sinker.go:142-148 — which the reference turns into an error or no-op;
         here it is a real partition-level retraction on the live area)."""
         live = self.live_dir
-        if not os.path.isdir(live):
-            return
-        for d in list(os.listdir(live)):
-            if not d.startswith("range_start="):
-                continue
-            rs = int(d.split("=", 1)[1])
-            src = os.path.join(live, d)
+        for rs in self._live_ranges(live):
+            src = url_join(live, f"range_start={rs}")
             if rs > last_valid_block:
-                shutil.rmtree(src)
+                self._fs.delete(src, recursive=True)
             elif rs + self.opts.partition_size - 1 > last_valid_block:
                 kept = self.spark.read.parquet(src).filter(
                     F.col("block_number") <= last_valid_block
                 )
                 tmp = src + "_rewrite"
                 kept.write.mode("overwrite").parquet(tmp)
-                shutil.rmtree(src)
-                shutil.move(tmp, src)
+                self._fs.delete(src, recursive=True)
+                self._fs.rename(tmp, src)
         self._max_seen = min(self._max_seen, last_valid_block)
 
 
@@ -198,7 +231,6 @@ def run_pipeline(
     ``available_now=True`` drains the staging dir then stops (batch-like,
     used by tests); otherwise a continuous micro-batch trigger with the
     reference's default 1 s flush cadence (run.go:50)."""
-    os.makedirs(out_dir, exist_ok=True)
     sink = StreamingSink(
         spark=spark,
         spec=spec,
@@ -208,6 +240,7 @@ def run_pipeline(
         undo_holdback=undo_holdback,
         explode=explode,
     )
+    sink._fs.mkdirs(out_dir)
     from ..sources.staging import raw_stream
 
     stream = raw_stream(spark, input_dir)
