@@ -16,6 +16,7 @@ builds the columnar batches.
 
 from __future__ import annotations
 
+import datetime as _dt
 from collections.abc import Iterator
 from decimal import Decimal
 
@@ -28,6 +29,7 @@ from pyspark.sql.types import (
     MapType,
     Row,
     StructType,
+    TimestampType,
 )
 
 from . import protowire as pw
@@ -69,6 +71,15 @@ def _convert_leaf(value, f: pw.FieldSpec, dtype: DataType, opts: SchemaOptions,
     if value is None:
         return None
     if f.kind == pw.K_MESSAGE and not f.is_map:
+        if isinstance(dtype, TimestampType):
+            # rewrite_well_known: google.protobuf.Timestamp {seconds, nanos}
+            # → tz-AWARE UTC datetime (a naive one would be reinterpreted in
+            # the session timezone); Spark timestamps are µs, nanos truncate
+            secs = int(value.get("seconds", 0) or 0)
+            nanos = int(value.get("nanos", 0) or 0)
+            return _dt.datetime.fromtimestamp(
+                secs, tz=_dt.timezone.utc
+            ) + _dt.timedelta(microseconds=nanos // 1000)
         return _convert_message(value, f.message, dtype, opts)
     return _convert_scalar(value, f, dtype)
 

@@ -61,13 +61,35 @@ def to_media_table(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """STUB: real image decode needs PIL/opencv (absent in this container)."""
-    raise NotImplementedError("image decode requires an imaging library at runtime")
+    """Decode an image payload via Pillow when it is importable at runtime;
+    otherwise a clear NotImplementedError (the lib is absent in this
+    container — the deterministic featurizer below keeps the Spark plumbing
+    exercised either way)."""
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires Pillow at runtime (pip install Pillow); "
+            "payload stays opaque without it"
+        ) from e
+    import io
+
+    return Image.open(io.BytesIO(payload))
 
 
 def decode_audio(payload: bytes) -> object:
-    """STUB: real audio decode needs soundfile/librosa (absent here)."""
-    raise NotImplementedError("audio decode requires an audio library at runtime")
+    """Decode an audio payload via soundfile when importable; same optional-
+    dependency contract as decode_image."""
+    try:
+        import soundfile
+    except ImportError as e:
+        raise NotImplementedError(
+            "audio decode requires soundfile at runtime (pip install "
+            "soundfile); payload stays opaque without it"
+        ) from e
+    import io
+
+    return soundfile.read(io.BytesIO(payload))
 
 
 def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:

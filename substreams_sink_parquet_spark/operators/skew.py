@@ -47,7 +47,17 @@ def salted_join(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str,
 
     ``dim`` is replicated n_salts times, so it should be the small side
     (when it is broadcastable, prefer F.broadcast — salting only matters
-    once both sides are too big to broadcast AND keys are skewed)."""
+    once both sides are too big to broadcast AND keys are skewed).
+
+    Only fact-side-preserving joins are semantics-preserving under dim
+    replication: with right/full outer, an UNMATCHED dim row would surface
+    once per salt (n_salts duplicate null-extended rows)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only (got {how!r}): "
+            "replicating the dim side emits unmatched dim rows once per salt "
+            "under right/full outer joins"
+        )
     f = with_salt(fact, fact_unique, n_salts)
     d = replicate_salts(dim, n_salts)
     joined = f.join(

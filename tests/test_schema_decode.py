@@ -116,3 +116,47 @@ def test_decode_on_error_null_quarantines_corrupt_payloads(spark):
     import pytest as _pytest
     with _pytest.raises(Exception):
         decode_payloads(raw, BLOCK).collect()
+
+
+def test_decode_well_known_timestamp(spark):
+    """rewrite_well_known end-to-end (ADVICE round 1): the schema maps
+    google.protobuf.Timestamp to TimestampType AND the decode path converts
+    {seconds, nanos} to a UTC instant instead of crashing."""
+    import datetime
+
+    from pyspark.sql.types import TimestampType
+
+    ts_spec = pw.MessageSpec(
+        "google.protobuf.Timestamp",
+        (
+            pw.FieldSpec("seconds", 1, pw.K_INT64),
+            pw.FieldSpec("nanos", 2, pw.K_INT32),
+        ),
+    )
+    evt = pw.MessageSpec(
+        "test.Event",
+        (
+            pw.FieldSpec("name", 1, pw.K_STRING),
+            pw.FieldSpec("at", 2, pw.K_MESSAGE, message=ts_spec),
+        ),
+    )
+    opts = SchemaOptions(rewrite_well_known=True)
+    assert isinstance(block_schema(evt, opts)["at"].dataType, TimestampType)
+
+    payload = pw.encode_message(
+        {"name": "e1", "at": {"seconds": 1_700_000_000, "nanos": 123_456_789}},
+        evt,
+    )
+    raw = spark.createDataFrame(
+        [(1, "0x1", bytearray(payload))],
+        "block_number bigint, block_id string, payload binary",
+    )
+    row = decode_payloads(raw, evt, opts).collect()[0]
+    got = row.at
+    if got.tzinfo is None:  # session-tz rendering; compare as UTC instant
+        got = got.astimezone(datetime.timezone.utc)
+    expect = datetime.datetime(
+        2023, 11, 14, 22, 13, 20, 123456, tzinfo=datetime.timezone.utc
+    )
+    assert got == expect
+    assert row.name == "e1"

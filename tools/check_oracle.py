@@ -18,7 +18,9 @@ import traceback
 sys.path.insert(0, "/root/repo")
 
 
-def norm_cell(v):
+def norm_cell(v, strict_floats: bool = True):
+    """strict_floats=True compares floats BIT-EXACT (full repr round-trip);
+    False rounds to 10 significant digits — the labeled tolerance fallback."""
     import datetime
 
     import numpy as np
@@ -32,8 +34,7 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # round-trip repr keeps full precision; rounding happens in queries
-        return f"{v:.10g}"
+        return repr(v) if strict_floats else f"{v:.10g}"
     if isinstance(v, (np.bool_, bool)):
         return bool(v)
     if isinstance(v, (datetime.datetime,)):
@@ -43,16 +44,19 @@ def norm_cell(v):
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     if isinstance(v, (list, np.ndarray)):
-        return tuple(norm_cell(x) for x in v)
+        return tuple(norm_cell(x, strict_floats) for x in v)
     if isinstance(v, dict):
-        return tuple(sorted((k, norm_cell(x)) for k, x in v.items()))
+        return tuple(sorted((k, norm_cell(x, strict_floats)) for k, x in v.items()))
     return v
 
 
-def frame_key(df):
+def frame_key(df, strict_floats: bool = True):
     """pandas frame -> sorted multiset of normalized rows (cols sorted by name)."""
     cols = sorted(df.columns)
-    rows = [tuple(norm_cell(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
+    rows = [
+        tuple(norm_cell(v, strict_floats) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
     rows.sort(key=repr)
     return cols, rows
 
@@ -75,7 +79,7 @@ def main() -> int:
 
     reg = registry()
     names = [n for n in reg if not only or n in only]
-    failures, rows_only = [], []
+    failures, rows_only, tol_pass = [], [], []
     for name in names:
         spec = reg[name]
         t0 = time.time()
@@ -105,17 +109,32 @@ def main() -> int:
             print(f"FAIL  {name}: rowcount spark={len(srows)} oracle={len(orows)}")
             ok = False
         elif srows != orows:
-            diff = [i for i, (a, b) in enumerate(zip(srows, orows)) if a != b]
-            print(f"FAIL  {name}: {len(diff)} differing rows of {len(srows)}; first: ")
-            i = diff[0]
-            print(f"   spark : {srows[i]}")
-            print(f"   oracle: {orows[i]}")
-            ok = False
+            # bit-exact miss: retry under the labeled 10-sig-digit tolerance
+            _, srows_t = frame_key(sdf, strict_floats=False)
+            _, orows_t = frame_key(odf, strict_floats=False)
+            if srows_t == orows_t:
+                n_ulp = sum(1 for a, b in zip(srows, orows) if a != b)
+                print(f"OK~   {name}: {len(srows)} rows — float tolerance pass "
+                      f"({n_ulp} rows differ bit-exact; last-ulp drift) "
+                      f" [{time.time()-t0:.1f}s]")
+                tol_pass.append(name)
+            else:
+                diff = [i for i, (a, b) in enumerate(zip(srows_t, orows_t)) if a != b]
+                print(f"FAIL  {name}: {len(diff)} differing rows of {len(srows)}; first: ")
+                i = diff[0]
+                print(f"   spark : {srows_t[i]}")
+                print(f"   oracle: {orows_t[i]}")
+                ok = False
         if ok:
-            print(f"OK    {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]")
+            if name not in tol_pass:
+                print(f"OK    {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]")
         else:
             failures.append(name)
-    print(f"\n{len(names)-len(failures)}/{len(names)} pass ({len(rows_only)} rows-only)")
+    print(f"\n{len(names)-len(failures)}/{len(names)} pass ({len(rows_only)} rows-only"
+          + (f", {len(tol_pass)} float-tolerance" if tol_pass else "") + ")")
+    if tol_pass:
+        print("float-tolerance (driver hash may be stricter — investigate):",
+              " ".join(tol_pass))
     if failures:
         print("failures:", " ".join(failures))
     return 1 if failures else 0
