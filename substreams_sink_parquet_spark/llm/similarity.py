@@ -328,3 +328,64 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float,
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, threshold=0.4, block_col="label")
+
+
+# -- multi-probe LSH -------------------------------------------------------
+
+
+def lsh_topk_multiprobe(embeddings: DataFrame, queries: DataFrame, dim: int,
+                        k: int = 5, n_planes: int = 10,
+                        n_probes: int | None = None) -> DataFrame:
+    """Multi-probe LSH: each query also probes the buckets one sign-bit away.
+
+    Single-probe LSH misses a true neighbor whenever ANY hyperplane separates
+    the pair; probing the n_planes Hamming-1 buckets recovers exactly the
+    one-plane-miss cases, the dominant error mode — the standard recall lever
+    that avoids either more tables (memory) or fewer planes (selectivity).
+    The probe side stays broadcast (n_probes+1 rows per query); the corpus is
+    still bucketed once and never shuffled."""
+    probes = n_probes if n_probes is not None else n_planes
+    corpus = lsh_bucket(embeddings, "embedding", dim, n_planes)
+    probed = lsh_bucket(queries, "q_vec", dim, n_planes).select(
+        "q_id",
+        "q_vec",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                    for i in range(min(probes, n_planes))
+                ],
+            )
+        ).alias("bucket"),
+    )
+    joined = corpus.join(
+        F.broadcast(probed),
+        (corpus.bucket == probed.bucket) & (corpus.vec_id != probed.q_id),
+    )
+    scored = joined.select(
+        "q_id", "vec_id", cosine("q_vec", "embedding").alias("cos")
+    ).dropDuplicates(["q_id", "vec_id"])  # probe buckets can overlap per pair
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+@register(
+    "q_sim_topk_multiprobe",
+    None,  # approximate: probe recall is hash-family-specific → rows-only
+    doc="Multi-probe LSH approximate top-k cosine: probes the Hamming-1 "
+        "sign-bit buckets too, recovering single-plane misses (recall floor "
+        "pinned >= single-probe in pytest against the exact brute force)",
+)
+def q_sim_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return lsh_topk_multiprobe(
+        emb, queries, dim=embedding_dim(spark, sf_dir), k=5, n_planes=8
+    )

@@ -248,3 +248,131 @@ def q_text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(arr, lambda x: x > 0)).alias("nnz"),
         F.aggregate(arr, F.lit(0.0), lambda a, x: a + x).cast("long").alias("total_terms"),
     )
+
+
+@register(
+    "q_text_repetition",
+    """
+    WITH base AS (
+        SELECT doc_id,
+               len(str_split(text, ' ')) AS n_words,
+               len(list_distinct(str_split(text, ' '))) AS n_distinct
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, UNNEST(g) AS bigram
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(len(str_split(text, ' ')) - 1),
+                       i -> array_to_string(str_split(text, ' ')[i+1:i+2], ' ')
+                   ) AS g
+            FROM documents
+        )
+    ),
+    bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram),
+    bga AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS tot FROM bgc GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_words AS BIGINT) AS n_words,
+           1 - CAST(b.n_distinct AS DOUBLE) / b.n_words AS dup_word_frac,
+           CAST(bga.top_c AS DOUBLE) / bga.tot AS top_bigram_frac
+    FROM base b JOIN bga USING (doc_id)
+    """,
+    doc="Repetition signals (Gopher-style quality rules): duplicate-word "
+        "fraction (map-only array_distinct) and most-frequent-bigram "
+        "fraction (explode + two map-side-combined aggregations; the "
+        "explode+agg formulation beats nested HOFs, which are interpreted)",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    base = docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 2),
+        lambda i: F.array_join(F.slice(words, i + 1, 2), " "),
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(words) >= 2, bigrams).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    bga = (
+        bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("top_c"), F.sum("c").alias("tot"))
+    )
+    return base.join(bga, "doc_id").select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words")).alias(
+            "dup_word_frac"
+        ),
+        (F.col("top_c").cast("double") / F.col("tot")).alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "q_text_filter_pipeline",
+    """
+    WITH s AS (
+        SELECT doc_id,
+               len(str_split(text, ' ')) AS n_words,
+               len(list_distinct(str_split(text, ' '))) AS n_distinct,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / len(str_split(text, ' ')) AS awl,
+               len(list_filter(str_split(text, ' '),
+                               w -> w IN ('the','a','of','and','to','in','is','it')))
+                   AS n_stop,
+               CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct_ratio
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN n_words < 30 THEN 'too_short'
+                WHEN n_words > 100000 THEN 'too_long'
+                WHEN awl < 3 OR awl > 12 THEN 'word_len'
+                WHEN n_stop < 1 THEN 'no_stopwords'
+                WHEN punct_ratio > 0.1 THEN 'symbol_heavy'
+                WHEN 1 - CAST(n_distinct AS DOUBLE) / n_words > 0.5 THEN 'repetitive'
+                ELSE 'keep' END AS verdict,
+           CAST(n_words AS BIGINT) AS n_words
+    FROM s
+    """,
+    doc="Composite quality-filter pipeline (Gopher-style rule cascade): "
+        "length bounds, mean word length, stopword presence, symbol ratio, "
+        "duplicate-word fraction — first failing rule names the drop reason. "
+        "Entirely map-only scalar expressions: at 100 TB this runs at scan "
+        "speed with zero shuffle and the verdict is a partition-prunable "
+        "write key for the filtered corpus",
+)
+def q_text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    awl = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_words
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    punct_ratio = (
+        F.length(F.regexp_replace("text", r"[^.,!?;:]", "")).cast("double")
+        / F.length("text")
+    )
+    dup_frac = F.lit(1) - n_distinct.cast("double") / n_words
+    verdict = (
+        F.when(n_words < 30, "too_short")
+        .when(n_words > 100000, "too_long")
+        .when((awl < 3) | (awl > 12), "word_len")
+        .when(n_stop < 1, "no_stopwords")
+        .when(punct_ratio > 0.1, "symbol_heavy")
+        .when(dup_frac > 0.5, "repetitive")
+        .otherwise("keep")
+    )
+    return docs.select(
+        "doc_id", verdict.alias("verdict"), n_words.cast("long").alias("n_words")
+    )

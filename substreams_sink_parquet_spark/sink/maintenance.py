@@ -12,28 +12,28 @@ block-sorted files (atomic per range: write aside, swap, delete). It is
 safe to run between micro-batches of an active query as long as no batch is
 concurrently appending (the single-writer discipline the reference also
 assumes for its .partial files, writer.go:80-85).
+
+All file metadata operations go through the Hadoop FS layer (fsio), so the
+table dir may live on any supported object store.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import SparkSession
 
+from ..fsio import HadoopFS, url_join
 
-def live_file_counts(table_dir: str) -> dict[int, int]:
+
+def live_file_counts(fs: HadoopFS, table_dir: str) -> dict[int, int]:
     """{range_start: parquet file count} for the live area."""
-    live = os.path.join(table_dir, "_live")
+    live = url_join(table_dir, "_live")
     out: dict[int, int] = {}
-    if not os.path.isdir(live):
-        return out
-    for d in os.listdir(live):
+    for d in fs.listdir(live):
         if not d.startswith("range_start="):
             continue
         rs = int(d.split("=", 1)[1])
         out[rs] = sum(
-            1 for f in os.listdir(os.path.join(live, d))
+            1 for f in fs.listdir(url_join(live, d))
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
     return out
@@ -51,12 +51,13 @@ def compact_live(
     Returns {range_start: (files_before, files_after)}. Rows are preserved
     exactly; files come out block-sorted so later finalization keeps the
     per-file ordering invariant."""
-    live = os.path.join(table_dir, "_live")
+    fs = HadoopFS(spark, table_dir)
+    live = url_join(table_dir, "_live")
     done: dict[int, tuple[int, int]] = {}
-    for rs, n in sorted(live_file_counts(table_dir).items()):
+    for rs, n in sorted(live_file_counts(fs, table_dir).items()):
         if n < min_files:
             continue
-        src = os.path.join(live, f"range_start={rs}")
+        src = url_join(live, f"range_start={rs}")
         df = spark.read.parquet(src)
         tmp = src + ".compact"
         (
@@ -67,8 +68,8 @@ def compact_live(
             .parquet(tmp)
         )
         old = src + ".old"
-        os.rename(src, old)
-        os.rename(tmp, src)
-        shutil.rmtree(old, ignore_errors=True)
-        done[rs] = (n, live_file_counts(table_dir)[rs])
+        fs.rename(src, old)
+        fs.rename(tmp, src)
+        fs.delete(old, recursive=True)
+        done[rs] = (n, live_file_counts(fs, table_dir)[rs])
     return done

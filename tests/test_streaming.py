@@ -152,7 +152,10 @@ def test_compact_live_preserves_rows(spark, tmp_path):
         )
         q.awaitTermination(120)
 
-    before = live_file_counts(out_dir)
+    from substreams_sink_parquet_spark.fsio import HadoopFS
+
+    fs = HadoopFS(spark, out_dir)
+    before = live_file_counts(fs, out_dir)
     assert before[0] >= 3  # one+ file per micro-batch
     rows_before = sorted(
         r.block_number
