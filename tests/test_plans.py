@@ -81,6 +81,14 @@ def test_simhash_is_map_only(spark, sf_dir):
     assert rep.shuffle_exchanges == 0
 
 
+def test_filter_pipeline_is_map_only(spark, sf_dir):
+    from substreams_sink_parquet_spark.catalog import registry
+
+    rep = plan_report(registry()["q_text_filter_pipeline"].fn(spark, sf_dir))
+    # the whole rule cascade is scalar expressions over the scan: no Exchange
+    assert rep.shuffle_exchanges == 0, rep.text
+
+
 def test_asof_join_single_shuffle(spark, sf_dir):
     rep = plan_report(registry()["q_join_asof"].fn(spark, sf_dir))
     # union + window formulation: one shuffle on the key, no join blow-up
