@@ -113,7 +113,11 @@ class HadoopFS:
         s, d = self.jpath(src), self.jpath(dst)
         if overwrite and self.fs.exists(d):
             self.fs.delete(d, False)
-        if not self.fs.rename(s, d):
+        try:
+            ok = self.fs.rename(s, d)
+        except Exception as e:  # FS impls differ: some throw, some return false
+            raise IOError(f"rename failed: {src} -> {dst}: {e}") from e
+        if not ok:
             raise IOError(f"rename failed: {src} -> {dst}")
 
     def read_bytes(self, url: str) -> bytes:

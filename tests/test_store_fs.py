@@ -231,3 +231,32 @@ def test_stream_close_drains_heldback_ranges(spark, tmp_path):
         pq.read_table(os.path.join(out_dir, f)).num_rows for f in files
     )
     assert total == 15
+
+
+def test_backfill_fans_out_many_gaps_without_per_gap_jobs(spark, tmp_path):
+    """A sparse write across a wide block span backfills every gap through
+    the FS thread pool — one template job, then plain writes. 200 gaps keeps
+    the test honest about the fan-out path actually running concurrently."""
+    out = str(tmp_path / "lake")
+    os.makedirs(out)
+    df = decode_payloads(_blocks_df(spark, [0, 2010]), BLOCK)
+    files = write_ranges(df, out, WriterOptions(partition_size=10, start_block=0))
+    assert len(files) == 202  # 2 data ranges + 200 backfilled gaps
+    gap = pq.read_table(os.path.join(out, "0000000990-0000001000.parquet"))
+    assert gap.num_rows == 0 and "block_number" in gap.schema.names
+    # every backfilled file is byte-identical (same template payload)
+    import hashlib
+
+    hashes = {
+        hashlib.md5(open(os.path.join(out, f), "rb").read()).hexdigest()
+        for f in files
+        if f not in ("0000000000-0000000010.parquet", "0000002010-0000002020.parquet")
+    }
+    assert len(hashes) == 1
+    assert read_lake(spark, out).count() == 2
+
+
+def test_fs_rename_missing_source_raises(spark, tmp_path):
+    fs = HadoopFS(spark, str(tmp_path))
+    with pytest.raises(IOError):
+        fs.rename(str(tmp_path / "nope.bin"), str(tmp_path / "dst.bin"))
