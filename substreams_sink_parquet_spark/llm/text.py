@@ -376,3 +376,73 @@ def q_text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", verdict.alias("verdict"), n_words.cast("long").alias("n_words")
     )
+
+
+@register(
+    "q_text_redact",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+                'https?://[^ ]+')) AS INTEGER) AS n_urls,
+           CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INTEGER) AS n_long_numbers,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                'https?://[^ ]+', '<URL>', 'g'),
+                '[0-9]{6,}', '<NUM>', 'g')) AS redacted_md5
+    FROM documents
+    """,
+    doc="PII-style scrubbing pass: count emails / URLs / long digit runs and "
+        "hash the redacted text — the pre-training scrub step, pure per-row "
+        "regex (map-only, scan-speed at any scale). Patterns restricted to "
+        "syntax with identical semantics in Java regex and RE2 so the "
+        "redacted bytes hash-match the oracle",
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    url = r"https?://[^ ]+"
+    num = r"[0-9]{6,}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), url, "<URL>"
+        ),
+        num, "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(email), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(url), F.lit(0))).alias("n_urls"),
+        F.size(F.regexp_extract_all("text", F.lit(num), F.lit(0))).alias("n_long_numbers"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@register(
+    "q_text_length_histogram",
+    """
+    SELECT CAST(FLOOR(len(str_split(text, ' ')) / 32) * 32 AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(MIN(len(str_split(text, ' '))) AS BIGINT) AS min_words,
+           CAST(MAX(len(str_split(text, ' '))) AS BIGINT) AS max_words
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Token-count distribution: fixed-width word-count histogram — the "
+        "shard-sizing / curriculum input of a training pipeline; one "
+        "map-side-combined aggregation on a bounded key space",
+)
+def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_words = F.size(_words())
+    bucket = (F.floor(n_words / 32) * 32).cast("long")
+    return (
+        docs.select(bucket.alias("bucket_lo"), n_words.alias("nw"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("nw").cast("long").alias("min_words"),
+            F.max("nw").cast("long").alias("max_words"),
+        )
+    )
