@@ -389,3 +389,46 @@ def q_sim_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_multiprobe(
         emb, queries, dim=embedding_dim(spark, sf_dir), k=5, n_planes=8
     )
+
+
+def embedding_neardup_pairs_lsh(embeddings: DataFrame, threshold: float, dim: int,
+                                n_planes: int = 6) -> DataFrame:
+    """Embedding near-dup pairs blocked by LSH bucket — the 100 TB block key.
+
+    ``embedding_neardup_pairs`` blocks on a metadata column (label); at
+    corpus scale no metadata column bounds the quadratic. Random-hyperplane
+    buckets do: near-identical vectors land in the same bucket with high
+    probability, the per-bucket pair join partitions on the bucket id, and
+    plane count tunes bucket population (add Hamming-1 probes for recall as
+    in lsh_topk_multiprobe). Every emitted pair still passes the exact
+    cosine threshold — bucketing only bounds the candidate set, so output
+    is a high-precision subset of the all-pairs result."""
+    a = lsh_bucket(embeddings, "embedding", dim, n_planes).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        "bucket",
+    )
+    b = lsh_bucket(embeddings, "embedding", dim, n_planes).select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        "bucket",
+    )
+    pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine("emb_a", "emb_b"), 4).alias("cos4")
+    )
+    return scored.filter(F.col("cos4") >= threshold).select("id_a", "id_b")
+
+
+@register(
+    "q_dedup_embedding_lsh",
+    None,  # bucket recall is hash-family-specific → rows-only
+    doc="Embedding-cosine near-dup pairs blocked by LSH bucket instead of a "
+        "metadata column — the blocking key that still exists at 100 TB; "
+        "pytest pins the output as a subset of the exact all-pairs result",
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs_lsh(
+        emb, threshold=0.4, dim=embedding_dim(spark, sf_dir), n_planes=6
+    )
