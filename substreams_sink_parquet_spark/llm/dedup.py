@@ -257,17 +257,21 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
     ) / F.lit(num_hashes)
+    # estimate + threshold BEFORE the pair-dedup: est is identical for every
+    # band-duplicate of a pair, so the dedup exchange carries only passing
+    # (doc_a, doc_b, est) triples instead of every candidate with both
+    # 32-long signatures — map-side filter, minimal shuffle payload
     return (
         cands.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -351,8 +355,10 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        # distance filter BEFORE the pair-dedup (same value for every chunk
+        # duplicate of a pair): the dedup exchange sees only close pairs
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
