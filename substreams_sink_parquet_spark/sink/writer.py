@@ -66,6 +66,9 @@ def parquet_write_options(opts: WriterOptions) -> dict[str, str]:
     out = {
         "compression": opts.compression,
         "parquet.block.size": str(max(opts.row_group_rows * 256, 1 << 20)),
+        # exact row cap per row group (parquet-mr 1.16+) — makes
+        # --row-group-rows precise instead of a bytes-per-row guess
+        "parquet.block.row.count.limit": str(opts.row_group_rows),
         "parquet.enable.dictionary": str(opts.dict_encoding).lower(),
         "parquet.column.statistics.enabled": str(opts.write_stats).lower(),
     }

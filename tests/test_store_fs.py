@@ -260,3 +260,34 @@ def test_fs_rename_missing_source_raises(spark, tmp_path):
     fs = HadoopFS(spark, str(tmp_path))
     with pytest.raises(IOError):
         fs.rename(str(tmp_path / "nope.bin"), str(tmp_path / "dst.bin"))
+
+
+def test_row_group_rows_is_exact(spark, tmp_path):
+    """--row-group-rows maps to parquet.block.row.count.limit: row groups
+    cap at exactly the configured row count (footer-verified)."""
+    out = str(tmp_path / "lake")
+    os.makedirs(out)
+    df = decode_payloads(_blocks_df(spark, list(range(0, 500))), BLOCK)
+    write_ranges(df, out, WriterOptions(partition_size=1000, row_group_rows=100))
+    md = pq.ParquetFile(os.path.join(out, "0000000000-0000001000.parquet")).metadata
+    assert md.num_row_groups >= 5
+    assert max(md.row_group(i).num_rows for i in range(md.num_row_groups)) <= 100
+
+
+def test_stream_close_drains_exploded_children(spark, tmp_path):
+    """close() must drain the child tables of --explode mode too."""
+    input_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    stage_raw_blocks(spark, input_dir, synth_blocks(BLOCK, list(range(0, 8)), _payload))
+    opts = WriterOptions(partition_size=10, start_block=0, end_block=8)
+    q, sink = run_pipeline(
+        spark, input_dir, out_dir, BLOCK, ckpt, opts=opts,
+        undo_holdback=5, explode=True,
+    )
+    q.awaitTermination(120)
+    sink.close()
+    name = "0000000000-0000000008.parquet"
+    assert name in os.listdir(out_dir)
+    for child in ("transfers", "tags"):
+        assert name in os.listdir(os.path.join(out_dir, child)), child
+    t = pq.read_table(os.path.join(out_dir, "transfers", name))
+    assert t.num_rows == 8  # one transfer per block, all drained
