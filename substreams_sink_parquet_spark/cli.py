@@ -152,6 +152,22 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_stats(args: argparse.Namespace) -> int:
+    """Lake health report (metadata-only): file/range counts, bytes, block
+    coverage, gap/overlap detection. Extends the reference's runtime stats
+    ticker (sinker.go:19-90) with an at-rest integrity check of the
+    contiguity invariant its writer maintains (writer.go:220-267)."""
+    import json
+
+    from .fsio import HadoopFS
+    from .sink.writer import lake_coverage
+
+    spark = get_spark("sink-stats")
+    report = lake_coverage(HadoopFS(spark, args.store_url), args.store_url)
+    print(json.dumps(report))
+    return 0 if report["contiguous"] else 1
+
+
 def cmd_setup(args: argparse.Namespace) -> int:
     """Probe round-trip (setup.go:31-66): write → read-back-compare → delete."""
     spark = get_spark("sink-setup")
@@ -221,6 +237,10 @@ def main(argv: list[str] | None = None) -> int:
     setup_p = sub.add_parser("setup", help="validate store access")
     setup_p.add_argument("store_url")
     setup_p.set_defaults(fn=cmd_setup)
+
+    stats_p = sub.add_parser("stats", help="lake health report (metadata-only)")
+    stats_p.add_argument("store_url")
+    stats_p.set_defaults(fn=cmd_stats)
 
     query_p = sub.add_parser("query", help="run SQL over a sink lake")
     query_p.add_argument("sql")

@@ -323,6 +323,50 @@ def backfill_empty(
     return missing
 
 
+def lake_coverage(fs: HadoopFS, out_dir: str) -> dict:
+    """Lake health report from the name-encoded range index — METADATA ONLY
+    (one directory listing; no footer reads, no Spark jobs), so it is O(files)
+    cheap even on an object store. Detects the two invariant violations the
+    reference's contiguous-lake design makes impossible by construction:
+    gaps (a missing range) and overlaps (ranges that intersect)."""
+    spans: list[tuple[int, int, str, int]] = []
+    total_bytes = 0
+    n_parts = 0
+    for name, size in sorted(fs.list_sizes(out_dir).items()):
+        parsed = _split_range_name(name)
+        if parsed is None:
+            continue
+        rs, re_, part = parsed
+        total_bytes += size
+        if part is not None:
+            n_parts += 1
+        spans.append((rs, re_, name, size))
+    spans.sort()
+    gaps, overlaps = [], []
+    prev_end: int | None = None
+    prev_rs: int | None = None
+    for rs, re_, name, _sz in spans:
+        if rs == prev_rs:  # -partNNNN siblings of one range
+            continue
+        if prev_end is not None:
+            if rs > prev_end:
+                gaps.append((prev_end, rs))
+            elif rs < prev_end:
+                overlaps.append((rs, prev_end))
+        prev_end, prev_rs = re_, rs
+    return {
+        "files": len(spans),
+        "part_files": n_parts,
+        "ranges": len({s[0] for s in spans}),
+        "bytes": total_bytes,
+        "first_block": spans[0][0] if spans else None,
+        "last_block": spans[-1][1] if spans else None,
+        "gaps": gaps,
+        "overlaps": overlaps,
+        "contiguous": not gaps and not overlaps,
+    }
+
+
 def read_lake(
     spark: SparkSession,
     out_dir: str,

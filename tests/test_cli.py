@@ -67,3 +67,30 @@ def test_cli_query(tmp_path, spark, capsys):
     ])
     out = capsys.readouterr().out
     assert rc == 0 and "1" in out
+
+
+def test_cli_stats_reports_coverage_and_gaps(tmp_path, spark, capsys):
+    import json
+
+    from substreams_sink_parquet_spark.decode import decode_payloads
+    from substreams_sink_parquet_spark.sink.writer import WriterOptions, write_ranges
+
+    from .test_sink_writer import _blocks_df
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    df = decode_payloads(_blocks_df(spark, [0, 5, 25]), BLOCK)
+    write_ranges(df, lake, WriterOptions(partition_size=10, start_block=0))
+
+    rc = main(["stats", lake])
+    report = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert report["contiguous"] and report["files"] == 3 and report["gaps"] == []
+    assert report["first_block"] == 0 and report["last_block"] == 30
+
+    # delete a middle range: stats must flag the gap and exit nonzero
+    os.remove(os.path.join(lake, "0000000010-0000000020.parquet"))
+    rc = main(["stats", lake])
+    report = json.loads(capsys.readouterr().out)
+    assert rc == 1
+    assert not report["contiguous"] and report["gaps"] == [[10, 20]]
