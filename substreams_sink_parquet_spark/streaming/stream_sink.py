@@ -40,7 +40,12 @@ from ..fsio import HadoopFS, url_join
 from ..partition import file_name, range_start_col
 from ..schema import SchemaOptions
 from ..sink.explode import explode_all
-from ..sink.writer import WriterOptions, backfill_empty, parquet_write_options
+from ..sink.writer import (
+    WriterOptions,
+    _finalize,
+    backfill_empty,
+    parquet_write_options,
+)
 
 
 @dataclass
@@ -131,37 +136,50 @@ class StreamingSink:
         ]
 
     def _finalize_ready(self, table_dir: str, force: bool = False) -> None:
-        """Compact each fully-past range to one sorted padded-name file.
-        ``force`` finalizes every remaining live range regardless of the
-        holdback horizon — terminal drain only (Close parity)."""
+        """Compact every fully-past range to one sorted padded-name file — in
+        ONE Spark job for the whole ready set, however many ranges it holds.
+        Steady-state streaming finalizes one range at a time, but catch-up
+        (a drained backlog, availableNow over a deep staging dir) readies
+        dozens at once; a per-range job loop would serialize those. Reading
+        all ready live dirs with a basePath recovers range_start as a
+        column, and the batch writer's _finalize pass (hash-partitioned one
+        file per range, parallel renames, target_file_bytes splitting) does
+        the rest. ``force`` finalizes every remaining live range regardless
+        of the holdback horizon — terminal drain only (Close parity)."""
         live = url_join(table_dir, "_live")
         ranges = self._live_ranges(live) if force else self._ready_ranges(live)
-        for rs in ranges:
-            src = url_join(live, f"range_start={rs}")
-            df = self.spark.read.parquet(src)
-            tmp = url_join(table_dir, f"_final_{rs}")
-            writer = (
-                df.coalesce(1)
-                .sortWithinPartitions("block_number")
-                .write.mode("overwrite")
-            )
-            for k, v in parquet_write_options(self.opts).items():
-                writer = writer.option(k, v)
-            writer.parquet(tmp)
-            part = next(
-                f for f in self._fs.listdir(tmp)
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
-            name = file_name(rs, self._range_end(rs), self.opts.pad)
-            self._fs.rename(url_join(tmp, part), url_join(table_dir, name))
-            self._fs.delete(tmp, recursive=True)
+        if not ranges:
+            return
+        srcs = [url_join(live, f"range_start={rs}") for rs in ranges]
+        df = (
+            self.spark.read.option("basePath", live).parquet(*srcs)
+            .withColumnRenamed("range_start", "__range_start")
+        )
+        staging = url_join(table_dir, "_staging")
+        writer = (
+            df.repartition(len(ranges), "__range_start")
+            .sortWithinPartitions("__range_start", "block_number")
+            .write.mode("overwrite")
+        )
+        for k, v in parquet_write_options(self.opts).items():
+            writer = writer.option(k, v)
+        writer.partitionBy("__range_start").parquet(staging)
+        _finalize(self.spark, self._fs, staging, table_dir, ranges, self.opts)
+        for src in srcs:
             self._fs.delete(src, recursive=True)
-            self._backfill_before(table_dir, rs, name)
+        self._backfill_before(
+            table_dir,
+            max(ranges),
+            file_name(max(ranges), self._range_end(max(ranges)), self.opts.pad),
+        )
 
     def _backfill_before(self, table_dir: str, rs: int, finalized_name: str) -> None:
-        """Contiguity guarantee: empty files for gaps below a finalized range.
-        The schema template is the file just finalized — by its ACTUAL
-        (possibly end-clamped) name."""
+        """Contiguity guarantee: empty files for gaps below the finalized
+        horizon, in one pass (backfill_empty skips covered ranges). Safe for
+        the whole batch at once: readiness is monotone in range start, so no
+        still-live range can sit below a finalized one — anything missing
+        down there is a true gap. The schema template is a just-finalized
+        file — by its ACTUAL (possibly end-clamped) name."""
         if rs <= self.opts.start_block:
             return
         template = self.spark.read.parquet(url_join(table_dir, finalized_name))
