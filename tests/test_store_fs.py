@@ -291,3 +291,24 @@ def test_stream_close_drains_exploded_children(spark, tmp_path):
         assert name in os.listdir(os.path.join(out_dir, child)), child
     t = pq.read_table(os.path.join(out_dir, "transfers", name))
     assert t.num_rows == 8  # one transfer per block, all drained
+
+
+def test_stream_pipeline_through_file_url(spark, tmp_path):
+    """The full streaming path (live appends, batch finalize, backfill)
+    against a file:// URL out_dir — no os.* assumptions anywhere."""
+    input_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    local_out = tmp_path / "out"
+    local_out.mkdir()
+    out_url = f"file://{local_out}"
+    stage_raw_blocks(spark, input_dir, synth_blocks(BLOCK, list(range(0, 25)), _payload))
+    opts = WriterOptions(partition_size=10, start_block=0)
+    q, sink = run_pipeline(spark, input_dir, out_url, BLOCK, ckpt, opts=opts)
+    q.awaitTermination(120)
+    files = sorted(f for f in os.listdir(local_out) if f.endswith(".parquet"))
+    assert files == [
+        "0000000000-0000000010.parquet",
+        "0000000010-0000000020.parquet",
+    ]
+    t = pq.read_table(local_out / files[0])
+    assert t.column("block_number").to_pylist() == list(range(10))
+    assert os.path.isdir(local_out / "_live" / "range_start=20")
