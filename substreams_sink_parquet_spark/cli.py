@@ -98,6 +98,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         page_size=args.page_size,
         write_stats=not args.no_parquet_stats,
         target_file_bytes=args.target_file_bytes,
+        bloom_filter_columns=tuple(args.bloom_filter),
     )
     query, sink = run_pipeline(
         spark,
@@ -225,6 +226,10 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument("--target-file-bytes", type=int, default=None,
                        help="soft per-file byte target; oversize ranges "
                             "split into -partNNNN files (run.go:48)")
+    run_p.add_argument("--bloom-filter", action="append", default=[],
+                       metavar="COL",
+                       help="write a parquet bloom filter for COL "
+                            "(repeatable; point-lookup row-group skipping)")
     run_p.add_argument("--flush-interval-s", type=int, default=1)
     run_p.add_argument("--explode", action="store_true")
     run_p.add_argument("--undo-buffer-size", type=int, default=0)

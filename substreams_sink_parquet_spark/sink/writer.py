@@ -56,6 +56,7 @@ class WriterOptions:
     write_stats: bool = True            # --parquet-stats / --no-parquet-stats
     dict_encoding: bool = True          # --dict-encoding
     target_file_bytes: int | None = None  # --target-file-bytes (soft rotation)
+    bloom_filter_columns: tuple[str, ...] = ()  # --bloom-filter (repeatable)
     pad: int = 10
 
 
@@ -76,6 +77,12 @@ def parquet_write_options(opts: WriterOptions) -> dict[str, str]:
         out["parquet.page.size"] = str(opts.page_size)
     if opts.compression_level is not None:
         out["parquet.compression.codec.zstd.level"] = str(opts.compression_level)
+    for col in opts.bloom_filter_columns:
+        # per-column bloom filters: point-lookup row-group skipping for
+        # high-cardinality keys (block_id, tx hash) where min/max stats are
+        # useless; ndv sized to the row-group cap
+        out[f"parquet.bloom.filter.enabled#{col}"] = "true"
+        out[f"parquet.bloom.filter.expected.ndv#{col}"] = str(opts.row_group_rows)
     return out
 
 

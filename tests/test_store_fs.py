@@ -312,3 +312,19 @@ def test_stream_pipeline_through_file_url(spark, tmp_path):
     t = pq.read_table(local_out / files[0])
     assert t.column("block_number").to_pylist() == list(range(10))
     assert os.path.isdir(local_out / "_live" / "range_start=20")
+
+
+def test_bloom_filter_columns_written(spark, tmp_path):
+    """--bloom-filter COL writes a per-column bloom filter: the file grows
+    by the filter's bitset (KBs for this ndv) with identical data."""
+    sizes = {}
+    for label, cols in (("off", ()), ("on", ("block_id",))):
+        out = str(tmp_path / f"bloom_{label}")
+        os.makedirs(out)
+        df = decode_payloads(_blocks_df(spark, list(range(0, 400))), BLOCK)
+        write_ranges(
+            df, out,
+            WriterOptions(partition_size=1000, bloom_filter_columns=cols),
+        )
+        sizes[label] = os.path.getsize(os.path.join(out, "0000000000-0000001000.parquet"))
+    assert sizes["on"] > sizes["off"] + 1000, sizes
