@@ -87,12 +87,12 @@ class StreamingSink:
 
     def process_batch(self, raw_batch: DataFrame, epoch_id: int) -> None:
         decoded = decode_payloads(raw_batch, self.spec, self.schema_opts)
-        self._append_live(decoded, self.out_dir)
+        self._append_live(decoded, self.out_dir, epoch_id)
         if self.explode:
             for name, child in explode_all(decoded, self.spec).items():
                 child_dir = url_join(self.out_dir, name)
                 self._fs.mkdirs(child_dir)
-                self._append_live(child, child_dir)
+                self._append_live(child, child_dir, epoch_id)
         hi = raw_batch.agg(F.max("block_number")).collect()[0][0]
         if hi is not None:
             self._max_seen = max(self._max_seen, int(hi))
@@ -100,15 +100,24 @@ class StreamingSink:
         for child_dir in self._child_dirs():
             self._finalize_ready(child_dir)
 
-    def _append_live(self, df: DataFrame, table_dir: str) -> None:
+    def _append_live(self, df: DataFrame, table_dir: str, epoch_id: int) -> None:
+        """Stage the epoch's rows under ``_live/epoch={id}/range_start=N/``,
+        OVERWRITING the epoch directory. foreachBatch is at-least-once: after
+        a mid-batch crash the same epoch re-runs, and an append-mode write
+        would duplicate every row the first attempt got out; overwriting the
+        epoch-keyed directory makes the replay idempotent (the documented
+        batchId-based dedup contract). Committed epochs never re-run, so
+        earlier directories are stable."""
         ranged = df.withColumn(
             "range_start",
             range_start_col("block_number", self.opts.start_block, self.opts.partition_size),
         )
-        writer = ranged.write.mode("append")
+        writer = ranged.write.mode("overwrite")
         for k, v in parquet_write_options(self.opts).items():
             writer = writer.option(k, v)
-        writer.partitionBy("range_start").parquet(url_join(table_dir, "_live"))
+        writer.partitionBy("range_start").parquet(
+            url_join(table_dir, "_live", f"epoch={epoch_id}")
+        )
 
     # -- finalize -----------------------------------------------------------
 
@@ -118,12 +127,24 @@ class StreamingSink:
             re_ = min(re_, self.opts.end_block)
         return re_
 
+    def _epoch_dirs(self, live: str) -> list[str]:
+        return [d for d in self._fs.listdir(live) if d.startswith("epoch=")]
+
     def _live_ranges(self, live: str) -> list[int]:
-        return sorted(
-            int(d.split("=", 1)[1])
-            for d in self._fs.listdir(live)
-            if d.startswith("range_start=")
-        )
+        out: set[int] = set()
+        for e in self._epoch_dirs(live):
+            for d in self._fs.listdir(url_join(live, e)):
+                if d.startswith("range_start="):
+                    out.add(int(d.split("=", 1)[1]))
+        return sorted(out)
+
+    def _range_dirs(self, live: str, rs: int) -> list[str]:
+        """Every epoch's staging directory for one range."""
+        return [
+            url_join(live, e, f"range_start={rs}")
+            for e in self._epoch_dirs(live)
+            if f"range_start={rs}" in self._fs.listdir(url_join(live, e))
+        ]
 
     def _ready_ranges(self, live: str) -> list[int]:
         """Ranges safely behind the holdback horizon. The end is CLAMPED to
@@ -150,9 +171,10 @@ class StreamingSink:
         ranges = self._live_ranges(live) if force else self._ready_ranges(live)
         if not ranges:
             return
-        srcs = [url_join(live, f"range_start={rs}") for rs in ranges]
+        srcs = [d for rs in ranges for d in self._range_dirs(live, rs)]
         df = (
             self.spark.read.option("basePath", live).parquet(*srcs)
+            .drop("epoch")
             .withColumnRenamed("range_start", "__range_start")
         )
         staging = url_join(table_dir, "_staging")
@@ -167,6 +189,9 @@ class StreamingSink:
         _finalize(self.spark, self._fs, staging, table_dir, ranges, self.opts)
         for src in srcs:
             self._fs.delete(src, recursive=True)
+        for e in self._epoch_dirs(live):  # drop epochs emptied by finalize
+            if not self._fs.listdir(url_join(live, e)):
+                self._fs.delete(url_join(live, e), recursive=True)
         self._backfill_before(
             table_dir,
             max(ranges),
@@ -217,17 +242,17 @@ class StreamingSink:
         here it is a real partition-level retraction on the live area)."""
         live = self.live_dir
         for rs in self._live_ranges(live):
-            src = url_join(live, f"range_start={rs}")
-            if rs > last_valid_block:
-                self._fs.delete(src, recursive=True)
-            elif rs + self.opts.partition_size - 1 > last_valid_block:
-                kept = self.spark.read.parquet(src).filter(
-                    F.col("block_number") <= last_valid_block
-                )
-                tmp = src + "_rewrite"
-                kept.write.mode("overwrite").parquet(tmp)
-                self._fs.delete(src, recursive=True)
-                self._fs.rename(tmp, src)
+            for src in self._range_dirs(live, rs):
+                if rs > last_valid_block:
+                    self._fs.delete(src, recursive=True)
+                elif rs + self.opts.partition_size - 1 > last_valid_block:
+                    kept = self.spark.read.parquet(src).filter(
+                        F.col("block_number") <= last_valid_block
+                    )
+                    tmp = src + "_rewrite"
+                    kept.write.mode("overwrite").parquet(tmp)
+                    self._fs.delete(src, recursive=True)
+                    self._fs.rename(tmp, src)
         self._max_seen = min(self._max_seen, last_valid_block)
 
 

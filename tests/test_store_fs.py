@@ -224,9 +224,9 @@ def test_stream_close_drains_heldback_ranges(spark, tmp_path):
         "0000000000-0000000010.parquet",
         "0000000010-0000000015.parquet",
     ]
-    assert not os.path.isdir(os.path.join(out_dir, "_live")) or not any(
-        d.startswith("range_start=") for d in os.listdir(os.path.join(out_dir, "_live"))
-    )
+    import glob as _glob
+
+    assert not _glob.glob(os.path.join(out_dir, "_live", "epoch=*", "range_start=*"))
     total = sum(
         pq.read_table(os.path.join(out_dir, f)).num_rows for f in files
     )
@@ -311,7 +311,9 @@ def test_stream_pipeline_through_file_url(spark, tmp_path):
     ]
     t = pq.read_table(local_out / files[0])
     assert t.column("block_number").to_pylist() == list(range(10))
-    assert os.path.isdir(local_out / "_live" / "range_start=20")
+    import glob as _glob
+
+    assert _glob.glob(str(local_out / "_live" / "epoch=*" / "range_start=20"))
 
 
 def test_bloom_filter_columns_written(spark, tmp_path):

@@ -48,7 +48,9 @@ def test_stream_end_to_end(spark, tmp_path):
     ]
     t = pq.read_table(os.path.join(out_dir, "0000000000-0000000010.parquet"))
     assert t.column("block_number").to_pylist() == list(range(10))  # sorted
-    assert os.path.isdir(os.path.join(out_dir, "_live", "range_start=20"))
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(out_dir, "_live", "epoch=*", "range_start=20"))
 
 
 def test_stream_checkpoint_resume_no_duplicates(spark, tmp_path):
@@ -208,3 +210,32 @@ def test_streaming_with_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: after a mid-batch crash the SAME epoch
+    re-runs. The epoch-keyed overwrite in _append_live must make that replay
+    a no-op instead of doubling the staged rows."""
+    from substreams_sink_parquet_spark.streaming.stream_sink import StreamingSink
+
+    from .test_sink_writer import _blocks_df
+
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    sink = StreamingSink(
+        spark=spark, spec=BLOCK, out_dir=out_dir,
+        opts=WriterOptions(partition_size=10, start_block=0),
+        undo_holdback=1000,  # keep everything live
+    )
+    raw = _blocks_df(spark, [0, 1, 2, 3])
+    sink.process_batch(raw, epoch_id=0)
+    live = os.path.join(out_dir, "_live")
+    assert spark.read.parquet(live).count() == 4
+
+    sink.process_batch(raw, epoch_id=0)  # crash-replay of the same epoch
+    assert spark.read.parquet(live).count() == 4  # NOT 8
+
+    sink.process_batch(_blocks_df(spark, [4, 5]), epoch_id=1)  # next epoch
+    df = spark.read.parquet(live)
+    assert df.count() == 6
+    assert sorted(r.block_number for r in df.collect()) == [0, 1, 2, 3, 4, 5]
