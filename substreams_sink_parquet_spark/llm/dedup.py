@@ -531,3 +531,57 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", dist.alias("edit_dist"))
         .filter(F.col("edit_dist") <= 24)
     )
+
+
+@register(
+    "q_dedup_substring",
+    """
+    WITH grams AS (
+        SELECT doc_id, UNNEST(g) AS gram
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(len(str_split(text, ' ')) - 7),
+                       i -> array_to_string(str_split(text, ' ')[i+1:i+8], ' ')
+                   ) AS g
+            FROM documents
+        )
+    )
+    SELECT gram,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM grams
+    GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    doc="Exact duplicated-span inventory: word 8-gram occurrences (positions "
+        "counted, NOT per-doc distinct) aggregated by gram, kept where the "
+        "span recurs across >= 2 documents — the substring-level dedup pass "
+        "that catches shared boilerplate exact-hash and MinHash both miss. "
+        "One explode + one map-side-combined aggregation partitioned by the "
+        "gram itself (cardinality scales with corpus, no hot key)",
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n = 8
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    exploded = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(words) >= n, grams).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    return (
+        exploded.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

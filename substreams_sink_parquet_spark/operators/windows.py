@@ -169,3 +169,38 @@ def q_win_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("priciest_key"),
         F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
     )
+
+
+@register(
+    "q_win_fill_forward",
+    """
+    SELECT event_id, user_id, v,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_filled
+    FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    )
+    """,
+    doc="Forward-fill (gap-fill) of missing readings: last non-null value "
+        "per user in event-time order — last(ignorenulls) over a running "
+        "frame; the canonical time-series imputation, one shuffle on the "
+        "partition key",
+)
+def q_win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        v.alias("v"),
+        F.last(v, ignorenulls=True).over(w).alias("v_filled"),
+    )
