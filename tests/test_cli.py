@@ -94,3 +94,37 @@ def test_cli_stats_reports_coverage_and_gaps(tmp_path, spark, capsys):
     report = json.loads(capsys.readouterr().out)
     assert rc == 1
     assert not report["contiguous"] and report["gaps"] == [[10, 20]]
+
+
+def test_cli_run_with_tuning_flags(tmp_path, spark):
+    """argparse → WriterOptions plumbing for the round-2 knobs, end-to-end
+    through a drained run."""
+    desc = tmp_path / "block.fds"
+    desc.write_bytes(pw.build_file_descriptor_set("test", [BLOCK]))
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "lake")
+    _stage_blocks(spark, input_dir, list(range(0, 12)), 0)
+
+    rc = main([
+        "run", out_dir, input_dir,
+        "--descriptor-set", str(desc),
+        "--output-type", "test.Block",
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--partition-size", "10",
+        "--compression", "zstd",
+        "--compression-level", "6",
+        "--row-group-rows", "4",
+        "--page-size", "4096",
+        "--no-parquet-stats",
+        "--target-file-bytes", "268435456",
+        "--bloom-filter", "block_id",
+        "--drain-and-exit",
+    ])
+    assert rc == 0
+    import pyarrow.parquet as pq
+
+    f = os.path.join(out_dir, "0000000000-0000000010.parquet")
+    md = pq.ParquetFile(f).metadata
+    assert md.row_group(0).column(0).compression == "ZSTD"
+    assert md.row_group(0).num_rows <= 4          # --row-group-rows
+    assert md.row_group(0).column(0).statistics is None  # --no-parquet-stats
