@@ -62,20 +62,21 @@ def _load_spec(descriptor_set_path: str, output_type: str | None,
 
 def _resolve_endpoint(args: argparse.Namespace) -> None:
     """Endpoint-mode skeleton (run.go:73-92 parity): resolve the endpoint
-    from --endpoint, --network, or the manifest's network, then report that
-    live gRPC delivery is not available in this build and point at the
-    staged-feeder contract that replaces it."""
+    from --endpoint or --network, then report that live gRPC delivery is not
+    available in this build and point at the staged-feeder contract that
+    replaces it. Endpoint mode is opt-in by EXPLICIT flag only: a manifest's
+    network field does NOT trigger it (the reference always runs in endpoint
+    mode so it can fall back to the manifest; here the default is the staged
+    feeder, and a .spkg that happens to declare a network must not break a
+    staged run)."""
     endpoint = args.endpoint
     if endpoint is None and args.network is None:
         return  # staged-feeder mode: input_dir is the stream
-    network = args.network
-    if endpoint is None and network is None and args.descriptor_set.endswith(".spkg"):
-        _, manifest = _load_manifest(args.descriptor_set)
-        network = manifest.network if manifest else None
-    if endpoint is None and network is not None:
-        endpoint = f"{network}.streamingfast.io:443"  # ExtractNetworkEndpoint shape
+    if endpoint is None:
+        # ExtractNetworkEndpoint shape
+        endpoint = f"{args.network}.streamingfast.io:443"
     raise SystemExit(
-        f"live gRPC endpoint mode ({endpoint or network}) is not available in "
+        f"live gRPC endpoint mode ({endpoint}) is not available in "
         "this build: no substreams gRPC client in the environment. Use the "
         "staged-feeder contract instead — point any gRPC feeder at a staging "
         "directory of raw-block parquet (block_number, block_id, payload) and "

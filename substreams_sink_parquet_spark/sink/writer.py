@@ -353,7 +353,10 @@ def lake_coverage(fs: HadoopFS, out_dir: str) -> dict:
     prev_end: int | None = None
     prev_rs: int | None = None
     for rs, re_, name, _sz in spans:
-        if rs == prev_rs:  # -partNNNN siblings of one range
+        # -partNNNN siblings share BOTH endpoints; a same-start file with a
+        # different end (e.g. a clamped 0-500 next to 0-1000) is a conflict,
+        # not a sibling, and must be reported as an overlap.
+        if rs == prev_rs and re_ == prev_end:
             continue
         if prev_end is not None:
             if rs > prev_end:

@@ -67,7 +67,7 @@ class SpkgManifest:
         except KeyError:
             raise KeyError(
                 f"module {module_name!r} not in manifest; modules: "
-                + ", ".join(sorted(self.module_output_types)) or "(none)"
+                + (", ".join(sorted(self.module_output_types)) or "(none)")
             ) from None
         return t.removeprefix("proto:")
 

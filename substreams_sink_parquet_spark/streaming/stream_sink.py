@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from .. import protowire as pw
 from ..decode import decode_payloads
 from ..fsio import HadoopFS, url_join
-from ..partition import file_name, range_start_col
+from ..partition import range_start_col
 from ..schema import SchemaOptions
 from ..sink.explode import explode_all
 from ..sink.writer import (
@@ -192,22 +192,18 @@ class StreamingSink:
         for e in self._epoch_dirs(live):  # drop epochs emptied by finalize
             if not self._fs.listdir(url_join(live, e)):
                 self._fs.delete(url_join(live, e), recursive=True)
-        self._backfill_before(
-            table_dir,
-            max(ranges),
-            file_name(max(ranges), self._range_end(max(ranges)), self.opts.pad),
-        )
+        self._backfill_before(table_dir, max(ranges), df.drop("__range_start"))
 
-    def _backfill_before(self, table_dir: str, rs: int, finalized_name: str) -> None:
+    def _backfill_before(self, table_dir: str, rs: int, template: DataFrame) -> None:
         """Contiguity guarantee: empty files for gaps below the finalized
         horizon, in one pass (backfill_empty skips covered ranges). Safe for
         the whole batch at once: readiness is monotone in range start, so no
         still-live range can sit below a finalized one — anything missing
-        down there is a true gap. The schema template is a just-finalized
-        file — by its ACTUAL (possibly end-clamped) name."""
+        down there is a true gap. The schema template is the decoded frame
+        itself — NOT a re-read of a finalized file, whose plain name may not
+        exist when target_file_bytes split it into -partNNNN files."""
         if rs <= self.opts.start_block:
             return
-        template = self.spark.read.parquet(url_join(table_dir, finalized_name))
         backfill_empty(
             self.spark,
             template,

@@ -139,3 +139,35 @@ def test_read_lake_prunes_files_by_range(spark, tmp_path):
     # a probe with no overlapping files is an explicit error, not a scan
     with pytest.raises(FileNotFoundError):
         read_lake(spark, out, start_block=1000, end_block=2000)
+
+
+def test_lake_coverage_same_start_conflicting_end_is_overlap(spark, tmp_path):
+    """Same range start with DIFFERENT ends (e.g. a clamped 0-500 beside a
+    0-1000) is a conflict, not a -part sibling pair (ADVICE r2)."""
+    from substreams_sink_parquet_spark.fsio import HadoopFS
+    from substreams_sink_parquet_spark.sink.writer import lake_coverage
+
+    out = tmp_path / "lake"
+    out.mkdir()
+    for n in ("0000000000-0000000500.parquet", "0000000000-0000001000.parquet",
+              "0000001000-0000002000.parquet"):
+        (out / n).write_bytes(b"x")  # names only — coverage never reads footers
+    rep = lake_coverage(HadoopFS(spark, str(out)), str(out))
+    assert rep["overlaps"] == [(0, 500)]
+    assert not rep["contiguous"]
+
+
+def test_lake_coverage_part_siblings_stay_contiguous(spark, tmp_path):
+    """True -partNNNN siblings share BOTH endpoints and must not be flagged."""
+    from substreams_sink_parquet_spark.fsio import HadoopFS
+    from substreams_sink_parquet_spark.sink.writer import lake_coverage
+
+    out = tmp_path / "lake"
+    out.mkdir()
+    for n in ("0000000000-0000001000-part0000.parquet",
+              "0000000000-0000001000-part0001.parquet",
+              "0000001000-0000002000.parquet"):
+        (out / n).write_bytes(b"x")
+    rep = lake_coverage(HadoopFS(spark, str(out)), str(out))
+    assert rep["overlaps"] == [] and rep["gaps"] == []
+    assert rep["contiguous"]

@@ -34,6 +34,16 @@ def test_spkg_unknown_module():
         m.output_type_of("nope")
 
 
+def test_spkg_empty_module_map_message():
+    """With no modules in the manifest the error must say '(none)', not
+    trail off (ADVICE r2: '+' bound tighter than 'or')."""
+    from substreams_sink_parquet_spark.spkg import SpkgManifest
+
+    m = SpkgManifest(file_descriptor_set=b"x", module_output_types={})
+    with pytest.raises(KeyError, match=r"\(none\)"):
+        m.output_type_of("anything")
+
+
 def test_spkg_not_a_package():
     with pytest.raises(ValueError, match="proto_files"):
         parse_spkg(b"\x50\x01")  # field 10 varint, no proto_files

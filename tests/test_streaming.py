@@ -239,3 +239,111 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     df = spark.read.parquet(live)
     assert df.count() == 6
     assert sorted(r.block_number for r in df.collect()) == [0, 1, 2, 3, 4, 5]
+
+
+def _live_setup_three_epochs(spark, tmp_path):
+    """Three micro-batches staged into one never-finalized range."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    opts = WriterOptions(partition_size=100, start_block=0)
+    for batch, blocks in enumerate([range(0, 5), range(5, 10), range(10, 15)]):
+        _stage_blocks(spark, input_dir, list(blocks), batch)
+        q, _ = run_pipeline(
+            spark, input_dir, out_dir, BLOCK, ckpt, opts=opts, undo_holdback=1000
+        )
+        q.awaitTermination(120)
+    return out_dir
+
+
+def test_compact_recovery_commits_mid_swap_crash(spark, tmp_path):
+    """Crash AFTER the compacted write + manifest and AFTER the source
+    deletes but BEFORE the rename: the rows exist only in _compact_{rs}.
+    Recovery must finish the swap, not drop them (ADVICE r2: the old
+    delete-then-rename order silently lost this window)."""
+    import json
+
+    from substreams_sink_parquet_spark.fsio import HadoopFS, url_join
+    from substreams_sink_parquet_spark.sink import maintenance as m
+
+    out_dir = _live_setup_three_epochs(spark, tmp_path)
+    fs = HadoopFS(spark, out_dir)
+    live = url_join(out_dir, "_live")
+
+    srcs = m._range_dirs(fs, live, 0)
+    assert len(srcs) >= 3
+    tmp = url_join(live, "_compact_0")
+    (
+        spark.read.parquet(*srcs)
+        .repartition(1).sortWithinPartitions("block_number")
+        .write.mode("overwrite").parquet(tmp)
+    )
+    rel = [s[len(live) + 1:] for s in srcs]
+    fs.write_bytes(
+        url_join(tmp, "_MERGED.json"),
+        json.dumps({"range_start": 0, "sources": rel}).encode(),
+    )
+    for s in srcs:  # the commit phase got this far, then crashed
+        fs.delete(s, recursive=True)
+
+    actions = m.recover_compact_leftovers(fs, out_dir)
+    assert actions == {"_compact_0": "committed"}
+    rows = sorted(
+        r.block_number
+        for r in spark.read.parquet(os.path.join(out_dir, "_live")).collect()
+    )
+    assert rows == list(range(15))  # nothing lost
+    assert not fs.exists(tmp)
+
+
+def test_compact_recovery_drops_uncommitted_leftover(spark, tmp_path):
+    """A _compact_ dir WITHOUT a manifest never reached its commit point:
+    sources are intact, so recovery deletes the partial write."""
+    from substreams_sink_parquet_spark.fsio import HadoopFS, url_join
+    from substreams_sink_parquet_spark.sink import maintenance as m
+
+    out_dir = _live_setup_three_epochs(spark, tmp_path)
+    fs = HadoopFS(spark, out_dir)
+    live = url_join(out_dir, "_live")
+    tmp = url_join(live, "_compact_0")
+    spark.read.parquet(*m._range_dirs(fs, live, 0)).write.parquet(tmp)
+
+    actions = m.recover_compact_leftovers(fs, out_dir)
+    assert actions == {"_compact_0": "dropped_uncommitted"}
+    assert not fs.exists(tmp)
+    rows = sorted(
+        r.block_number
+        for r in spark.read.parquet(os.path.join(out_dir, "_live")).collect()
+    )
+    assert rows == list(range(15))  # sources untouched
+
+    # and a full compact_live run afterwards still converges to one file
+    result = m.compact_live(spark, out_dir, target_files=1)
+    assert result[0][1] == 1
+
+
+def test_stream_finalize_splits_with_target_file_bytes(spark, tmp_path):
+    """target_file_bytes splits finalized ranges into -partNNNN files; the
+    backfill schema template must not re-read the (absent) plain-named file
+    (ADVICE r2: PATH_NOT_FOUND inside foreachBatch)."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _stage_blocks(spark, input_dir, list(range(0, 25)), 0)
+
+    opts = WriterOptions(partition_size=10, start_block=0, target_file_bytes=800)
+    query, sink = run_pipeline(
+        spark, input_dir, out_dir, BLOCK, ckpt, opts=opts, available_now=True
+    )
+    query.awaitTermination(120)
+
+    files = _final_files(out_dir)
+    assert any("-part" in f for f in files), files
+    total = sum(pq.read_table(os.path.join(out_dir, f)).num_rows for f in files)
+    assert total == 20  # both finalized ranges complete, no crash
+    blocks = sorted(
+        b
+        for f in files
+        for b in pq.read_table(os.path.join(out_dir, f)).column("block_number").to_pylist()
+    )
+    assert blocks == list(range(20))
