@@ -43,6 +43,7 @@ from ..sink.explode import explode_all
 from ..sink.writer import (
     WriterOptions,
     _finalize,
+    _split_range_name,
     backfill_empty,
     parquet_write_options,
 )
@@ -232,11 +233,36 @@ class StreamingSink:
 
     # -- reorg --------------------------------------------------------------
 
+    RETRACT_EPOCH = -2  # reserved live epoch for rows demoted out of
+    # finalized files by a deep reorg (streaming epochs are >= 0; -1 is the
+    # compaction epoch, maintenance.COMPACTED_EPOCH)
+
     def undo(self, last_valid_block: int) -> None:
-        """Drop staged rows above the fork point (HandleBlockUndoSignal,
-        sinker.go:142-148 — which the reference turns into an error or no-op;
-        here it is a real partition-level retraction on the live area)."""
-        live = self.live_dir
+        """Retract every block above the fork point — live AND finalized
+        (HandleBlockUndoSignal, sinker.go:142-148 — which the reference turns
+        into an error or no-op; SURVEY §7.2's partition-rewrite escape hatch).
+
+        Live area: staged range dirs above the fork are deleted; the dir
+        spanning the fork is rewritten filtered to ``<= last_valid_block``.
+
+        Finalized area (a reorg deeper than ``undo_holdback``): range files
+        entirely above the fork are deleted; the file(s) spanning the fork
+        are DEMOTED — their still-valid rows move back into the live area
+        under the reserved ``epoch=-2`` — so the re-fed stream completes the
+        range and re-finalizes it through the normal holdback path. Applied
+        to the main table and every exploded child, keeping them in lockstep.
+
+        Demotion writes the kept rows before deleting the finalized file: a
+        crash in between leaves a duplicate that the idempotent re-run of
+        ``undo(same fork)`` converges (epoch dir overwritten, file deleted),
+        never a loss."""
+        for table_dir in [self.out_dir] + self._child_dirs():
+            self._undo_finalized(table_dir, last_valid_block)
+            self._undo_live(table_dir, last_valid_block)
+        self._max_seen = min(self._max_seen, last_valid_block)
+
+    def _undo_live(self, table_dir: str, last_valid_block: int) -> None:
+        live = url_join(table_dir, "_live")
         for rs in self._live_ranges(live):
             for src in self._range_dirs(live, rs):
                 if rs > last_valid_block:
@@ -245,11 +271,42 @@ class StreamingSink:
                     kept = self.spark.read.parquet(src).filter(
                         F.col("block_number") <= last_valid_block
                     )
+                    if not kept.take(1):
+                        # an all-rolled-back dir must disappear, not become a
+                        # zero-row staging dir finalize would trip over
+                        self._fs.delete(src, recursive=True)
+                        continue
                     tmp = src + "_rewrite"
                     kept.write.mode("overwrite").parquet(tmp)
                     self._fs.delete(src, recursive=True)
                     self._fs.rename(tmp, src)
-        self._max_seen = min(self._max_seen, last_valid_block)
+
+    def _undo_finalized(self, table_dir: str, last_valid_block: int) -> None:
+        groups: dict[tuple[int, int], list[str]] = {}
+        for name in self._fs.listdir(table_dir):
+            parsed = _split_range_name(name)
+            if parsed is not None:
+                groups.setdefault((parsed[0], parsed[1]), []).append(name)
+        for (rs, re_), names in sorted(groups.items()):
+            if re_ - 1 <= last_valid_block:
+                continue  # fully below the fork — untouched
+            paths = [url_join(table_dir, n) for n in names]
+            if rs <= last_valid_block:
+                # spanning range: demote surviving rows to the live area
+                kept = self.spark.read.parquet(*paths).filter(
+                    F.col("block_number") <= last_valid_block
+                )
+                if kept.take(1):
+                    dst = url_join(
+                        table_dir, "_live",
+                        f"epoch={self.RETRACT_EPOCH}", f"range_start={rs}",
+                    )
+                    writer = kept.write.mode("overwrite")
+                    for k, v in parquet_write_options(self.opts).items():
+                        writer = writer.option(k, v)
+                    writer.parquet(dst)
+            for p in paths:
+                self._fs.delete(p, recursive=False)
 
 
 def run_pipeline(

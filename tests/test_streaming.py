@@ -347,3 +347,79 @@ def test_stream_finalize_splits_with_target_file_bytes(spark, tmp_path):
         for b in pq.read_table(os.path.join(out_dir, f)).column("block_number").to_pylist()
     )
     assert blocks == list(range(20))
+
+
+def test_undo_deep_reorg_retracts_finalized_ranges(spark, tmp_path):
+    """A reorg deeper than undo_holdback must retract already-finalized
+    files: ranges above the fork deleted, the spanning range demoted back to
+    the live area, and a re-fed stream re-finalizes to a contiguous lake
+    (VERDICT r2 Missing #1 / SURVEY §7.2 partition-rewrite escape hatch)."""
+    from substreams_sink_parquet_spark.fsio import HadoopFS
+    from substreams_sink_parquet_spark.sink.writer import lake_coverage
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    opts = WriterOptions(partition_size=10, start_block=0)
+
+    _stage_blocks(spark, input_dir, list(range(0, 36)), 0)
+    q, sink = run_pipeline(spark, input_dir, out_dir, BLOCK, ckpt, opts=opts)
+    q.awaitTermination(120)
+    assert _final_files(out_dir) == [
+        "0000000000-0000000010.parquet",
+        "0000000010-0000000020.parquet",
+        "0000000020-0000000030.parquet",
+    ]
+
+    sink.undo(last_valid_block=17)  # fork point UNDER the finalize horizon
+
+    # finalized: only the fully-valid [0,10) file survives
+    assert _final_files(out_dir) == ["0000000000-0000000010.parquet"]
+    # the spanning range's surviving rows were demoted to the live area
+    live = spark.read.parquet(os.path.join(out_dir, "_live"))
+    assert sorted(r.block_number for r in live.collect()) == list(range(10, 18))
+
+    # reorg branch re-feeds blocks 18.. and the lake converges
+    _stage_blocks(spark, input_dir, list(range(18, 42)), 1)
+    q2, sink2 = run_pipeline(spark, input_dir, out_dir, BLOCK, ckpt, opts=opts)
+    q2.awaitTermination(120)
+    files = _final_files(out_dir)
+    assert files == [
+        "0000000000-0000000010.parquet",
+        "0000000010-0000000020.parquet",
+        "0000000020-0000000030.parquet",
+        "0000000030-0000000040.parquet",
+    ]
+    blocks = sorted(
+        b
+        for f in files
+        for b in pq.read_table(os.path.join(out_dir, f)).column("block_number").to_pylist()
+    )
+    assert blocks == list(range(40))  # every block exactly once, no orphans
+    rep = lake_coverage(HadoopFS(spark, out_dir), out_dir)
+    assert rep["contiguous"]
+
+
+def test_undo_deep_reorg_keeps_exploded_children_in_lockstep(spark, tmp_path):
+    """Deep-reorg retraction must hit exploded child tables too — orphaned
+    child rows above the fork would silently survive otherwise."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    opts = WriterOptions(partition_size=10, start_block=0)
+
+    _stage_blocks(spark, input_dir, list(range(0, 36)), 0)
+    q, sink = run_pipeline(
+        spark, input_dir, out_dir, BLOCK, ckpt, opts=opts, explode=True
+    )
+    q.awaitTermination(120)
+    tdir = os.path.join(out_dir, "transfers")
+    assert len(_final_files(tdir)) == 3
+
+    sink.undo(last_valid_block=17)
+
+    assert _final_files(tdir) == ["0000000000-0000000010.parquet"]
+    child_live = spark.read.parquet(os.path.join(tdir, "_live"))
+    assert sorted(r.block_number for r in child_live.collect()) == list(range(10, 18))
+    # main table agrees
+    assert _final_files(out_dir) == ["0000000000-0000000010.parquet"]
