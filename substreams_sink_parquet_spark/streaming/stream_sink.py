@@ -128,32 +128,44 @@ class StreamingSink:
             re_ = min(re_, self.opts.end_block)
         return re_
 
-    def _epoch_dirs(self, live: str) -> list[str]:
-        return [d for d in self._fs.listdir(live) if d.startswith("epoch=")]
+    def _live_index(self, live: str) -> dict[str, list[int]]:
+        """ONE listing sweep over the live area: {epoch dir name: sorted
+        range starts}. Every consumer below works off this index, so a
+        micro-batch costs O(epochs + ranges) FS calls, not the
+        O(epochs × ranges) of re-listing each epoch per range — with a long
+        holdback and a fast trigger that difference is thousands of
+        driver→store round-trips per batch."""
+        idx: dict[str, list[int]] = {}
+        for e in self._fs.listdir(live):
+            if not e.startswith("epoch="):
+                continue
+            idx[e] = sorted(
+                int(d.split("=", 1)[1])
+                for d in self._fs.listdir(url_join(live, e))
+                if d.startswith("range_start=")
+            )
+        return idx
 
-    def _live_ranges(self, live: str) -> list[int]:
-        out: set[int] = set()
-        for e in self._epoch_dirs(live):
-            for d in self._fs.listdir(url_join(live, e)):
-                if d.startswith("range_start="):
-                    out.add(int(d.split("=", 1)[1]))
-        return sorted(out)
+    @staticmethod
+    def _live_ranges(idx: dict[str, list[int]]) -> list[int]:
+        return sorted({rs for rss in idx.values() for rs in rss})
 
-    def _range_dirs(self, live: str, rs: int) -> list[str]:
-        """Every epoch's staging directory for one range."""
+    @staticmethod
+    def _range_dirs(idx: dict[str, list[int]], live: str, rs: int) -> list[str]:
+        """Every epoch's staging directory for one range — from the index."""
         return [
             url_join(live, e, f"range_start={rs}")
-            for e in self._epoch_dirs(live)
-            if f"range_start={rs}" in self._fs.listdir(url_join(live, e))
+            for e, rss in sorted(idx.items())
+            if rs in rss
         ]
 
-    def _ready_ranges(self, live: str) -> list[int]:
+    def _ready_ranges(self, idx: dict[str, list[int]]) -> list[int]:
         """Ranges safely behind the holdback horizon. The end is CLAMPED to
         --stop-block: a terminal partial range [rs, end_block) is ready once
         every block below end_block has been seen (plus holdback)."""
         return [
             rs
-            for rs in self._live_ranges(live)
+            for rs in self._live_ranges(idx)
             if self._max_seen >= self._range_end(rs) + self.undo_holdback - 1
         ]
 
@@ -169,10 +181,11 @@ class StreamingSink:
         the rest. ``force`` finalizes every remaining live range regardless
         of the holdback horizon — terminal drain only (Close parity)."""
         live = url_join(table_dir, "_live")
-        ranges = self._live_ranges(live) if force else self._ready_ranges(live)
+        idx = self._live_index(live)
+        ranges = self._live_ranges(idx) if force else self._ready_ranges(idx)
         if not ranges:
             return
-        srcs = [d for rs in ranges for d in self._range_dirs(live, rs)]
+        srcs = [d for rs in ranges for d in self._range_dirs(idx, live, rs)]
         df = (
             self.spark.read.option("basePath", live).parquet(*srcs)
             .drop("epoch")
@@ -190,8 +203,13 @@ class StreamingSink:
         _finalize(self.spark, self._fs, staging, table_dir, ranges, self.opts)
         for src in srcs:
             self._fs.delete(src, recursive=True)
-        for e in self._epoch_dirs(live):  # drop epochs emptied by finalize
-            if not self._fs.listdir(url_join(live, e)):
+        # Drop epochs emptied by finalize — decided from the index, no
+        # re-listing. An epoch whose every range was just finalized holds
+        # only write markers (_SUCCESS), which previously kept it "non-empty"
+        # and accumulated one stray dir per micro-batch forever.
+        rset = set(ranges)
+        for e, rss in idx.items():
+            if set(rss) <= rset:
                 self._fs.delete(url_join(live, e), recursive=True)
         self._backfill_before(table_dir, max(ranges), df.drop("__range_start"))
 
@@ -263,8 +281,9 @@ class StreamingSink:
 
     def _undo_live(self, table_dir: str, last_valid_block: int) -> None:
         live = url_join(table_dir, "_live")
-        for rs in self._live_ranges(live):
-            for src in self._range_dirs(live, rs):
+        idx = self._live_index(live)
+        for rs in self._live_ranges(idx):
+            for src in self._range_dirs(idx, live, rs):
                 if rs > last_valid_block:
                     self._fs.delete(src, recursive=True)
                 elif rs + self.opts.partition_size - 1 > last_valid_block:
