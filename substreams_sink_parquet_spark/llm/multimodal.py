@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -106,13 +107,14 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                 chunk = pdf.iloc[start : start + batch_size]
                 rows = []
                 for doc_id, payload in zip(chunk["doc_id"], chunk["payload"]):
-                    b = bytes(payload)
+                    # vectorized byte stats — the honest production shape for
+                    # a featurizer (no per-element Python inside the batch);
+                    # argmax of bincount = most frequent byte, ties to the
+                    # smallest value
+                    b = np.frombuffer(bytes(payload), dtype=np.uint8)
                     head = [int(x) for x in b[:8]]
-                    counts: dict[int, int] = {}
-                    for x in b:
-                        counts[x] = counts.get(x, 0) + 1
-                    mode = max(sorted(counts), key=lambda k: (counts[k], -k)) if counts else 0
-                    rows.append((int(doc_id), len(b), head, int(mode)))
+                    mode = int(np.bincount(b).argmax()) if b.size else 0
+                    rows.append((int(doc_id), int(b.size), head, mode))
                 yield pd.DataFrame(
                     rows, columns=["doc_id", "n_bytes", "head_bytes", "byte_mode"]
                 )

@@ -44,7 +44,15 @@ from ..partition import all_ranges, file_name, range_start_col
 
 @dataclass(frozen=True)
 class WriterOptions:
-    """Tuning knobs mirroring the reference CLI flags (run.go:40-52)."""
+    """Tuning knobs mirroring the reference CLI flags (run.go:40-52).
+
+    ``compression_level`` limitation: the reference's WithCompressionLevel
+    applies to any codec (writer.go:93-97, parquet-go). Spark writes parquet
+    through parquet-mr, which exposes a level knob ONLY for zstd
+    (``parquet.compression.codec.zstd.level``) — gzip/lz4/snappy levels are
+    not configurable there, so a level set with a non-zstd codec is ignored.
+    Use zstd (the default here and the reference's default) when the level
+    matters."""
 
     partition_size: int = 5000          # --partition-size
     start_block: int = 0                # --start-block (range anchor)
