@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Headline set: covers scan+agg, broadcast join, shuffle join, window frames,
 # event-time windows, top-k, dedup (exact + MinHash-LSH), similarity top-k,
 # text stats, JSON, and the TPC-H-shaped composite pipelines — the operators
-# whose plans matter at 100 TB.
+# whose plans matter at 100 TB. The reported "value" covers exactly this set
+# so round-over-round totals stay comparable.
 HEADLINE = [
     "q_agg_basic",
     "q_join_broadcast",
@@ -36,6 +37,17 @@ HEADLINE = [
     "q_udtf",
     "q_composite_topk",
     "q_composite_volume",
+]
+
+# Most expensive plans added in round 2 — benched so regressions are visible,
+# totalled separately ("extended_total_sec") to keep "value" comparable with
+# earlier rounds.
+EXTENDED = [
+    "q_dedup_jaccard",
+    "q_dedup_clusters",
+    "q_dedup_substring",
+    "q_text_repetition",
+    "q_text_filter_pipeline",
 ]
 
 
@@ -104,13 +116,9 @@ def bench_sink(spark) -> float:
             warm_out, WriterOptions(partition_size=5000), ranges=[0],
         )
 
-        out_dir = os.path.join(work, "out")
-        os.makedirs(out_dir)
-        t0 = time.time()
-        raw = spark.read.parquet(in_dir).repartition(cpus)  # CPU-bound decode
-        from pyspark.sql import functions as F
-
         from substreams_sink_parquet_spark.partition import range_start_col
+        from substreams_sink_parquet_spark.sink.explode import explode_all
+
         ranges = [
             r[0]
             for r in spark.read.parquet(in_dir)
@@ -118,11 +126,46 @@ def bench_sink(spark) -> float:
             .distinct()
             .collect()
         ]
-        decoded = decode_payloads(raw, spec)
-        write_ranges(decoded, out_dir, WriterOptions(partition_size=5000),
-                     ranges=ranges)
-        dt = time.time() - t0
-        return round(SINK_BLOCKS / dt, 1)
+
+        # best-of-2 each, like the query timings: the whole measured job is
+        # ~2-3 s, where one GC pause or scheduler hiccup is a 30% swing
+        def run_plain(out_dir: str) -> float:
+            os.makedirs(out_dir)
+            t0 = time.time()
+            raw = spark.read.parquet(in_dir).repartition(cpus)  # CPU-bound decode
+            decoded = decode_payloads(raw, spec)
+            write_ranges(decoded, out_dir, WriterOptions(partition_size=5000),
+                         ranges=ranges)
+            return SINK_BLOCKS / (time.time() - t0)
+
+        # exploded ingest — the reference's flagship mode (README.md:33-41):
+        # main table + one table per root repeated field, decode persisted
+        # so it runs once, not once per table
+        def run_exploded(out_ex: str) -> float:
+            os.makedirs(out_ex)
+            t0 = time.time()
+            decoded = decode_payloads(
+                spark.read.parquet(in_dir).repartition(cpus), spec
+            ).persist()
+            try:
+                write_ranges(decoded, out_ex, WriterOptions(partition_size=5000),
+                             ranges=ranges)
+                for name, child in explode_all(decoded, spec).items():
+                    child_dir = os.path.join(out_ex, name)
+                    os.makedirs(child_dir, exist_ok=True)
+                    write_ranges(child, child_dir,
+                                 WriterOptions(partition_size=5000), ranges=ranges)
+            finally:
+                decoded.unpersist()
+            return SINK_BLOCKS / (time.time() - t0)
+
+        rate_plain = round(max(
+            run_plain(os.path.join(work, f"out{i}")) for i in range(2)
+        ), 1)
+        rate_exploded = round(max(
+            run_exploded(os.path.join(work, f"out_ex{i}")) for i in range(2)
+        ), 1)
+        return rate_plain, rate_exploded
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -140,28 +183,39 @@ def main() -> None:
 
     def run(name: str) -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # measurement isolation: a query that caches internally (e.g. the
+        # label-propagation loop in q_dedup_clusters) must not leave its
+        # cache behind to slow every later measurement
+        spark.catalog.clearCache()
 
     run("q_agg_basic")  # JVM / codegen warm-up, untimed
 
-    # two passes, report the per-query minimum: steady-state cost, not
-    # first-run JIT/shuffle-service jitter
+    # three passes, report the per-query minimum: steady-state cost, not
+    # first-run JIT/shuffle-service jitter (n=1 driver artifacts whipsawed
+    # sub-second queries by ±20% in earlier rounds). HEADLINE passes finish
+    # before EXTENDED starts so the heavy extended plans can't pollute the
+    # round-over-round-comparable headline numbers with GC pressure.
     timings: dict[str, float] = {}
-    for _pass in range(2):
-        for name in HEADLINE:
-            t0 = time.time()
-            run(name)
-            dt = round(time.time() - t0, 3)
-            timings[name] = min(timings.get(name, float("inf")), dt)
+    for group in (HEADLINE, EXTENDED):
+        for _pass in range(3):
+            for name in group:
+                t0 = time.time()
+                run(name)
+                dt = round(time.time() - t0, 3)
+                timings[name] = min(timings.get(name, float("inf")), dt)
 
-    sink_rate = bench_sink(spark)
+    sink_rate, sink_rate_exploded = bench_sink(spark)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings[n] for n in HEADLINE), 3)
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "value_covers": HEADLINE,
+        "extended_total_sec": round(sum(timings[n] for n in EXTENDED), 3),
         "sink_blocks_per_sec": sink_rate,
+        "sink_blocks_per_sec_exploded": sink_rate_exploded,
         "sf": sf,
     }))
 

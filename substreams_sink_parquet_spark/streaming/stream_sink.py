@@ -88,12 +88,22 @@ class StreamingSink:
 
     def process_batch(self, raw_batch: DataFrame, epoch_id: int) -> None:
         decoded = decode_payloads(raw_batch, self.spec, self.schema_opts)
-        self._append_live(decoded, self.out_dir, epoch_id)
-        if self.explode:
-            for name, child in explode_all(decoded, self.spec).items():
-                child_dir = url_join(self.out_dir, name)
-                self._fs.mkdirs(child_dir)
-                self._append_live(child, child_dir, epoch_id)
+        if self.explode and self._child_dirs():
+            # each table write is its own action; without a persist the
+            # mapInPandas protobuf decode re-runs once per table (main +
+            # every exploded child) — the single most expensive stage in the
+            # batch, paid N times for no reason
+            decoded = decoded.persist()
+        try:
+            self._append_live(decoded, self.out_dir, epoch_id)
+            if self.explode:
+                for name, child in explode_all(decoded, self.spec).items():
+                    child_dir = url_join(self.out_dir, name)
+                    self._fs.mkdirs(child_dir)
+                    self._append_live(child, child_dir, epoch_id)
+        finally:
+            if self.explode and self._child_dirs():
+                decoded.unpersist()
         hi = raw_batch.agg(F.max("block_number")).collect()[0][0]
         if hi is not None:
             self._max_seen = max(self._max_seen, int(hi))
