@@ -21,7 +21,7 @@ import hashlib
 import struct
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import register
@@ -92,25 +92,40 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 
     Inverted-index formulation: explode distinct shingles, self-join on the
     shingle (partitioned by shingle hash — scales with vocabulary), count
-    common shingles per pair, then |A∪B| = |A|+|B|−|A∩B|. ``max_doc_freq``
-    drops ubiquitous shingles before the join (the classic hot-key guard).
+    common shingles per pair, then |A∪B| = |A|+|B|−|A∩B|.
+
+    The doc-frequency hot-key guard (``max_doc_freq``) and the per-doc
+    shingle counts are WINDOW functions over the one exploded shingle
+    stream, not separate aggregate branches: an agg-branch formulation
+    recomputes the explode per consumer (3×) and — worse — has to either
+    broadcast the non-hot shingle list (essentially the whole vocabulary:
+    an OOM at corpus scale) or pay an extra co-partitioned join. The window
+    form keeps everything partitioned, computes the explode once (the join's
+    two sides share one ReusedExchange), and measured >2× faster at sf0.1.
+    ``n_sh`` counts post-filter shingles, matching the oracle's
+    sizes-from-filtered-sh definition.
     """
     sh = word_shingles(docs.select("doc_id", "text"), n=n)
     if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
-        sh = sh.join(F.broadcast(freq.filter(F.col("df_") <= max_doc_freq)), "shingle").drop("df_")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        sh = (
+            sh.withColumn(
+                "df_", F.count("*").over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("df_") <= max_doc_freq)
+            .drop("df_")
+        )
+    sh = sh.withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
     a = sh.alias("a")
     b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(sa, "doc_a").join(sb, "doc_b")
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
@@ -389,7 +404,18 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     Only docs that appear in >= 1 pair are returned — singletons are their
     own keeper by definition and would dominate output size at scale.
+
+    The returned frame is the final iteration's CACHED labels (the fixpoint
+    loop needs it cached; dropping it would force a full recompute of every
+    round on the caller's first action). Callers that are done with it may
+    ``unpersist()`` it — or ``spark.catalog.clearCache()`` between
+    measurements, as bench.py does.
     """
+    # pairs is consumed by BOTH union branches below; without a persist the
+    # whole upstream pair computation (e.g. the shingle self-join) runs
+    # twice when edges first materializes — measured as the bulk of this
+    # operator's cost at sf0.1
+    pairs = pairs.persist()
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
@@ -427,6 +453,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    pairs.unpersist()
     return labels
 
 
