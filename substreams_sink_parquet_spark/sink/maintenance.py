@@ -48,11 +48,27 @@ def _epoch_dirs(fs: HadoopFS, live: str) -> list[str]:
     return [d for d in fs.listdir(live) if d.startswith("epoch=")]
 
 
-def _range_dirs(fs: HadoopFS, live: str, rs: int) -> list[str]:
+def _live_index(fs: HadoopFS, live: str) -> dict[str, list[int]]:
+    """One listing sweep: {epoch dir name: sorted range starts} — same
+    O(epochs + ranges) discipline as the streaming sink's per-batch index."""
+    idx: dict[str, list[int]] = {}
+    for e in _epoch_dirs(fs, live):
+        idx[e] = sorted(
+            int(d.split("=", 1)[1])
+            for d in fs.listdir(url_join(live, e))
+            if d.startswith("range_start=")
+        )
+    return idx
+
+
+def _range_dirs(fs: HadoopFS, live: str, rs: int,
+                idx: dict[str, list[int]] | None = None) -> list[str]:
+    if idx is None:
+        idx = _live_index(fs, live)
     return [
         url_join(live, e, f"range_start={rs}")
-        for e in _epoch_dirs(fs, live)
-        if f"range_start={rs}" in fs.listdir(url_join(live, e))
+        for e, rss in sorted(idx.items())
+        if rs in rss
     ]
 
 
@@ -60,13 +76,10 @@ def live_file_counts(fs: HadoopFS, table_dir: str) -> dict[int, int]:
     """{range_start: parquet file count across all epochs} for the live area."""
     live = url_join(table_dir, "_live")
     out: dict[int, int] = {}
-    for e in _epoch_dirs(fs, live):
-        for d in fs.listdir(url_join(live, e)):
-            if not d.startswith("range_start="):
-                continue
-            rs = int(d.split("=", 1)[1])
+    for e, rss in _live_index(fs, live).items():
+        for rs in rss:
             n = sum(
-                1 for f in fs.listdir(url_join(live, e, d))
+                1 for f in fs.listdir(url_join(live, e, f"range_start={rs}"))
                 if f.endswith(".parquet") and not f.startswith(("_", "."))
             )
             out[rs] = out.get(rs, 0) + n
@@ -138,11 +151,12 @@ def compact_live(
     fs = HadoopFS(spark, table_dir)
     live = url_join(table_dir, "_live")
     recover_compact_leftovers(fs, table_dir)
+    idx = _live_index(fs, live)
     done: dict[int, tuple[int, int]] = {}
     for rs, n in sorted(live_file_counts(fs, table_dir).items()):
         if n < min_files:
             continue
-        srcs = _range_dirs(fs, live, rs)
+        srcs = _range_dirs(fs, live, rs, idx)
         df = spark.read.parquet(*srcs)
         tmp = url_join(live, f"_compact_{rs}")
         (
@@ -160,5 +174,9 @@ def compact_live(
             json.dumps({"range_start": rs, "sources": rel}).encode(),
         )
         _commit_compact(fs, live, rs, srcs)
-        done[rs] = (n, live_file_counts(fs, table_dir)[rs])
+        dst = url_join(live, f"epoch={COMPACTED_EPOCH}", f"range_start={rs}")
+        done[rs] = (n, sum(
+            1 for f in fs.listdir(dst)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ))
     return done
