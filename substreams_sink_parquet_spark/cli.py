@@ -170,6 +170,52 @@ def cmd_stats(args: argparse.Namespace) -> int:
     return 0 if report["contiguous"] else 1
 
 
+def cmd_undo(args: argparse.Namespace) -> int:
+    """Deep-reorg escape hatch: retract every block above the fork point
+    from a STOPPED sink lake — live staging AND finalized range files, main
+    table and exploded children (SURVEY §7.2; the reference errors on undo
+    without a buffer, sinker.go:142-148). Restart the stream afterwards to
+    re-feed from the fork."""
+    from .sink.writer import WriterOptions as WO
+    from .streaming.stream_sink import undo_lake
+
+    spark = get_spark("sink-undo")
+    undo_lake(
+        spark,
+        args.store_url,
+        args.last_valid_block,
+        WO(partition_size=args.partition_size, start_block=args.start_block),
+    )
+    print(f"undo OK: retracted blocks > {args.last_valid_block} in {args.store_url}")
+    return 0
+
+
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Compact the live staging area's per-epoch small files, per table
+    (main + exploded children). Safe to re-run: crashed prior runs are
+    recovered first (write-ahead manifest protocol, sink/maintenance.py)."""
+    import json
+
+    from .fsio import HadoopFS
+    from .sink.maintenance import compact_live
+    from .streaming.stream_sink import lake_table_dirs
+
+    spark = get_spark("sink-compact")
+    fs = HadoopFS(spark, args.store_url)
+    report = {}
+    for table_dir in lake_table_dirs(fs, args.store_url):
+        done = compact_live(
+            spark, table_dir,
+            target_files=args.target_files,
+            min_files=args.min_files,
+            compression=args.compression,
+        )
+        if done:
+            report[table_dir] = {str(rs): list(v) for rs, v in done.items()}
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_setup(args: argparse.Namespace) -> int:
     """Probe round-trip (setup.go:31-66): write → read-back-compare → delete."""
     spark = get_spark("sink-setup")
@@ -247,6 +293,24 @@ def main(argv: list[str] | None = None) -> int:
     stats_p = sub.add_parser("stats", help="lake health report (metadata-only)")
     stats_p.add_argument("store_url")
     stats_p.set_defaults(fn=cmd_stats)
+
+    undo_p = sub.add_parser(
+        "undo", help="retract blocks above a reorg fork point (stopped lake)"
+    )
+    undo_p.add_argument("store_url")
+    undo_p.add_argument("last_valid_block", type=int)
+    undo_p.add_argument("--partition-size", type=int, default=5000)
+    undo_p.add_argument("--start-block", type=int, default=0)
+    undo_p.set_defaults(fn=cmd_undo)
+
+    compact_p = sub.add_parser(
+        "compact", help="compact live-area small files (stopped lake)"
+    )
+    compact_p.add_argument("store_url")
+    compact_p.add_argument("--target-files", type=int, default=1)
+    compact_p.add_argument("--min-files", type=int, default=2)
+    compact_p.add_argument("--compression", default="zstd")
+    compact_p.set_defaults(fn=cmd_compact)
 
     query_p = sub.add_parser("query", help="run SQL over a sink lake")
     query_p.add_argument("sql")

@@ -60,7 +60,7 @@ class StreamingSink:
     """
 
     spark: SparkSession
-    spec: pw.MessageSpec
+    spec: pw.MessageSpec | None  # None only for offline maintenance (undo_lake)
     out_dir: str
     opts: WriterOptions = field(default_factory=WriterOptions)
     schema_opts: SchemaOptions = field(default_factory=SchemaOptions)
@@ -336,6 +336,41 @@ class StreamingSink:
                     writer.parquet(dst)
             for p in paths:
                 self._fs.delete(p, recursive=False)
+
+
+def lake_table_dirs(fs: HadoopFS, out_dir: str) -> list[str]:
+    """Main table dir + every exploded-child table dir under a sink lake,
+    discovered from the layout (child tables are the non-hidden
+    subdirectories; everything else in the root is range files). Range-file
+    names are screened BEFORE the per-entry is_dir probe so the FS call
+    count scales with the handful of child tables, not the lake's files."""
+    children = []
+    for name in fs.listdir(out_dir):
+        if name.startswith(("_", ".")) or _split_range_name(name) is not None:
+            continue
+        p = url_join(out_dir, name)
+        if fs.is_dir(p):
+            children.append(p)
+    return [out_dir] + sorted(children)
+
+
+def undo_lake(
+    spark: SparkSession,
+    out_dir: str,
+    last_valid_block: int,
+    opts: WriterOptions | None = None,
+) -> None:
+    """Offline deep-reorg retraction over a whole sink lake (CLI escape
+    hatch). Discovers exploded child tables from the directory layout —
+    no descriptor needed — and applies the same live+finalized retraction
+    :meth:`StreamingSink.undo` performs, to every table. Run it against a
+    STOPPED query; the restarted stream re-feeds from the fork point."""
+    sink = StreamingSink(
+        spark=spark, spec=None, out_dir=out_dir, opts=opts or WriterOptions()
+    )
+    for table_dir in lake_table_dirs(sink._fs, out_dir):
+        sink._undo_finalized(table_dir, last_valid_block)
+        sink._undo_live(table_dir, last_valid_block)
 
 
 def run_pipeline(

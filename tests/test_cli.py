@@ -128,3 +128,67 @@ def test_cli_run_with_tuning_flags(tmp_path, spark):
     assert md.row_group(0).column(0).compression == "ZSTD"
     assert md.row_group(0).num_rows <= 4          # --row-group-rows
     assert md.row_group(0).column(0).statistics is None  # --no-parquet-stats
+
+
+def test_cli_undo_retracts_deep_reorg(tmp_path, spark):
+    """cli undo applies the finalized+live retraction to main and exploded
+    child tables of a stopped lake (no descriptor required)."""
+    import os
+
+    from substreams_sink_parquet_spark.cli import main
+    from substreams_sink_parquet_spark.sink.writer import WriterOptions
+
+    from .test_protowire import BLOCK
+    from .test_streaming import _final_files, _stage_blocks
+    from substreams_sink_parquet_spark.streaming.stream_sink import run_pipeline
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "lake")
+    _stage_blocks(spark, input_dir, list(range(0, 36)), 0)
+    q, _ = run_pipeline(
+        spark, input_dir, out_dir, BLOCK, str(tmp_path / "ckpt"),
+        opts=WriterOptions(partition_size=10, start_block=0), explode=True,
+    )
+    q.awaitTermination(120)
+    assert len(_final_files(out_dir)) == 3
+
+    rc = main(["undo", out_dir, "17", "--partition-size", "10"])
+    assert rc == 0
+    assert _final_files(out_dir) == ["0000000000-0000000010.parquet"]
+    assert _final_files(os.path.join(out_dir, "transfers")) == [
+        "0000000000-0000000010.parquet"
+    ]
+    live = spark.read.parquet(os.path.join(out_dir, "_live"))
+    assert live.agg({"block_number": "max"}).collect()[0][0] == 17
+
+
+def test_cli_compact_live_area(tmp_path, spark):
+    """cli compact merges per-epoch small files for every table in the lake."""
+    import json
+
+    from substreams_sink_parquet_spark.cli import main
+    from substreams_sink_parquet_spark.sink.writer import WriterOptions
+
+    from .test_protowire import BLOCK
+    from .test_streaming import _stage_blocks
+    from substreams_sink_parquet_spark.streaming.stream_sink import run_pipeline
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "lake")
+    for batch, blocks in enumerate([range(0, 5), range(5, 10), range(10, 15)]):
+        _stage_blocks(spark, input_dir, list(blocks), batch)
+        q, _ = run_pipeline(
+            spark, input_dir, out_dir, BLOCK, str(tmp_path / "ckpt"),
+            opts=WriterOptions(partition_size=100, start_block=0),
+            undo_holdback=1000,
+        )
+        q.awaitTermination(120)
+
+    rc = main(["compact", out_dir])
+    assert rc == 0
+    import os
+    rows = sorted(
+        r.block_number
+        for r in spark.read.parquet(os.path.join(out_dir, "_live")).collect()
+    )
+    assert rows == list(range(15))
