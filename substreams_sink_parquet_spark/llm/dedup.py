@@ -96,12 +96,20 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 
     The doc-frequency hot-key guard (``max_doc_freq``) and the per-doc
     shingle counts are WINDOW functions over the one exploded shingle
-    stream, not separate aggregate branches: an agg-branch formulation
-    recomputes the explode per consumer (3×) and — worse — has to either
-    broadcast the non-hot shingle list (essentially the whole vocabulary:
-    an OOM at corpus scale) or pay an extra co-partitioned join. The window
-    form keeps everything partitioned, computes the explode once (the join's
-    two sides share one ReusedExchange), and measured >2× faster at sf0.1.
+    stream, and candidate pairs come from a grouped per-shingle expansion
+    rather than a self-join. Rationale, in shuffle math (the dominant cost
+    at corpus scale): an agg-branch + self-join formulation recomputes the
+    explode per consumer and either force-broadcasts the non-hot shingle
+    list (essentially the whole vocabulary — an OOM at 100 TB; the round-2
+    code did exactly that) or shuffles the shingle stream twice for the
+    join — and the lambda expressions inside the explode defeat plan
+    canonicalization, so ReuseExchange never kicks in and the explode truly
+    runs twice. The grouped form is 1 explode + 4 exchanges total: window
+    df_ (by shingle), window n_sh (by doc), collect doc lists per shingle
+    (by shingle), then per-group ordered-pair expansion (array_sort on the
+    struct sorts by doc_id first, so doc_a < doc_b by construction) and one
+    map-side-combined pair aggregation. Per-group expansion memory is
+    bounded by the guard: ≤ max_doc_freq²/2 structs per shingle row.
     ``n_sh`` counts post-filter shingles, matching the oracle's
     sizes-from-filtered-sh definition.
     """
@@ -115,16 +123,23 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
             .drop("df_")
         )
     sh = sh.withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    groups = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
+    )
+    xs = F.col("ds")
+    pairs = F.flatten(F.transform(
+        xs,
+        lambda x, i: F.transform(
+            F.slice(xs, i + F.lit(2), F.greatest(F.size(xs) - i - 1, F.lit(0))),
+            lambda y: F.struct(
+                x["doc_id"].alias("doc_a"), y["doc_id"].alias("doc_b"),
+                x["n_sh"].alias("n_a"), y["n_sh"].alias("n_b"),
+            ),
+        ),
+    ))
     return (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
+        groups.select(F.explode(pairs).alias("p")).select("p.*")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_common"))
         .withColumn(
             "jaccard",

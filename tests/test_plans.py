@@ -161,3 +161,18 @@ def test_lateral_topk_decorrelates(spark, sf_dir):
     rep = plan_report(registry()["q_join_lateral"].fn(spark, sf_dir))
     assert not rep.has_cartesian
     assert "Window" in rep.text
+
+
+def test_jaccard_single_explode_no_join_no_broadcast(spark, sf_dir):
+    """The jaccard inverted index must be a grouped pair expansion, not a
+    shingle-stream self-join: one explode (Generate), no join operator, no
+    broadcast anywhere. The round-2 formulation force-broadcast the non-hot
+    shingle list (the whole vocabulary — an OOM at corpus scale) and
+    recomputed the explode per join side because the explode's lambdas
+    defeat ReuseExchange canonicalization."""
+    rep = plan_report(registry()["q_dedup_jaccard"].fn(spark, sf_dir))
+    assert rep.broadcast_exchanges == 0, rep.text
+    assert rep.broadcast_joins + rep.sortmerge_joins + rep.hash_joins == 0, rep.text
+    assert not rep.has_cartesian
+    assert rep.text.count("(1) Scan parquet") == 1  # documents scanned once
+    assert rep.shuffle_exchanges <= 4, rep.text
