@@ -87,6 +87,13 @@ class StreamingSink:
     # -- foreachBatch entry -------------------------------------------------
 
     def process_batch(self, raw_batch: DataFrame, epoch_id: int) -> None:
+        if self.opts.end_block is not None:
+            # --stop-block is exclusive: the reference's stream never
+            # delivers blocks past it; a misbehaving feeder must not be able
+            # to smuggle them into (or beyond) the clamped terminal range
+            raw_batch = raw_batch.filter(
+                F.col("block_number") < self.opts.end_block
+            )
         decoded = decode_payloads(raw_batch, self.spec, self.schema_opts)
         if self.explode and self._child_dirs():
             # each table write is its own action; without a persist the

@@ -93,3 +93,68 @@ def test_training_pipeline_over_sink_lake(spark, tmp_path):
     t = pq.read_table(os.path.join(curated, part))
     assert t.num_rows == n_final
     assert set(t.column("doc_id").to_pylist()) == set(range(10)) | {10, 15}
+
+
+def test_lifecycle_soak_explode_undo_compact_resume(spark, tmp_path):
+    """Integration of the round-3 features end-to-end on one lake: explode
+    mode, holdback staging, a deep reorg (below the finalize horizon),
+    live-area compaction, checkpointed resume of the re-fed branch, and
+    terminal close — the lake must come out contiguous with every block
+    exactly once in the main table AND each exploded child."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from substreams_sink_parquet_spark.fsio import HadoopFS
+    from substreams_sink_parquet_spark.sink.maintenance import compact_live
+    from substreams_sink_parquet_spark.sink.writer import WriterOptions, lake_coverage
+    from substreams_sink_parquet_spark.streaming.stream_sink import run_pipeline
+
+    from .test_protowire import BLOCK
+    from .test_streaming import _stage_blocks
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    opts = WriterOptions(partition_size=10, start_block=0, end_block=50)
+
+    # phase 1: two micro-batch feeds with a holdback
+    _stage_blocks(spark, input_dir, list(range(0, 20)), 0)
+    q, sink = run_pipeline(spark, input_dir, out_dir, BLOCK, ckpt, opts=opts,
+                           undo_holdback=5, explode=True)
+    q.awaitTermination(120)
+    _stage_blocks(spark, input_dir, list(range(20, 38)), 1)
+    q, sink = run_pipeline(spark, input_dir, out_dir, BLOCK, ckpt, opts=opts,
+                           undo_holdback=5, explode=True)
+    q.awaitTermination(120)
+    # max_seen=37, holdback 5: ranges [0,10),[10,20),[20,30) are final
+    assert len([f for f in os.listdir(out_dir) if f.endswith(".parquet")]) == 3
+
+    # phase 2: deep reorg to block 14 (below the finalize horizon)
+    sink.undo(last_valid_block=14)
+
+    # phase 3: compact the (multi-epoch) live area of every table
+    compact_live(spark, out_dir, target_files=1)
+    compact_live(spark, os.path.join(out_dir, "transfers"), target_files=1)
+    compact_live(spark, os.path.join(out_dir, "tags"), target_files=1)
+
+    # phase 4: re-feed the new branch 15.. and drain to the stop block
+    _stage_blocks(spark, input_dir, list(range(15, 55)), 2)
+    q, sink = run_pipeline(spark, input_dir, out_dir, BLOCK, ckpt, opts=opts,
+                           undo_holdback=5, explode=True)
+    q.awaitTermination(120)
+    sink.close()  # terminal drain (stop-block reached)
+
+    for table, rows_per_block in (("", 1), ("transfers", 1), ("tags", 1)):
+        tdir = os.path.join(out_dir, table) if table else out_dir
+        files = sorted(f for f in os.listdir(tdir) if f.endswith(".parquet"))
+        blocks = sorted(
+            b for f in files
+            for b in pq.read_table(os.path.join(tdir, f)).column("block_number").to_pylist()
+        )
+        assert blocks == [b for b in range(50) for _ in range(rows_per_block)], (
+            table, len(blocks)
+        )
+        rep = lake_coverage(HadoopFS(spark, tdir), tdir)
+        assert rep["contiguous"], (table, rep)
+        assert rep["first_block"] == 0 and rep["last_block"] == 50
