@@ -174,7 +174,8 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _nearest_centroid(vecs: DataFrame, cent_rows: list[tuple[int, list[float]]],
-                      vec_col: str, keep: list[str], nprobe: int = 1) -> DataFrame:
+                      vec_col: str, keep: list[str], nprobe: int = 1,
+                      with_score: bool = False) -> DataFrame:
     """Attach the nprobe nearest centroid ids to each row of ``vecs``.
 
     The quantizer is tiny (n_centroids x dim floats), so it ships as literal
@@ -193,9 +194,12 @@ def _nearest_centroid(vecs: DataFrame, cent_rows: list[tuple[int, list[float]]],
         for cid, vec in cent_rows
     ])
     picked = F.slice(F.array_sort(cands), 1, nprobe)
+    out = [F.col("__p.cent_id").alias("cent_id")]
+    if with_score:
+        out.append((-F.col("__p.negcos")).alias("cent_cos"))
     return vecs.select(
         *keep, F.explode(picked).alias("__p")
-    ).select(*keep, F.col("__p.cent_id").alias("cent_id"))
+    ).select(*keep, *out)
 
 
 def ivf_centroids(embeddings: DataFrame, vec_col: str = "embedding",
@@ -432,3 +436,88 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs_lsh(
         emb, threshold=0.4, dim=embedding_dim(spark, sf_dir), n_planes=6
     )
+
+
+# -- semantic dedup (cluster-then-prune) -----------------------------------
+
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.7,
+                   n_centroids: int = 16, refine_iters: int = 1,
+                   keep_policy: str = "central") -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means cluster the corpus,
+    then prune near-duplicate pairs *within* each cluster only.
+
+    Returns (vec_id, cent_id, keep) for every input row. A row is pruned
+    (keep=false) iff some same-cluster row duplicates it (rounded cosine >=
+    threshold) and wins the keeper tournament: under ``keep_policy=
+    "central"`` the row closer to the cluster centroid wins; under
+    ``"edge"`` the row farther from it wins (the SemDeDup paper's choice —
+    keeping cluster-edge examples retains diversity). Ties break to the
+    lower vec_id, so the output is deterministic given the (deterministic,
+    seeded) centroids.
+
+    Scale shape: centroid fit is ``ivf_centroids`` (tiny driver-resident
+    quantizer, map-side-combined means); assignment is map-only with the
+    quantizer shipped as literals; the pair join shuffles on cent_id only —
+    clustering is what bounds the quadratic, exactly the blocking role the
+    LSH bucket plays in ``embedding_neardup_pairs_lsh`` but with
+    semantically-coherent blocks. At 100 TB, raise n_centroids so cluster
+    populations stay join-able (SemDeDup uses ~11k clusters for 5B docs) —
+    cost grows with n_centroids x dim literals per row, not corpus size.
+    Centrality and pair cosines are rounded before comparison so the
+    keep/prune cut does not depend on float accumulation order.
+    """
+    if keep_policy not in ("central", "edge"):
+        raise ValueError(f"keep_policy must be 'central' or 'edge', got {keep_policy!r}")
+    cents = ivf_centroids(embeddings, n_centroids=n_centroids,
+                          refine_iters=refine_iters)
+    assigned = _nearest_centroid(
+        embeddings.select("vec_id", "embedding"), cents, "embedding",
+        keep=["vec_id"], with_score=True,
+    ).join(embeddings.select("vec_id", "embedding"), "vec_id").withColumn(
+        "cent_cos6", F.round("cent_cos", 6)
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
+        F.col("cent_cos6").alias("cc_a"), "cent_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
+        F.col("cent_cos6").alias("cc_b"), "cent_id",
+    )
+    dup = (
+        a.join(b, "cent_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine("emb_a", "emb_b"), 4) >= threshold)
+    )
+    # Per duplicate pair, the loser is pruned; a row survives only if it
+    # loses no pair. "central" keeps the higher centroid cosine.
+    a_wins = (F.col("cc_a") > F.col("cc_b")) if keep_policy == "central" \
+        else (F.col("cc_a") < F.col("cc_b"))
+    b_wins = (F.col("cc_a") < F.col("cc_b")) if keep_policy == "central" \
+        else (F.col("cc_a") > F.col("cc_b"))
+    pruned = dup.select(
+        F.when(a_wins, F.col("id_b"))
+        .when(b_wins, F.col("id_a"))
+        .otherwise(F.greatest("id_a", "id_b"))  # tie: lower id wins
+        .alias("vec_id")
+    ).distinct()
+    return (
+        assigned.select("vec_id", "cent_id")
+        .join(pruned.withColumn("keep", F.lit(False)), "vec_id", "left")
+        .withColumn("keep", F.coalesce("keep", F.lit(True)))
+    )
+
+
+@register(
+    "q_dedup_semantic",
+    None,  # centroid fit is not SQL-expressible → rows-only; pytest pins
+    # determinism, exact-duplicate collapse, and the pruned ⊆ paired invariant
+    doc="Semantic dedup: k-means blocks (16 centroids), within-cluster "
+        "cosine >= 0.4 prunes the less-central duplicate (0.4 matches "
+        "q_dedup_embedding — the synthetic embeddings are near-orthogonal, "
+        "so higher cuts prune nothing at small SF)",
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, n_centroids=16)

@@ -104,3 +104,55 @@ def test_lsh_blocked_neardup_is_precise_subset(spark, sf_dir):
     }
     assert blocked <= exact
     assert exact and len(blocked) / len(exact) >= 0.3  # deterministic planes
+
+
+def test_semantic_dedup_collapses_exact_duplicates(spark):
+    """Identical vectors always share a cluster; each identical group must
+    keep exactly one representative (the lowest id, by the tie-break)."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [1.0, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0]), (5, [0.0, 1.0, 0.0]),
+        (6, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.keep for r in S.semantic_dedup(
+        emb, threshold=0.99, n_centroids=3, refine_iters=0).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True, 5: False, 6: True}
+
+
+def test_semantic_dedup_threshold_monotone_and_deterministic(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    keep_hi = {r.vec_id for r in S.semantic_dedup(emb, 0.95, 8).filter("keep").collect()}
+    lo = S.semantic_dedup(emb, 0.6, 8)
+    keep_lo = {r.vec_id for r in lo.filter("keep").collect()}
+    # stricter threshold prunes fewer rows
+    assert keep_lo <= keep_hi
+    # deterministic under a different input partitioning
+    keep_lo2 = {
+        r.vec_id
+        for r in S.semantic_dedup(emb.repartition(7), 0.6, 8).filter("keep").collect()
+    }
+    assert keep_lo == keep_lo2
+
+
+def test_semantic_dedup_prunes_only_paired_rows(spark, sf_dir):
+    """Every pruned row must have a same-cluster duplicate partner — the
+    pruning can never exceed the within-cluster pair set."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = S.semantic_dedup(emb, threshold=0.8, n_centroids=16)
+    pruned = {r.vec_id for r in out.filter("NOT keep").collect()}
+    cents = S.ivf_centroids(emb, n_centroids=16, refine_iters=1)
+    assigned = S._nearest_centroid(
+        emb.select("vec_id", "embedding"), cents, "embedding", keep=["vec_id"]
+    ).join(emb.select("vec_id", "embedding"), "vec_id")
+    a = assigned.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "cent_id")
+    b = assigned.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "cent_id")
+    paired_rows = {
+        x
+        for r in a.join(b, "cent_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(S.cosine("emb_a", "emb_b"), 4) >= 0.8)
+        .collect()
+        for x in (r.id_a, r.id_b)
+    }
+    assert pruned <= paired_rows
