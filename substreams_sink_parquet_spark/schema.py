@@ -131,3 +131,55 @@ def block_schema(spec: pw.MessageSpec, opts: SchemaOptions | None = None,
         ]
     fields += list(message_type(spec, opts).fields)
     return StructType(fields)
+
+
+def schema_drift(old: StructType, new: StructType) -> tuple[list[str], list[str]]:
+    """Classify the changes a new run's schema makes against a lake's
+    existing schema: ``(additive, breaking)`` human-readable descriptions.
+
+    The reference fixes the schema for the life of a run and has no story
+    for a lake written across .spkg upgrades; this engine defines one:
+
+    - **additive** — a nullable field appears in ``new`` only (a proto
+      module added a field). Old files read as null for it; Parquet's
+      ``mergeSchema`` unifies the lake, so additive drift is safe to write.
+    - **breaking** — a field disappeared or changed type (proto field
+      renumbered/retyped, or a SchemaOptions flip like uint64 decimal→long).
+      One lake directory would hold irreconcilable footers; the sink must
+      refuse before the first mixed file lands.
+
+    Struct fields recurse with dotted paths; array elements as ``[]``, map
+    keys/values as ``<key>``/``<value>``. Field order is ignored —
+    name-based resolution is how both Parquet and proto identify fields.
+    """
+    additive: list[str] = []
+    breaking: list[str] = []
+
+    def walk(o: DataType, n: DataType, path: str) -> None:
+        if isinstance(o, StructType) and isinstance(n, StructType):
+            old_f = {f.name: f for f in o.fields}
+            new_f = {f.name: f for f in n.fields}
+            for name in old_f:
+                if name not in new_f:
+                    breaking.append(f"{path}{name}: removed ({old_f[name].dataType.simpleString()})")
+            for name, f in new_f.items():
+                if name not in old_f:
+                    additive.append(f"{path}{name}: added ({f.dataType.simpleString()})")
+                else:
+                    walk(old_f[name].dataType, f.dataType, f"{path}{name}.")
+            return
+        if isinstance(o, ArrayType) and isinstance(n, ArrayType):
+            walk(o.elementType, n.elementType, f"{path}[].")
+            return
+        if isinstance(o, MapType) and isinstance(n, MapType):
+            walk(o.keyType, n.keyType, f"{path}<key>.")
+            walk(o.valueType, n.valueType, f"{path}<value>.")
+            return
+        if o != n:
+            breaking.append(
+                f"{path[:-1] or '<root>'}: type changed "
+                f"{o.simpleString()} -> {n.simpleString()}"
+            )
+
+    walk(old, new, "")
+    return additive, breaking

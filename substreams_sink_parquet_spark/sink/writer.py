@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from ..fsio import HadoopFS, url_join
 from ..partition import all_ranges, file_name, range_start_col
+from ..schema import schema_drift
 
 
 @dataclass(frozen=True)
@@ -390,6 +391,7 @@ def read_lake(
     out_dir: str,
     start_block: int | None = None,
     end_block: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a sink output directory back as one table, file-pruned by block
     range.
@@ -401,9 +403,15 @@ def read_lake(
     files. The residual per-row filter still applies (ranges are half-open
     supersets), and row-group stats prune within files because each file is
     written block-sorted. Listing goes through the Hadoop FS, so the lake
-    root may be any supported object store."""
+    root may be any supported object store.
+
+    ``merge_schema=True`` unions footers across files — required when the
+    lake spans an additive schema evolution (a later .spkg added fields; see
+    :func:`ensure_schema_compatible`). Off by default: merging reads every
+    footer up front, which a 100 TB lake of uniform schema should not pay."""
+    reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
     if start_block is None and end_block is None:
-        return spark.read.parquet(f"{out_dir}/*.parquet")
+        return reader.parquet(f"{out_dir}/*.parquet")
     fs = HadoopFS(spark, out_dir)
     names = []
     for f in fs.listdir(out_dir):
@@ -420,9 +428,52 @@ def read_lake(
         raise FileNotFoundError(
             f"no range files overlap [{start_block}, {end_block}] in {out_dir}"
         )
-    df = spark.read.parquet(*names)
+    df = reader.parquet(*names)
     if start_block is not None:
         df = df.filter(F.col("block_number") >= start_block)
     if end_block is not None:
         df = df.filter(F.col("block_number") <= end_block)
     return df
+
+
+def lake_schema(spark: SparkSession, out_dir: str):
+    """Schema of the newest finalized range file, or None for an empty lake.
+
+    One footer read — the newest file carries the current schema by
+    construction (the sink refuses to write breaking drift, so older files
+    differ from it only by absent additive columns)."""
+    fs = HadoopFS(spark, out_dir)
+    newest, newest_rs = None, -1
+    for n in fs.listdir(out_dir):
+        parsed = _split_range_name(n)
+        if parsed is not None and parsed[0] > newest_rs:
+            newest, newest_rs = n, parsed[0]
+    if newest is None:
+        return None
+    return spark.read.parquet(url_join(out_dir, newest)).schema
+
+
+def ensure_schema_compatible(spark: SparkSession, out_dir: str,
+                             new_schema) -> list[str]:
+    """Refuse to extend a lake with a schema that breaks its existing files.
+
+    The reference derives its schema once per run (converter_proto.go:24-45)
+    and has no cross-run story: restarting with an upgraded .spkg silently
+    mixes irreconcilable footers in one directory. Here additive drift
+    (new nullable fields) is allowed — old files read as null under
+    ``read_lake(..., merge_schema=True)`` — and anything else (removed
+    fields, type changes, a SchemaOptions flip) raises before the first
+    mixed file is written. Returns the additive-change descriptions so the
+    caller can log them."""
+    existing = lake_schema(spark, out_dir)
+    if existing is None:
+        return []
+    additive, breaking = schema_drift(existing, new_schema)
+    if breaking:
+        raise ValueError(
+            f"schema drift in {out_dir} is incompatible with the existing "
+            f"lake: {'; '.join(breaking)}. Additive field additions are "
+            "supported (read back with merge_schema=True); removals and "
+            "type changes require a new lake directory or a full rewrite."
+        )
+    return additive

@@ -45,6 +45,7 @@ from ..sink.writer import (
     _finalize,
     _split_range_name,
     backfill_empty,
+    ensure_schema_compatible,
     parquet_write_options,
 )
 
@@ -66,7 +67,9 @@ class StreamingSink:
     schema_opts: SchemaOptions = field(default_factory=SchemaOptions)
     undo_holdback: int = 0
     explode: bool = False
+    check_schema: bool = True
     _max_seen: int = -1
+    _schema_checked: bool = False
 
     def __post_init__(self) -> None:
         self._fs = HadoopFS(self.spark, self.out_dir)
@@ -95,6 +98,19 @@ class StreamingSink:
                 F.col("block_number") < self.opts.end_block
             )
         decoded = decode_payloads(raw_batch, self.spec, self.schema_opts)
+        if self.check_schema and not self._schema_checked:
+            # Cross-run guard the reference lacks: a resumed run whose .spkg
+            # (or SchemaOptions) drifted incompatibly from the lake's files
+            # must fail HERE, not mix irreconcilable footers. Additive
+            # field additions pass (merge_schema=True reads span them).
+            # One footer read per table, once per query lifetime.
+            ensure_schema_compatible(self.spark, self.out_dir, decoded.schema)
+            if self.explode:
+                for name, child in explode_all(decoded, self.spec).items():
+                    ensure_schema_compatible(
+                        self.spark, url_join(self.out_dir, name), child.schema
+                    )
+            self._schema_checked = True
         if self.explode and self._child_dirs():
             # each table write is its own action; without a persist the
             # mapInPandas protobuf decode re-runs once per table (main +
