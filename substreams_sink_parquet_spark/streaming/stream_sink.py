@@ -118,12 +118,29 @@ class StreamingSink:
             # batch, paid N times for no reason
             decoded = decoded.persist()
         try:
-            self._append_live(decoded, self.out_dir, epoch_id)
+            appends = [(decoded, self.out_dir)]
             if self.explode:
                 for name, child in explode_all(decoded, self.spec).items():
                     child_dir = url_join(self.out_dir, name)
                     self._fs.mkdirs(child_dir)
-                    self._append_live(child, child_dir, epoch_id)
+                    appends.append((child, child_dir))
+            if len(appends) == 1:
+                self._append_live(decoded, self.out_dir, epoch_id)
+            else:
+                # independent target directories: run the per-table append
+                # jobs concurrently. The persisted decode materializes once
+                # under whichever job reaches a partition first (the cache
+                # manager locks per partition), so this overlaps the child
+                # explode+write with the main write instead of paying the
+                # tables serially — the same shape a multi-sink cluster job
+                # would use.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=len(appends)) as pool:
+                    list(pool.map(
+                        lambda a: self._append_live(a[0], a[1], epoch_id),
+                        appends,
+                    ))
         finally:
             if self.explode and self._child_dirs():
                 decoded.unpersist()
