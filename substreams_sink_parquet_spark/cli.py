@@ -98,13 +98,20 @@ def cmd_run(args: argparse.Namespace) -> int:
         row_group_rows=args.row_group_rows,
         page_size=args.page_size,
         write_stats=not args.no_parquet_stats,
+        dict_encoding=not args.no_dict_encoding,
         target_file_bytes=args.target_file_bytes,
         bloom_filter_columns=tuple(args.bloom_filter),
+        pad=args.pad_width,
     )
+    out_dir = args.store_url
+    if args.output_prefix:
+        from .fsio import url_join
+
+        out_dir = url_join(out_dir, args.output_prefix)
     query, sink = run_pipeline(
         spark,
         input_dir=args.input_dir,
-        out_dir=args.store_url,
+        out_dir=out_dir,
         spec=spec,
         checkpoint_dir=args.checkpoint,
         opts=opts,
@@ -116,6 +123,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         explode=args.explode,
         available_now=args.drain_and_exit,
         flush_interval=f"{args.flush_interval_s} seconds",
+        exploded_write_workers=args.exploded_write_workers,
     )
     # 30s stats cadence like the reference's ticker (sinker.go:19-90)
     while query.isActive:
@@ -273,6 +281,18 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument("--target-file-bytes", type=int, default=None,
                        help="soft per-file byte target; oversize ranges "
                             "split into -partNNNN files (run.go:48)")
+    run_p.add_argument("--pad-width", type=int, default=10,
+                       help="zero-pad width of range file names (run.go:33)")
+    run_p.add_argument("--output-prefix", default=None,
+                       help="object key prefix appended to store_url "
+                            "(run.go:31)")
+    run_p.add_argument("--no-dict-encoding", action="store_true",
+                       help="disable parquet dictionary encoding "
+                            "(run.go:47 --dict-encoding=false)")
+    run_p.add_argument("--exploded-write-workers", type=int, default=0,
+                       help="concurrency of per-table exploded writes: "
+                            "0=auto (one per table), 1=sequential "
+                            "(run.go:51)")
     run_p.add_argument("--bloom-filter", action="append", default=[],
                        metavar="COL",
                        help="write a parquet bloom filter for COL "

@@ -68,6 +68,10 @@ class StreamingSink:
     undo_holdback: int = 0
     explode: bool = False
     check_schema: bool = True
+    # --exploded-write-workers parity (run.go:51): concurrency of the
+    # per-table append jobs in explode mode. 0 = auto (one worker per
+    # table); 1 = sequential (the reference's 0=sync).
+    exploded_write_workers: int = 0
     _max_seen: int = -1
     _schema_checked: bool = False
 
@@ -124,8 +128,13 @@ class StreamingSink:
                     child_dir = url_join(self.out_dir, name)
                     self._fs.mkdirs(child_dir)
                     appends.append((child, child_dir))
-            if len(appends) == 1:
-                self._append_live(decoded, self.out_dir, epoch_id)
+            workers = (
+                len(appends) if self.exploded_write_workers == 0
+                else min(self.exploded_write_workers, len(appends))
+            )
+            if len(appends) == 1 or workers <= 1:
+                for df, table_dir in appends:
+                    self._append_live(df, table_dir, epoch_id)
             else:
                 # independent target directories: run the per-table append
                 # jobs concurrently. The persisted decode materializes once
@@ -136,7 +145,7 @@ class StreamingSink:
                 # would use.
                 from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(max_workers=len(appends)) as pool:
+                with ThreadPoolExecutor(max_workers=workers) as pool:
                     list(pool.map(
                         lambda a: self._append_live(a[0], a[1], epoch_id),
                         appends,
@@ -425,6 +434,7 @@ def run_pipeline(
     explode: bool = False,
     available_now: bool = True,
     flush_interval: str = "1 second",
+    exploded_write_workers: int = 0,
 ):
     """readStream over staged raw-block parquet → StreamingSink.
 
@@ -439,6 +449,7 @@ def run_pipeline(
         schema_opts=schema_opts or SchemaOptions(),
         undo_holdback=undo_holdback,
         explode=explode,
+        exploded_write_workers=exploded_write_workers,
     )
     sink._fs.mkdirs(out_dir)
     from ..sources.staging import raw_stream

@@ -192,3 +192,43 @@ def test_cli_compact_live_area(tmp_path, spark):
         for r in spark.read.parquet(os.path.join(out_dir, "_live")).collect()
     )
     assert rows == list(range(15))
+
+
+def test_cli_run_round3_flags(tmp_path, spark):
+    """--pad-width, --output-prefix, --no-dict-encoding and
+    --exploded-write-workers plumbing, end-to-end through a drained
+    exploded run."""
+    desc = tmp_path / "block.fds"
+    desc.write_bytes(pw.build_file_descriptor_set("test", [BLOCK]))
+    input_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    _stage_blocks(spark, input_dir, list(range(0, 12)), 0)
+
+    rc = main([
+        "run", store, input_dir,
+        "--descriptor-set", str(desc),
+        "--output-type", "test.Block",
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--partition-size", "10",
+        "--pad-width", "6",
+        "--output-prefix", "mainnet/blocks",
+        "--no-dict-encoding",
+        "--explode",
+        "--exploded-write-workers", "1",  # sequential still correct
+        "--drain-and-exit",
+    ])
+    assert rc == 0
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(store, "mainnet", "blocks")   # --output-prefix
+    f = os.path.join(out_dir, "000000-000010.parquet")   # --pad-width 6
+    assert os.path.exists(f)
+    pf = pq.ParquetFile(f)
+    # --no-dict-encoding: no dictionary page in any column chunk
+    col = pf.metadata.row_group(0).column(0)
+    assert "PLAIN_DICTIONARY" not in str(col.encodings) \
+        and "RLE_DICTIONARY" not in str(col.encodings)
+    # exploded children under the same prefixed root, same pad width
+    assert os.path.exists(
+        os.path.join(out_dir, "transfers", "000000-000010.parquet")
+    )
