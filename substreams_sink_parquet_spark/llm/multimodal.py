@@ -154,3 +154,139 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "n_bytes", F.col("head_bytes")[0].alias("first_byte"), "byte_mode"
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 256,
+                  stride: int = 4) -> DataFrame:
+    """Frame sampling over binary video payloads: one output row per kept
+    frame — the fan-out stage of a video-training pipeline.
+
+    A real decoder (pyav/ffmpeg) is absent in this container, so frames are
+    modeled as fixed-size byte records: frame i is
+    ``payload[i*frame_bytes:(i+1)*frame_bytes]`` (the final partial frame
+    counts), and every ``stride``-th frame is kept. That fake is exact
+    enough to ORACLE in SQL, while the Spark-side shape — Arrow-batched
+    mapInPandas fanning one input row out to many, frames hashed inside the
+    worker so only digests cross the wire — is precisely the production
+    decode shape. At 100 TB the stage is map-only: payloads never shuffle,
+    and output size is output-frames x 32 bytes, not frames x frame_bytes.
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out_doc, out_idx, out_md5 = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = max((len(raw) + frame_bytes - 1) // frame_bytes, 0)
+                for i in range(0, n_frames, stride):
+                    chunk = raw[i * frame_bytes:(i + 1) * frame_bytes]
+                    out_doc.append(int(doc_id))
+                    out_idx.append(i)
+                    out_md5.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "frame_md5": out_md5}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(frames, FRAME_SCHEMA)
+
+
+@register(
+    "q_multimodal_frames",
+    """
+    SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+           md5(substring(text, CAST(k * 256 + 1 AS BIGINT), 256)) AS frame_md5
+    FROM (SELECT doc_id, text,
+                 UNNEST(range(CAST(CEIL(strlen(text) / 256.0) AS BIGINT))) AS k
+          FROM documents)
+    WHERE k % 4 = 0
+    """,
+    # the VARCHAR substring oracle is byte-exact because the fixture text is
+    # pure ASCII (pinned by test_multimodal_frames_oracle_assumption)
+    doc="Video-style frame sampling: fixed 256-byte frames, every 4th kept, "
+        "digest-only output — mapInPandas fan-out oracled against a "
+        "generate-series + substr + md5 SQL equivalent",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = to_media_table(load(spark, sf_dir, "documents"))
+    return sample_frames(media, frame_bytes=256, stride=4)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("thumb_md5", StringType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Thumbnail/resize stage: each payload is reduced to a fixed
+    ``width x height`` grid. The real path uses Pillow when importable
+    (``decode_image`` contract); without it, a deterministic fallback
+    stride-samples the raw bytes to exactly width*height values — honest
+    about the production batch shape (vectorized numpy inside Arrow
+    batches, fixed-size output per row, no per-element Python loop)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        try:
+            from PIL import Image  # noqa: F401
+            have_pil = True
+        except ImportError:
+            have_pil = False
+        n_out = width * height
+        for pdf in batches:
+            out_doc, out_md5 = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if have_pil:
+                    try:
+                        import io
+
+                        from PIL import Image
+                        img = Image.open(io.BytesIO(raw)).resize((width, height))
+                        thumb = np.asarray(img, dtype=np.uint8).tobytes()
+                    except Exception:
+                        thumb = b""  # undecodable payload → empty thumb
+                else:
+                    b = np.frombuffer(raw, dtype=np.uint8)
+                    if b.size == 0:
+                        thumb = b"\x00" * n_out
+                    else:
+                        idx = (np.arange(n_out) * b.size) // n_out
+                        thumb = b[idx].tobytes()
+                out_doc.append(int(doc_id))
+                out_md5.append(hashlib.md5(thumb).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": out_doc,
+                "width": np.full(len(out_doc), width, dtype=np.int64),
+                "height": np.full(len(out_doc), height, dtype=np.int64),
+                "thumb_md5": out_md5,
+            })
+
+    return media.select("doc_id", "payload").mapInPandas(resize, RESIZE_SCHEMA)
+
+
+@register(
+    "q_multimodal_resize",
+    None,  # Pillow-vs-fallback output differs by environment → rows-only
+    doc="Resize/thumbnail stage over binary payloads (8x8 grid; Pillow when "
+        "available, deterministic byte-stride fallback otherwise)",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = to_media_table(load(spark, sf_dir, "documents"))
+    return resize_media(media, width=8, height=8)

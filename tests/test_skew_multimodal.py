@@ -71,3 +71,58 @@ def test_media_decode_uses_lib_when_present(monkeypatch):
     monkeypatch.setitem(sys.modules, "soundfile", fake_sf)
     assert decode_audio(b"wavbytes") == ("samples", 44100)
     assert calls["audio"] == b"wavbytes"
+
+
+def test_frame_sampling_fanout_and_digests(spark):
+    """Constructed payloads: 1000 bytes at 256-byte frames = frames
+    0,1,2,3 -> stride 4 keeps frame 0 only; 1500 bytes keeps 0 and 4.
+    Digests must equal md5 of the exact byte slices."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from substreams_sink_parquet_spark.llm.multimodal import sample_frames
+
+    p1, p2 = bytes(range(250)) * 4, bytes(range(250)) * 6
+    media = spark.createDataFrame(
+        [(1, bytearray(p1)), (2, bytearray(p2))], "doc_id long, payload binary"
+    )
+    got = {
+        (r.doc_id, r.frame_idx): r.frame_md5
+        for r in sample_frames(media, frame_bytes=256, stride=4).collect()
+    }
+    assert set(got) == {(1, 0), (2, 0), (2, 4)}
+    assert got[(1, 0)] == hashlib.md5(p1[:256]).hexdigest()
+    assert got[(2, 4)] == hashlib.md5(p2[4 * 256:5 * 256]).hexdigest()
+
+
+def test_multimodal_frames_oracle_assumption(spark, sf_dir):
+    """q_multimodal_frames' SQL oracle slices VARCHAR, which is byte-exact
+    only while the fixture text is pure ASCII — pin that."""
+    from pyspark.sql import functions as F
+
+    from substreams_sink_parquet_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    non_ascii = docs.filter(
+        F.length("text") != F.octet_length(F.encode("text", "utf-8"))
+    ).count()
+    assert non_ascii == 0
+
+
+def test_resize_fallback_is_deterministic_fixed_size(spark):
+    """Without Pillow the byte-stride fallback must emit one fixed-size
+    digest per row, stable across partitionings, empty payload included."""
+    from substreams_sink_parquet_spark.llm.multimodal import resize_media
+
+    rows = [(1, bytearray(bytes(range(100)))), (2, bytearray(b"")),
+            (3, bytearray(b"xyz" * 500))]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    a = {r.doc_id: (r.width, r.height, r.thumb_md5)
+         for r in resize_media(media, 8, 8).collect()}
+    b = {r.doc_id: (r.width, r.height, r.thumb_md5)
+         for r in resize_media(media.repartition(5), 8, 8).collect()}
+    assert a == b
+    assert set(a) == {1, 2, 3}
+    assert all(w == 8 and h == 8 for w, h, _ in a.values())
+    assert len({md5 for _, _, md5 in a.values()}) == 3  # payload-sensitive
