@@ -48,6 +48,9 @@ EXTENDED = [
     "q_dedup_substring",
     "q_text_repetition",
     "q_text_filter_pipeline",
+    # round 3
+    "q_dedup_semantic",
+    "q_multimodal_frames",
 ]
 
 
