@@ -74,6 +74,60 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_dedup(new_docs: DataFrame, corpus_index: DataFrame,
+                      hash_col: str = "text_hash") -> DataFrame:
+    """Admit only new-batch docs whose content is absent from an existing
+    corpus — the dedup shape of a continuously-ingesting pipeline, where
+    "the corpus" is 100 TB of already-accepted documents and "the batch"
+    is one crawl increment.
+
+    In-batch exact dedup first (min doc_id keeps, one shuffle of
+    batch-size hashes), then a LEFT ANTI join against ``corpus_index`` —
+    a hash-only column table the ingest job maintains, NOT the corpus
+    text: the join moves 16-byte digests, never documents. At scale,
+    write the index bucketed by ``hash_col`` (layout.py) so the anti join
+    is a zero-shuffle sort-merge against the batch's one exchange; an
+    unbucketed index costs one shuffle of the hash column only. (The
+    broadcast shortcut does not apply: LEFT ANTI builds on the corpus
+    side, which is the huge one.)
+    """
+    hashed = new_docs.select("doc_id", F.md5("text").alias(hash_col))
+    keepers = hashed.groupBy(hash_col).agg(F.min("doc_id").alias("doc_id"))
+    return keepers.join(
+        corpus_index.select(hash_col).distinct(), hash_col, "left_anti"
+    ).select("doc_id", hash_col)
+
+
+@register(
+    "q_dedup_incremental",
+    """
+    WITH batch AS (
+        SELECT doc_id, md5(text) AS text_hash FROM documents WHERE doc_id >= 350
+    ),
+    keep AS (
+        SELECT text_hash, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+        FROM batch GROUP BY text_hash
+    ),
+    corpus AS (
+        SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id < 400
+    )
+    SELECT k.doc_id, k.text_hash
+    FROM keep k
+    WHERE k.text_hash NOT IN (SELECT text_hash FROM corpus)
+    """,
+    doc="Incremental ingestion dedup: new batch (doc_id >= 350) anti-joined "
+        "against the corpus hash index (doc_id < 400); the 50-doc overlap "
+        "models re-crawled content and must be rejected",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") >= 350)
+    corpus_index = docs.filter(F.col("doc_id") < 400).select(
+        F.md5("text").alias("text_hash")
+    )
+    return incremental_dedup(new_batch, corpus_index)
+
+
 # -- shingling helpers -----------------------------------------------------
 
 

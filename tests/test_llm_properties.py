@@ -57,3 +57,21 @@ def test_jaccard_pairs_match_python_reference(spark, docs):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_incremental_dedup_rejects_seen_and_in_batch_dups(spark):
+    from pyspark.sql import functions as F
+
+    from substreams_sink_parquet_spark.llm.dedup import incremental_dedup
+
+    batch = spark.createDataFrame(
+        [(10, "alpha"), (11, "alpha"),      # in-batch dup: 10 keeps
+         (12, "seen before"),               # already in corpus: rejected
+         (13, "brand new")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [("seen before",), ("other doc",)], "text string"
+    ).select(F.md5("text").alias("text_hash"))
+    got = {r.doc_id for r in incremental_dedup(batch, corpus).collect()}
+    assert got == {10, 13}
