@@ -681,3 +681,82 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# -- Benchmark decontamination ---------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame, eval_set: DataFrame, n: int = 8
+) -> DataFrame:
+    """Eval-set contamination scan: which training documents contain any
+    word ``n``-gram that also appears in a held-out eval/benchmark set.
+
+    The standard pre-training hygiene pass (the reference sink has no
+    analytics surface — parity target is the training-pipeline brief):
+    before training, every document sharing a long n-gram with a benchmark
+    is flagged so the benchmark stays a valid measurement.
+
+    100 TB shape: the eval side is benchmark-suite-sized (MBs — tiny next
+    to the corpus), so its distinct-gram index is BROADCAST; the train side
+    is map-only (per-document ``array_distinct`` replaces a corpus-wide
+    DISTINCT shuffle), and the only shuffle is the final per-document
+    aggregation keyed by ``doc_id`` — high-cardinality, no hot key. The
+    corpus is never shuffled by gram.
+    """
+    words = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+    guarded = F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    train_g = train.select("doc_id", F.explode(guarded).alias("gram"))
+    eval_g = eval_set.select(
+        F.col("doc_id").alias("eval_doc"), F.explode(guarded).alias("gram")
+    )
+    return (
+        train_g.join(F.broadcast(eval_g), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_grams_hit"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+    )
+
+
+@register(
+    "q_decontaminate",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(
+                   range(len(str_split(text, ' ')) - 7),
+                   i -> array_to_string(str_split(text, ' ')[i+1:i+8], ' ')
+               ))) AS gram
+        FROM documents
+    ),
+    eval_g AS (SELECT doc_id AS eval_doc, gram FROM g WHERE doc_id % 7 = 0),
+    train_g AS (SELECT doc_id, gram FROM g WHERE doc_id % 7 <> 0)
+    SELECT t.doc_id,
+           CAST(COUNT(DISTINCT t.gram) AS BIGINT) AS n_grams_hit,
+           CAST(COUNT(DISTINCT e.eval_doc) AS BIGINT) AS n_eval_docs
+    FROM train_g t JOIN eval_g e ON t.gram = e.gram
+    GROUP BY t.doc_id
+    """,
+    doc="Benchmark decontamination: flag training docs sharing any word "
+        "8-gram with the eval split (doc_id % 7 = 0 stands in for the "
+        "benchmark). Broadcast eval-gram index, map-only train side "
+        "(per-doc array_distinct, no corpus DISTINCT), one doc_id-keyed "
+        "agg shuffle",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        n=8,
+    )

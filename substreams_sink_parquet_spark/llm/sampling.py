@@ -147,3 +147,88 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("seq_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "q_sample_temperature",
+    f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source
+    ),
+    rates AS (
+        SELECT source, n_total,
+               LEAST(1000, CAST(FLOOR(1000 * SQRT(
+                   (SELECT AVG(n_total) FROM counts) / n_total
+               )) AS BIGINT)) AS threshold
+        FROM counts
+    )
+    SELECT r.source,
+           CAST(r.n_total AS BIGINT) AS n_total,
+           r.threshold,
+           CAST(COUNT(*) FILTER (
+               WHERE ((d.doc_id * {_A} + {_B}) % {_M}) % 1000 < r.threshold
+           ) AS BIGINT) AS n_kept
+    FROM documents d JOIN rates r USING (source)
+    GROUP BY r.source, r.n_total, r.threshold
+    """,
+    doc="Temperature-based corpus mixing (alpha=0.5): per-source keep rate "
+        "proportional to sqrt(mean_count / source_count), capped at 1 — "
+        "dominant sources downsampled toward the mean, tail sources kept. "
+        "Rates are DERIVED FROM THE DATA (one tiny agg broadcast back), "
+        "then membership is the same universal-hash decision as the other "
+        "samplers: reproducible at any parallelism, zero corpus shuffle "
+        "beyond the final per-source agg",
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    mean_n = counts.agg(F.avg("n_total").alias("mean_n"))
+    rates = counts.crossJoin(F.broadcast(mean_n)).select(
+        "source",
+        "n_total",
+        F.least(
+            F.lit(1000),
+            F.floor(1000 * F.sqrt(F.col("mean_n") / F.col("n_total"))),
+        ).cast("long").alias("threshold"),
+    )
+    bucket = ((F.col("doc_id") * _A + _B) % _M) % 1000
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_total", "threshold")
+        .agg(F.count_if(bucket < F.col("threshold")).alias("n_kept"))
+        .select("source", "n_total", "threshold", "n_kept")
+    )
+
+
+@register(
+    "q_shuffle_shards",
+    f"""
+    SELECT CAST(((doc_id * {_A} + {_B}) % {_M}) % 64 AS BIGINT) AS shard_id,
+           doc_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY ((doc_id * {_A} + {_B}) % {_M}) % 64
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')
+           ) AS BIGINT) AS pos
+    FROM documents
+    """,
+    doc="Deterministic global shuffle for training reproducibility: every "
+        "doc hashes to one of 64 shards, ordered within its shard by a "
+        "seeded md5 key — the same (shard, position) on every engine, run, "
+        "and parallelism, unlike df.sample/ORDER BY rand(). At 100 TB each "
+        "shard is an independent window partition (corpus/64 rows), so the "
+        "sort never sees the whole corpus; raise the shard count with the "
+        "cluster. Writing partitionBy(shard) + sortWithinPartitions(pos) "
+        "materializes the epoch order with one shuffle",
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    shard = (((F.col("doc_id") * _A + _B) % _M) % 64).cast("long")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    w = Window.partitionBy("shard_id").orderBy("sort_key")
+    return (
+        docs.select("doc_id", shard.alias("shard_id"), key.alias("sort_key"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("shard_id", "doc_id", "pos")
+    )

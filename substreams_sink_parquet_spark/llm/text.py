@@ -450,3 +450,49 @@ def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nw").cast("long").alias("max_words"),
         )
     )
+
+
+@register(
+    "q_text_chunk",
+    """
+    WITH spec AS (
+        SELECT doc_id, text,
+               1 + (GREATEST(n_chars - 200, 0) + 159) // 160 AS n_chunks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(length(substr(text, CAST(i * 160 + 1 AS BIGINT), 200))
+                AS BIGINT) AS chunk_chars,
+           md5(substr(text, CAST(i * 160 + 1 AS BIGINT), 200)) AS chunk_hash
+    FROM spec, UNNEST(range(n_chunks)) AS t(i)
+    """,
+    doc="Overlapping document chunking (RAG / context-window prep): "
+        "200-char windows at stride 160 (40-char overlap), one row per "
+        "chunk with offsets and a content hash. Map-only: chunk starts come "
+        "from sequence() + explode on each row — no shuffle, no UDF; at "
+        "100 TB this is the same embarrassingly-parallel shape as any "
+        "per-row projection. The chunk count formula (1 + ceil(max(len-200,"
+        "0)/160)) guarantees full coverage incl. a final partial window",
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    size_c, stride = 200, 160
+    n_extra = F.greatest(F.col("n_chars") - size_c, F.lit(0))
+    n_chunks = 1 + F.floor((n_extra + (stride - 1)) / stride)
+    chunk = F.col("text").substr(
+        (F.col("i") * stride + 1).cast("int"), F.lit(size_c)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), (n_chunks - 1).cast("long"))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").alias("chunk_id"),
+            F.length(chunk).cast("long").alias("chunk_chars"),
+            F.md5(chunk).alias("chunk_hash"),
+        )
+    )

@@ -8,6 +8,7 @@ capped low; each example batches many documents so the coverage stays wide.
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from substreams_sink_parquet_spark.llm.dedup import jaccard_pairs, shingle_array
 
@@ -75,3 +76,55 @@ def test_incremental_dedup_rejects_seen_and_in_batch_dups(spark):
     ).select(F.md5("text").alias("text_hash"))
     got = {r.doc_id for r in incremental_dedup(batch, corpus).collect()}
     assert got == {10, 13}
+
+
+def test_decontaminate_flags_planted_ngram_overlap(spark):
+    from substreams_sink_parquet_spark.llm.dedup import decontaminate
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 words
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix words here {shared} and a suffix tail"),
+            (2, "totally unrelated content with no overlap at all whatsoever"),
+            (3, "short"),  # < 8 words: must not error, must not match
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, f"the benchmark says {shared} verbatim today")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(train, eval_set, n=8).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_grams_hit"] == 1
+    assert rows[1]["n_eval_docs"] == 1
+    # broadcast plan: the eval index must never shuffle the corpus by gram
+    plan = decontaminate(train, eval_set, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunking_covers_every_char_with_overlap(spark):
+    from substreams_sink_parquet_spark.catalog import queries
+    from substreams_sink_parquet_spark.tables import load
+
+    SF = "/root/testdata/sf0.001"
+    chunks = queries()["q_text_chunk"](spark, SF)
+    docs = load(spark, SF, "documents")
+    agg = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.max("chunk_id").alias("last_id"),
+            F.count("*").alias("n_chunks"),
+            F.min("chunk_chars").alias("min_chars"),
+        )
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .collect()
+    )
+    assert len(agg) == docs.count()
+    for r in agg:
+        assert r["n_chunks"] == r["last_id"] + 1  # dense ids from 0
+        # coverage: the last window's start + its length reaches the end
+        last_start = r["last_id"] * 160
+        assert last_start < max(r["n_chars"], 1)
+        assert last_start + 200 >= r["n_chars"]  # window spans to the end
+        assert r["min_chars"] >= 1  # no empty chunks emitted

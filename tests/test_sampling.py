@@ -55,3 +55,35 @@ def test_pack_sequences_bounds(spark):
         # (greedy chunking property); seq ids are dense non-negative
         assert r["seq_id"] >= 0
         assert r["n_docs"] >= 1
+
+
+def test_temperature_rates_data_dependent(spark):
+    rows = queries()["q_sample_temperature"](spark, SF).collect()
+    assert rows, "at least one source"
+    by_n = sorted(rows, key=lambda r: r["n_total"])
+    for r in rows:
+        assert 0 < r["threshold"] <= 1000
+        assert 0 <= r["n_kept"] <= r["n_total"]
+    # monotone: a bigger source never gets a higher keep rate
+    for small, big in zip(by_n, by_n[1:]):
+        assert small["threshold"] >= big["threshold"]
+    # the largest source is downsampled below cap unless all sources are equal
+    if by_n[0]["n_total"] != by_n[-1]["n_total"]:
+        assert by_n[-1]["threshold"] < 1000
+
+
+def test_shuffle_shards_dense_positions_and_deterministic(spark):
+    q = queries()["q_shuffle_shards"]
+    a = q(spark, SF).collect()
+    docs_total = load(spark, SF, "documents").count()
+    assert len(a) == docs_total  # every doc placed exactly once
+    by_shard = {}
+    for r in a:
+        assert 0 <= r["shard_id"] < 64
+        by_shard.setdefault(r["shard_id"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    b = q(spark, SF).collect()  # rerun: identical placement
+    assert {(r["doc_id"], r["shard_id"], r["pos"]) for r in a} == {
+        (r["doc_id"], r["shard_id"], r["pos"]) for r in b
+    }
