@@ -21,8 +21,14 @@ def stage_raw_blocks(
     input_dir: str,
     blocks: Iterable[tuple[int, str, bytes]],
 ) -> None:
-    """Append one parquet file containing the given (number, id, payload) rows."""
-    rows = [(bn, bid, bytearray(payload)) for bn, bid, payload in blocks]
+    """Append one parquet file containing the given (number, id, payload) rows.
+    A None payload stages as NULL — the reference's nil MapOutput (a block
+    the module produced no output for; decode skips it, the cursor/horizon
+    still advances past it)."""
+    rows = [
+        (bn, bid, bytearray(payload) if payload is not None else None)
+        for bn, bid, payload in blocks
+    ]
     df = spark.createDataFrame(rows, RAW_SCHEMA_DDL)
     df.coalesce(1).write.mode("append").parquet(input_dir)
 

@@ -101,6 +101,24 @@ class StreamingSink:
             raw_batch = raw_batch.filter(
                 F.col("block_number") < self.opts.end_block
             )
+        # The holdback horizon needs max(block_number) over the RAW batch —
+        # decoded rows won't do: nil payloads are skipped at decode
+        # (sinker.go:158-160 parity), and a sparse module's tip blocks would
+        # then never advance the horizon. In plain mode a CollectMetrics
+        # node piggybacks the max onto the append job — one job per
+        # micro-batch instead of two (the separate agg re-read every staged
+        # input file). In explode mode the persisted decode would bury the
+        # metrics node inside InMemoryRelation where they never surface (and
+        # ``obs.get`` would block the stream forever), so the separate
+        # JVM-only agg job stays — it is noise next to N table writes.
+        obs = None
+        if not self.explode or not self._child_dirs():
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            raw_batch = raw_batch.observe(
+                obs, F.max("block_number").alias("hi")
+            )
         decoded = decode_payloads(raw_batch, self.spec, self.schema_opts)
         if self.check_schema and not self._schema_checked:
             # Cross-run guard the reference lacks: a resumed run whose .spkg
@@ -153,7 +171,10 @@ class StreamingSink:
         finally:
             if self.explode and self._child_dirs():
                 decoded.unpersist()
-        hi = raw_batch.agg(F.max("block_number")).collect()[0][0]
+        if obs is not None:  # from the append action above — no extra job
+            hi = obs.get["hi"]
+        else:
+            hi = raw_batch.agg(F.max("block_number")).collect()[0][0]
         if hi is not None:
             self._max_seen = max(self._max_seen, int(hi))
         self._finalize_ready(self.out_dir)

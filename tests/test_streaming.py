@@ -479,3 +479,30 @@ def test_finalize_drops_emptied_epoch_dirs(spark, tmp_path):
     live = os.path.join(out_dir, "_live")
     leftover = os.listdir(live) if os.path.exists(live) else []
     assert [d for d in leftover if d.startswith("epoch=")] == []
+
+
+def test_nil_payload_tip_still_advances_horizon(spark, tmp_path):
+    """A sparse module's tip blocks carry no output (nil payload —
+    sinker.go:158-160 skips them at decode, but the cursor still advances).
+    The holdback horizon must track the RAW stream, not the decoded rows:
+    range [0,10) is only ready here because the nil-payload blocks 9-12
+    count as seen."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    blocks = synth_blocks(BLOCK, range(0, 9), _payload)
+    blocks += [(bn, f"0x{bn:08x}", None) for bn in range(9, 13)]  # sparse tip
+    stage_raw_blocks(spark, input_dir, blocks)
+
+    opts = WriterOptions(partition_size=10, start_block=0)
+    query, sink = run_pipeline(
+        spark, input_dir, out_dir, BLOCK, ckpt, opts=opts,
+        undo_holdback=3, available_now=True,
+    )
+    query.awaitTermination(120)
+
+    # ready iff max_seen >= 10 + 3 - 1 = 12 — true only via the nil tip
+    assert sink._max_seen == 12
+    assert _final_files(out_dir) == ["0000000000-0000000010.parquet"]
+    t = pq.read_table(os.path.join(out_dir, "0000000000-0000000010.parquet"))
+    assert t.column("block_number").to_pylist() == list(range(9))  # nils skipped
