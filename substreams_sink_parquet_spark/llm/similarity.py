@@ -107,14 +107,21 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
 
 
 def lsh_bucket(df: DataFrame, vec_col: str, dim: int, n_planes: int = 12) -> DataFrame:
-    """Add a ``bucket`` column: sign-bit signature under n_planes hyperplanes."""
+    """Add a ``bucket`` column: sign-bit signature under n_planes hyperplanes.
+
+    The plane matrix ships as ONE 2-D array literal (not n_planes x dim
+    scalar lits — that costs seconds of driver py4j at 8x64). The fold
+    walks the planes highest-index first so ``acc*2 + bit`` lands plane i
+    on bit i — identical buckets to the previous shift-and-add."""
     planes = _hyperplanes(dim, n_planes)
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(w) for w in plane])
-        bit = (_dot(F.col(vec_col), arr) > 0).cast("long")
-        sig = sig + bit * F.lit(1 << i).cast("long")
-    return df.withColumn("bucket", sig)
+    matrix = F.lit([[float(w) for w in plane] for plane in reversed(planes)])
+    bits = F.transform(
+        matrix, lambda p: (_dot(F.col(vec_col), p) > 0).cast("long")
+    )
+    return df.withColumn(
+        "bucket",
+        F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b),
+    )
 
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
@@ -178,21 +185,25 @@ def _nearest_centroid(vecs: DataFrame, cent_rows: list[tuple[int, list[float]]],
                       with_score: bool = False) -> DataFrame:
     """Attach the nprobe nearest centroid ids to each row of ``vecs``.
 
-    The quantizer is tiny (n_centroids x dim floats), so it ships as literal
-    expressions — the FAISS shape, where every worker holds the coarse
-    quantizer in memory. Assignment is then MAP-ONLY: per row, build the
-    n_centroids (−cos, cent_id) structs, array_sort (ascending ⇒ best cosine
-    first), slice nprobe, explode. No shuffle of the corpus at any point —
-    the earlier crossJoin + groupBy(argmin) formulation exchanged one row per
-    corpus vector, which is exactly the kind of needless full-corpus shuffle
-    that kills a 100 TB assignment pass."""
-    cands = F.array(*[
-        F.struct(
-            (-cosine(vec_col, F.array(*[F.lit(float(x)) for x in vec]))).alias("negcos"),
-            F.lit(cid).alias("cent_id"),
-        )
-        for cid, vec in cent_rows
-    ])
+    The quantizer is tiny (n_centroids x dim floats), so it ships as TWO
+    array literals (ids + a 2-D vector matrix) — the FAISS shape, where
+    every worker holds the coarse quantizer in memory. Assignment is then
+    MAP-ONLY: zip_with builds the n_centroids (−cos, cent_id) structs,
+    array_sort (ascending ⇒ best cosine first), slice nprobe, explode. No
+    shuffle of the corpus at any point — the earlier crossJoin +
+    groupBy(argmin) formulation exchanged one row per corpus vector. The
+    2-D literal matters on the DRIVER too: the previous per-element
+    ``F.lit`` built n_centroids x dim Column objects (~1.6 s of py4j
+    round-trips per call at 16x64); two literals cross py4j once."""
+    ids = F.lit([int(cid) for cid, _ in cent_rows])
+    quant = F.lit([[float(x) for x in vec] for _, vec in cent_rows])
+    cands = F.zip_with(
+        quant,
+        ids,
+        lambda v, cid: F.struct(
+            (-cosine(vec_col, v)).alias("negcos"), cid.alias("cent_id")
+        ),
+    )
     picked = F.slice(F.array_sort(cands), 1, nprobe)
     out = [F.col("__p.cent_id").alias("cent_id")]
     if with_score:
@@ -221,9 +232,12 @@ def ivf_centroids(embeddings: DataFrame, vec_col: str = "embedding",
     )
     cents = [(i + 1, list(r.v)) for i, r in enumerate(seeds)]
     for _ in range(refine_iters):
+        # keep carries the vector through the map-only assignment — a
+        # keep=["vec_id"] + re-join formulation here was a needless
+        # full-corpus shuffle just to re-attach the embedding column
         assigned = _nearest_centroid(
-            embeddings.select("vec_id", vec_col), cents, vec_col, keep=["vec_id"]
-        ).join(embeddings.select("vec_id", vec_col), "vec_id")
+            embeddings.select(vec_col), cents, vec_col, keep=[vec_col]
+        )
         by_dim = assigned.select(
             "cent_id", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
         )
@@ -257,11 +271,11 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                           refine_iters=refine_iters)
     corpus = _nearest_centroid(
         embeddings.select("vec_id", "embedding"), cents, "embedding",
-        keep=["vec_id"],
-    ).join(embeddings.select("vec_id", "embedding"), "vec_id")
+        keep=["vec_id", "embedding"],
+    )
     probes = _nearest_centroid(
-        queries, cents, "q_vec", keep=["q_id"], nprobe=nprobe
-    ).join(queries, "q_id")
+        queries, cents, "q_vec", keep=["q_id", "q_vec"], nprobe=nprobe
+    )
     joined = corpus.join(
         F.broadcast(probes),
         (corpus.cent_id == probes.cent_id) & (corpus.vec_id != probes.q_id),
@@ -473,10 +487,8 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.7,
                           refine_iters=refine_iters)
     assigned = _nearest_centroid(
         embeddings.select("vec_id", "embedding"), cents, "embedding",
-        keep=["vec_id"], with_score=True,
-    ).join(embeddings.select("vec_id", "embedding"), "vec_id").withColumn(
-        "cent_cos6", F.round("cent_cos", 6)
-    )
+        keep=["vec_id", "embedding"], with_score=True,
+    ).withColumn("cent_cos6", F.round("cent_cos", 6))
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
         F.col("cent_cos6").alias("cc_a"), "cent_id",
