@@ -496,3 +496,92 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(chunk).alias("chunk_hash"),
         )
     )
+
+
+def bigram_lm_score(docs: DataFrame) -> DataFrame:
+    """CCNet-style LM fluency score: per-document average bigram log-prob
+    under a language model derived from the corpus itself.
+
+    p(w2|w1) = count(w1 w2) / count(w1); score = -avg(ln p) over the doc's
+    bigrams (low = fluent/common phrasing, high = rare/garbled — the
+    perplexity-filter signal used to screen pre-training text).
+
+    Scale shape: the "model" is two count tables keyed by bigram and by
+    word — vocabulary-scale, so they are JOINED (shuffle partitioned by the
+    high-cardinality key), never broadcast or collected. Stopword bigrams
+    make hot keys; AQE skew-join splits them. The final agg shuffles on
+    doc_id once.
+
+    Hash stability: each ln() is rounded to 9 dp first (absorbing the
+    <=1-ulp libm difference between engines), then summed as DECIMAL so
+    accumulation order cannot change the result, then the average is
+    rounded to 6 dp.
+    """
+    words = F.split("text", " ")
+    seq = F.sequence(F.lit(0), F.size(words) - 2)
+    bigs = F.transform(
+        seq,
+        lambda i: F.struct(
+            F.element_at(words, i + 1).alias("w1"),
+            F.element_at(words, i + 2).alias("w2"),
+        ),
+    )
+    guarded = F.when(F.size(words) >= 2, bigs).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    bigrams = docs.select(
+        "doc_id", F.explode(guarded).alias("b")
+    ).select("doc_id", "b.w1", "b.w2")
+    uni = (
+        docs.select(F.explode(words).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c_uni"))
+    )
+    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
+    lp = F.round(
+        F.log(F.col("c_bg").cast("double") / F.col("c_uni")), 9
+    ).cast("decimal(12,9)")
+    return (
+        bigrams.join(bg, ["w1", "w2"]).join(uni, "w1")
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lp").alias("slp"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                -F.col("slp").cast("double") / F.col("n_bigrams"), 6
+            ).alias("neg_avg_logprob"),
+        )
+    )
+
+
+@register(
+    "q_text_perplexity",
+    """
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    bigrams AS (
+        SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+        FROM toks, UNNEST(range(len(w) - 1)) AS t(i)
+    ),
+    uni AS (
+        SELECT word AS w1, COUNT(*) AS c_uni
+        FROM (SELECT UNNEST(w) AS word FROM toks) GROUP BY word
+    ),
+    bg AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bigrams GROUP BY w1, w2)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(-SUM(CAST(ROUND(LN(CAST(c_bg AS DOUBLE) / c_uni), 9)
+                               AS DECIMAL(12,9))) AS DOUBLE) / COUNT(*),
+                 6) AS neg_avg_logprob
+    FROM bigrams b JOIN bg USING (w1, w2) JOIN uni USING (w1)
+    GROUP BY b.doc_id
+    """,
+    doc="Perplexity-style quality filter: corpus-derived bigram LM, "
+        "per-doc -avg(ln p(w2|w1)) — the CCNet screening signal. Count "
+        "tables are joined by their high-cardinality keys (never "
+        "broadcast/collected); decimal log-prob sums keep the score "
+        "accumulation-order independent",
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_lm_score(load(spark, sf_dir, "documents"))

@@ -128,3 +128,23 @@ def test_chunking_covers_every_char_with_overlap(spark):
         assert last_start < max(r["n_chars"], 1)
         assert last_start + 200 >= r["n_chars"]  # window spans to the end
         assert r["min_chars"] >= 1  # no empty chunks emitted
+
+
+def test_bigram_lm_score_ranks_common_phrasing_as_fluent(spark):
+    from substreams_sink_parquet_spark.llm.text import bigram_lm_score
+
+    common = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(1, 10)]
+        + [(10, "mat the on sat cat the")]  # same vocabulary, scrambled order
+        + [(11, "x")],  # single word: no bigrams, excluded
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    assert 11 not in rows
+    assert set(rows) == set(range(1, 11))
+    # repeated corpus phrasing is high-probability => low neg-logprob
+    assert rows[1]["neg_avg_logprob"] < rows[10]["neg_avg_logprob"]
+    assert rows[1]["n_bigrams"] == 5
+    # identical docs score identically (determinism across partitions)
+    assert rows[1]["neg_avg_logprob"] == rows[9]["neg_avg_logprob"]
