@@ -51,6 +51,8 @@ EXTENDED = [
     # round 3
     "q_dedup_semantic",
     "q_multimodal_frames",
+    "q_decontaminate",
+    "q_text_perplexity",
 ]
 
 

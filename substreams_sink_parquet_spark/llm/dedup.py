@@ -714,7 +714,9 @@ def decontaminate(
     guarded = F.when(F.size(words) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
-    train_g = train.select("doc_id", F.explode(guarded).alias("gram"))
+    train_g = spread_if_narrow(train).select(
+        "doc_id", F.explode(guarded).alias("gram")
+    )
     eval_g = eval_set.select(
         F.col("doc_id").alias("eval_doc"), F.explode(guarded).alias("gram")
     )

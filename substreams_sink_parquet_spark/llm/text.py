@@ -517,6 +517,9 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     accumulation order cannot change the result, then the average is
     rounded to 6 dp.
     """
+    from .dedup import spread_if_narrow
+
+    docs = spread_if_narrow(docs)  # tokenize+explode must use every core
     words = F.split("text", " ")
     seq = F.sequence(F.lit(0), F.size(words) - 2)
     bigs = F.transform(
