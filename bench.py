@@ -53,6 +53,7 @@ EXTENDED = [
     "q_multimodal_frames",
     "q_decontaminate",
     "q_text_perplexity",
+    "q_pipeline_pretrain",
 ]
 
 

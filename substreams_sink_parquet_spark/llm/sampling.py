@@ -232,3 +232,76 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("shard_id", "doc_id", "pos")
     )
+
+
+@register(
+    "q_pipeline_pretrain",
+    f"""
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+    qual AS (
+        SELECT * FROM train
+        WHERE n_chars >= 50 AND len(str_split(text, ' ')) >= 10
+    ),
+    keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY md5(text)
+    ),
+    kept AS (SELECT q.* FROM qual q JOIN keep USING (doc_id)),
+    eval_g AS (
+        SELECT DISTINCT UNNEST(list_transform(
+            range(len(str_split(text, ' ')) - 7),
+            i -> array_to_string(str_split(text, ' ')[i+1:i+8], ' ')
+        )) AS gram
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, UNNEST(list_transform(
+                range(len(str_split(text, ' ')) - 7),
+                i -> array_to_string(str_split(text, ' ')[i+1:i+8], ' ')
+            )) AS gram
+            FROM kept
+        ) kg JOIN eval_g USING (gram)
+    ),
+    clean AS (
+        SELECT * FROM kept
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT {_SPLIT_SQL} AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM clean
+    GROUP BY 1
+    """,
+    doc="End-to-end pre-training data prep in ONE declarative plan: quality "
+        "gate (length floors) -> exact dedup (min-doc_id keeper per content "
+        "hash) -> benchmark decontamination (drop docs sharing an 8-gram "
+        "with the eval split) -> deterministic train/val/test assignment "
+        "with per-split corpus stats. Every stage is the catalog operator "
+        "run standalone elsewhere; composed, Catalyst pipelines them with "
+        "no materialization barriers — the shape a real corpus build runs "
+        "nightly at 100 TB",
+)
+def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 7 == 0)
+    toks = F.size(F.split(F.col("text"), " "))
+    qual = train.filter((F.col("n_chars") >= 50) & (toks >= 10))
+    keep_ids = (
+        qual.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = qual.join(keep_ids, "doc_id")
+    contaminated = decontaminate(kept, eval_set, n=8).select("doc_id")
+    clean = kept.join(contaminated, "doc_id", "left_anti")
+    return (
+        clean.select(split_col(F.col("doc_id")).alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
