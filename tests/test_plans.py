@@ -176,3 +176,32 @@ def test_jaccard_single_explode_no_join_no_broadcast(spark, sf_dir):
     assert not rep.has_cartesian
     assert rep.text.count("(1) Scan parquet") == 1  # documents scanned once
     assert rep.shuffle_exchanges <= 4, rep.text
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    # sequence+explode+substr: a pure per-row projection, no exchange at all
+    rep = plan_report(registry()["q_text_chunk"].fn(spark, sf_dir))
+    assert rep.shuffle_exchanges == 0, rep.text
+    assert rep.broadcast_joins == 0 and rep.sortmerge_joins == 0
+
+
+def test_shuffle_shards_single_exchange(spark, sf_dir):
+    # one hash exchange on shard_id feeds the per-shard window; no global sort
+    rep = plan_report(registry()["q_shuffle_shards"].fn(spark, sf_dir))
+    assert rep.shuffle_exchanges == 1, rep.text
+    assert "rangepartitioning" not in rep.text.lower()
+
+
+def test_decontaminate_broadcasts_eval_index(spark, sf_dir):
+    # the corpus side must never shuffle by gram: the only exchanges are the
+    # eval-side distinct and the final doc_id agg
+    rep = plan_report(registry()["q_decontaminate"].fn(spark, sf_dir))
+    assert rep.broadcast_joins >= 1, rep.text
+    assert rep.sortmerge_joins == 0
+    assert not rep.has_cartesian
+
+
+def test_pipeline_pretrain_no_barriers(spark, sf_dir):
+    rep = plan_report(registry()["q_pipeline_pretrain"].fn(spark, sf_dir))
+    assert not rep.has_cartesian
+    assert rep.broadcast_joins >= 1  # eval-gram index rides broadcast
