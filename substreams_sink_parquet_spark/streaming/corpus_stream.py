@@ -1,0 +1,125 @@
+"""Streaming corpus builder: JSONL document stream → quarantine split →
+exact dedup against a persistent content-hash index → clean corpus lake.
+
+This is the continuously-ingesting version of ``llm.dedup.incremental_dedup``:
+crawl increments arrive as JSONL shards in a staging directory; each
+micro-batch admits only documents whose content hash is absent from every
+PREVIOUS batch's index, then appends the admitted docs and their hashes.
+The index is hash-only (16-byte digests) — the anti join never moves
+document text, so its cost scales with the index, not the corpus
+(dedup.py:incremental_dedup docstring has the 100 TB join math; bucket the
+index by hash for a zero-shuffle anti join).
+
+Layout under ``out_dir``:
+  - ``docs/epoch={id}/``        admitted documents of one micro-batch
+  - ``_index/epoch={id}/``      their content hashes (the dedup index)
+  - ``_quarantine/epoch={id}/`` unparseable raw lines (forensics)
+
+Exactly-once under at-least-once replays, same contract as the block sink
+(stream_sink.py:_append_live): every output is keyed by epoch and
+OVERWRITTEN, so a replayed batch converges. The one extra subtlety here:
+the index read EXCLUDES the current epoch's own directory — a replayed
+batch must not see the hashes its crashed first attempt wrote, or it would
+reject its own documents and overwrite the epoch with nothing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fsio import HadoopFS, url_join
+from ..llm.dedup import incremental_dedup
+from ..sources.text_corpus import CORRUPT_COL, DOC_SCHEMA, split_quarantine
+
+
+@dataclass
+class CorpusSink:
+    spark: SparkSession
+    out_dir: str
+
+    def __post_init__(self) -> None:
+        self._fs = HadoopFS(self.spark, self.out_dir)
+
+    def _index_dirs(self, exclude_epoch: int) -> list[str]:
+        index_root = url_join(self.out_dir, "_index")
+        if not self._fs.exists(index_root):
+            return []
+        return [
+            url_join(index_root, e)
+            for e in self._fs.listdir(index_root)
+            if e.startswith("epoch=") and e != f"epoch={exclude_epoch}"
+        ]
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        clean, bad = split_quarantine(batch)
+        bad.write.mode("overwrite").parquet(
+            url_join(self.out_dir, "_quarantine", f"epoch={epoch_id}")
+        )
+        index_dirs = self._index_dirs(exclude_epoch=int(epoch_id))
+        if index_dirs:
+            index = self.spark.read.parquet(*index_dirs)
+        else:
+            index = self.spark.createDataFrame([], "text_hash string")
+        # clean feeds the dedup (scan 1) and the admitted-doc join (scan 2);
+        # without a persist the JSONL parse of the batch runs twice more
+        # than needed across the two write actions below
+        clean = clean.persist()
+        try:
+            admitted = incremental_dedup(clean, index)
+            kept = clean.join(admitted.select("doc_id"), "doc_id")
+            kept.write.mode("overwrite").parquet(
+                url_join(self.out_dir, "docs", f"epoch={epoch_id}")
+            )
+            admitted.select("text_hash").write.mode("overwrite").parquet(
+                url_join(self.out_dir, "_index", f"epoch={epoch_id}")
+            )
+        finally:
+            clean.unpersist()
+
+
+def corpus_docs(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The admitted corpus (union of every epoch's docs)."""
+    return spark.read.option("basePath", url_join(out_dir, "docs")).parquet(
+        url_join(out_dir, "docs")
+    )
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    flush_interval: str = "1 second",
+):
+    """readStream over JSONL shards → CorpusSink.
+
+    The stream is ``spark.readStream.text`` + PERMISSIVE ``from_json`` —
+    the streaming twin of ``sources.text_corpus.read_jsonl_corpus`` (same
+    schema, same quarantine semantics), so file tracking and offsets come
+    from the standard file source and the parse stays JVM-side.
+    """
+    sink = CorpusSink(spark=spark, out_dir=out_dir)
+    sink._fs.mkdirs(out_dir)
+    parsed = (
+        spark.readStream.text(input_dir)
+        .select(
+            F.from_json(
+                "value",
+                DOC_SCHEMA,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+            ).alias("__d")
+        )
+        .select("__d.*")
+    )
+    writer = parsed.writeStream.foreachBatch(sink.process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=flush_interval)
+    return writer.start(), sink

@@ -47,3 +47,73 @@ def test_jsonl_schema_never_inferred(spark, tmp_path):
     assert row.doc_id == 7 and row.lang is None
     assert "unexpected_key" not in clean.columns
     assert bad.count() == 0
+
+
+def test_streaming_corpus_builder_dedups_across_batches(spark, tmp_path):
+    """JSONL stream -> quarantine split -> incremental dedup against the
+    persistent hash index. Two runs over one checkpoint: the second run's
+    re-crawled content must be rejected, its genuinely-new content
+    admitted, and corrupt lines quarantined — never fatal, never admitted."""
+    import json as _json
+
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        corpus_docs,
+        run_corpus_pipeline,
+    )
+
+    in_dir, out_dir = tmp_path / "in", str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir.mkdir()
+
+    def doc(i, text):
+        return _json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "web",
+             "n_chars": len(text)}
+        )
+
+    (in_dir / "shard0.jsonl").write_text(
+        "\n".join([doc(1, "alpha doc"), doc(2, "beta doc"),
+                   doc(3, "alpha doc"),          # in-batch dup: doc 1 keeps
+                   "{truncated garbage"]) + "\n"
+    )
+    q, _ = run_corpus_pipeline(spark, str(in_dir), out_dir, ckpt)
+    q.awaitTermination(120)
+    got = {r.doc_id: r.text for r in corpus_docs(spark, out_dir).collect()}
+    assert got == {1: "alpha doc", 2: "beta doc"}
+
+    # second crawl increment: one re-crawl (rejected), one new (admitted)
+    (in_dir / "shard1.jsonl").write_text(
+        "\n".join([doc(9, "alpha doc"), doc(10, "gamma doc")]) + "\n"
+    )
+    q, _ = run_corpus_pipeline(spark, str(in_dir), out_dir, ckpt)
+    q.awaitTermination(120)
+    got = {r.doc_id: r.text for r in corpus_docs(spark, out_dir).collect()}
+    assert got == {1: "alpha doc", 2: "beta doc", 10: "gamma doc"}
+    # every admitted text is unique — the corpus invariant
+    texts = [r.text for r in corpus_docs(spark, out_dir).collect()]
+    assert len(texts) == len(set(texts))
+    # quarantine captured the bad line verbatim
+    bad = spark.read.parquet(str(tmp_path / "out" / "_quarantine")).collect()
+    assert any("truncated" in r[0] for r in bad)
+
+
+def test_corpus_batch_replay_does_not_self_reject(spark, tmp_path):
+    """At-least-once replay: a re-run epoch must not see its own crashed
+    attempt's index hashes, or it would reject its own documents and
+    overwrite the epoch with nothing."""
+    from substreams_sink_parquet_spark.sources.text_corpus import CORRUPT_COL
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        CorpusSink,
+        corpus_docs,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "alpha doc", "en", "web", 9, None),
+         (2, "beta doc", "en", "web", 8, None)],
+        f"doc_id long, text string, lang string, source string, n_chars long, {CORRUPT_COL} string",
+    )
+    sink = CorpusSink(spark=spark, out_dir=str(tmp_path / "out"))
+    sink.process_batch(batch, 0)
+    sink.process_batch(batch, 0)  # replay after simulated crash
+    got = {r.doc_id for r in corpus_docs(spark, str(tmp_path / "out")).collect()}
+    assert got == {1, 2}
