@@ -224,6 +224,25 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus(args: argparse.Namespace) -> int:
+    """Streaming corpus builder: drain JSONL shards from a staging dir into
+    an exact-deduped corpus lake (quarantined bad lines, persistent hash
+    index — streaming/corpus_stream.py). Re-runnable: the checkpoint
+    resumes file tracking; re-crawled content is rejected by the index."""
+    from .streaming.corpus_stream import corpus_docs, run_corpus_pipeline
+
+    spark = get_spark("corpus-build")
+    query, _sink = run_corpus_pipeline(
+        spark, args.input_dir, args.store_url, args.checkpoint,
+        available_now=not args.follow,
+        flush_interval=args.flush_interval,
+    )
+    query.awaitTermination()
+    n = corpus_docs(spark, args.store_url).count()
+    print(f"corpus OK: {n} admitted documents in {args.store_url}")
+    return 0
+
+
 def cmd_setup(args: argparse.Namespace) -> int:
     """Probe round-trip (setup.go:31-66): write → read-back-compare → delete."""
     spark = get_spark("sink-setup")
@@ -331,6 +350,17 @@ def main(argv: list[str] | None = None) -> int:
     compact_p.add_argument("--min-files", type=int, default=2)
     compact_p.add_argument("--compression", default="zstd")
     compact_p.set_defaults(fn=cmd_compact)
+
+    corpus_p = sub.add_parser(
+        "corpus", help="build an exact-deduped text corpus from JSONL shards"
+    )
+    corpus_p.add_argument("input_dir", help="staging dir of JSONL shards")
+    corpus_p.add_argument("store_url", help="corpus lake root")
+    corpus_p.add_argument("--checkpoint", required=True)
+    corpus_p.add_argument("--follow", action="store_true",
+                          help="keep running (micro-batch) instead of drain-and-stop")
+    corpus_p.add_argument("--flush-interval", default="1 second")
+    corpus_p.set_defaults(fn=cmd_corpus)
 
     query_p = sub.add_parser("query", help="run SQL over a sink lake")
     query_p.add_argument("sql")

@@ -232,3 +232,22 @@ def test_cli_run_round3_flags(tmp_path, spark):
     assert os.path.exists(
         os.path.join(out_dir, "transfers", "000000-000010.parquet")
     )
+
+
+def test_cli_corpus_build(tmp_path, spark, capsys):
+    import json
+
+    in_dir = tmp_path / "shards"
+    in_dir.mkdir()
+    lines = [
+        json.dumps({"doc_id": i, "text": t, "lang": "en", "source": "web",
+                    "n_chars": len(t)})
+        for i, t in [(1, "one doc"), (2, "two doc"), (3, "one doc")]
+    ]
+    (in_dir / "s0.jsonl").write_text("\n".join(lines) + "\n")
+    rc = main([
+        "corpus", str(in_dir), str(tmp_path / "corpus"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+    ])
+    assert rc == 0
+    assert "2 admitted documents" in capsys.readouterr().out
