@@ -494,16 +494,21 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = edges.select(F.col("a").alias("doc_id")).distinct().withColumn(
         "canonical", F.col("doc_id")
     ).cache()
+    cached = labels  # the round's cache handle (labels may be a projection)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc_id)
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("canonical").alias("nbr_min"))
         )
-        new_labels = (
+        # the candidate frame carries BOTH labels so fixpoint detection is a
+        # filter over this round's cache, not an extra join against the
+        # previous labels — one join per round instead of two
+        cand = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("canonical").alias("old_canonical"),
                 F.least(F.col("canonical"), F.coalesce("nbr_min", "canonical")).alias(
                     "canonical"
                 ),
@@ -511,14 +516,13 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .cache()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.canonical") != F.col("o.canonical"))
+            cand.filter(F.col("canonical") != F.col("old_canonical"))
             .limit(1)
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
+        cached.unpersist()
+        cached = cand
+        labels = cand.select("doc_id", "canonical")
         if changed == 0:
             break
     edges.unpersist()
