@@ -167,7 +167,7 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     ``n_sh`` counts post-filter shingles, matching the oracle's
     sizes-from-filtered-sh definition.
     """
-    sh = word_shingles(docs.select("doc_id", "text"), n=n)
+    sh = word_shingles(spread_if_narrow(docs.select("doc_id", "text")), n=n)
     if max_doc_freq is not None:
         sh = (
             sh.withColumn(
@@ -663,7 +663,7 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gram itself (cardinality scales with corpus, no hot key)",
 )
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread_if_narrow(load(spark, sf_dir, "documents").select("doc_id", "text"))
     words = F.split("text", " ")
     n = 8
     grams = F.transform(

@@ -175,7 +175,12 @@ def test_jaccard_single_explode_no_join_no_broadcast(spark, sf_dir):
     assert rep.broadcast_joins + rep.sortmerge_joins + rep.hash_joins == 0, rep.text
     assert not rep.has_cartesian
     assert rep.text.count("(1) Scan parquet") == 1  # documents scanned once
-    assert rep.shuffle_exchanges <= 4, rep.text
+    # the gated spread_if_narrow adds ONE round-robin exchange on this
+    # single-file fixture; at cluster scale the gate is an identity (pinned
+    # by test_neardup_spread_gated_on_partition_count), so the scale plan
+    # budget stays 4 key-partitioned exchanges
+    spread_rr = 1 if "roundrobinpartitioning" in rep.text.lower() else 0
+    assert rep.shuffle_exchanges - spread_rr <= 4, rep.text
 
 
 def test_chunking_is_map_only(spark, sf_dir):
