@@ -483,12 +483,21 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.7,
     """
     if keep_policy not in ("central", "edge"):
         raise ValueError(f"keep_policy must be 'central' or 'edge', got {keep_policy!r}")
+    from .dedup import spread_if_narrow
+
     cents = ivf_centroids(embeddings, n_centroids=n_centroids,
                           refine_iters=refine_iters)
+    # the quantizer pass is CPU-bound interpreted-HOF work; spread an
+    # under-partitioned scan so it uses every core (identity at scale)
+    embeddings = spread_if_narrow(embeddings)
+    # assigned feeds BOTH pair-join sides and the final keep join; persist
+    # materializes the (interpreted-HOF) quantizer pass once instead of
+    # three times. At 100 TB the same move is writing the assignment out
+    # bucketed by cent_id — an explicitly materialized, reusable index.
     assigned = _nearest_centroid(
         embeddings.select("vec_id", "embedding"), cents, "embedding",
         keep=["vec_id", "embedding"], with_score=True,
-    ).withColumn("cent_cos6", F.round("cent_cos", 6))
+    ).withColumn("cent_cos6", F.round("cent_cos", 6)).persist()
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
         F.col("cent_cos6").alias("cc_a"), "cent_id",
