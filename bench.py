@@ -133,7 +133,7 @@ def bench_sink(spark) -> float:
             .collect()
         ]
 
-        # best-of-2 each, like the query timings: the whole measured job is
+        # best-of-3 each, like the query timings: the whole measured job is
         # ~2-3 s, where one GC pause or scheduler hiccup is a 30% swing
         def run_plain(out_dir: str) -> float:
             os.makedirs(out_dir)
@@ -177,10 +177,10 @@ def bench_sink(spark) -> float:
             return SINK_BLOCKS / (time.time() - t0)
 
         rate_plain = round(max(
-            run_plain(os.path.join(work, f"out{i}")) for i in range(2)
+            run_plain(os.path.join(work, f"out{i}")) for i in range(3)
         ), 1)
         rate_exploded = round(max(
-            run_exploded(os.path.join(work, f"out_ex{i}")) for i in range(2)
+            run_exploded(os.path.join(work, f"out_ex{i}")) for i in range(3)
         ), 1)
         return rate_plain, rate_exploded
     finally:

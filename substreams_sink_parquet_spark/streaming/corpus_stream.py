@@ -123,3 +123,80 @@ def run_corpus_pipeline(
     else:
         writer = writer.trigger(processingTime=flush_interval)
     return writer.start(), sink
+
+
+# -- index maintenance ------------------------------------------------------
+
+_MANIFEST = "_MERGED.json"
+COMPACTED_EPOCH = -1
+
+
+def _commit_index_compact(fs: HadoopFS, index_root: str, srcs: list[str]) -> None:
+    """Swap a fully-written ``_compact`` dir into ``epoch=-1``. Idempotent
+    from any crash point (same write-ahead protocol as
+    sink/maintenance.py:_commit_compact): deletes are no-ops on missing
+    dirs and the manifest pins the exact source set. Duplicated hashes
+    during the swap window are harmless — the index feeds a LEFT ANTI
+    join, for which membership is idempotent."""
+    tmp = url_join(index_root, "_compact")
+    for src in srcs:
+        fs.delete(url_join(index_root, src), recursive=True)
+    dst = url_join(index_root, f"epoch={COMPACTED_EPOCH}")
+    fs.rename(tmp, dst)
+    fs.delete(url_join(dst, _MANIFEST), recursive=False)
+
+
+def recover_index_compact(fs: HadoopFS, out_dir: str) -> str | None:
+    """Repair a ``_compact`` leftover from a crashed compact_index run:
+    with a manifest the write finished — re-run its commit; without one it
+    never committed and its sources are intact — drop it."""
+    import json
+
+    index_root = url_join(out_dir, "_index")
+    tmp = url_join(index_root, "_compact")
+    if not fs.exists(tmp):
+        return None
+    manifest = url_join(tmp, _MANIFEST)
+    if fs.exists(manifest):
+        srcs = json.loads(fs.read_bytes(manifest))["sources"]
+        _commit_index_compact(fs, index_root, srcs)
+        return "committed"
+    fs.delete(tmp, recursive=True)
+    return "dropped"
+
+
+def compact_index(spark: SparkSession, out_dir: str, min_epochs: int = 2) -> bool:
+    """Merge the corpus hash index's per-batch epoch dirs into one
+    ``epoch=-1`` dir. A long-running corpus build accumulates one small
+    index file set per micro-batch — the classic small-file pathology; at
+    scale, run this on a cadence (and write the result bucketed by hash so
+    the anti join co-locates — layout.py). Run ONLY against a stopped
+    stream, the same single-writer discipline as sink compaction.
+
+    Crash-safe: data + a manifest naming the merged sources land in
+    ``_compact`` first; the commit phase (delete sources, rename into
+    place) is idempotent and re-runnable via ``recover_index_compact``,
+    which is also invoked automatically here."""
+    import json
+
+    fs = HadoopFS(spark, out_dir)
+    recover_index_compact(fs, out_dir)
+    index_root = url_join(out_dir, "_index")
+    if not fs.exists(index_root):
+        return False
+    epochs = sorted(e for e in fs.listdir(index_root) if e.startswith("epoch="))
+    if len(epochs) < min_epochs:
+        return False
+    merged = (
+        spark.read.parquet(*[url_join(index_root, e) for e in epochs])
+        .select("text_hash")
+        .distinct()
+    )
+    tmp = url_join(index_root, "_compact")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs.write_bytes(
+        url_join(tmp, _MANIFEST),
+        json.dumps({"sources": epochs}).encode(),
+    )
+    _commit_index_compact(fs, index_root, epochs)
+    return True

@@ -117,3 +117,50 @@ def test_corpus_batch_replay_does_not_self_reject(spark, tmp_path):
     sink.process_batch(batch, 0)  # replay after simulated crash
     got = {r.doc_id for r in corpus_docs(spark, str(tmp_path / "out")).collect()}
     assert got == {1, 2}
+
+
+def test_compact_index_merges_epochs_and_dedup_still_works(spark, tmp_path):
+    from substreams_sink_parquet_spark.fsio import HadoopFS
+    from substreams_sink_parquet_spark.sources.text_corpus import CORRUPT_COL
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        CorpusSink,
+        compact_index,
+        corpus_docs,
+        recover_index_compact,
+    )
+
+    ddl = (f"doc_id long, text string, lang string, source string, "
+           f"n_chars long, {CORRUPT_COL} string")
+    out = str(tmp_path / "out")
+    sink = CorpusSink(spark=spark, out_dir=out)
+    sink.process_batch(
+        spark.createDataFrame([(1, "aa", "en", "w", 2, None)], ddl), 0
+    )
+    sink.process_batch(
+        spark.createDataFrame([(2, "bb", "en", "w", 2, None)], ddl), 1
+    )
+    assert compact_index(spark, out) is True
+    fs = HadoopFS(spark, out)
+    index_root = f"{tmp_path}/out/_index"
+    assert sorted(
+        e for e in fs.listdir(out + "/_index") if e.startswith("epoch=")
+    ) == ["epoch=-1"]
+    # the compacted index still rejects re-crawled content
+    sink.process_batch(
+        spark.createDataFrame(
+            [(9, "aa", "en", "w", 2, None), (10, "cc", "en", "w", 2, None)], ddl
+        ),
+        2,
+    )
+    got = {r.doc_id for r in corpus_docs(spark, out).collect()}
+    assert got == {1, 2, 10}
+    # crash recovery: a tmp WITHOUT a manifest is an uncommitted partial
+    # write — dropped, sources intact
+    fs.mkdirs(out + "/_index/_compact")
+    assert recover_index_compact(fs, out) == "dropped"
+    assert not fs.exists(out + "/_index/_compact")
+    # a tmp WITH a manifest finished its write — commit is re-run: the
+    # freshly compacted data replaces the named sources
+    assert compact_index(spark, out) is True  # merge epoch=-1 + epoch=2
+    got = {r.text_hash for r in spark.read.parquet(out + "/_index").collect()}
+    assert len(got) == 3  # aa, bb, cc — nothing lost across compactions
