@@ -542,3 +542,170 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.7,
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=0.4, n_centroids=16)
+
+
+# -- Product quantization (PQ) ANN -----------------------------------------
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    d = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def pq_codebooks(embeddings: DataFrame, dim: int, m: int = 8, k: int = 16,
+                 vec_col: str = "embedding",
+                 refine_iters: int = 1) -> list[list[list[float]]]:
+    """``codebooks[s][j]`` = centroid j of subspace s — the PQ "model",
+    m x k x (dim/m) = k x dim floats, driver-resident like the IVF
+    quantizer (the part of a PQ index that is supposed to be tiny and
+    live everywhere).
+
+    Seeds are the sub-vectors of the k lowest-vec_id rows (deterministic —
+    a seeded TABLESAMPLE at 100 TB); each Lloyd iteration refines ALL
+    subspaces in ONE exploded pass: (s, subvec) rows → map-only nearest-code
+    assignment against the 3-D codebook literal → per-(s, code, dim) means
+    whose exchange is m*k*dsub rows, independent of corpus size.
+    """
+    dsub = dim // m
+    seed_rows = (
+        embeddings.orderBy("vec_id").limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    cbs = [
+        [list(r.v[s * dsub:(s + 1) * dsub]) for r in seed_rows]
+        for s in range(m)
+    ]
+    subs = embeddings.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(F.col(vec_col).cast("array<double>"),
+                                  s * dsub + 1, dsub),
+            )
+        ).alias("s", "sub")
+    )
+    for _ in range(refine_iters):
+        lit3 = F.lit(cbs)
+        cands = F.zip_with(
+            F.element_at(lit3, F.col("s") + 1),
+            F.lit(list(range(k))),
+            lambda c, j: F.struct(_l2sq(F.col("sub"), c).alias("d"),
+                                  j.alias("j")),
+        )
+        assigned = subs.select(
+            "s", "sub",
+            F.element_at(F.array_sort(cands), 1)["j"].alias("code"),
+        )
+        rows = (
+            assigned.select("s", "code", F.posexplode("sub").alias("pos", "v"))
+            .groupBy("s", "code", "pos")
+            .agg(F.avg("v").alias("mv"))
+            .groupBy("s", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda t: t["mv"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        for r in rows:  # codes with no members keep their seed
+            cbs[r.s][r.code] = list(r.cv)
+    return cbs
+
+
+def pq_encode(embeddings: DataFrame, cbs: list[list[list[float]]],
+              vec_col: str = "embedding", keep: list[str] = ["vec_id"]) -> DataFrame:
+    """MAP-ONLY: compress each vector to m code indices (m bytes at k<=256
+    vs 4*dim raw — the 32x shrink that lets a 100 TB ANN corpus live in
+    executor memory as codes). No shuffle; the codebook ships as one 3-D
+    literal."""
+    m, k = len(cbs), len(cbs[0])
+    dsub = len(cbs[0][0])
+    lit3 = F.lit(cbs)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.element_at(
+            F.array_sort(
+                F.zip_with(
+                    F.element_at(lit3, s + 1),
+                    F.lit(list(range(k))),
+                    lambda c, j: F.struct(
+                        _l2sq(
+                            F.slice(F.col(vec_col).cast("array<double>"),
+                                    s * dsub + 1, dsub),
+                            c,
+                        ).alias("d"),
+                        j.alias("j"),
+                    ),
+                )
+            ),
+            1,
+        )["j"],
+    )
+    return embeddings.select(*keep, codes.alias("codes"))
+
+
+def pq_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+            m: int = 8, n_codes: int = 16) -> DataFrame:
+    """Approximate top-k via PQ + asymmetric distance computation (ADC).
+
+    The corpus is encoded once (map-only; at scale the codes table is the
+    persisted index — 8 bytes/vector); each query computes its m x n_codes
+    distance table AS A COLUMN (JVM expressions over the codebook literal,
+    no driver-side math) and broadcasts; scoring a corpus row is m table
+    lookups — never a full-dimension distance. The corpus is never
+    shuffled; ranking is a per-query window, exactly the cosine_topk
+    shape. Output mirrors the other ANN operators: (q_id, neighbor_id,
+    rank), rank by ascending ADC distance."""
+    cbs = pq_codebooks(embeddings, dim=dim, m=m, k=n_codes)
+    from .dedup import spread_if_narrow
+
+    corpus = pq_encode(spread_if_narrow(embeddings.select("vec_id", "embedding")), cbs)
+    dsub = dim // m
+    lit3 = F.lit(cbs)
+    dt = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.element_at(lit3, s + 1),
+            lambda c: _l2sq(
+                F.slice(F.col("q_vec").cast("array<double>"), s * dsub + 1, dsub),
+                c,
+            ),
+        ),
+    )
+    probes = queries.select("q_id", dt.alias("dt"))
+    joined = corpus.join(F.broadcast(probes), corpus.vec_id != probes.q_id)
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("dt"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        ),
+    )
+    scored = joined.select("q_id", "vec_id", score.alias("adc"))
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+@register(
+    "q_sim_topk_pq",
+    None,  # approximate: code recall is quantizer-specific → rows-only
+    doc="Product-quantization ANN (m=8 subspaces, 16 codes each, ADC "
+        "scoring): corpus compressed 32x to code arrays, per-query "
+        "distance-table lookups instead of full-dimension math — the "
+        "memory-side scale path that complements IVF's compute-side one",
+)
+def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return pq_topk(emb, queries, dim=embedding_dim(spark, sf_dir), k=5)

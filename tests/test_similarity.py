@@ -156,3 +156,32 @@ def test_semantic_dedup_prunes_only_paired_rows(spark, sf_dir):
         for x in (r.id_a, r.id_b)
     }
     assert pruned <= paired_rows
+
+
+def test_pq_adc_recall_floor_and_determinism(spark, sf_dir):
+    """PQ/ADC is the memory-side approximation: 16 codes per subspace on
+    near-orthogonal SYNTHETIC vectors is a hard regime (real clustered
+    embeddings quantize far better), and ADC ranks by L2 while the ground
+    truth ranks by cosine — so the floor is deliberately conservative."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = _queries(emb)
+    dim = S.embedding_dim(spark, sf_dir)
+    exact = {(r.q_id, r.neighbor_id) for r in S.cosine_topk(emb, qs, 5).collect()}
+    pq = {(r.q_id, r.neighbor_id) for r in S.pq_topk(emb, qs, dim=dim, k=5).collect()}
+    assert len(pq & exact) / len(exact) >= 0.15
+    pq2 = {(r.q_id, r.neighbor_id) for r in S.pq_topk(emb, qs, dim=dim, k=5).collect()}
+    assert pq == pq2  # seeded codebooks => reproducible index
+
+
+def test_pq_encode_is_map_only_with_valid_codes(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    dim = S.embedding_dim(spark, sf_dir)
+    cbs = S.pq_codebooks(emb, dim=dim, m=8, k=16, refine_iters=0)
+    encoded = S.pq_encode(emb, cbs)
+    rep = plan_report(encoded)
+    assert rep.shuffle_exchanges == 0, rep.text  # pure compression pass
+    rows = encoded.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
