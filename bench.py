@@ -54,6 +54,7 @@ EXTENDED = [
     "q_decontaminate",
     "q_text_perplexity",
     "q_pipeline_pretrain",
+    "q_sim_topk_pq",
 ]
 
 
