@@ -243,6 +243,17 @@ def cmd_corpus(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus_compact(args: argparse.Namespace) -> int:
+    """Merge the corpus hash index's per-batch epoch dirs into one
+    (crash-safe manifest swap; run against a STOPPED corpus stream)."""
+    from .streaming.corpus_stream import compact_index
+
+    spark = get_spark("corpus-compact")
+    did = compact_index(spark, args.store_url, min_epochs=args.min_epochs)
+    print(f"corpus-compact OK: {'merged' if did else 'nothing to do'} in {args.store_url}")
+    return 0
+
+
 def cmd_setup(args: argparse.Namespace) -> int:
     """Probe round-trip (setup.go:31-66): write → read-back-compare → delete."""
     spark = get_spark("sink-setup")
@@ -361,6 +372,13 @@ def main(argv: list[str] | None = None) -> int:
                           help="keep running (micro-batch) instead of drain-and-stop")
     corpus_p.add_argument("--flush-interval", default="1 second")
     corpus_p.set_defaults(fn=cmd_corpus)
+
+    ccompact_p = sub.add_parser(
+        "corpus-compact", help="merge the corpus index's epoch dirs (stopped stream)"
+    )
+    ccompact_p.add_argument("store_url", help="corpus lake root")
+    ccompact_p.add_argument("--min-epochs", type=int, default=2)
+    ccompact_p.set_defaults(fn=cmd_corpus_compact)
 
     query_p = sub.add_parser("query", help="run SQL over a sink lake")
     query_p.add_argument("sql")

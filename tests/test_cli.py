@@ -251,3 +251,20 @@ def test_cli_corpus_build(tmp_path, spark, capsys):
     ])
     assert rc == 0
     assert "2 admitted documents" in capsys.readouterr().out
+
+
+def test_cli_corpus_compact(tmp_path, spark, capsys):
+    from substreams_sink_parquet_spark.sources.text_corpus import CORRUPT_COL
+    from substreams_sink_parquet_spark.streaming.corpus_stream import CorpusSink
+
+    ddl = (f"doc_id long, text string, lang string, source string, "
+           f"n_chars long, {CORRUPT_COL} string")
+    out = str(tmp_path / "corpus")
+    sink = CorpusSink(spark=spark, out_dir=out)
+    sink.process_batch(spark.createDataFrame([(1, "aa", "en", "w", 2, None)], ddl), 0)
+    sink.process_batch(spark.createDataFrame([(2, "bb", "en", "w", 2, None)], ddl), 1)
+    assert main(["corpus-compact", out]) == 0
+    assert "merged" in capsys.readouterr().out
+    assert sorted(
+        e for e in os.listdir(f"{out}/_index") if e.startswith("epoch=")
+    ) == ["epoch=-1"]
