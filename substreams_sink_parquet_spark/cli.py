@@ -236,6 +236,8 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         spark, args.input_dir, args.store_url, args.checkpoint,
         available_now=not args.follow,
         flush_interval=args.flush_interval,
+        near_dup=args.near_dup,
+        neardup_threshold=args.neardup_threshold,
     )
     query.awaitTermination()
     n = corpus_docs(spark, args.store_url).count()
@@ -371,6 +373,9 @@ def main(argv: list[str] | None = None) -> int:
     corpus_p.add_argument("--follow", action="store_true",
                           help="keep running (micro-batch) instead of drain-and-stop")
     corpus_p.add_argument("--flush-interval", default="1 second")
+    corpus_p.add_argument("--near-dup", action="store_true",
+                          help="also reject MinHash near-duplicates of the corpus")
+    corpus_p.add_argument("--neardup-threshold", type=float, default=0.5)
     corpus_p.set_defaults(fn=cmd_corpus)
 
     ccompact_p = sub.add_parser(

@@ -304,20 +304,16 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> Dat
     return sh.groupBy("doc_id").agg(*aggs).select("doc_id", sig.alias("sig"))
 
 
-def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
-                      bands: int = 8, threshold: float = 0.5) -> DataFrame:
-    """Candidate near-dup pairs via banded LSH, verified with signature overlap.
-
-    bands=8 × rows=4 over 32 hashes → s-curve threshold ≈ (1/8)^(1/4) ≈ 0.6.
-    The band join partitions on (band_id, band_hash): high cardinality, no
-    skew concentration, no pairwise blow-up outside candidate buckets.
-    """
+def banded_minhash(docs: DataFrame, n: int = 3, num_hashes: int = 32,
+                   bands: int = 8) -> DataFrame:
+    """(doc_id, sig, band_id, band_hash) band rows — the unit a MinHash-LSH
+    index stores and the key its candidate joins partition on. Signature
+    computation is CPU-bound, so a narrow (id, text) projection spreads
+    across all cores when the input arrives under-partitioned."""
     rows = num_hashes // bands
-    # signature computation is CPU-bound: spread a narrow (id, text)
-    # projection across all cores — but only if the input is under-partitioned
     docs = spread_if_narrow(docs.select("doc_id", "text"))
     sigs = minhash_signatures(docs, n=n, num_hashes=num_hashes)
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         "sig",
         F.posexplode(
@@ -327,6 +323,80 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
             ])
         ).alias("band_id", "band_hash"),
     )
+
+
+def _sig_overlap_est(sig_a, sig_b, num_hashes: int):
+    """Estimated Jaccard from two MinHash signatures (fraction of agreeing
+    permutation minima)."""
+    return F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(num_hashes)
+
+
+def incremental_neardup(new_docs: DataFrame, band_index: DataFrame,
+                        n: int = 3, num_hashes: int = 32, bands: int = 8,
+                        threshold: float = 0.5) -> DataFrame:
+    """Admit only new-batch docs that are a near-duplicate of NEITHER the
+    existing corpus NOR an earlier (lower doc_id) doc in the same batch —
+    the fuzzy twin of :func:`incremental_dedup`, for re-crawls that arrive
+    slightly edited (boilerplate drift, timestamps, typo fixes) and so slip
+    past the exact hash.
+
+    ``band_index`` holds (band_id, band_hash, sig) rows of already-admitted
+    documents — signatures, never text, so the index is ~2 KB/doc at 32
+    hashes x 8 bands and the join moves digests only. Candidates come from
+    the banded join on (band_id, band_hash) — high-cardinality key, no
+    pairwise blow-up outside buckets — and every candidate is verified by
+    signature-overlap estimate >= threshold before it rejects anything.
+
+    Returns the admitted docs' band rows (doc_id, sig, band_id, band_hash):
+    exactly what the caller appends to the index.
+    """
+    batch = banded_minhash(new_docs, n=n, num_hashes=num_hashes, bands=bands)
+    hit_corpus = (
+        batch.alias("a")
+        .join(
+            band_index.alias("x"),
+            (F.col("a.band_id") == F.col("x.band_id"))
+            & (F.col("a.band_hash") == F.col("x.band_hash")),
+        )
+        .filter(
+            _sig_overlap_est(F.col("a.sig"), F.col("x.sig"), num_hashes)
+            >= threshold
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    hit_batch = (
+        batch.alias("a")
+        .join(
+            batch.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),  # keep the lower id
+        )
+        .filter(
+            _sig_overlap_est(F.col("a.sig"), F.col("b.sig"), num_hashes)
+            >= threshold
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    rejected = hit_corpus.unionByName(hit_batch).distinct()
+    return batch.join(rejected, "doc_id", "left_anti")
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
+                      bands: int = 8, threshold: float = 0.5) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, verified with signature overlap.
+
+    bands=8 × rows=4 over 32 hashes → s-curve threshold ≈ (1/8)^(1/4) ≈ 0.6.
+    The band join partitions on (band_id, band_hash): high cardinality, no
+    skew concentration, no pairwise blow-up outside candidate buckets.
+    """
+    banded = banded_minhash(docs, n=n, num_hashes=num_hashes, bands=bands)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

@@ -39,12 +39,19 @@ from ..sources.text_corpus import CORRUPT_COL, DOC_SCHEMA, split_quarantine
 class CorpusSink:
     spark: SparkSession
     out_dir: str
+    # fuzzy second stage: reject docs that are near-duplicates (MinHash
+    # signature overlap >= neardup_threshold) of the already-admitted
+    # corpus — catches re-crawls that arrive slightly edited and so slip
+    # past the exact hash. The band index persists under
+    # ``_neardup_index/epoch={id}/`` with the same replay contract.
+    near_dup: bool = False
+    neardup_threshold: float = 0.5
 
     def __post_init__(self) -> None:
         self._fs = HadoopFS(self.spark, self.out_dir)
 
-    def _index_dirs(self, exclude_epoch: int) -> list[str]:
-        index_root = url_join(self.out_dir, "_index")
+    def _index_dirs(self, root_name: str, exclude_epoch: int) -> list[str]:
+        index_root = url_join(self.out_dir, root_name)
         if not self._fs.exists(index_root):
             return []
         return [
@@ -58,24 +65,65 @@ class CorpusSink:
         bad.write.mode("overwrite").parquet(
             url_join(self.out_dir, "_quarantine", f"epoch={epoch_id}")
         )
-        index_dirs = self._index_dirs(exclude_epoch=int(epoch_id))
+        index_dirs = self._index_dirs("_index", exclude_epoch=int(epoch_id))
         if index_dirs:
             index = self.spark.read.parquet(*index_dirs)
         else:
             index = self.spark.createDataFrame([], "text_hash string")
         # clean feeds the dedup (scan 1) and the admitted-doc join (scan 2);
         # without a persist the JSONL parse of the batch runs twice more
-        # than needed across the two write actions below
+        # than needed across the write actions below
         clean = clean.persist()
         try:
             admitted = incremental_dedup(clean, index)
             kept = clean.join(admitted.select("doc_id"), "doc_id")
-            kept.write.mode("overwrite").parquet(
-                url_join(self.out_dir, "docs", f"epoch={epoch_id}")
-            )
-            admitted.select("text_hash").write.mode("overwrite").parquet(
-                url_join(self.out_dir, "_index", f"epoch={epoch_id}")
-            )
+            if self.near_dup:
+                from ..llm.dedup import incremental_neardup
+
+                nd_dirs = self._index_dirs(
+                    "_neardup_index", exclude_epoch=int(epoch_id)
+                )
+                if nd_dirs:
+                    nd_index = self.spark.read.parquet(*nd_dirs)
+                else:
+                    nd_index = self.spark.createDataFrame(
+                        [], "band_id int, band_hash bigint, sig array<bigint>"
+                    )
+                nd_admitted = incremental_neardup(
+                    kept, nd_index, threshold=self.neardup_threshold
+                ).persist()
+                try:
+                    kept = kept.join(
+                        nd_admitted.select("doc_id").distinct(), "doc_id"
+                    ).persist()
+                    kept.write.mode("overwrite").parquet(
+                        url_join(self.out_dir, "docs", f"epoch={epoch_id}")
+                    )
+                    nd_admitted.select("band_id", "band_hash", "sig").write.mode(
+                        "overwrite"
+                    ).parquet(
+                        url_join(
+                            self.out_dir, "_neardup_index", f"epoch={epoch_id}"
+                        )
+                    )
+                    # the exact index records only FINALLY-admitted docs, so
+                    # a later exact re-crawl of a near-dup-rejected text is
+                    # itself re-screened by the near-dup stage, not the hash
+                    admitted.join(
+                        kept.select("doc_id"), "doc_id"
+                    ).select("text_hash").write.mode("overwrite").parquet(
+                        url_join(self.out_dir, "_index", f"epoch={epoch_id}")
+                    )
+                finally:
+                    nd_admitted.unpersist()
+                    kept.unpersist()
+            else:
+                kept.write.mode("overwrite").parquet(
+                    url_join(self.out_dir, "docs", f"epoch={epoch_id}")
+                )
+                admitted.select("text_hash").write.mode("overwrite").parquet(
+                    url_join(self.out_dir, "_index", f"epoch={epoch_id}")
+                )
         finally:
             clean.unpersist()
 
@@ -94,6 +142,8 @@ def run_corpus_pipeline(
     checkpoint_dir: str,
     available_now: bool = True,
     flush_interval: str = "1 second",
+    near_dup: bool = False,
+    neardup_threshold: float = 0.5,
 ):
     """readStream over JSONL shards → CorpusSink.
 
@@ -102,7 +152,10 @@ def run_corpus_pipeline(
     schema, same quarantine semantics), so file tracking and offsets come
     from the standard file source and the parse stays JVM-side.
     """
-    sink = CorpusSink(spark=spark, out_dir=out_dir)
+    sink = CorpusSink(
+        spark=spark, out_dir=out_dir,
+        near_dup=near_dup, neardup_threshold=neardup_threshold,
+    )
     sink._fs.mkdirs(out_dir)
     parsed = (
         spark.readStream.text(input_dir)

@@ -164,3 +164,65 @@ def test_compact_index_merges_epochs_and_dedup_still_works(spark, tmp_path):
     assert compact_index(spark, out) is True  # merge epoch=-1 + epoch=2
     got = {r.text_hash for r in spark.read.parquet(out + "/_index").collect()}
     assert len(got) == 3  # aa, bb, cc — nothing lost across compactions
+
+
+def test_corpus_neardup_rejects_edited_recrawls(spark, tmp_path):
+    """The fuzzy second stage: a re-crawl with one word changed slips past
+    the exact hash but must be rejected by MinHash signature overlap
+    against the persistent band index; genuinely new text is admitted."""
+    from substreams_sink_parquet_spark.sources.text_corpus import CORRUPT_COL
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        CorpusSink,
+        corpus_docs,
+    )
+
+    ddl = (f"doc_id long, text string, lang string, source string, "
+           f"n_chars long, {CORRUPT_COL} string")
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "patient cat watches from the warm sunny windowsill nearby")
+    edited = base.replace("lazy", "crazy")  # 1 word of 20: J ~ 0.75
+    other = ("completely unrelated content about distributed query engines "
+             "and their shuffle partitioning strategies at large scale")
+
+    out = str(tmp_path / "out")
+    sink = CorpusSink(spark=spark, out_dir=out, near_dup=True)
+    sink.process_batch(
+        spark.createDataFrame([(1, base, "en", "w", len(base), None)], ddl), 0
+    )
+    sink.process_batch(
+        spark.createDataFrame(
+            [(5, edited, "en", "w", len(edited), None),
+             (6, other, "en", "w", len(other), None)],
+            ddl,
+        ),
+        1,
+    )
+    got = {r.doc_id for r in corpus_docs(spark, out).collect()}
+    assert got == {1, 6}
+    # replay safety: re-running an epoch must not self-reject via its own
+    # band index (or exact index) and must converge to the same corpus
+    sink.process_batch(
+        spark.createDataFrame(
+            [(5, edited, "en", "w", len(edited), None),
+             (6, other, "en", "w", len(other), None)],
+            ddl,
+        ),
+        1,
+    )
+    got = {r.doc_id for r in corpus_docs(spark, out).collect()}
+    assert got == {1, 6}
+
+
+def test_incremental_neardup_in_batch_keeps_lowest(spark):
+    from substreams_sink_parquet_spark.llm.dedup import incremental_neardup
+
+    # ~40 words, one changed => J ~ 0.92: band-collision probability
+    # ~1-(1-0.92^4)^8 > 0.999, and the hashes are deterministic
+    base = " ".join(f"word{i}" for i in range(40))
+    batch = spark.createDataFrame(
+        [(3, base.replace("word17", "other")), (7, base), (9, "x y z q w e r t")],
+        "doc_id long, text string",
+    )
+    empty = spark.createDataFrame([], "band_id int, band_hash bigint, sig array<bigint>")
+    got = {r.doc_id for r in incremental_neardup(batch, empty).select("doc_id").distinct().collect()}
+    assert got == {3, 9}  # 7 near-dups 3; the LOWER id wins
