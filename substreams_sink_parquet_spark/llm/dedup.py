@@ -836,3 +836,23 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 7 == 0),
         n=8,
     )
+
+
+@register(
+    "q_dedup_incremental_neardup",
+    None,  # banded candidate recall is hash-specific → rows-only
+    doc="Incremental near-dup admission: new batch (doc_id >= 350) checked "
+        "against the corpus's (doc_id < 350) MinHash band index — the "
+        "streaming corpus builder's fuzzy stage as a standalone query. "
+        "Returns one row per admitted doc (distinct over band rows)",
+)
+def q_dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    corpus_index = banded_minhash(docs.filter(F.col("doc_id") < 350)).select(
+        "band_id", "band_hash", "sig"
+    )
+    return (
+        incremental_neardup(docs.filter(F.col("doc_id") >= 350), corpus_index)
+        .select("doc_id")
+        .distinct()
+    )

@@ -709,3 +709,82 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return pq_topk(emb, queries, dim=embedding_dim(spark, sf_dir), k=5)
+
+
+def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+               n_centroids: int = 16, nprobe: int = 4, m: int = 8,
+               n_codes: int = 16) -> DataFrame:
+    """IVF-PQ: coarse cells bound the COMPUTE (only nprobe/n_centroids of
+    the corpus is scored per query), PQ codes bound the MEMORY (the scored
+    candidates are 8-byte code arrays, not raw vectors) — the composition
+    FAISS ships as its workhorse index, assembled here from the same two
+    parts (``ivf_centroids``/``_nearest_centroid`` and
+    ``pq_codebooks``/``pq_encode``) each half uses standalone.
+
+    Simplification vs FAISS: codes quantize the raw vectors, not the
+    per-cell residuals — residual encoding needs a per-cell codebook train
+    pass; the plan shape (map-only assign + encode, broadcast probe tables,
+    cell-pruned ADC scan, per-query window) is identical either way.
+    """
+    cents = ivf_centroids(embeddings, n_centroids=n_centroids)
+    cbs = pq_codebooks(embeddings, dim=dim, m=m, k=n_codes)
+    from .dedup import spread_if_narrow
+
+    spreaded = spread_if_narrow(embeddings.select("vec_id", "embedding"))
+    assigned = _nearest_centroid(
+        spreaded, cents, "embedding", keep=["vec_id", "embedding"]
+    )
+    corpus = pq_encode(assigned, cbs, keep=["vec_id", "cent_id"])
+    dsub = dim // m
+    lit3 = F.lit(cbs)
+    dt = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.element_at(lit3, s + 1),
+            lambda c: _l2sq(
+                F.slice(F.col("q_vec").cast("array<double>"), s * dsub + 1, dsub),
+                c,
+            ),
+        ),
+    )
+    probes = _nearest_centroid(
+        queries, cents, "q_vec", keep=["q_id", "q_vec"], nprobe=nprobe
+    ).select("q_id", F.col("cent_id").alias("p_cent"), dt.alias("dt"))
+    joined = corpus.join(
+        F.broadcast(probes),
+        (corpus.cent_id == probes.p_cent) & (corpus.vec_id != probes.q_id),
+    )
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("dt"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        ),
+    )
+    scored = (
+        joined.select("q_id", "vec_id", score.alias("adc"))
+        .dropDuplicates(["q_id", "vec_id"])  # nprobe cells may overlap
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+@register(
+    "q_sim_topk_ivfpq",
+    None,  # approximate: cell recall x code resolution → rows-only
+    doc="IVF-PQ ANN (16 cells, nprobe=4, 8x16 PQ codes, ADC): cell pruning "
+        "bounds compute, code compression bounds memory — the FAISS "
+        "workhorse composition from this module's own IVF and PQ halves",
+)
+def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivfpq_topk(emb, queries, dim=embedding_dim(spark, sf_dir), k=5)

@@ -185,3 +185,18 @@ def test_pq_encode_is_map_only_with_valid_codes(spark, sf_dir):
     for r in rows:
         assert len(r.codes) == 8
         assert all(0 <= c < 16 for c in r.codes)
+
+
+def test_ivfpq_recall_floor_and_subset_consistency(spark, sf_dir):
+    """IVF-PQ scores only the probed cells' candidates with the same ADC
+    as full-scan PQ: recall floor holds, and its results substantially
+    agree with full PQ (differences are only cell-pruning misses)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = _queries(emb)
+    dim = S.embedding_dim(spark, sf_dir)
+    exact = {(r.q_id, r.neighbor_id) for r in S.cosine_topk(emb, qs, 5).collect()}
+    got = [(r.q_id, r.neighbor_id) for r in S.ivfpq_topk(emb, qs, dim=dim, k=5).collect()]
+    assert len(set(got)) == len(got)  # overlapping nprobe cells deduped
+    assert len(set(got) & exact) / len(exact) >= 0.15
+    pq = {(r.q_id, r.neighbor_id) for r in S.pq_topk(emb, qs, dim=dim, k=5).collect()}
+    assert len(set(got) & pq) / len(pq) >= 0.5
