@@ -256,6 +256,22 @@ def cmd_corpus_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus_export(args: argparse.Namespace) -> int:
+    """Materialize a deduped corpus as deterministic training shards:
+    shard=N dirs sorted by the seeded shuffle key, so any trainer replays
+    the exact same document order (llm/sampling.py:export_training_shards)."""
+    from .llm.sampling import export_training_shards
+    from .streaming.corpus_stream import corpus_docs
+
+    spark = get_spark("corpus-export")
+    docs = corpus_docs(spark, args.store_url)
+    export_training_shards(
+        docs, args.out_dir, n_shards=args.shards, seed=args.seed
+    )
+    print(f"corpus-export OK: {args.shards} shards in {args.out_dir}")
+    return 0
+
+
 def cmd_setup(args: argparse.Namespace) -> int:
     """Probe round-trip (setup.go:31-66): write → read-back-compare → delete."""
     spark = get_spark("sink-setup")
@@ -384,6 +400,15 @@ def main(argv: list[str] | None = None) -> int:
     ccompact_p.add_argument("store_url", help="corpus lake root")
     ccompact_p.add_argument("--min-epochs", type=int, default=2)
     ccompact_p.set_defaults(fn=cmd_corpus_compact)
+
+    cexport_p = sub.add_parser(
+        "corpus-export", help="write the corpus as deterministic training shards"
+    )
+    cexport_p.add_argument("store_url", help="corpus lake root")
+    cexport_p.add_argument("out_dir", help="shard output root")
+    cexport_p.add_argument("--shards", type=int, default=64)
+    cexport_p.add_argument("--seed", type=int, default=42)
+    cexport_p.set_defaults(fn=cmd_corpus_export)
 
     query_p = sub.add_parser("query", help="run SQL over a sink lake")
     query_p.add_argument("sql")

@@ -268,3 +268,28 @@ def test_cli_corpus_compact(tmp_path, spark, capsys):
     assert sorted(
         e for e in os.listdir(f"{out}/_index") if e.startswith("epoch=")
     ) == ["epoch=-1"]
+
+
+def test_cli_corpus_export(tmp_path, spark, capsys):
+    import json
+
+    in_dir = tmp_path / "shards_in"
+    in_dir.mkdir()
+    lines = [
+        json.dumps({"doc_id": i, "text": f"doc number {i} body", "lang": "en",
+                    "source": "web", "n_chars": 18})
+        for i in range(6)
+    ]
+    (in_dir / "s0.jsonl").write_text("\n".join(lines) + "\n")
+    assert main([
+        "corpus", str(in_dir), str(tmp_path / "corpus"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+    ]) == 0
+    assert main([
+        "corpus-export", str(tmp_path / "corpus"), str(tmp_path / "shards_out"),
+        "--shards", "4",
+    ]) == 0
+    assert "4 shards" in capsys.readouterr().out
+    got = spark.read.parquet(str(tmp_path / "shards_out"))
+    assert got.count() == 6
+    assert {r.shard for r in got.select("shard").distinct().collect()} <= set(range(4))

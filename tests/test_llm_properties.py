@@ -148,3 +148,14 @@ def test_bigram_lm_score_ranks_common_phrasing_as_fluent(spark):
     assert rows[1]["n_bigrams"] == 5
     # identical docs score identically (determinism across partitions)
     assert rows[1]["neg_avg_logprob"] == rows[9]["neg_avg_logprob"]
+
+
+def test_decontaminate_empty_eval_set_flags_nothing(spark):
+    from substreams_sink_parquet_spark.llm.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "eight words are needed here for one gram")],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame([], "doc_id long, text string")
+    assert decontaminate(train, eval_set, n=8).count() == 0

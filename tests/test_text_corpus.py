@@ -226,3 +226,22 @@ def test_incremental_neardup_in_batch_keeps_lowest(spark):
     empty = spark.createDataFrame([], "band_id int, band_hash bigint, sig array<bigint>")
     got = {r.doc_id for r in incremental_neardup(batch, empty).select("doc_id").distinct().collect()}
     assert got == {3, 9}  # 7 near-dups 3; the LOWER id wins
+
+
+def test_corpus_empty_batch_is_harmless(spark, tmp_path):
+    from substreams_sink_parquet_spark.sources.text_corpus import CORRUPT_COL
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        CorpusSink,
+        corpus_docs,
+    )
+
+    ddl = (f"doc_id long, text string, lang string, source string, "
+           f"n_chars long, {CORRUPT_COL} string")
+    out = str(tmp_path / "out")
+    sink = CorpusSink(spark=spark, out_dir=out, near_dup=True)
+    sink.process_batch(spark.createDataFrame([], ddl), 0)  # empty first batch
+    sink.process_batch(
+        spark.createDataFrame([(1, "some doc text here", "en", "w", 18, None)], ddl), 1
+    )
+    sink.process_batch(spark.createDataFrame([], ddl), 2)  # empty later batch
+    assert {r.doc_id for r in corpus_docs(spark, out).collect()} == {1}
