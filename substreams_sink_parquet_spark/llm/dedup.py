@@ -309,9 +309,19 @@ def banded_minhash(docs: DataFrame, n: int = 3, num_hashes: int = 32,
     """(doc_id, sig, band_id, band_hash) band rows — the unit a MinHash-LSH
     index stores and the key its candidate joins partition on. Signature
     computation is CPU-bound, so a narrow (id, text) projection spreads
-    across all cores when the input arrives under-partitioned."""
+    across all cores when the input arrives under-partitioned.
+
+    Docs with NO n-word shingle (fewer than n words) are EXCLUDED: their
+    signature would be the all-sentinel vector, so every such doc would
+    band-collide and "overlap" 100% with every other — two completely
+    different two-word titles must not be near-duplicates of each other.
+    Short docs are exact-dedup territory; MinHash has nothing to measure."""
     rows = num_hashes // bands
-    docs = spread_if_narrow(docs.select("doc_id", "text"))
+    docs = spread_if_narrow(
+        docs.select("doc_id", "text").filter(
+            F.size(F.split("text", " ")) >= n
+        )
+    )
     sigs = minhash_signatures(docs, n=n, num_hashes=num_hashes)
     return sigs.select(
         "doc_id",
@@ -351,10 +361,19 @@ def incremental_neardup(new_docs: DataFrame, band_index: DataFrame,
     pairwise blow-up outside buckets — and every candidate is verified by
     signature-overlap estimate >= threshold before it rejects anything.
 
-    Returns the admitted docs' band rows (doc_id, sig, band_id, band_hash):
-    exactly what the caller appends to the index.
+    Returns the admitted docs' band rows (doc_id, sig, band_id, band_hash).
+    Docs too short to shingle (fewer than n words) are UNSCREENABLE — they
+    carry no signal MinHash can compare (see banded_minhash) — so they are
+    ADMITTED, with one all-null band row each: callers append only the
+    non-null rows to the index (exact dedup already handled identity).
     """
     batch = banded_minhash(new_docs, n=n, num_hashes=num_hashes, bands=bands)
+    short = new_docs.filter(F.size(F.split("text", " ")) < n).select(
+        "doc_id",
+        F.lit(None).cast("array<bigint>").alias("sig"),
+        F.lit(None).cast("int").alias("band_id"),
+        F.lit(None).cast("bigint").alias("band_hash"),
+    )
     hit_corpus = (
         batch.alias("a")
         .join(
@@ -385,7 +404,7 @@ def incremental_neardup(new_docs: DataFrame, band_index: DataFrame,
         .distinct()
     )
     rejected = hit_corpus.unionByName(hit_batch).distinct()
-    return batch.join(rejected, "doc_id", "left_anti")
+    return batch.join(rejected, "doc_id", "left_anti").unionByName(short)
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
@@ -778,21 +797,12 @@ def decontaminate(
     aggregation keyed by ``doc_id`` — high-cardinality, no hot key. The
     corpus is never shuffled by gram.
     """
-    words = F.split("text", " ")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-        )
-    )
-    guarded = F.when(F.size(words) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    grams = shingle_array("text", n)  # distinct word n-grams, short-doc guarded
     train_g = spread_if_narrow(train).select(
-        "doc_id", F.explode(guarded).alias("gram")
+        "doc_id", F.explode(grams).alias("gram")
     )
     eval_g = eval_set.select(
-        F.col("doc_id").alias("eval_doc"), F.explode(guarded).alias("gram")
+        F.col("doc_id").alias("eval_doc"), F.explode(grams).alias("gram")
     )
     return (
         train_g.join(F.broadcast(eval_g), "gram")

@@ -494,6 +494,10 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.7,
     # materializes the (interpreted-HOF) quantizer pass once instead of
     # three times. At 100 TB the same move is writing the assignment out
     # bucketed by cent_id — an explicitly materialized, reusable index.
+    # The cache backs the RETURNED frame's lineage, so it is not unpersisted
+    # here; callers that are done with the result may
+    # ``spark.catalog.clearCache()`` (bench.py does, between measurements) —
+    # the same contract dedup_clusters documents for its cached labels.
     assigned = _nearest_centroid(
         embeddings.select("vec_id", "embedding"), cents, "embedding",
         keep=["vec_id", "embedding"], with_score=True,

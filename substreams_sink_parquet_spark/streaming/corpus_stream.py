@@ -65,6 +65,14 @@ class CorpusSink:
         bad.write.mode("overwrite").parquet(
             url_join(self.out_dir, "_quarantine", f"epoch={epoch_id}")
         )
+        # A parseable line missing doc_id or text is schema drift, not a
+        # document: without this filter its text_hash would be written to
+        # the index while the null key drops the doc itself from the
+        # admitted join — permanently blocking a later, corrected re-crawl
+        # of the same text.
+        clean = clean.filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        )
         index_dirs = self._index_dirs("_index", exclude_epoch=int(epoch_id))
         if index_dirs:
             index = self.spark.read.parquet(*index_dirs)
@@ -99,7 +107,11 @@ class CorpusSink:
                     kept.write.mode("overwrite").parquet(
                         url_join(self.out_dir, "docs", f"epoch={epoch_id}")
                     )
-                    nd_admitted.select("band_id", "band_hash", "sig").write.mode(
+                    # unscreenable (short) docs are admitted with null band
+                    # rows — only real signatures enter the index
+                    nd_admitted.filter(
+                        F.col("band_id").isNotNull()
+                    ).select("band_id", "band_hash", "sig").write.mode(
                         "overwrite"
                     ).parquet(
                         url_join(
@@ -129,10 +141,18 @@ class CorpusSink:
 
 
 def corpus_docs(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The admitted corpus (union of every epoch's docs)."""
-    return spark.read.option("basePath", url_join(out_dir, "docs")).parquet(
-        url_join(out_dir, "docs")
-    )
+    """The admitted corpus (union of every epoch's docs). An empty corpus —
+    no micro-batch ever ran, or none admitted anything — reads as zero
+    rows, not a PATH_NOT_FOUND crash."""
+    docs_root = url_join(out_dir, "docs")
+    if not HadoopFS(spark, out_dir).exists(docs_root):
+        from ..sources.text_corpus import DOC_SCHEMA
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [], T.StructType([f for f in DOC_SCHEMA.fields if f.name != CORRUPT_COL])
+        )
+    return spark.read.option("basePath", docs_root).parquet(docs_root)
 
 
 def run_corpus_pipeline(
@@ -199,32 +219,49 @@ def _commit_index_compact(fs: HadoopFS, index_root: str, srcs: list[str]) -> Non
     fs.delete(url_join(dst, _MANIFEST), recursive=False)
 
 
-def recover_index_compact(fs: HadoopFS, out_dir: str) -> str | None:
-    """Repair a ``_compact`` leftover from a crashed compact_index run:
-    with a manifest the write finished — re-run its commit; without one it
-    never committed and its sources are intact — drop it."""
+_INDEX_ROOTS = (("_index", ["text_hash"]), ("_neardup_index", ["band_id", "band_hash", "sig"]))
+
+
+def recover_index_compact(fs: HadoopFS, out_dir: str) -> dict[str, str]:
+    """Repair ``_compact`` leftovers from a crashed compact_index run, for
+    BOTH index roots: with a manifest the write finished — re-run its
+    commit; without one it never committed and its sources are intact —
+    drop it. Returns {root_name: action} for roots that needed repair."""
     import json
 
-    index_root = url_join(out_dir, "_index")
-    tmp = url_join(index_root, "_compact")
-    if not fs.exists(tmp):
-        return None
-    manifest = url_join(tmp, _MANIFEST)
-    if fs.exists(manifest):
-        srcs = json.loads(fs.read_bytes(manifest))["sources"]
-        _commit_index_compact(fs, index_root, srcs)
-        return "committed"
-    fs.delete(tmp, recursive=True)
-    return "dropped"
+    actions: dict[str, str] = {}
+    for root_name, _cols in _INDEX_ROOTS:
+        index_root = url_join(out_dir, root_name)
+        tmp = url_join(index_root, "_compact")
+        if not fs.exists(tmp):
+            continue
+        manifest = url_join(tmp, _MANIFEST)
+        if fs.exists(manifest):
+            srcs = json.loads(fs.read_bytes(manifest))["sources"]
+            _commit_index_compact(fs, index_root, srcs)
+            actions[root_name] = "committed"
+        else:
+            fs.delete(tmp, recursive=True)
+            actions[root_name] = "dropped"
+    return actions
 
 
 def compact_index(spark: SparkSession, out_dir: str, min_epochs: int = 2) -> bool:
-    """Merge the corpus hash index's per-batch epoch dirs into one
-    ``epoch=-1`` dir. A long-running corpus build accumulates one small
-    index file set per micro-batch — the classic small-file pathology; at
-    scale, run this on a cadence (and write the result bucketed by hash so
-    the anti join co-locates — layout.py). Run ONLY against a stopped
-    stream, the same single-writer discipline as sink compaction.
+    """Merge the corpus indexes' per-batch epoch dirs into one ``epoch=-1``
+    dir each — the exact hash index AND (when present) the near-dup band
+    index. A long-running corpus build accumulates one small index file
+    set per micro-batch per index — the classic small-file pathology; at
+    scale, run this on a cadence (and write the result bucketed by the
+    join key so the per-batch joins co-locate — layout.py). Run ONLY
+    against a stopped stream, the same single-writer discipline as sink
+    compaction.
+
+    The HIGHEST-numbered epoch is never merged: foreachBatch commits each
+    batch before starting the next, so only the trailing epoch can be an
+    uncommitted crashed attempt — and its replay relies on finding (and
+    excluding) its own directory BY NAME. Merging it into ``epoch=-1``
+    would make the replay see its first attempt's hashes, reject every one
+    of its own documents, and overwrite the epoch with nothing.
 
     Crash-safe: data + a manifest naming the merged sources land in
     ``_compact`` first; the commit phase (delete sources, rename into
@@ -234,22 +271,31 @@ def compact_index(spark: SparkSession, out_dir: str, min_epochs: int = 2) -> boo
 
     fs = HadoopFS(spark, out_dir)
     recover_index_compact(fs, out_dir)
-    index_root = url_join(out_dir, "_index")
-    if not fs.exists(index_root):
-        return False
-    epochs = sorted(e for e in fs.listdir(index_root) if e.startswith("epoch="))
-    if len(epochs) < min_epochs:
-        return False
-    merged = (
-        spark.read.parquet(*[url_join(index_root, e) for e in epochs])
-        .select("text_hash")
-        .distinct()
-    )
-    tmp = url_join(index_root, "_compact")
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    fs.write_bytes(
-        url_join(tmp, _MANIFEST),
-        json.dumps({"sources": epochs}).encode(),
-    )
-    _commit_index_compact(fs, index_root, epochs)
-    return True
+    did = False
+    for root_name, cols in _INDEX_ROOTS:
+        index_root = url_join(out_dir, root_name)
+        if not fs.exists(index_root):
+            continue
+        epochs = sorted(
+            e for e in fs.listdir(index_root) if e.startswith("epoch=")
+        )
+        numbered = [e for e in epochs if int(e.split("=", 1)[1]) >= 0]
+        if numbered:
+            trailing = max(numbered, key=lambda e: int(e.split("=", 1)[1]))
+            epochs = [e for e in epochs if e != trailing]
+        if len(epochs) < min_epochs:
+            continue
+        merged = (
+            spark.read.parquet(*[url_join(index_root, e) for e in epochs])
+            .select(*cols)
+            .distinct()
+        )
+        tmp = url_join(index_root, "_compact")
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        fs.write_bytes(
+            url_join(tmp, _MANIFEST),
+            json.dumps({"sources": epochs}).encode(),
+        )
+        _commit_index_compact(fs, index_root, epochs)
+        did = True
+    return did

@@ -263,11 +263,13 @@ def test_cli_corpus_compact(tmp_path, spark, capsys):
     sink = CorpusSink(spark=spark, out_dir=out)
     sink.process_batch(spark.createDataFrame([(1, "aa", "en", "w", 2, None)], ddl), 0)
     sink.process_batch(spark.createDataFrame([(2, "bb", "en", "w", 2, None)], ddl), 1)
+    sink.process_batch(spark.createDataFrame([(3, "cc", "en", "w", 2, None)], ddl), 2)
     assert main(["corpus-compact", out]) == 0
     assert "merged" in capsys.readouterr().out
+    # trailing epoch=2 is never merged (uncommitted-replay safety)
     assert sorted(
         e for e in os.listdir(f"{out}/_index") if e.startswith("epoch=")
-    ) == ["epoch=-1"]
+    ) == ["epoch=-1", "epoch=2"]
 
 
 def test_cli_corpus_export(tmp_path, spark, capsys):

@@ -139,31 +139,36 @@ def test_compact_index_merges_epochs_and_dedup_still_works(spark, tmp_path):
     sink.process_batch(
         spark.createDataFrame([(2, "bb", "en", "w", 2, None)], ddl), 1
     )
+    sink.process_batch(
+        spark.createDataFrame([(3, "dd", "en", "w", 2, None)], ddl), 2
+    )
+    # epochs 0 and 1 merge; the TRAILING epoch=2 is never merged — it may
+    # be an uncommitted crashed attempt whose replay must still find (and
+    # exclude) its own directory by name
     assert compact_index(spark, out) is True
     fs = HadoopFS(spark, out)
-    index_root = f"{tmp_path}/out/_index"
     assert sorted(
         e for e in fs.listdir(out + "/_index") if e.startswith("epoch=")
-    ) == ["epoch=-1"]
+    ) == ["epoch=-1", "epoch=2"]
     # the compacted index still rejects re-crawled content
     sink.process_batch(
         spark.createDataFrame(
             [(9, "aa", "en", "w", 2, None), (10, "cc", "en", "w", 2, None)], ddl
         ),
-        2,
+        3,
     )
     got = {r.doc_id for r in corpus_docs(spark, out).collect()}
-    assert got == {1, 2, 10}
+    assert got == {1, 2, 3, 10}
     # crash recovery: a tmp WITHOUT a manifest is an uncommitted partial
     # write — dropped, sources intact
     fs.mkdirs(out + "/_index/_compact")
-    assert recover_index_compact(fs, out) == "dropped"
+    assert recover_index_compact(fs, out) == {"_index": "dropped"}
     assert not fs.exists(out + "/_index/_compact")
-    # a tmp WITH a manifest finished its write — commit is re-run: the
-    # freshly compacted data replaces the named sources
-    assert compact_index(spark, out) is True  # merge epoch=-1 + epoch=2
+    # re-compaction folds epoch=-1 + all-but-trailing back together; no
+    # hash is ever lost across compactions
+    assert compact_index(spark, out) is True  # merge epoch=-1, 2; keep 3
     got = {r.text_hash for r in spark.read.parquet(out + "/_index").collect()}
-    assert len(got) == 3  # aa, bb, cc — nothing lost across compactions
+    assert len(got) == 4  # aa, bb, dd, cc
 
 
 def test_corpus_neardup_rejects_edited_recrawls(spark, tmp_path):
@@ -245,3 +250,82 @@ def test_corpus_empty_batch_is_harmless(spark, tmp_path):
     )
     sink.process_batch(spark.createDataFrame([], ddl), 2)  # empty later batch
     assert {r.doc_id for r in corpus_docs(spark, out).collect()} == {1}
+
+
+def test_corpus_short_docs_are_admitted_not_cross_rejected(spark, tmp_path):
+    """Regression (review finding): two-word docs have no 3-word shingle, so
+    their MinHash signatures would all be the sentinel vector — distinct
+    short docs must NOT near-dup-reject each other, in-batch or across
+    batches, and must never enter the band index."""
+    from substreams_sink_parquet_spark.sources.text_corpus import CORRUPT_COL
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        CorpusSink,
+        corpus_docs,
+    )
+
+    ddl = (f"doc_id long, text string, lang string, source string, "
+           f"n_chars long, {CORRUPT_COL} string")
+    out = str(tmp_path / "out")
+    sink = CorpusSink(spark=spark, out_dir=out, near_dup=True)
+    sink.process_batch(
+        spark.createDataFrame(
+            [(1, "hello world", "en", "w", 11, None),
+             (2, "stock prices", "en", "w", 12, None)],  # distinct 2-word docs
+            ddl,
+        ),
+        0,
+    )
+    sink.process_batch(
+        spark.createDataFrame(
+            [(3, "weather report", "en", "w", 14, None)], ddl  # also short
+        ),
+        1,
+    )
+    got = {r.doc_id for r in corpus_docs(spark, out).collect()}
+    assert got == {1, 2, 3}
+    # exact dedup still applies to short docs
+    sink.process_batch(
+        spark.createDataFrame(
+            [(9, "hello world", "en", "w", 11, None)], ddl
+        ),
+        2,
+    )
+    assert {r.doc_id for r in corpus_docs(spark, out).collect()} == {1, 2, 3}
+
+
+def test_corpus_null_docid_line_does_not_poison_index(spark, tmp_path):
+    """Regression (review finding): a parseable line missing doc_id must not
+    write its text_hash to the index while dropping the document — a later
+    corrected re-crawl of the same text must be admitted."""
+    from substreams_sink_parquet_spark.sources.text_corpus import CORRUPT_COL
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        CorpusSink,
+        corpus_docs,
+    )
+
+    ddl = (f"doc_id long, text string, lang string, source string, "
+           f"n_chars long, {CORRUPT_COL} string")
+    out = str(tmp_path / "out")
+    sink = CorpusSink(spark=spark, out_dir=out)
+    sink.process_batch(
+        spark.createDataFrame(
+            [(None, "real document text", "en", "w", 18, None)], ddl
+        ),
+        0,
+    )
+    assert corpus_docs(spark, out).count() == 0
+    sink.process_batch(
+        spark.createDataFrame(
+            [(9, "real document text", "en", "w", 18, None)], ddl
+        ),
+        1,
+    )
+    assert {r.doc_id for r in corpus_docs(spark, out).collect()} == {9}
+
+
+def test_corpus_docs_empty_store_reads_as_zero_rows(spark, tmp_path):
+    from substreams_sink_parquet_spark.streaming.corpus_stream import corpus_docs
+
+    df = corpus_docs(spark, str(tmp_path / "never_written"))
+    assert df.count() == 0
+    assert "doc_id" in df.columns and "text" in df.columns
