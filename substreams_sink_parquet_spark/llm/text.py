@@ -588,3 +588,46 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
 )
 def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_strip_html",
+    """
+    WITH wrapped AS (
+        SELECT doc_id,
+               '<html><body><p class="c">' || text || '</p><br/></body></html>'
+                   AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS raw_chars,
+           CAST(length(trim(regexp_replace(regexp_replace(raw,
+                    '<[^>]*>', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT)
+               AS text_chars,
+           md5(trim(regexp_replace(regexp_replace(raw,
+                    '<[^>]*>', ' ', 'g'), ' +', ' ', 'g'))) AS text_hash
+    FROM wrapped
+    """,
+    doc="HTML boilerplate stripping (web-crawl preprocessing): tags -> "
+        "space, whitespace collapsed, trimmed — map-only regexp_replace "
+        "chain at scan speed. The fixture has no HTML, so the query wraps "
+        "each doc in a deterministic tag skeleton first; the REGEXES are "
+        "deliberately dialect-portable (no lookaround/backrefs) so Java "
+        "(Spark) and RE2 (DuckDB) agree byte-for-byte, pinned by the hash",
+)
+def q_text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit('<html><body><p class="c">'),
+        F.col("text"),
+        F.lit("</p><br/></body></html>"),
+    )
+    stripped = F.trim(
+        F.regexp_replace(F.regexp_replace(raw, "<[^>]*>", " "), " +", " ")
+    )
+    return docs.select(
+        "doc_id",
+        F.length(raw).cast("long").alias("raw_chars"),
+        F.length(stripped).cast("long").alias("text_chars"),
+        F.md5(stripped).alias("text_hash"),
+    )
