@@ -156,7 +156,10 @@ def cmd_query(args: argparse.Namespace) -> int:
         name, _, d = spec_.partition("=")
         if not d:
             raise SystemExit(f"--table expects name=dir, got {spec_!r}")
-        read_lake(spark, d, args.start_block, args.stop_block).createOrReplaceTempView(name)
+        # --stop-block is EXCLUSIVE everywhere in this CLI (run's contract);
+        # read_lake's end_block is an inclusive query bound, so convert
+        end = args.stop_block - 1 if args.stop_block is not None else None
+        read_lake(spark, d, args.start_block, end).createOrReplaceTempView(name)
     df = spark.sql(args.sql)
     df.show(args.limit, truncate=False)
     return 0
@@ -414,8 +417,10 @@ def main(argv: list[str] | None = None) -> int:
     query_p.add_argument("sql")
     query_p.add_argument("--table", action="append", required=True,
                          metavar="NAME=DIR", help="register lake dir as view")
-    query_p.add_argument("--start-block", type=int, default=None)
-    query_p.add_argument("--stop-block", type=int, default=None)
+    query_p.add_argument("--start-block", type=int, default=None,
+                         help="inclusive lower block bound")
+    query_p.add_argument("--stop-block", type=int, default=None,
+                         help="EXCLUSIVE upper block bound (same convention as run)")
     query_p.add_argument("--limit", type=int, default=100)
     query_p.set_defaults(fn=cmd_query)
 

@@ -159,3 +159,32 @@ class HadoopFS:
             return
         with ThreadPoolExecutor(max_workers=min(_MAX_FS_THREADS, len(targets))) as ex:
             list(ex.map(lambda t: self.write_bytes(t, payload), targets))
+
+
+def live_index(fs: "HadoopFS", live: str) -> dict[str, list[int]]:
+    """ONE listing sweep over a ``_live`` staging area: {epoch dir name:
+    sorted range starts}. Shared by the streaming sink's per-batch pass and
+    offline compaction so a micro-batch (or maintenance run) costs
+    O(epochs + ranges) FS calls, not O(epochs x ranges) — with a long
+    holdback and a fast trigger that difference is thousands of
+    driver-to-store round-trips per batch."""
+    idx: dict[str, list[int]] = {}
+    for e in fs.listdir(live):
+        if not e.startswith("epoch="):
+            continue
+        idx[e] = sorted(
+            int(d.split("=", 1)[1])
+            for d in fs.listdir(url_join(live, e))
+            if d.startswith("range_start=")
+        )
+    return idx
+
+
+def live_range_dirs(idx: dict[str, list[int]], live: str, rs: int) -> list[str]:
+    """Every epoch's staging directory for one range — from the index, no
+    re-listing."""
+    return [
+        url_join(live, e, f"range_start={rs}")
+        for e, rss in sorted(idx.items())
+        if rs in rss
+    ]

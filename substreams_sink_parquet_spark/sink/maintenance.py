@@ -38,7 +38,7 @@ import json
 
 from pyspark.sql import SparkSession
 
-from ..fsio import HadoopFS, url_join
+from ..fsio import HadoopFS, live_index as _shared_live_index, live_range_dirs, url_join
 
 COMPACTED_EPOCH = -1
 _MANIFEST = "_MERGED.json"
@@ -49,27 +49,14 @@ def _epoch_dirs(fs: HadoopFS, live: str) -> list[str]:
 
 
 def _live_index(fs: HadoopFS, live: str) -> dict[str, list[int]]:
-    """One listing sweep: {epoch dir name: sorted range starts} — same
-    O(epochs + ranges) discipline as the streaming sink's per-batch index."""
-    idx: dict[str, list[int]] = {}
-    for e in _epoch_dirs(fs, live):
-        idx[e] = sorted(
-            int(d.split("=", 1)[1])
-            for d in fs.listdir(url_join(live, e))
-            if d.startswith("range_start=")
-        )
-    return idx
+    return _shared_live_index(fs, live)  # shared sweep (fsio.live_index)
 
 
 def _range_dirs(fs: HadoopFS, live: str, rs: int,
                 idx: dict[str, list[int]] | None = None) -> list[str]:
     if idx is None:
         idx = _live_index(fs, live)
-    return [
-        url_join(live, e, f"range_start={rs}")
-        for e, rss in sorted(idx.items())
-        if rs in rss
-    ]
+    return live_range_dirs(idx, live, rs)
 
 
 def live_file_counts(fs: HadoopFS, table_dir: str) -> dict[int, int]:
@@ -157,7 +144,10 @@ def compact_live(
         if n < min_files:
             continue
         srcs = _range_dirs(fs, live, rs, idx)
-        df = spark.read.parquet(*srcs)
+        # mergeSchema: epochs may span an additive schema upgrade; without
+        # it one file's footer wins and the added column would be dropped
+        # from the compacted output before its sources are deleted
+        df = spark.read.option("mergeSchema", "true").parquet(*srcs)
         tmp = url_join(live, f"_compact_{rs}")
         (
             df.repartition(target_files)

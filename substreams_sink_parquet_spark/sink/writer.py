@@ -135,8 +135,10 @@ def write_ranges(
     """Write ``df`` as one zero-pad-named parquet file per block range
     (or several ``-partNNNN`` files when ``target_file_bytes`` is exceeded).
 
-    Returns the list of file names written (sorted). Empty input with
-    ``backfill`` still materializes empty ranges up to the anchor.
+    Returns the list of file names written (sorted). Empty input writes
+    nothing — with no range present there is no horizon to backfill below
+    (``backfill`` fills gaps under the HIGHEST written range; seeding an
+    all-empty lake is ``backfill_empty`` with an explicit ``upto``).
 
     ``ranges``: the distinct range starts present in ``df``, if the caller
     already knows them. Discovering them here costs a full extra pass over
@@ -394,7 +396,9 @@ def read_lake(
     merge_schema: bool = False,
 ) -> DataFrame:
     """Read a sink output directory back as one table, file-pruned by block
-    range.
+    range. Both bounds are INCLUSIVE query bounds — ``[start_block,
+    end_block]`` — unlike ``WriterOptions.end_block`` / ``--stop-block``,
+    which is exclusive (the CLI's query command converts).
 
     The padded ``{start}-{end}.parquet`` file names ARE the lake's partition
     index (partitioner.go:34-36 is the same contract): a block-range

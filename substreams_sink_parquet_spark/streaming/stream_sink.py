@@ -36,13 +36,14 @@ from pyspark.sql import functions as F
 
 from .. import protowire as pw
 from ..decode import decode_payloads
-from ..fsio import HadoopFS, url_join
+from ..fsio import HadoopFS, live_index, live_range_dirs, url_join
 from ..partition import range_start_col
 from ..schema import SchemaOptions
 from ..sink.explode import explode_all
 from ..sink.writer import (
     WriterOptions,
     _finalize,
+    _range_end as _writer_range_end,
     _split_range_name,
     backfill_empty,
     ensure_schema_compatible,
@@ -100,6 +101,14 @@ class StreamingSink:
             # to smuggle them into (or beyond) the clamped terminal range
             raw_batch = raw_batch.filter(
                 F.col("block_number") < self.opts.end_block
+            )
+        if self.opts.start_block > 0:
+            # symmetric guard below the anchor: range_start_col (unlike the
+            # batch path's range_for, which raises) would silently assign a
+            # below-anchor range start, producing a rogue file outside the
+            # contiguity invariant
+            raw_batch = raw_batch.filter(
+                F.col("block_number") >= self.opts.start_block
             )
         # The holdback horizon needs max(block_number) over the RAW batch —
         # decoded rows won't do: nil payloads are skipped at decode
@@ -203,28 +212,10 @@ class StreamingSink:
     # -- finalize -----------------------------------------------------------
 
     def _range_end(self, rs: int) -> int:
-        re_ = rs + self.opts.partition_size
-        if self.opts.end_block is not None:
-            re_ = min(re_, self.opts.end_block)
-        return re_
+        return _writer_range_end(rs, self.opts)
 
     def _live_index(self, live: str) -> dict[str, list[int]]:
-        """ONE listing sweep over the live area: {epoch dir name: sorted
-        range starts}. Every consumer below works off this index, so a
-        micro-batch costs O(epochs + ranges) FS calls, not the
-        O(epochs × ranges) of re-listing each epoch per range — with a long
-        holdback and a fast trigger that difference is thousands of
-        driver→store round-trips per batch."""
-        idx: dict[str, list[int]] = {}
-        for e in self._fs.listdir(live):
-            if not e.startswith("epoch="):
-                continue
-            idx[e] = sorted(
-                int(d.split("=", 1)[1])
-                for d in self._fs.listdir(url_join(live, e))
-                if d.startswith("range_start=")
-            )
-        return idx
+        return live_index(self._fs, live)  # shared sweep (fsio.live_index)
 
     @staticmethod
     def _live_ranges(idx: dict[str, list[int]]) -> list[int]:
@@ -232,12 +223,7 @@ class StreamingSink:
 
     @staticmethod
     def _range_dirs(idx: dict[str, list[int]], live: str, rs: int) -> list[str]:
-        """Every epoch's staging directory for one range — from the index."""
-        return [
-            url_join(live, e, f"range_start={rs}")
-            for e, rss in sorted(idx.items())
-            if rs in rss
-        ]
+        return live_range_dirs(idx, live, rs)
 
     def _ready_ranges(self, idx: dict[str, list[int]]) -> list[int]:
         """Ranges safely behind the holdback horizon. The end is CLAMPED to
@@ -266,8 +252,14 @@ class StreamingSink:
         if not ranges:
             return
         srcs = [d for rs in ranges for d in self._range_dirs(idx, live, rs)]
+        # mergeSchema: epochs may span an additive schema upgrade (allowed
+        # by ensure_schema_compatible) — without it Spark reads ONE file's
+        # footer and would silently drop the added column from the
+        # finalized file before the sources are deleted
         df = (
-            self.spark.read.option("basePath", live).parquet(*srcs)
+            self.spark.read.option("basePath", live)
+            .option("mergeSchema", "true")
+            .parquet(*srcs)
             .drop("epoch")
             .withColumnRenamed("range_start", "__range_start")
         )
@@ -303,19 +295,11 @@ class StreamingSink:
         exist when target_file_bytes split it into -partNNNN files."""
         if rs <= self.opts.start_block:
             return
-        backfill_empty(
-            self.spark,
-            template,
-            table_dir,
-            WriterOptions(
-                partition_size=self.opts.partition_size,
-                start_block=self.opts.start_block,
-                end_block=self.opts.end_block,
-                compression=self.opts.compression,
-                pad=self.opts.pad,
-            ),
-            upto=rs - 1,
-        )
+        # self.opts verbatim: a hand-copied subset silently reset
+        # compression_level / page_size / dict_encoding / write_stats to
+        # defaults, drifting the backfilled empty files' parquet options
+        # from every other file in the lake
+        backfill_empty(self.spark, template, table_dir, self.opts, upto=rs - 1)
 
     # -- terminal drain -----------------------------------------------------
 
@@ -366,19 +350,35 @@ class StreamingSink:
             for src in self._range_dirs(idx, live, rs):
                 if rs > last_valid_block:
                     self._fs.delete(src, recursive=True)
-                elif rs + self.opts.partition_size - 1 > last_valid_block:
-                    kept = self.spark.read.parquet(src).filter(
-                        F.col("block_number") <= last_valid_block
-                    )
-                    if not kept.take(1):
-                        # an all-rolled-back dir must disappear, not become a
-                        # zero-row staging dir finalize would trip over
-                        self._fs.delete(src, recursive=True)
-                        continue
-                    tmp = src + "_rewrite"
-                    kept.write.mode("overwrite").parquet(tmp)
+                    continue
+                # Spanning test from the DATA, not opts.partition_size: an
+                # offline undo_lake run with a defaulted/mismatched
+                # partition size must not classify a dir as "entirely below
+                # the fork" and silently retain above-fork rows. One tiny
+                # footer-stat agg per live dir — undo is a rare, stopped-
+                # stream operation.
+                hi = (
+                    self.spark.read.parquet(src)
+                    .agg(F.max("block_number"))
+                    .collect()[0][0]
+                )
+                if hi is None or hi <= last_valid_block:
+                    continue
+                kept = self.spark.read.parquet(src).filter(
+                    F.col("block_number") <= last_valid_block
+                )
+                if not kept.take(1):
+                    # an all-rolled-back dir must disappear, not become a
+                    # zero-row staging dir finalize would trip over
                     self._fs.delete(src, recursive=True)
-                    self._fs.rename(tmp, src)
+                    continue
+                tmp = src + "_rewrite"
+                writer = kept.write.mode("overwrite")
+                for k, v in parquet_write_options(self.opts).items():
+                    writer = writer.option(k, v)
+                writer.parquet(tmp)
+                self._fs.delete(src, recursive=True)
+                self._fs.rename(tmp, src)
 
     def _undo_finalized(self, table_dir: str, last_valid_block: int) -> None:
         groups: dict[tuple[int, int], list[str]] = {}
@@ -473,6 +473,16 @@ def run_pipeline(
         exploded_write_workers=exploded_write_workers,
     )
     sink._fs.mkdirs(out_dir)
+    # Repair any _compact_* leftover from a compaction run that crashed
+    # mid-swap BEFORE streaming resumes: the live index only matches
+    # epoch=* entries, so a committed-but-unswapped compaction dir would
+    # otherwise be invisible — its range drops out of the index and the
+    # contiguity backfill would paper over it with an EMPTY range file
+    # while the real rows sit stranded.
+    from ..sink.maintenance import recover_compact_leftovers
+
+    for table_dir in [out_dir] + sink._child_dirs():
+        recover_compact_leftovers(sink._fs, table_dir)
     from ..sources.staging import raw_stream
 
     stream = raw_stream(spark, input_dir)

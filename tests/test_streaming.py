@@ -4,6 +4,7 @@ checkpoint (replacing the reference's cursor file), undo holdback, reorg."""
 import os
 
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from substreams_sink_parquet_spark.sink.writer import WriterOptions
 from substreams_sink_parquet_spark.sources import stage_raw_blocks, synth_blocks
@@ -506,3 +507,103 @@ def test_nil_payload_tip_still_advances_horizon(spark, tmp_path):
     assert _final_files(out_dir) == ["0000000000-0000000010.parquet"]
     t = pq.read_table(os.path.join(out_dir, "0000000000-0000000010.parquet"))
     assert t.column("block_number").to_pylist() == list(range(9))  # nils skipped
+
+
+def test_finalize_merges_schema_across_epoch_drift(spark, tmp_path):
+    """Regression (review finding): live epochs spanning an ADDITIVE schema
+    upgrade must finalize with the union schema — without mergeSchema one
+    file's footer wins and the added column is silently dropped before the
+    staged sources are deleted."""
+    from substreams_sink_parquet_spark.fsio import HadoopFS, url_join
+    from substreams_sink_parquet_spark.streaming.stream_sink import StreamingSink
+
+    out = str(tmp_path / "out")
+    sink = StreamingSink(
+        spark=spark, spec=BLOCK, out_dir=out,
+        opts=WriterOptions(partition_size=10, start_block=0),
+        check_schema=False,
+    )
+    fs = HadoopFS(spark, out)
+    # stage two epochs by hand: v1 lacks the additive column, v2 has it
+    v1 = spark.createDataFrame([(0, "a")], "block_number long, s string")
+    v2 = spark.createDataFrame([(1, "b", 7)], "block_number long, s string, extra long")
+    v1.write.parquet(url_join(out, "_live", "epoch=0", "range_start=0"))
+    v2.write.parquet(url_join(out, "_live", "epoch=1", "range_start=0"))
+    sink._max_seen = 15  # range [0,10) fully past
+    sink._finalize_ready(out)
+    got = spark.read.parquet(url_join(out, "0000000000-0000000010.parquet"))
+    assert "extra" in got.columns
+    rows = {r.block_number: r.asDict() for r in got.collect()}
+    assert rows[1]["extra"] == 7 and rows[0]["extra"] is None
+
+
+def test_stream_restart_recovers_stranded_compaction(spark, tmp_path):
+    """Regression (review finding): a compaction that crashed after deleting
+    its sources but before the swap leaves rows only in _compact_{rs};
+    restarting the stream must recover them — not paper over the range
+    with an empty backfill file."""
+    import json as _json
+
+    from substreams_sink_parquet_spark.fsio import HadoopFS, url_join
+    from substreams_sink_parquet_spark.sink.maintenance import _MANIFEST
+
+    input_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    _stage_blocks(spark, input_dir, list(range(0, 8)), 0)
+    opts = WriterOptions(partition_size=10, start_block=0)
+    query, sink = run_pipeline(
+        spark, input_dir, out, BLOCK, str(tmp_path / "ck1"), opts=opts,
+        undo_holdback=100, available_now=True,  # holdback keeps range live
+    )
+    query.awaitTermination(120)
+    fs = HadoopFS(spark, out)
+    live = url_join(out, "_live")
+    # simulate the crash state: rows moved aside to a committed _compact_0,
+    # sources deleted, swap never happened
+    srcs = [
+        f"epoch={e.split('=')[1]}/range_start=0"
+        for e in fs.listdir(live) if e.startswith("epoch=")
+    ]
+    df = spark.read.parquet(*[url_join(live, s) for s in srcs])
+    tmp_dir = url_join(live, "_compact_0")
+    df.coalesce(1).write.parquet(tmp_dir)
+    fs.write_bytes(
+        url_join(tmp_dir, _MANIFEST),
+        _json.dumps({"range_start": 0, "sources": srcs}).encode(),
+    )
+    for s in srcs:
+        fs.delete(url_join(live, s), recursive=True)
+    # restart: more blocks arrive, range [0,10) eventually finalizes
+    _stage_blocks(spark, input_dir, list(range(8, 120)), 1)
+    query, sink = run_pipeline(
+        spark, input_dir, out, BLOCK, str(tmp_path / "ck1"), opts=opts,
+        undo_holdback=0, available_now=True,
+    )
+    query.awaitTermination(120)
+    sink.close()
+    got = spark.read.parquet(url_join(out, "0000000000-0000000010.parquet"))
+    assert got.count() == 10  # the stranded rows survived recovery
+
+
+def test_undo_lake_safe_under_partition_size_mismatch(spark, tmp_path):
+    """Regression (review finding): offline undo with a defaulted/mismatched
+    partition size must still retract above-fork rows from live dirs — the
+    spanning test reads the data's max block, not opts.partition_size."""
+    from substreams_sink_parquet_spark.fsio import url_join
+    from substreams_sink_parquet_spark.streaming.stream_sink import undo_lake
+
+    input_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    _stage_blocks(spark, input_dir, list(range(0, 30)), 0)
+    opts = WriterOptions(partition_size=10000, start_block=0)  # big ranges
+    query, sink = run_pipeline(
+        spark, input_dir, out, BLOCK, str(tmp_path / "ck"), opts=opts,
+        undo_holdback=10**6, available_now=True,  # everything stays live
+    )
+    query.awaitTermination(120)
+    undo_lake(spark, out, last_valid_block=14)  # opts=None: default size 5000
+    import glob as _glob
+
+    live_files = _glob.glob(f"{out}/_live/epoch=*/range_start=*/*.parquet")
+    kept = spark.read.parquet(*live_files)
+    assert kept.agg(F.max("block_number")).collect()[0][0] == 14
