@@ -192,3 +192,71 @@ def running_counts_tws(stream: DataFrame, key_col: str = "kind") -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "kind",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    upper: str = "10 seconds",
+    delay: str = "10 seconds",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time interval condition.
+
+    The reference joins nothing (its sink is a single decoded stream); this
+    is the Spark-native correlation primitive for two live streams — e.g.
+    matching an order stream against its fill stream, or a block-header
+    stream against the exploded transfer stream derived from it.
+
+    Semantics: rows match when keys are equal AND
+    ``left_ts <= right_ts <= left_ts + upper``. Both sides carry a
+    watermark of ``delay``; together with the interval bound Spark can
+    compute exactly how long each side's state must be retained
+    (left rows expire once the watermark passes ``left_ts + upper``,
+    right rows once it passes ``right_ts``) — without the time bound the
+    join state would grow forever on an unbounded stream, so this operator
+    REQUIRES the interval. ``how`` may be ``inner`` or ``leftOuter``
+    (outer rows emit with nulls only after the watermark proves no match
+    can still arrive — so outer results trail the watermark by design).
+
+    100 TB note: state is shuffled by the join key into
+    ``spark.sql.shuffle.partitions`` RocksDB stores; retention is
+    ``delay + upper`` of per-key traffic, independent of total stream
+    length. Skewed keys skew state stores — salt the key upstream if one
+    key dominates (operators/skew.py shows the pattern).
+    """
+    lw = left.withWatermark(left_ts, delay).alias("l")
+    rw = right.withWatermark(right_ts, delay).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, how).select(
+        F.col(f"l.{key}").alias(key),
+        F.col(f"l.{left_ts}").alias("left_ts"),
+        F.col("l.value").alias("left_value"),
+        F.col(f"r.{right_ts}").alias("right_ts"),
+        F.col("r.value").alias("right_value"),
+    )
+
+
+def enrich_stream_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "kind",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment (broadcast, stateless).
+
+    The static side is re-read per micro-batch (so a dimension table
+    updated in place is picked up on the next trigger) and broadcast to
+    the stream side — no shuffle of the stream, no state store at all.
+    This is the right shape for decorating a 100 TB/day event stream with
+    a million-row dimension; only if the dimension itself outgrows
+    broadcast range does this become a stateful stream-stream problem.
+    """
+    return stream.join(F.broadcast(dim), on=key, how=how)

@@ -181,3 +181,94 @@ def test_transform_with_state_accumulates_across_restarts(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def _drain2(spark, left_dir, right_dir, transform, ckpt):
+    """availableNow pass over TWO staged streams → collected rows."""
+    out: list = []
+    ls = spark.readStream.schema(EVENT_SCHEMA).parquet(left_dir)
+    rs = spark.readStream.schema(EVENT_SCHEMA).parquet(right_dir)
+    q = (
+        transform(ls, rs)
+        .writeStream.foreachBatch(lambda df, _eid: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "availableNow drain did not finish"
+    return out
+
+
+def test_stream_stream_interval_join_inner(spark, tmp_path):
+    from substreams_sink_parquet_spark.streaming.stateful import interval_join_streams
+
+    ld, rd, ckpt = str(tmp_path / "l"), str(tmp_path / "r"), str(tmp_path / "ck")
+    os.makedirs(ld), os.makedirs(rd)
+    # base t=1000: a row whose event time EQUALS the initial watermark
+    # (epoch 0) is filtered as late by the symmetric hash join, so epoch-0
+    # event times would test the filter boundary, not the join
+    B = 1000
+    _stage(spark, ld, [(B + 0, "a", 1), (B + 5, "a", 2), (B + 4, "b", 3)])
+    _stage(spark, rd, [(B + 3, "a", 100), (B + 8, "a", 150),
+                       (B + 20, "a", 200), (B + 4, "c", 9)])
+    tf = lambda l, r: interval_join_streams(l, r, upper="10 seconds")
+    got = {(r.kind, int(r.left_ts.timestamp()) - B, int(r.right_ts.timestamp()) - B)
+           for r in _drain2(spark, ld, rd, tf, ckpt)}
+    # match iff keys equal and left_ts <= right_ts <= left_ts + 10s
+    assert got == {("a", 0, 3), ("a", 0, 8), ("a", 5, 8)}
+
+
+def test_stream_stream_interval_join_left_outer_emits_after_watermark(spark, tmp_path):
+    from substreams_sink_parquet_spark.streaming.stateful import interval_join_streams
+
+    ld, rd, ckpt = str(tmp_path / "l"), str(tmp_path / "r"), str(tmp_path / "ck")
+    os.makedirs(ld), os.makedirs(rd)
+    tf = lambda l, r: interval_join_streams(l, r, upper="5 seconds",
+                                            delay="10 seconds", how="leftOuter")
+
+    # run 1: "a" at t=1000 has no right match; t=1100 rows advance both
+    # watermarks to 1090, past 1000 + upper (5). availableNow keeps
+    # triggering until the watermark is committed, so the null-joined "a"
+    # row may already surface in run 1's final batch — or, on an older
+    # trigger semantics, in run 2. Either is correct append-mode output;
+    # what must hold is the match itself and exactly-once outer emission.
+    B = 1000
+    _stage(spark, ld, [(B + 0, "a", 1), (B + 100, "z", 0)])
+    _stage(spark, rd, [(B + 100, "z", 0)])
+    r1 = _drain2(spark, ld, rd, tf, ckpt)
+    assert ("z", _dt(B + 100)) in {(r.kind, r.right_ts) for r in r1}
+
+    # run 2: advance further; by now the unmatched "a" row MUST have been
+    # emitted with a null right side, and exactly once across both runs
+    _stage(spark, ld, [(B + 200, "z", 0)])
+    _stage(spark, rd, [(B + 200, "z", 0)])
+    r2 = _drain2(spark, ld, rd, tf, ckpt)
+    outer = [r for r in r1 + r2 if r.kind == "a" and r.right_ts is None]
+    assert len(outer) == 1 and outer[0].left_value == 1
+
+
+def _dt(sec):
+    import datetime
+
+    return datetime.datetime.fromtimestamp(sec)
+
+
+def test_stream_static_enrichment_is_broadcast_and_stateless(spark, tmp_path):
+    from substreams_sink_parquet_spark.streaming.stateful import enrich_stream_static
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    dim = spark.createDataFrame([("a", "alpha"), ("b", "beta")], "kind string, label string")
+    _stage(spark, in_dir, [(0, "a", 1), (1, "b", 2), (2, "c", 3)])
+    out: list = []
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(in_dir)
+    q = (
+        enrich_stream_static(stream, dim)
+        .writeStream.foreachBatch(lambda df, _eid: out.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {(r.kind, r.label) for r in out} == {("a", "alpha"), ("b", "beta"), ("c", None)}
