@@ -55,6 +55,7 @@ EXTENDED = [
     "q_text_perplexity",
     "q_pipeline_pretrain",
     "q_sim_topk_pq",
+    "q_text_bpe",
 ]
 
 

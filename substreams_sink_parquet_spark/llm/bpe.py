@@ -1,0 +1,232 @@
+"""Byte-pair-encoding tokenizer: distributed training reduction + map-only apply.
+
+The reference sink (Go, parquet writing only) has no tokenizer; this is part
+of the training-data surface this engine adds (brief: "token counting
+(whitespace + a BPE-ish regex)" — q_text_tokens has the regex estimate, this
+module has the real thing: learned merges, applied greedily by rank).
+
+Why this shape scales to 100 TB:
+
+- **Training** is the standard Sennrich formulation: BPE merges are learned
+  from the WORD-FREQUENCY table, not the raw corpus. The corpus-sized part —
+  `explode(words) -> groupBy(word) -> count` — is one map-side-combined
+  shuffle whose output is the (bounded) vocabulary, and only the top
+  ``max_words`` rows ever reach the driver. The merge loop itself runs on
+  that dict (50k entries, not 100 TB) with the classic inverted
+  pair->words index so each merge touches only the words containing it.
+  Truncating to the top-N words is the documented approximation every real
+  tokenizer trainer makes (they train on a sample; we train on the exact
+  head of the frequency distribution, which is strictly more stable).
+- **Apply** is map-only: the learned merge ranks are a broadcast dict inside
+  an Arrow-batched pandas UDF; no shuffle touches the corpus. A per-batch
+  word memo makes the greedy merge loop amortize to once per distinct word
+  per batch (Zipf: a few thousand distinct words dominate any batch).
+
+Determinism: merge selection ties break on the lexicographically smallest
+pair, so the same corpus always yields the same merge list, the same
+tokenization, and a stable driver hash.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, LongType, StringType, StructField, StructType
+
+from ..catalog import register
+from ..tables import load
+
+END = "</w>"  # end-of-word marker: makes detokenization lossless
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus -> (word, n) frequency table. The only corpus-sized job in
+    training; partial aggregation does the heavy lifting map-side."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    num_merges: int = 200,
+    max_words: int = 50_000,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from the corpus word-frequency head.
+
+    Driver cost is O(vocab), never O(corpus): the distributed word count
+    collects at most ``max_words`` (word, n) rows — ordered by (n DESC,
+    word) so truncation is deterministic — and the merge loop maintains an
+    inverted pair->word-index so each round re-segments only affected words.
+    """
+    wc = (
+        word_counts(docs, text_col)
+        .orderBy(F.desc("n"), "word")
+        .limit(max_words)
+        .collect()
+    )
+    # word as symbol tuple; last symbol carries the end-of-word marker
+    words: list[list[str]] = [list(r.word[:-1]) + [r.word[-1] + END] for r in wc]
+    counts: list[int] = [r.n for r in wc]
+
+    pair_n: Counter = Counter()
+    pair_words: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, syms in enumerate(words):
+        for a, b in zip(syms, syms[1:]):
+            pair_n[(a, b)] += counts[i]
+            pair_words[(a, b)].add(i)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_n:
+            break
+        # max count, ties -> lexicographically smallest pair (determinism)
+        best = min(pair_n.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_n[best] <= 0:
+            break
+        merges.append(best)
+        joined = best[0] + best[1]
+        for i in list(pair_words[best]):
+            syms, n = words[i], counts[i]
+            # retract this word's old pair contributions, re-segment, re-add
+            for a, b in zip(syms, syms[1:]):
+                pair_n[(a, b)] -= n
+                if pair_n[(a, b)] <= 0:
+                    del pair_n[(a, b)]
+                pair_words[(a, b)].discard(i)
+            out: list[str] = []
+            j = 0
+            while j < len(syms):
+                if j + 1 < len(syms) and (syms[j], syms[j + 1]) == best:
+                    out.append(joined)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+            for a, b in zip(out, out[1:]):
+                pair_n[(a, b)] += n
+                pair_words[(a, b)].add(i)
+    return merges
+
+
+def _make_encoder(end: str = END):
+    """Build the greedy encoder as a self-contained closure: cloudpickle
+    ships it by value, so executors need no import of this package (the
+    driver may run from any cwd)."""
+
+    def encode(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+        # greedy BPE: repeatedly merge the lowest-rank adjacent pair
+        syms = list(word[:-1]) + [word[-1] + end]
+        while len(syms) > 1:
+            best_rank, best_j = None, -1
+            for j, pair in enumerate(zip(syms, syms[1:])):
+                r = ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_j = r, j
+            if best_rank is None:
+                break
+            syms[best_j : best_j + 2] = [syms[best_j] + syms[best_j + 1]]
+        return syms
+
+    return encode
+
+
+_encode_word = _make_encoder()
+
+
+_BPE_OUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_tokens", IntegerType()),
+        StructField("n_words", IntegerType()),
+        StructField("tokens", ArrayType(StringType())),
+    ]
+)
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    keep_tokens: bool = True,
+) -> DataFrame:
+    """Tokenize the corpus with learned merges — map-only, broadcast ranks.
+
+    The merge table rides to executors once (closure broadcast; ~200 pairs
+    is KBs, a 100k-merge production vocab is still only MBs). The per-batch
+    ``memo`` collapses the greedy loop to once per distinct word per Arrow
+    batch. No shuffle, no state: tokenization parallelism equals scan
+    parallelism.
+    """
+    ranks = {p: i for i, p in enumerate(merges)}
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(ranks)
+    cols = docs.select("doc_id", F.col(text_col).alias("text"))
+    encode = _make_encoder()  # closure, shipped by value — no package import
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rk = bc.value
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            out_tokens, out_n, out_w = [], [], []
+            for text in pdf["text"]:
+                toks: list[str] = []
+                ws = [w for w in (text or "").split() if w]
+                for w in ws:
+                    t = memo.get(w)
+                    if t is None:
+                        t = encode(w, rk)
+                        memo[w] = t
+                    toks.extend(t)
+                out_tokens.append(toks)
+                out_n.append(len(toks))
+                out_w.append(len(ws))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pd.array(out_n, dtype="int32"),
+                    "n_words": pd.array(out_w, dtype="int32"),
+                    "tokens": out_tokens if keep_tokens else [[] for _ in out_n],
+                }
+            )
+
+    return cols.mapInPandas(run, schema=_BPE_OUT)
+
+
+def detokenize_expr(tokens_col: str = "tokens"):
+    """Inverse transform as a JVM expression: concat tokens, then the
+    end-of-word markers become spaces — lossless round-trip of the
+    whitespace-split words (pytest pins it)."""
+    return F.trim(
+        F.regexp_replace(F.array_join(F.col(tokens_col), ""), END, " ")
+    )
+
+
+@register(
+    "q_text_bpe",
+    None,  # learned merges are not expressible in SQL — rows-only + pytest
+    doc="BPE tokenizer: merges trained on the corpus word-frequency head, "
+    "greedy rank apply, per-doc token counts and compression ratio",
+)
+def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=200)
+    toks = bpe_tokenize(docs, merges, keep_tokens=True)
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        "n_words",
+        F.round(F.col("n_tokens") / F.greatest(F.col("n_words"), F.lit(1)), 4).alias(
+            "tokens_per_word"
+        ),
+        F.slice("tokens", 1, 5).alias("head_tokens"),
+    )
