@@ -18,9 +18,11 @@ Why this shape scales to 100 TB:
   tokenizer trainer makes (they train on a sample; we train on the exact
   head of the frequency distribution, which is strictly more stable).
 - **Apply** is map-only: the learned merge ranks are a broadcast dict inside
-  an Arrow-batched pandas UDF; no shuffle touches the corpus. A per-batch
-  word memo makes the greedy merge loop amortize to once per distinct word
-  per batch (Zipf: a few thousand distinct words dominate any batch).
+  an Arrow-batched pandas UDF; no shuffle touches the corpus. A per-task
+  word memo (bounded at ``_MEMO_CAP`` entries, then reset — hash-dense
+  corpora of near-unique words cannot OOM a worker) makes the greedy merge
+  loop amortize to once per distinct word (Zipf: a few thousand distinct
+  words dominate any batch).
 
 Determinism: merge selection ties break on the lexicographically smallest
 pair, so the same corpus always yields the same merge list, the same
@@ -40,14 +42,30 @@ from pyspark.sql.types import ArrayType, IntegerType, LongType, StringType, Stru
 from ..catalog import register
 from ..tables import load
 
-END = "</w>"  # end-of-word marker: makes detokenization lossless
+_MEMO_CAP = 200_000  # distinct words cached per task before reset
+
+# End-of-word marker: makes detokenization lossless. U+E000 (private-use
+# area, "not for interchange" per Unicode) so real text never collides with
+# it; both training and apply strip any literal occurrence first, so the
+# round-trip invariant is over marker-sanitized text (pinned in pytest).
+END = ""
+
+# Both engines of the tokenizer — JVM training reduction and Python apply —
+# MUST segment words identically. Java regex \s is ASCII-only by default;
+# the Python side mirrors it with re.ASCII (plain str.split() would split
+# Unicode whitespace like U+00A0 and diverge from the trained vocabulary).
+_WS = r"\s+"
 
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus -> (word, n) frequency table. The only corpus-sized job in
     training; partial aggregation does the heavy lifting map-side."""
     return (
-        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        docs.select(
+            F.explode(
+                F.split(F.regexp_replace(F.col(text_col), END, ""), _WS)
+            ).alias("word")
+        )
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("n"))
@@ -140,9 +158,6 @@ def _make_encoder(end: str = END):
     return encode
 
 
-_encode_word = _make_encoder()
-
-
 _BPE_OUT = StructType(
     [
         StructField("doc_id", LongType()),
@@ -162,25 +177,32 @@ def bpe_tokenize(
     """Tokenize the corpus with learned merges — map-only, broadcast ranks.
 
     The merge table rides to executors once (closure broadcast; ~200 pairs
-    is KBs, a 100k-merge production vocab is still only MBs). The per-batch
-    ``memo`` collapses the greedy loop to once per distinct word per Arrow
-    batch. No shuffle, no state: tokenization parallelism equals scan
-    parallelism.
+    is KBs, a 100k-merge production vocab is still only MBs). The per-task
+    ``memo`` collapses the greedy loop to once per distinct word — bounded
+    at ``_MEMO_CAP`` entries so hash-dense corpora (near-unique "words")
+    cannot grow it past a few hundred MB per worker. No shuffle, no state:
+    tokenization parallelism equals scan parallelism.
     """
     ranks = {p: i for i, p in enumerate(merges)}
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(ranks)
     cols = docs.select("doc_id", F.col(text_col).alias("text"))
     encode = _make_encoder()  # closure, shipped by value — no package import
+    end, ws_re, memo_cap = END, _WS, _MEMO_CAP
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        split = re.compile(ws_re, re.ASCII).split  # match Java \s exactly
         rk = bc.value
         memo: dict[str, list[str]] = {}
         for pdf in batches:
             out_tokens, out_n, out_w = [], [], []
             for text in pdf["text"]:
                 toks: list[str] = []
-                ws = [w for w in (text or "").split() if w]
+                ws = [w for w in split((text or "").replace(end, "")) if w]
+                if len(memo) > memo_cap:
+                    memo.clear()
                 for w in ws:
                     t = memo.get(w)
                     if t is None:
@@ -205,7 +227,9 @@ def bpe_tokenize(
 def detokenize_expr(tokens_col: str = "tokens"):
     """Inverse transform as a JVM expression: concat tokens, then the
     end-of-word markers become spaces — lossless round-trip of the
-    whitespace-split words (pytest pins it)."""
+    ASCII-whitespace-split, marker-sanitized words (pytest pins it; text
+    containing the private-use marker char itself is sanitized identically
+    by training and apply, so the invariant holds on any input)."""
     return F.trim(
         F.regexp_replace(F.array_join(F.col(tokens_col), ""), END, " ")
     )

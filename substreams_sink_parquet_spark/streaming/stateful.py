@@ -235,13 +235,16 @@ def interval_join_streams(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
     )
-    return lw.join(rw, cond, how).select(
+    # generic projection: key once, each side's event time as left_ts /
+    # right_ts, every other payload column prefixed with its side
+    proj = [
         F.col(f"l.{key}").alias(key),
         F.col(f"l.{left_ts}").alias("left_ts"),
-        F.col("l.value").alias("left_value"),
         F.col(f"r.{right_ts}").alias("right_ts"),
-        F.col("r.value").alias("right_value"),
-    )
+    ]
+    proj += [F.col(f"l.{c}").alias(f"l_{c}") for c in left.columns if c not in (key, left_ts)]
+    proj += [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns if c not in (key, right_ts)]
+    return lw.join(rw, cond, how).select(*proj)
 
 
 def enrich_stream_static(

@@ -64,8 +64,9 @@ def test_more_merges_compress_monotonically(spark, sf_dir):
     m160 = train_bpe(docs, num_merges=160)
     assert m160[:40] == m40  # merge list is prefix-stable
     n40 = bpe_tokenize(docs, m40, keep_tokens=False).agg(F.sum("n_tokens")).first()[0]
-    n160 = bpe_tokenize(docs, m160, keep_tokens=False).agg(F.sum("n_tokens")).first()[0]
-    words = bpe_tokenize(docs, m160, keep_tokens=False).agg(F.sum("n_words")).first()[0]
+    n160, words = bpe_tokenize(docs, m160, keep_tokens=False).agg(
+        F.sum("n_tokens"), F.sum("n_words")
+    ).first()
     assert words <= n160 <= n40  # merges only ever shrink token counts
 
 
@@ -75,3 +76,18 @@ def test_tokenize_is_map_only(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     rep = plan_report(bpe_tokenize(docs, [("e", "r" + END)], keep_tokens=False))
     assert rep.shuffle_exchanges == 0
+
+
+def test_marker_and_unicode_whitespace_are_sanitized_consistently(spark):
+    # the U+E000 end-of-word marker is stripped by BOTH training and apply,
+    # and U+00A0 (unicode space) is NOT a word boundary in either engine
+    docs = spark.createDataFrame(
+        [(1, f"x{END}y ab\u00a0cd ab\u00a0cd")], "doc_id long, text string"
+    )
+    got = {r.word: r.n for r in word_counts(docs).collect()}
+    assert got == {"xy": 1, "ab\u00a0cd": 2}
+    merges = train_bpe(docs, num_merges=50)
+    row = bpe_tokenize(docs, merges).first()
+    assert row.n_words == 3  # apply splits identically (ASCII whitespace)
+    joined = "".join(row.tokens).replace(END, " ").strip()
+    assert joined == "xy ab\u00a0cd ab\u00a0cd"

@@ -245,7 +245,7 @@ def test_stream_stream_interval_join_left_outer_emits_after_watermark(spark, tmp
     _stage(spark, rd, [(B + 200, "z", 0)])
     r2 = _drain2(spark, ld, rd, tf, ckpt)
     outer = [r for r in r1 + r2 if r.kind == "a" and r.right_ts is None]
-    assert len(outer) == 1 and outer[0].left_value == 1
+    assert len(outer) == 1 and outer[0].l_value == 1
 
 
 def _dt(sec):
@@ -270,5 +270,5 @@ def test_stream_static_enrichment_is_broadcast_and_stateless(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "availableNow drain did not finish"
     assert {(r.kind, r.label) for r in out} == {("a", "alpha"), ("b", "beta"), ("c", None)}
