@@ -56,6 +56,7 @@ EXTENDED = [
     "q_pipeline_pretrain",
     "q_sim_topk_pq",
     "q_text_bpe",
+    "q_dedup_clusters_star",
 ]
 
 

@@ -619,9 +619,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
-@register(
-    "q_dedup_clusters",
-    """
+_CLUSTERS_ORACLE = """
     WITH RECURSIVE sh_all AS (
         SELECT DISTINCT doc_id, UNNEST(gr) AS shingle
         FROM (
@@ -659,7 +657,12 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     )
     SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical
     FROM reach GROUP BY src
-    """,
+    """
+
+
+@register(
+    "q_dedup_clusters",
+    _CLUSTERS_ORACLE,
     doc="Near-dup pair graph -> connected components (iterative min-label "
         "propagation, one shuffle per round, rounds = component diameter); "
         "oracle is a recursive-CTE transitive closure over the same Jaccard "
@@ -671,6 +674,106 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n=3, threshold=0.5, max_doc_freq=1000
     ).select("doc_a", "doc_b")
     return dedup_clusters(pairs)
+
+
+def cc_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the deep-graph-safe alternative to ``dedup_clusters``.
+
+    Min-label propagation needs O(component diameter) rounds: fine for
+    near-dup blobs (shallow), hopeless for chain-shaped components (doc A
+    ~ B ~ C ~ ... from drifting re-crawls), where diameter is the chain
+    length. Star contraction converges in O(log n) rounds on ANY shape:
+
+    - large-star: every node's larger neighbors re-attach to its smallest
+      neighbor (or itself); keeps the graph's components intact while
+      halving long tails.
+    - small-star: every node and its smaller neighbors re-attach to the
+      minimum of the closed neighborhood, orienting edges child -> min.
+
+    Both rounds are expressed WITHOUT collect_list: per-node neighborhood
+    minima come from a groupBy().min() joined back to the edge list, so a
+    hot node (a million-duplicate boilerplate doc) is an aggregation hot
+    key (combiner-friendly), never a million-element array in one task.
+    Each round is two shuffles (agg + join); fixpoint when the oriented
+    edge set stops changing. Same output contract as ``dedup_clusters``:
+    (doc_id, canonical=component min) for every doc in >= 1 pair, returned
+    cached (callers may unpersist).
+    """
+    pairs = pairs.persist()
+    # orient child > parent; star rounds preserve this invariant.
+    # localCheckpoint (NOT cache) each round: every round references the
+    # previous edge set four times (sym, both star joins, the fixpoint
+    # diff), so without lineage truncation the logical plan grows ~4^k and
+    # Catalyst analysis itself becomes the bottleneck by round ~8. A local
+    # checkpoint materializes to executor storage and cuts the plan flat —
+    # the standard move for iterative graph algorithms on DataFrames.
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"), F.least("doc_a", "doc_b").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # -- large-star: sym neighborhoods; larger neighbors -> min
+        sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # each node also keeps its own attachment so components never split
+        ls = large.unionByName(mins.select("u", F.col("m").alias("v")))                   .where(F.col("u") != F.col("v")).distinct()
+        # -- small-star: edges are (child u > parent v); min of closed nbhd
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            ls.join(mins2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        nxt = (
+            small.unionByName(mins2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.exceptAll(edges).limit(1).count() + edges.exceptAll(nxt).limit(1).count()
+        edges = nxt
+        if changed == 0:
+            break
+    # stars: (child, min). Roots appear only on the parent side.
+    roots = edges.select(F.col("v").alias("doc_id")).distinct().join(
+        edges.select(F.col("u").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    labels = (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("canonical"))
+        .unionByName(roots.select("doc_id", F.col("doc_id").alias("canonical")))
+        .cache()
+    )
+    labels.count()
+    pairs.unpersist()
+    return labels
+
+
+@register(
+    "q_dedup_clusters_star",
+    _CLUSTERS_ORACLE,
+    doc="Same pairs -> connected components, by alternating large/small-star "
+        "contraction: O(log n) rounds regardless of component diameter — the "
+        "formulation that survives chain-shaped duplicate components at "
+        "corpus scale; oracled against the identical recursive-CTE closure",
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, n=3, threshold=0.5, max_doc_freq=1000
+    ).select("doc_a", "doc_b")
+    return cc_star(pairs)
 
 
 # -- Edit-distance verification -------------------------------------------

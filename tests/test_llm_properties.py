@@ -159,3 +159,36 @@ def test_decontaminate_empty_eval_set_flags_nothing(spark):
     )
     eval_set = spark.createDataFrame([], "doc_id long, text string")
     assert decontaminate(train, eval_set, n=8).count() == 0
+
+
+def test_cc_star_collapses_deep_chain_in_log_rounds(spark):
+    """A 200-link chain needs ~200 min-label rounds but O(log n) star
+    rounds; max_iter=10 must already reach the exact fixpoint."""
+    from substreams_sink_parquet_spark.llm.dedup import cc_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+    )
+    labels = cc_star(pairs, max_iter=10)
+    got = {r.doc_id: r.canonical for r in labels.collect()}
+    labels.unpersist()
+    assert got == {i: 0 for i in range(201)}
+
+
+def test_cc_star_matches_min_label_propagation(spark):
+    """Both component algorithms must agree on a multi-component graph with
+    shared-min collisions, stars, and singleton-free contract."""
+    from substreams_sink_parquet_spark.llm.dedup import cc_star, dedup_clusters
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # path
+        (10, 11), (10, 12), (10, 13),    # star centered on the min
+        (20, 21), (22, 21), (22, 23),    # zigzag
+        (30, 31),                        # isolated pair
+        (41, 40), (40, 42), (43, 42),    # min in the middle
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    a = {r.doc_id: r.canonical for r in cc_star(pairs, max_iter=10).collect()}
+    b = {r.doc_id: r.canonical for r in dedup_clusters(pairs).collect()}
+    assert a == b
+    assert a[4] == 1 and a[13] == 10 and a[23] == 20 and a[43] == 40
