@@ -1,0 +1,130 @@
+"""Trained quality classifier: weak rule labels -> MLlib logistic regression.
+
+Production pre-training pipelines (CCNet-style) do exactly this: hand rules
+label an initial corpus slice, a cheap linear model over bag-of-words
+features generalizes those rules, and the MODEL — not the rules — scores
+the full corpus, catching junk the rules miss (the rules see surface
+counters; the model sees which words co-occur with junk). The reference
+sink has no scoring at all; this completes the quality story next to the
+rule cascade (text.py:q_text_filter_pipeline) it bootstraps from.
+
+Why this shape scales to 100 TB:
+
+- **Weak labeling** is the existing map-only rule cascade — one pass, no
+  shuffle, no humans.
+- **Training** runs on a deterministic hash-sampled slice (a linear model
+  over 2^18 hashed features saturates long before millions of examples;
+  sampling by universal hash keeps the slice reproducible at any
+  parallelism). MLlib's LogisticRegression is a treeAggregate per LBFGS
+  iteration over that slice only.
+- **Scoring** broadcasts the learned coefficient vector inside the fitted
+  pipeline; `model.transform` is map-only over the full corpus — scan
+  parallelism, no shuffle, no state.
+
+Spark-first: Tokenizer -> HashingTF -> LogisticRegression is the MLlib
+Pipeline idiom; nothing here is hand-scheduled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..tables import load
+from .text import STOPWORDS
+
+N_FEATURES = 1 << 18
+
+
+def weak_quality_labels(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rule-cascade verdict -> binary weak label (1 = keep). Same rules as
+    q_text_filter_pipeline (text.py), restated so the labeler stays in sync
+    with the documented cascade semantics."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    awl = (
+        F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))).cast("double")
+        / n_words
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    punct_ratio = (
+        F.length(F.regexp_replace(text_col, r"[^.,!?;:]", "")).cast("double")
+        / F.length(text_col)
+    )
+    dup_frac = F.lit(1) - n_distinct.cast("double") / n_words
+    keep = (
+        (n_words >= 30)
+        & (n_words <= 100000)
+        & (awl >= 3)
+        & (awl <= 12)
+        & (n_stop >= 1)
+        & (punct_ratio <= 0.1)
+        & (dup_frac <= 0.5)
+    )
+    return docs.withColumn("label", keep.cast("double"))
+
+
+def train_quality_model(
+    docs: DataFrame,
+    text_col: str = "text",
+    sample_mod: int = 1,
+    max_iter: int = 30,
+):
+    """Fit Tokenizer -> HashingTF -> LogisticRegression on weak labels.
+
+    ``sample_mod``: train on the deterministic 1/sample_mod hash-slice of
+    doc_id (1 = all docs — fine at test scale; 100 at corpus scale). The
+    returned PipelineModel holds the coefficient vector; it rides to the
+    executors as a broadcast inside ``transform``.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, Tokenizer
+
+    labeled = weak_quality_labels(docs, text_col)
+    if sample_mod > 1:
+        labeled = labeled.where(F.pmod(F.xxhash64("doc_id"), sample_mod) == 0)
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol=text_col, outputCol="q_words"),
+            HashingTF(inputCol="q_words", outputCol="q_feats", numFeatures=N_FEATURES),
+            LogisticRegression(
+                featuresCol="q_feats",
+                labelCol="label",
+                maxIter=max_iter,
+                regParam=1e-4,
+                standardization=False,
+            ),
+        ]
+    )
+    return pipe.fit(labeled)
+
+
+def score_quality(model, docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Map-only corpus scoring: P(keep) per doc from the fitted pipeline.
+    Probability extraction stays JVM-side (vector_to_array), no Python UDF."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(docs.select("doc_id", text_col))
+    return scored.select(
+        "doc_id",
+        vector_to_array("probability")[1].alias("p_keep"),
+        F.col("prediction").cast("long").alias("keep_pred"),
+    )
+
+
+@register(
+    "q_text_quality_model",
+    None,  # learned coefficients are not expressible in SQL — rows-only + pytest
+    doc="Trained quality filter: weak labels from the rule cascade, "
+    "HashingTF + logistic regression, map-only corpus scoring",
+)
+def q_text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    model = train_quality_model(docs)
+    return score_quality(model, docs).select(
+        "doc_id", "keep_pred", F.round("p_keep", 3).alias("p_keep_3")
+    )
