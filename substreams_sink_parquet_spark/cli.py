@@ -227,6 +227,33 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_tier(args: argparse.Namespace) -> int:
+    """Re-chunk aged finalized range files into larger tiers, per table
+    (main + exploded children). Only complete grid-aligned groups merge,
+    so it is safe behind an active sink's finalize horizon; crashed prior
+    runs are recovered first (sink/maintenance.py:tier_finalized)."""
+    import json
+
+    from .fsio import HadoopFS
+    from .sink.maintenance import tier_finalized
+    from .streaming.stream_sink import lake_table_dirs
+
+    spark = get_spark("sink-tier")
+    fs = HadoopFS(spark, args.store_url)
+    report = {}
+    for table_dir in lake_table_dirs(fs, args.store_url):
+        done = tier_finalized(
+            spark, table_dir,
+            tier_blocks=args.tier_blocks,
+            pad=args.pad,
+            compression=args.compression,
+        )
+        if done:
+            report[table_dir] = {k: list(v) for k, v in done.items()}
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_corpus(args: argparse.Namespace) -> int:
     """Streaming corpus builder: drain JSONL shards from a staging dir into
     an exact-deduped corpus lake (quarantined bad lines, persistent hash
@@ -382,6 +409,16 @@ def main(argv: list[str] | None = None) -> int:
     compact_p.add_argument("--min-files", type=int, default=2)
     compact_p.add_argument("--compression", default="zstd")
     compact_p.set_defaults(fn=cmd_compact)
+
+    tier_p = sub.add_parser(
+        "tier", help="merge aged finalized range files into larger tiers"
+    )
+    tier_p.add_argument("store_url")
+    tier_p.add_argument("--tier-blocks", type=int, required=True,
+                        help="blocks per tiered file (multiple of partition size)")
+    tier_p.add_argument("--pad", type=int, default=10)
+    tier_p.add_argument("--compression", default="zstd")
+    tier_p.set_defaults(fn=cmd_tier)
 
     corpus_p = sub.add_parser(
         "corpus", help="build an exact-deduped text corpus from JSONL shards"

@@ -39,6 +39,7 @@ import json
 from pyspark.sql import SparkSession
 
 from ..fsio import HadoopFS, live_index as _shared_live_index, live_range_dirs, url_join
+from ..partition import file_name
 
 COMPACTED_EPOCH = -1
 _MANIFEST = "_MERGED.json"
@@ -169,4 +170,135 @@ def compact_live(
             1 for f in fs.listdir(dst)
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         ))
+    return done
+
+
+# -- Finalized-area tiering ------------------------------------------------
+
+_TIER_MANIFEST = "_TIERED.json"
+
+
+def recover_tier_leftovers(fs: HadoopFS, out_dir: str) -> dict[str, str]:
+    """Repair ``_tier_*`` leftovers from a crashed tier_finalized run —
+    same write-ahead-commit contract as the live-area compactor: a tmp dir
+    WITH a manifest finished its write and its commit is replayed; one
+    without never committed and is dropped (sources intact)."""
+    actions: dict[str, str] = {}
+    for d in fs.listdir(out_dir):
+        if not d.startswith("_tier_"):
+            continue
+        tmp = url_join(out_dir, d)
+        manifest = url_join(tmp, _TIER_MANIFEST)
+        if fs.exists(manifest):
+            m = json.loads(fs.read_bytes(manifest))
+            _commit_tier(fs, out_dir, tmp, m)
+            actions[d] = "committed"
+        else:
+            fs.delete(tmp, recursive=True)
+            actions[d] = "dropped_uncommitted"
+    return actions
+
+
+def _commit_tier(fs: HadoopFS, out_dir: str, tmp: str, m: dict) -> None:
+    """Idempotent commit: delete the source range files, move the merged
+    part file into its padded tier name, drop the tmp dir. Replayable from
+    any crash point (deletes are no-ops; the rename is guarded)."""
+    for s in m["sources"]:
+        fs.delete(url_join(out_dir, s), recursive=False)
+    dst = url_join(out_dir, m["name"])
+    if not fs.exists(dst):
+        part = next(
+            (n for n in fs.listdir(tmp)
+             if n.endswith(".parquet") and not n.startswith(("_", "."))),
+            None,
+        )
+        if part is None:  # crashed after a previous replay moved it
+            raise FileNotFoundError(f"tier commit for {m['name']}: no part file in {tmp}")
+        fs.rename(url_join(tmp, part), dst)
+    fs.delete(tmp, recursive=True)
+
+
+def tier_finalized(
+    spark: SparkSession,
+    out_dir: str,
+    tier_blocks: int,
+    pad: int = 10,
+    compression: str = "zstd",
+) -> dict[str, tuple[int, int]]:
+    """Re-chunk aged finalized range files into ``tier_blocks``-sized files.
+
+    The sink writes ``partition_size``-block files (reference default 5000)
+    because that is the right granularity for a LIVE frontier: small
+    finalize units, fine-grained undo. It is the wrong granularity for a
+    100 TB archive — 10x the files means 10x the footers, listings and
+    scheduler splits forever. Tiering merges each complete, grid-aligned
+    group of consecutive range files into one ``{T}-{T+tier_blocks}``
+    file. The name contract is unchanged (names ARE the partition index),
+    so ``read_lake`` pruning, ``lake_coverage`` contiguity and deep-reorg
+    undo all keep working on tiered lakes; ``backfill_empty`` is
+    span-aware (writer.covered_spans) so a resumed sink never backfills
+    inside a tiered span.
+
+    Only COMPLETE tiers merge: a group qualifies iff its files' spans
+    concatenate exactly to [T, T+tier_blocks) — the frontier tail and any
+    incomplete region are untouched, so tiering is safe to run behind an
+    active sink's finalize horizon (single-writer discipline: do not tier
+    the same directory from two jobs at once). Rows are block-sorted per
+    output file, preserving the per-file ordering invariant. Crash-safe:
+    write to ``_tier_{T}`` + manifest, then delete-sources/rename —
+    leftovers from a crash are recovered first, from either side of the
+    commit point.
+
+    Returns {new_file_name: (files_merged, rows)}.
+    """
+    from .writer import _split_range_name
+
+    fs = HadoopFS(spark, out_dir)
+    recover_tier_leftovers(fs, out_dir)
+    files: list[tuple[int, int, str]] = []
+    for n in fs.listdir(out_dir):
+        parsed = _split_range_name(n)
+        if parsed is not None:
+            files.append((parsed[0], parsed[1], n))
+    if not files:
+        return {}
+    files.sort()
+    anchor = files[0][0]
+    groups: dict[int, list[tuple[int, int, str]]] = {}
+    for rs, re_, n in files:
+        t = anchor + ((rs - anchor) // tier_blocks) * tier_blocks
+        if re_ <= t + tier_blocks:  # straddlers (already-tiered bigger files) stay
+            groups.setdefault(t, []).append((rs, re_, n))
+    done: dict[str, tuple[int, int]] = {}
+    for t, members in sorted(groups.items()):
+        if len(members) < 2:
+            continue  # already one file (tiered or single oversize range)
+        # complete tier: member spans concatenate exactly to [t, t+tier)
+        pos, ok = t, True
+        for rs, re_, _n in members:  # -part siblings share a span
+            if rs == pos:
+                pos = max(pos, re_)
+            elif not (rs < pos and re_ <= pos):
+                ok = False
+                break
+        if not ok or pos != t + tier_blocks:
+            continue
+        srcs = [url_join(out_dir, n) for _rs, _re, n in members]
+        df = spark.read.option("mergeSchema", "true").parquet(*srcs)
+        tmp = url_join(out_dir, f"_tier_{t}")
+        (
+            df.repartition(1)
+            .sortWithinPartitions("block_number")
+            .write.mode("overwrite")
+            .option("compression", compression)
+            .parquet(tmp)
+        )
+        name = file_name(t, t + tier_blocks, pad)
+        manifest = {"name": name, "sources": [n for _rs, _re, n in members]}
+        fs.write_bytes(
+            url_join(tmp, _TIER_MANIFEST), json.dumps(manifest).encode()
+        )
+        n_rows = spark.read.parquet(tmp).count()
+        _commit_tier(fs, out_dir, tmp, manifest)
+        done[name] = (len(members), n_rows)
     return done

@@ -300,6 +300,29 @@ def existing_range_starts(fs: HadoopFS, out_dir: str) -> set[int]:
     return out
 
 
+def covered_spans(fs: HadoopFS, out_dir: str) -> list[tuple[int, int]]:
+    """Merged, sorted [rs, re) block spans covered by finalized files.
+
+    Span-granular (not start-granular) coverage: after tier_finalized
+    re-chunks aged ranges into larger files, a file 0-50000 covers ten of
+    the sink's native 5000-block ranges — any gap logic keyed on range
+    STARTS would think 5000..45000 are missing and recreate them as
+    overlapping empties."""
+    spans: list[tuple[int, int]] = []
+    for n in fs.listdir(out_dir):
+        parsed = _split_range_name(n)
+        if parsed is not None:
+            spans.append((parsed[0], parsed[1]))
+    spans.sort()
+    merged: list[tuple[int, int]] = []
+    for s, e in spans:
+        if merged and s <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    return merged
+
+
 def backfill_empty(
     spark: SparkSession,
     template_df: DataFrame,
@@ -315,11 +338,18 @@ def backfill_empty(
     content is schema-only, independent of the range — only the NAME encodes
     the range). O(gaps) small FS writes, 16-way parallel, zero per-gap jobs."""
     fs = HadoopFS(spark, out_dir)
-    covered = existing_range_starts(fs, out_dir)
+    spans = covered_spans(fs, out_dir)  # span-granular: tiered files count
+
+    def _is_covered(rs: int, re_: int) -> bool:
+        from bisect import bisect_right
+
+        i = bisect_right(spans, (rs, float("inf"))) - 1
+        return i >= 0 and spans[i][0] <= rs and re_ <= spans[i][1]
+
     missing = [
         file_name(rs, re_, opts.pad)
         for rs, re_ in all_ranges(opts.start_block, upto, opts.partition_size, opts.end_block)
-        if rs not in covered
+        if not _is_covered(rs, re_)
     ]
     if not missing:
         return []

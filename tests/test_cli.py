@@ -295,3 +295,33 @@ def test_cli_corpus_export(tmp_path, spark, capsys):
     got = spark.read.parquet(str(tmp_path / "shards_out"))
     assert got.count() == 6
     assert {r.shard for r in got.select("shard").distinct().collect()} <= set(range(4))
+
+
+def test_cli_tier_finalized(tmp_path, spark, capsys):
+    """cli tier merges complete finalized range groups for every table."""
+    import json
+    import os
+
+    from substreams_sink_parquet_spark.cli import main
+    from substreams_sink_parquet_spark.sink.writer import (
+        WriterOptions,
+        read_lake,
+        write_ranges,
+    )
+
+    out_dir = str(tmp_path / "lake")
+    os.makedirs(out_dir)
+    df = spark.createDataFrame(
+        [(b, f"0x{b:x}") for b in range(0, 60, 2)],
+        "block_number bigint, block_id string",
+    )
+    write_ranges(df, out_dir, WriterOptions(partition_size=10, start_block=0))
+    rc = main(["tier", out_dir, "--tier-blocks", "30"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    (tbl,) = report
+    assert set(report[tbl]) == {
+        "0000000000-0000000030.parquet",
+        "0000000030-0000000060.parquet",
+    }
+    assert read_lake(spark, out_dir).count() == 30

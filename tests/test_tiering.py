@@ -1,0 +1,129 @@
+"""Finalized-area tiering: complete grid-aligned groups of range files merge
+into one larger range file; the frontier tail is untouched; every lake
+contract (name pruning, contiguity, backfill, ordering) survives; the
+write-ahead commit recovers from either side of a crash."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from substreams_sink_parquet_spark.fsio import HadoopFS, url_join
+from substreams_sink_parquet_spark.sink.maintenance import (
+    recover_tier_leftovers,
+    tier_finalized,
+)
+from substreams_sink_parquet_spark.sink.writer import (
+    WriterOptions,
+    backfill_empty,
+    covered_spans,
+    lake_coverage,
+    read_lake,
+    write_ranges,
+)
+
+
+def _lake(spark, tmp_path, blocks, size=10):
+    out = str(tmp_path / "lake")
+    os.makedirs(out)
+    df = spark.createDataFrame(
+        [(b, f"0x{b:x}", b * 2) for b in blocks],
+        "block_number bigint, block_id string, v bigint",
+    )
+    write_ranges(df, out, WriterOptions(partition_size=size, start_block=0, pad=10))
+    return out
+
+
+def test_tier_merges_complete_groups_and_leaves_tail(spark, tmp_path):
+    # ranges 0-10 .. 70-80 (8 files); tier to 30 blocks: [0,30) and [30,60)
+    # complete -> merged; [60,90) incomplete (only 60-80) -> untouched
+    out = _lake(spark, tmp_path, list(range(0, 80, 3)) + [79])
+    fs = HadoopFS(spark, out)
+    done = tier_finalized(spark, out, tier_blocks=30)
+    assert set(done) == {
+        "0000000000-0000000030.parquet",
+        "0000000030-0000000060.parquet",
+    }
+    names = sorted(n for n in fs.listdir(out) if n.endswith(".parquet"))
+    assert names == [
+        "0000000000-0000000030.parquet",
+        "0000000030-0000000060.parquet",
+        "0000000060-0000000070.parquet",
+        "0000000070-0000000080.parquet",
+    ]
+    # rows preserved exactly, per-file still block-sorted
+    got = sorted(r.block_number for r in read_lake(spark, out).collect())
+    assert got == sorted(set(list(range(0, 80, 3)) + [79]))
+    col = pq.read_table(os.path.join(out, "0000000000-0000000030.parquet"))
+    bn = col.column("block_number").to_pylist()
+    assert bn == sorted(bn)
+    # name-pruned reads open only the overlapping tiered file
+    probe = read_lake(spark, out, start_block=5, end_block=12)
+    assert {os.path.basename(f) for f in probe.inputFiles()} == {
+        "0000000000-0000000030.parquet"
+    }
+    # contiguity metadata still holds
+    cov = lake_coverage(fs, out)
+    assert cov["gaps"] == [] and cov["overlaps"] == []
+
+
+def test_tier_is_idempotent_and_respects_existing_tiers(spark, tmp_path):
+    out = _lake(spark, tmp_path, list(range(0, 60, 2)))
+    tier_finalized(spark, out, tier_blocks=30)
+    again = tier_finalized(spark, out, tier_blocks=30)
+    assert again == {}  # single-file tiers are left alone
+
+
+def test_backfill_is_span_aware_after_tiering(spark, tmp_path):
+    out = _lake(spark, tmp_path, list(range(0, 60, 2)))
+    tier_finalized(spark, out, tier_blocks=30)
+    fs = HadoopFS(spark, out)
+    assert covered_spans(fs, out) == [(0, 60)]
+    # a resumed sink backfilling to block 79 must create ONLY the ranges
+    # beyond the tiered span, never inside it
+    tmpl = spark.createDataFrame(
+        [], "block_number bigint, block_id string, v bigint"
+    )
+    made = backfill_empty(
+        spark, tmpl, out, WriterOptions(partition_size=10, start_block=0, pad=10),
+        upto=75,
+    )
+    assert made == ["0000000060-0000000070.parquet", "0000000070-0000000080.parquet"]
+    cov = lake_coverage(fs, out)
+    assert cov["gaps"] == [] and cov["overlaps"] == []
+
+
+def test_tier_crash_recovery_both_sides_of_commit(spark, tmp_path):
+    out = _lake(spark, tmp_path, list(range(0, 30, 2)))
+    fs = HadoopFS(spark, out)
+
+    # uncommitted leftover (no manifest): dropped, sources intact
+    fs.mkdirs(url_join(out, "_tier_999"))
+    fs.write_bytes(url_join(out, "_tier_999", "part-0.parquet"), b"junk")
+    actions = recover_tier_leftovers(fs, out)
+    assert actions == {"_tier_999": "dropped_uncommitted"}
+    assert not fs.exists(url_join(out, "_tier_999"))
+
+    # committed leftover: simulate a crash right after the manifest write
+    # by building the tmp dir a real run would have produced
+    srcs = ["0000000000-0000000010.parquet", "0000000010-0000000020.parquet",
+            "0000000020-0000000030.parquet"]
+    df = spark.read.parquet(*[os.path.join(out, s) for s in srcs])
+    tmp = url_join(out, "_tier_0")
+    df.repartition(1).sortWithinPartitions("block_number").write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    fs.write_bytes(
+        url_join(tmp, "_TIERED.json"),
+        json.dumps({"name": "0000000000-0000000030.parquet", "sources": srcs}).encode(),
+    )
+    n_before = spark.read.parquet(*[os.path.join(out, s) for s in srcs]).count()
+    actions = recover_tier_leftovers(fs, out)
+    assert actions == {"_tier_0": "committed"}
+    names = sorted(n for n in fs.listdir(out) if n.endswith(".parquet"))
+    assert names == ["0000000000-0000000030.parquet"]
+    assert read_lake(spark, out).count() == n_before
+    # re-running recovery is a no-op
+    assert recover_tier_leftovers(fs, out) == {}
