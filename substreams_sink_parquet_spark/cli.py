@@ -238,15 +238,23 @@ def cmd_tier(args: argparse.Namespace) -> int:
     from .sink.maintenance import tier_finalized
     from .streaming.stream_sink import lake_table_dirs
 
+    from .sink.writer import WriterOptions
+
     spark = get_spark("sink-tier")
     fs = HadoopFS(spark, args.store_url)
+    opts = WriterOptions(
+        compression=args.compression,
+        compression_level=args.compression_level,
+        row_group_rows=args.row_group_rows,
+        bloom_filter_columns=tuple(args.bloom_filter),
+    )
     report = {}
     for table_dir in lake_table_dirs(fs, args.store_url):
         done = tier_finalized(
             spark, table_dir,
             tier_blocks=args.tier_blocks,
             pad=args.pad,
-            compression=args.compression,
+            opts=opts,
         )
         if done:
             report[table_dir] = {k: list(v) for k, v in done.items()}
@@ -418,6 +426,13 @@ def main(argv: list[str] | None = None) -> int:
                         help="blocks per tiered file (multiple of partition size)")
     tier_p.add_argument("--pad", type=int, default=10)
     tier_p.add_argument("--compression", default="zstd")
+    tier_p.add_argument("--compression-level", type=int, default=None)
+    tier_p.add_argument("--row-group-rows", type=int, default=20000)
+    tier_p.add_argument("--bloom-filter", action="append", default=[],
+                        metavar="COLUMN",
+                        help="parquet bloom filter column (repeatable) — "
+                        "match the run command's setting so archive files "
+                        "keep point-lookup skipping")
     tier_p.set_defaults(fn=cmd_tier)
 
     corpus_p = sub.add_parser(

@@ -717,6 +717,11 @@ def cc_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if not edges.take(1):  # no edges: nothing to contract, nothing to label
+        pairs.unpersist()
+        return edges.select(
+            F.col("u").alias("doc_id"), F.col("v").alias("canonical")
+        )
     for _ in range(max_iter):
         # -- large-star: sym neighborhoods; larger neighbors -> min
         sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -728,7 +733,11 @@ def cc_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
         # each node also keeps its own attachment so components never split
-        ls = large.unionByName(mins.select("u", F.col("m").alias("v")))                   .where(F.col("u") != F.col("v")).distinct()
+        ls = (
+            large.unionByName(mins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
         # -- small-star: edges are (child u > parent v); min of closed nbhd
         mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
         small = (
@@ -742,10 +751,23 @@ def cc_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = nxt.exceptAll(edges).limit(1).count() + edges.exceptAll(nxt).limit(1).count()
+        # short-circuit: one direction differing already proves non-fixpoint
+        changed = (
+            nxt.exceptAll(edges).limit(1).count()
+            or edges.exceptAll(nxt).limit(1).count()
+        )
         edges = nxt
         if changed == 0:
+            converged = True
             break
+    else:
+        converged = False
+    if not converged:
+        raise RuntimeError(
+            f"cc_star did not reach a fixpoint in {max_iter} rounds; star "
+            "contraction needs O(log n) rounds, so this graph needs a larger "
+            "max_iter — refusing to return unconverged labels"
+        )
     # stars: (child, min). Roots appear only on the parent side.
     roots = edges.select(F.col("v").alias("doc_id")).distinct().join(
         edges.select(F.col("u").alias("doc_id")).distinct(), "doc_id", "left_anti"

@@ -32,38 +32,17 @@ from pyspark.sql import functions as F
 
 from ..catalog import register
 from ..tables import load
-from .text import STOPWORDS
+from .text import quality_verdict_expr
 
 N_FEATURES = 1 << 18
 
 
 def weak_quality_labels(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Rule-cascade verdict -> binary weak label (1 = keep). Same rules as
-    q_text_filter_pipeline (text.py), restated so the labeler stays in sync
-    with the documented cascade semantics."""
-    words = F.split(F.col(text_col), " ")
-    n_words = F.size(words)
-    n_distinct = F.size(F.array_distinct(words))
-    awl = (
-        F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))).cast("double")
-        / n_words
-    )
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
-    punct_ratio = (
-        F.length(F.regexp_replace(text_col, r"[^.,!?;:]", "")).cast("double")
-        / F.length(text_col)
-    )
-    dup_frac = F.lit(1) - n_distinct.cast("double") / n_words
-    keep = (
-        (n_words >= 30)
-        & (n_words <= 100000)
-        & (awl >= 3)
-        & (awl <= 12)
-        & (n_stop >= 1)
-        & (punct_ratio <= 0.1)
-        & (dup_frac <= 0.5)
-    )
+    """Rule-cascade verdict -> binary weak label (1 = keep), from the SAME
+    expression q_text_filter_pipeline uses (text.quality_verdict_expr) —
+    one source of truth, so the labeler cannot drift from the cascade the
+    model claims to generalize."""
+    keep = quality_verdict_expr(text_col) == "keep"
     return docs.withColumn("label", keep.cast("double"))
 
 

@@ -319,6 +319,38 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_verdict_expr(text_col: str = "text") -> Column:
+    """The Gopher-style rule cascade as ONE Column expression — the single
+    source of truth shared by q_text_filter_pipeline (its oracle SQL mirrors
+    these thresholds) and the weak labeler that bootstraps the trained
+    quality classifier (quality_model.weak_quality_labels). Change a
+    threshold here and both stay in sync by construction."""
+    words = _words(text_col)
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    awl = (
+        F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))).cast("double")
+        / n_words
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    punct_ratio = (
+        F.length(F.regexp_replace(text_col, r"[^.,!?;:]", "")).cast("double")
+        / F.length(text_col)
+    )
+    dup_frac = F.lit(1) - n_distinct.cast("double") / n_words
+    return (
+        F.when(n_words < 30, "too_short")
+        .when(n_words > 100000, "too_long")
+        .when((awl < 3) | (awl > 12), "word_len")
+        .when(n_stop < 1, "no_stopwords")
+        .when(punct_ratio > 0.1, "symbol_heavy")
+        .when(dup_frac > 0.5, "repetitive")
+        .otherwise("keep")
+    )
+
+
+
 @register(
     "q_text_filter_pipeline",
     """
@@ -355,30 +387,10 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    words = _words()
-    n_words = F.size(words)
-    n_distinct = F.size(F.array_distinct(words))
-    awl = (
-        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_words
-    )
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
-    punct_ratio = (
-        F.length(F.regexp_replace("text", r"[^.,!?;:]", "")).cast("double")
-        / F.length("text")
-    )
-    dup_frac = F.lit(1) - n_distinct.cast("double") / n_words
-    verdict = (
-        F.when(n_words < 30, "too_short")
-        .when(n_words > 100000, "too_long")
-        .when((awl < 3) | (awl > 12), "word_len")
-        .when(n_stop < 1, "no_stopwords")
-        .when(punct_ratio > 0.1, "symbol_heavy")
-        .when(dup_frac > 0.5, "repetitive")
-        .otherwise("keep")
-    )
     return docs.select(
-        "doc_id", verdict.alias("verdict"), n_words.cast("long").alias("n_words")
+        "doc_id",
+        quality_verdict_expr().alias("verdict"),
+        F.size(_words()).cast("long").alias("n_words"),
     )
 
 

@@ -224,6 +224,7 @@ def tier_finalized(
     tier_blocks: int,
     pad: int = 10,
     compression: str = "zstd",
+    opts=None,
 ) -> dict[str, tuple[int, int]]:
     """Re-chunk aged finalized range files into ``tier_blocks``-sized files.
 
@@ -248,6 +249,10 @@ def tier_finalized(
     write to ``_tier_{T}`` + manifest, then delete-sources/rename —
     leftovers from a crash are recovered first, from either side of the
     commit point.
+
+    Pass ``opts`` (WriterOptions) to write tiered files with the lake's
+    full parquet tuning (bloom filters, zstd level, row-group sizing) —
+    tiered files are final and are never rewritten by a later finalize.
 
     Returns {new_file_name: (files_merged, rows)}.
     """
@@ -286,13 +291,23 @@ def tier_finalized(
         srcs = [url_join(out_dir, n) for _rs, _re, n in members]
         df = spark.read.option("mergeSchema", "true").parquet(*srcs)
         tmp = url_join(out_dir, f"_tier_{t}")
-        (
+        writer = (
             df.repartition(1)
             .sortWithinPartitions("block_number")
             .write.mode("overwrite")
-            .option("compression", compression)
-            .parquet(tmp)
         )
+        if opts is not None:
+            # tiered files are FINAL — unlike compact_live output (which a
+            # later finalize rewrites with full options), so the caller's
+            # WriterOptions (bloom filters, zstd level, row-group/page/dict/
+            # stats tuning) must be applied here or lost from the archive
+            from .writer import parquet_write_options
+
+            for k, v in parquet_write_options(opts).items():
+                writer = writer.option(k, v)
+        else:
+            writer = writer.option("compression", compression)
+        writer.parquet(tmp)
         name = file_name(t, t + tier_blocks, pad)
         manifest = {"name": name, "sources": [n for _rs, _re, n in members]}
         fs.write_bytes(

@@ -290,16 +290,6 @@ def _split_oversize(spark: SparkSession, fs: HadoopFS, staging: str, out_dir: st
     return written
 
 
-def existing_range_starts(fs: HadoopFS, out_dir: str) -> set[int]:
-    """Range starts already covered by finalized files (plain or -part)."""
-    out = set()
-    for n in fs.listdir(out_dir):
-        parsed = _split_range_name(n)
-        if parsed is not None:
-            out.add(parsed[0])
-    return out
-
-
 def covered_spans(fs: HadoopFS, out_dir: str) -> list[tuple[int, int]]:
     """Merged, sorted [rs, re) block spans covered by finalized files.
 

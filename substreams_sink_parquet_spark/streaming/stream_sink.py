@@ -391,19 +391,39 @@ class StreamingSink:
                 continue  # fully below the fork — untouched
             paths = [url_join(table_dir, n) for n in names]
             if rs <= last_valid_block:
-                # spanning range: demote surviving rows to the live area
+                # spanning range: demote surviving rows to the live area,
+                # split into NATIVE partition_size ranges — a tiered file
+                # (tier_finalized) spans several native ranges, and staging
+                # them all under the file's own start would re-finalize into
+                # a misnamed file that breaks name-keyed pruning
                 kept = self.spark.read.parquet(*paths).filter(
                     F.col("block_number") <= last_valid_block
-                )
-                if kept.take(1):
-                    dst = url_join(
-                        table_dir, "_live",
-                        f"epoch={self.RETRACT_EPOCH}", f"range_start={rs}",
-                    )
-                    writer = kept.write.mode("overwrite")
-                    for k, v in parquet_write_options(self.opts).items():
-                        writer = writer.option(k, v)
-                    writer.parquet(dst)
+                ).persist()
+                try:
+                    starts = [
+                        r[0]
+                        for r in kept.select(
+                            range_start_col(
+                                "block_number", self.opts.start_block,
+                                self.opts.partition_size,
+                            ).alias("rs")
+                        ).distinct().collect()
+                    ]
+                    for s in sorted(starts):
+                        dst = url_join(
+                            table_dir, "_live",
+                            f"epoch={self.RETRACT_EPOCH}", f"range_start={s}",
+                        )
+                        part = kept.filter(
+                            (F.col("block_number") >= s)
+                            & (F.col("block_number") < s + self.opts.partition_size)
+                        )
+                        writer = part.write.mode("overwrite")
+                        for k, v in parquet_write_options(self.opts).items():
+                            writer = writer.option(k, v)
+                        writer.parquet(dst)
+                finally:
+                    kept.unpersist()
             for p in paths:
                 self._fs.delete(p, recursive=False)
 
@@ -479,10 +499,15 @@ def run_pipeline(
     # otherwise be invisible — its range drops out of the index and the
     # contiguity backfill would paper over it with an EMPTY range file
     # while the real rows sit stranded.
-    from ..sink.maintenance import recover_compact_leftovers
+    # Same hazard for _tier_* leftovers (tier_finalized crashing after its
+    # commit deleted the source range files but before the rename): the
+    # sources are gone, so span-aware backfill would fabricate EMPTY files
+    # over their blocks while the merged rows sit stranded in the tmp dir.
+    from ..sink.maintenance import recover_compact_leftovers, recover_tier_leftovers
 
     for table_dir in [out_dir] + sink._child_dirs():
         recover_compact_leftovers(sink._fs, table_dir)
+        recover_tier_leftovers(sink._fs, table_dir)
     from ..sources.staging import raw_stream
 
     stream = raw_stream(spark, input_dir)

@@ -16,7 +16,7 @@ from substreams_sink_parquet_spark.decode import decode_payloads
 from substreams_sink_parquet_spark.fsio import HadoopFS, normalize_store_url, url_join
 from substreams_sink_parquet_spark.sink.writer import (
     WriterOptions,
-    existing_range_starts,
+    covered_spans,
     read_lake,
     write_ranges,
 )
@@ -108,7 +108,7 @@ def test_target_file_bytes_soft_rotation(spark, tmp_path):
     ) == [0, 1, 2, 3, 4, 5]
     # the split range counts as covered: no empty backfill on a later write
     fs = HadoopFS(spark, out)
-    assert existing_range_starts(fs, out) == {0}
+    assert covered_spans(fs, out) == [(0, 1000)]
     df2 = decode_payloads(_blocks_df(spark, [2500]), BLOCK)
     files2 = write_ranges(df2, out, WriterOptions(partition_size=1000, start_block=0))
     assert "0000001000-0000002000.parquet" in files2  # gap filled

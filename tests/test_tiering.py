@@ -127,3 +127,79 @@ def test_tier_crash_recovery_both_sides_of_commit(spark, tmp_path):
     assert read_lake(spark, out).count() == n_before
     # re-running recovery is a no-op
     assert recover_tier_leftovers(fs, out) == {}
+
+
+def test_undo_on_tiered_lake_restores_native_ranges(spark, tmp_path):
+    """Deep-reorg undo through a TIERED file must demote survivors into
+    native partition_size ranges so re-finalized names keep the
+    name-is-index contract (pruned reads must not lose blocks)."""
+    from substreams_sink_parquet_spark.streaming.stream_sink import undo_lake
+
+    out = _lake(spark, tmp_path, list(range(0, 60)), size=10)
+    tier_finalized(spark, out, tier_blocks=30)
+    undo_lake(spark, out, last_valid_block=15,
+              opts=WriterOptions(partition_size=10, start_block=0, pad=10))
+    fs = HadoopFS(spark, out)
+    # finalized area: everything above the fork's tier is gone
+    names = sorted(n for n in fs.listdir(out) if n.endswith(".parquet"))
+    assert names == []
+    # survivors staged per NATIVE range, not under the tiered file's start
+    live = url_join(out, "_live", "epoch=-2")
+    assert sorted(fs.listdir(live)) == ["range_start=0", "range_start=10"]
+    rows = sorted(
+        r.block_number
+        for r in spark.read.parquet(url_join(out, "_live")).collect()
+    )
+    assert rows == list(range(16))
+
+
+def test_run_pipeline_recovers_tier_leftovers(spark, tmp_path):
+    """A sink resumed after a tier crash mid-commit must recover the
+    stranded merged rows BEFORE backfill papers empties over the deleted
+    source ranges."""
+    import json as _json
+
+    from .test_protowire import BLOCK
+    from .test_streaming import _stage_blocks
+    from substreams_sink_parquet_spark.streaming.stream_sink import run_pipeline
+
+    input_dir = str(tmp_path / "in")
+    out = str(tmp_path / "lake")
+    _stage_blocks(spark, input_dir, list(range(0, 30)), 0)
+    q, _ = run_pipeline(
+        spark, input_dir, out, BLOCK, str(tmp_path / "ckpt"),
+        opts=WriterOptions(partition_size=10, start_block=0),
+        undo_holdback=0,
+    )
+    q.awaitTermination(120)
+    fs = HadoopFS(spark, out)
+    n_total = read_lake(spark, out).count()
+
+    # simulate the crash: a fully-written _tier_0 with manifest, sources
+    # already deleted (the commit's first phase ran), rename never happened
+    srcs = ["0000000000-0000000010.parquet", "0000000010-0000000020.parquet",
+            "0000000020-0000000030.parquet"]
+    df = spark.read.parquet(*[os.path.join(out, s) for s in srcs])
+    tmp = url_join(out, "_tier_0")
+    df.repartition(1).sortWithinPartitions("block_number").write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    fs.write_bytes(
+        url_join(tmp, "_TIERED.json"),
+        _json.dumps({"name": "0000000000-0000000030.parquet",
+                     "sources": srcs}).encode(),
+    )
+    for s in srcs:
+        fs.delete(url_join(out, s), recursive=False)
+
+    # resume the sink with one more batch: recovery must run first
+    _stage_blocks(spark, input_dir, list(range(30, 40)), 1)
+    q2, _ = run_pipeline(
+        spark, input_dir, out, BLOCK, str(tmp_path / "ckpt"),
+        opts=WriterOptions(partition_size=10, start_block=0),
+        undo_holdback=0,
+    )
+    q2.awaitTermination(120)
+    assert not fs.exists(tmp)
+    assert fs.exists(url_join(out, "0000000000-0000000030.parquet"))
+    assert read_lake(spark, out).count() == n_total + 10
