@@ -124,6 +124,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         available_now=args.drain_and_exit,
         flush_interval=f"{args.flush_interval_s} seconds",
         exploded_write_workers=args.exploded_write_workers,
+        max_files_per_trigger=args.max_files_per_trigger,
     )
     # 30s stats cadence like the reference's ticker (sinker.go:19-90)
     while query.isActive:
@@ -384,6 +385,10 @@ def main(argv: list[str] | None = None) -> int:
                        help="write a parquet bloom filter for COL "
                             "(repeatable; point-lookup row-group skipping)")
     run_p.add_argument("--flush-interval-s", type=int, default=1)
+    run_p.add_argument("--max-files-per-trigger", type=int, default=8,
+                       help="staged files admitted per micro-batch — the "
+                       "backpressure cap (reference processing-buffer "
+                       "analogue, run.go:59-61)")
     run_p.add_argument("--explode", action="store_true")
     run_p.add_argument("--undo-buffer-size", type=int, default=0)
     run_p.add_argument("--uint64-as", choices=("decimal", "long"), default="decimal")

@@ -643,3 +643,39 @@ def q_text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(stripped).cast("long").alias("text_chars"),
         F.md5(stripped).alias("text_hash"),
     )
+
+
+@register(
+    "q_corpus_report",
+    r"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_words,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS avg_chars,
+           median(length(text)) AS p50_chars,
+           quantile_cont(length(text), 0.9) AS p90_chars,
+           CAST(SUM(CASE WHEN len(str_split(text, ' ')) >= 30 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_min_length
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Per-language corpus report: doc/word/char totals, exact length "
+        "quantiles, min-length pass count — the dataset card a curation "
+        "run publishes. One map-side-combined shuffle on the (bounded) "
+        "lang key; integer sums are exact so the report is hash-stable "
+        "across engines",
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_words = F.size(_words())
+    ln = F.length("text")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_words).cast("long").alias("total_words"),
+        F.sum(ln).cast("long").alias("total_chars"),
+        (F.sum(ln).cast("double") / F.count("*")).alias("avg_chars"),
+        F.median(ln.cast("double")).alias("p50_chars"),
+        F.percentile(ln.cast("double"), F.lit(0.9)).alias("p90_chars"),
+        F.sum(F.when(n_words >= 30, 1).otherwise(0)).cast("long").alias("n_min_length"),
+    )

@@ -476,12 +476,18 @@ def run_pipeline(
     available_now: bool = True,
     flush_interval: str = "1 second",
     exploded_write_workers: int = 0,
+    max_files_per_trigger: int = 8,
 ):
     """readStream over staged raw-block parquet → StreamingSink.
 
     ``available_now=True`` drains the staging dir then stops (batch-like,
     used by tests); otherwise a continuous micro-batch trigger with the
-    reference's default 1 s flush cadence (run.go:50)."""
+    reference's default 1 s flush cadence (run.go:50).
+    ``max_files_per_trigger`` is the backpressure knob (the Spark-native
+    analogue of the reference's processing-buffer caps, run.go:59-61): it
+    bounds how much staged input one micro-batch admits, so a sink
+    restarted against a deep backlog catches up in bounded-memory steps
+    instead of one giant batch."""
     sink = StreamingSink(
         spark=spark,
         spec=spec,
@@ -510,7 +516,7 @@ def run_pipeline(
         recover_tier_leftovers(sink._fs, table_dir)
     from ..sources.staging import raw_stream
 
-    stream = raw_stream(spark, input_dir)
+    stream = raw_stream(spark, input_dir, max_files_per_trigger=max_files_per_trigger)
     writer = stream.writeStream.foreachBatch(sink.process_batch).option(
         "checkpointLocation", checkpoint_dir
     )

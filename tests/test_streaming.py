@@ -607,3 +607,28 @@ def test_undo_lake_safe_under_partition_size_mismatch(spark, tmp_path):
     live_files = _glob.glob(f"{out}/_live/epoch=*/range_start=*/*.parquet")
     kept = spark.read.parquet(*live_files)
     assert kept.agg(F.max("block_number")).collect()[0][0] == 14
+
+
+def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    """The backpressure knob must split a staged backlog into multiple
+    bounded micro-batches (one offsets entry per batch in the checkpoint)."""
+    from substreams_sink_parquet_spark.sink.writer import WriterOptions, read_lake
+    from substreams_sink_parquet_spark.streaming.stream_sink import run_pipeline
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for batch, blocks in enumerate([range(0, 10), range(10, 20), range(20, 30)]):
+        _stage_blocks(spark, input_dir, list(blocks), batch)
+    q, _ = run_pipeline(
+        spark, input_dir, out_dir, BLOCK, ckpt,
+        opts=WriterOptions(partition_size=10, start_block=0),
+        undo_holdback=0,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    n_batches = len([
+        f for f in os.listdir(os.path.join(ckpt, "offsets")) if not f.startswith(".")
+    ])
+    assert n_batches >= 3  # one file admitted per trigger
+    assert read_lake(spark, out_dir).count() == 30
