@@ -114,3 +114,59 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "q_rollup_merge",
+    """
+    SELECT bucket,
+           CAST(SUM(v) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_events,
+           CAST(MIN(v) AS DOUBLE) AS min_value,
+           CAST(MAX(v) AS DOUBLE) AS max_value,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM (
+        SELECT CAST(epoch(ts) AS BIGINT) - CAST(epoch(ts) AS BIGINT) % 21600
+                   AS bucket,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+    )
+    GROUP BY bucket
+    """,
+    doc="Continuous-rollup merge algebra, oracle-proven: Spark computes "
+        "per-(bucket, shard) PARTIAL aggregates then merges them with the "
+        "rollup's combine (streaming/rollup.py RollupSpec) — the exact "
+        "two-phase path the incremental hypertable rollup uses across "
+        "micro-batches; the oracle aggregates directly. Equality IS the "
+        "associativity proof, hash-checked",
+)
+def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.rollup import RollupSpec
+
+    ev = load(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").alias("sec"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.pmod("event_id", F.lit(7)).alias("shard"),
+    )
+    spec = RollupSpec(
+        bucket_col="sec",
+        bucket_size=21600,
+        measures={
+            "sum_value": ("sum", "v"),
+            "n_events": ("count", "*"),
+            "min_value": ("min", "v"),
+            "max_value": ("max", "v"),
+        },
+    )
+    # phase 1: partials at FINER grain (an artificial shard stands in for
+    # the micro-batch boundary); phase 2: the rollup's merge
+    partials = ev.groupBy(spec.bucket_expr(), "shard").agg(*spec.partial_aggs())
+    merged = partials.groupBy("bucket").agg(*spec.merge_aggs())
+    return merged.select(
+        "bucket",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "n_events",
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+        (F.col("sum_value").cast("double") / F.col("n_events")).alias("avg_value"),
+    )

@@ -1,0 +1,169 @@
+"""Continuous rollup: an incrementally-maintained aggregate lake
+(TimescaleDB "continuous aggregate" / hypertable rollup, Spark-first).
+
+The reference sink only lands raw rows; any aggregate view over 100 TB of
+them is a full scan. A continuous rollup maintains the aggregate AS the
+stream lands: each micro-batch writes its per-bucket PARTIAL aggregates to
+an epoch-keyed directory, and readers merge partials with the aggregate's
+own algebra (sum of sums, sum of counts, min of mins, max of maxes —
+avg is derived sum/count at read time, never stored). The roll-up query
+then scans kilobytes of partials instead of terabytes of rows.
+
+Why this shape is exactly-once and scales:
+
+- **Partial writes are epoch-keyed and overwrite-idempotent** — the same
+  trick the main sink's live area uses (stream_sink.py `_append_live`): an
+  at-least-once replay of batch N rewrites ``epoch=N`` instead of
+  double-counting it. No transactions needed; idempotence is layout.
+- **Merge-on-read is algebraic**: any decomposable aggregate (sum, count,
+  min, max, and anything derivable from them) re-aggregates partials with
+  the SAME grouping — associativity means batch boundaries are invisible.
+  This is the classic partial-aggregation contract Spark itself uses
+  map-side; here it is materialized across time instead of across tasks.
+- **Compaction** folds accumulated epoch dirs into one merged partial
+  (write-aside + atomic-rename swap, crash-safe: the merged dir is built
+  under a ``_merge_tmp`` name and the swap is re-runnable), so read cost
+  stays O(buckets), not O(batches), on a long-running stream.
+- At 100 TB: partials are tiny (buckets x groups rows per batch); the only
+  shuffle is the per-batch groupBy on (bucket, groups) — map-side combined,
+  keyed by bounded cardinality.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fsio import HadoopFS, url_join
+
+_ALGEBRA = {"sum", "count", "min", "max"}
+
+
+@dataclass
+class RollupSpec:
+    """What to maintain: bucket + group keys + decomposable measures.
+
+    ``measures``: {out_name: (agg, col)} with agg in sum|count|min|max.
+    ``avg`` requests are expressed by the caller as sum+count and divided
+    at read time (see :func:`read_rollup`'s derived columns).
+    """
+
+    bucket_col: str = "block_number"
+    bucket_size: int = 1000
+    group_cols: tuple[str, ...] = ()
+    measures: dict[str, tuple[str, str]] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        for name, (agg, _col) in self.measures.items():
+            if agg not in _ALGEBRA:
+                raise ValueError(
+                    f"measure {name!r}: {agg!r} is not decomposable; use "
+                    f"one of {sorted(_ALGEBRA)} (derive avg at read time)"
+                )
+
+    def bucket_expr(self):
+        b = F.col(self.bucket_col).cast("long")
+        return (b - (b % F.lit(self.bucket_size))).alias("bucket")
+
+    def partial_aggs(self) -> list:
+        out = []
+        for name, (agg, col) in self.measures.items():
+            if agg == "count":
+                expr = F.count(col) if col != "*" else F.count("*")
+            else:
+                expr = getattr(F, agg)(col)
+            out.append(expr.alias(name))
+        return out
+
+    def merge_aggs(self) -> list:
+        # the merge of a partial uses the aggregate's own combine: counts
+        # SUM together; min/max idempotently re-min/re-max; sums sum.
+        remap = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+        return [
+            getattr(F, remap[agg])(name).alias(name)
+            for name, (agg, _col) in self.measures.items()
+        ]
+
+
+def write_rollup_partial(
+    df: DataFrame, rollup_dir: str, spec: RollupSpec, epoch_id: int
+) -> None:
+    """One micro-batch's partial aggregates -> ``epoch={id}`` (idempotent
+    overwrite; replays cannot double-count)."""
+    partial = df.groupBy(spec.bucket_expr(), *spec.group_cols).agg(
+        *spec.partial_aggs()
+    )
+    partial.write.mode("overwrite").parquet(
+        url_join(rollup_dir, f"epoch={epoch_id}")
+    )
+
+
+def rollup_sink(rollup_dir: str, spec: RollupSpec):
+    """foreachBatch callable maintaining the rollup lake:
+    ``stream.writeStream.foreachBatch(rollup_sink(dir, spec))``."""
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        write_rollup_partial(batch_df, rollup_dir, spec, epoch_id)
+
+    return fn
+
+
+def read_rollup(
+    spark: SparkSession,
+    rollup_dir: str,
+    spec: RollupSpec,
+    derived: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Merge all partials into the current aggregate view.
+
+    ``derived``: {out_name: (sum_measure, count_measure)} ratio columns
+    computed AFTER the merge (the only correct place for avg-like
+    measures). Scans O(buckets x batches-since-compaction) partial rows —
+    kilobytes — never the raw lake.
+    """
+    parts = spark.read.parquet(url_join(rollup_dir, "epoch=*"))
+    merged = parts.groupBy("bucket", *spec.group_cols).agg(*spec.merge_aggs())
+    for name, (s, c) in (derived or {}).items():
+        merged = merged.withColumn(name, F.col(s) / F.col(c))
+    return merged
+
+
+def compact_rollup(spark: SparkSession, rollup_dir: str, spec: RollupSpec) -> int:
+    """Fold all epoch partials into one (``epoch=-1``), bounding read cost
+    on a long-running stream. Crash-safe: merged partial is written aside
+    to ``_merge_tmp`` with a manifest of the source epochs, then the swap
+    (delete sources, rename) is replayed by the next compact/read if
+    interrupted. Run against a stopped/committed stream (same single-writer
+    discipline as sink/maintenance.compact_live). Returns epochs folded."""
+    import json
+
+    fs = HadoopFS(spark, rollup_dir)
+    tmp = url_join(rollup_dir, "_merge_tmp")
+    manifest = url_join(tmp, "_MERGED.json")
+    # recover a previous crash: committed tmp (manifest present) replays
+    # its swap; uncommitted tmp is dropped (sources intact)
+    if fs.exists(tmp):
+        if fs.exists(manifest):
+            srcs = json.loads(fs.read_bytes(manifest))["sources"]
+            _commit_rollup_merge(fs, rollup_dir, tmp, srcs)
+        else:
+            fs.delete(tmp, recursive=True)
+    epochs = [d for d in fs.listdir(rollup_dir) if d.startswith("epoch=")]
+    if len(epochs) < 2:
+        return 0
+    merged = read_rollup(spark, rollup_dir, spec)
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs.write_bytes(manifest, json.dumps({"sources": epochs}).encode())
+    _commit_rollup_merge(fs, rollup_dir, tmp, epochs)
+    return len(epochs)
+
+
+def _commit_rollup_merge(fs: HadoopFS, rollup_dir: str, tmp: str, srcs) -> None:
+    for s in srcs:
+        fs.delete(url_join(rollup_dir, s), recursive=True)
+    dst = url_join(rollup_dir, "epoch=-1")
+    if fs.exists(url_join(tmp, "_MERGED.json")):
+        fs.delete(url_join(tmp, "_MERGED.json"), recursive=False)
+    fs.rename(tmp, dst)

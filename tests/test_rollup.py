@@ -1,0 +1,156 @@
+"""Continuous rollup: merge-on-read equals a direct aggregate of all data,
+replays cannot double-count, compaction preserves totals and is crash-safe."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from substreams_sink_parquet_spark.fsio import HadoopFS, url_join
+from substreams_sink_parquet_spark.streaming.rollup import (
+    RollupSpec,
+    compact_rollup,
+    read_rollup,
+    rollup_sink,
+    write_rollup_partial,
+)
+
+SPEC = RollupSpec(
+    bucket_col="block_number",
+    bucket_size=10,
+    group_cols=("kind",),
+    measures={
+        "total": ("sum", "amount"),
+        "n": ("count", "*"),
+        "lo": ("min", "amount"),
+        "hi": ("max", "amount"),
+    },
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "block_number long, kind string, amount long"
+    )
+
+
+def _view(spark, d):
+    return {
+        (r.bucket, r.kind): (r.total, r.n, r.lo, r.hi, r.avg_amount)
+        for r in read_rollup(
+            spark, d, SPEC, derived={"avg_amount": ("total", "n")}
+        ).collect()
+    }
+
+
+def test_merge_on_read_equals_direct_aggregate(spark, tmp_path):
+    d = str(tmp_path / "rollup")
+    os.makedirs(d)
+    b1 = [(0, "a", 5), (3, "a", 7), (12, "b", 1)]
+    b2 = [(4, "a", 2), (13, "b", 3), (25, "a", 10)]
+    write_rollup_partial(_batch(spark, b1), d, SPEC, epoch_id=0)
+    write_rollup_partial(_batch(spark, b2), d, SPEC, epoch_id=1)
+    direct = {
+        ((r.block_number // 10) * 10, r.kind)
+        for r in _batch(spark, b1 + b2).collect()
+    }
+    got = _view(spark, d)
+    assert set(got) == direct
+    assert got[(0, "a")] == (14, 3, 2, 7, 14 / 3)
+    assert got[(10, "b")] == (4, 2, 1, 3, 2.0)
+    assert got[(20, "a")] == (10, 1, 10, 10, 10.0)
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    d = str(tmp_path / "rollup")
+    os.makedirs(d)
+    rows = [(0, "a", 5), (1, "a", 6)]
+    sink = rollup_sink(d, SPEC)
+    sink(_batch(spark, rows), 7)
+    before = _view(spark, d)
+    sink(_batch(spark, rows), 7)  # at-least-once replay of the same epoch
+    assert _view(spark, d) == before
+
+
+def test_compaction_preserves_view_and_bounds_epochs(spark, tmp_path):
+    d = str(tmp_path / "rollup")
+    os.makedirs(d)
+    for e in range(5):
+        write_rollup_partial(
+            _batch(spark, [(e * 10, "a", e + 1), (3, "b", 2 * e)]), d, SPEC, e
+        )
+    before = _view(spark, d)
+    folded = compact_rollup(spark, d, SPEC)
+    assert folded == 5
+    fs = HadoopFS(spark, d)
+    assert [x for x in fs.listdir(d) if x.startswith("epoch=")] == ["epoch=-1"]
+    assert _view(spark, d) == before
+    # further partials stack on top of the compacted epoch
+    write_rollup_partial(_batch(spark, [(0, "a", 100)]), d, SPEC, 9)
+    assert _view(spark, d)[(0, "a")][0] == before[(0, "a")][0] + 100
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    import json
+
+    d = str(tmp_path / "rollup")
+    os.makedirs(d)
+    for e in range(3):
+        write_rollup_partial(_batch(spark, [(0, "a", 1)]), d, SPEC, e)
+    before = _view(spark, d)
+    fs = HadoopFS(spark, d)
+
+    # uncommitted tmp (no manifest): dropped by the next compact
+    fs.mkdirs(url_join(d, "_merge_tmp"))
+    fs.write_bytes(url_join(d, "_merge_tmp", "part-junk.parquet"), b"junk")
+    assert compact_rollup(spark, d, SPEC) == 3
+    assert _view(spark, d) == before
+
+    # committed tmp (manifest written, swap crashed): replayed by recovery
+    write_rollup_partial(_batch(spark, [(0, "a", 4)]), d, SPEC, 5)
+    merged = read_rollup(spark, d, SPEC)
+    tmp = url_join(d, "_merge_tmp")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    srcs = [x for x in fs.listdir(d) if x.startswith("epoch=")]
+    fs.write_bytes(url_join(tmp, "_MERGED.json"),
+                   json.dumps({"sources": srcs}).encode())
+    # crash here: next compact recovers the swap, then has nothing to fold
+    assert compact_rollup(spark, d, SPEC) == 0
+    got = _view(spark, d)
+    assert got[(0, "a")][0] == before[(0, "a")][0] + 4
+
+
+def test_non_decomposable_measure_is_rejected():
+    with pytest.raises(ValueError, match="not decomposable"):
+        RollupSpec(measures={"bad": ("avg", "amount")})
+
+
+def test_streaming_end_to_end_with_resume(spark, tmp_path):
+    """Real readStream -> rollup_sink: totals accumulate across two
+    checkpointed drains with no double counting."""
+    in_dir, ckpt, d = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "r")
+    os.makedirs(in_dir), os.makedirs(d)
+
+    def drain():
+        stream = spark.readStream.schema(
+            "block_number long, kind string, amount long"
+        ).parquet(in_dir)
+        q = (
+            stream.writeStream.foreachBatch(rollup_sink(d, SPEC))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    _batch(spark, [(0, "a", 5), (11, "a", 7)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    drain()
+    assert _view(spark, d)[(0, "a")][0] == 5
+
+    _batch(spark, [(1, "a", 10)]).coalesce(1).write.mode("append").parquet(in_dir)
+    drain()  # resume: only the new file lands
+    got = _view(spark, d)
+    assert got[(0, "a")][0] == 15 and got[(10, "a")][0] == 7
