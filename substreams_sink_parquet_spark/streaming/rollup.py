@@ -70,11 +70,7 @@ class RollupSpec:
     def partial_aggs(self) -> list:
         out = []
         for name, (agg, col) in self.measures.items():
-            if agg == "count":
-                expr = F.count(col) if col != "*" else F.count("*")
-            else:
-                expr = getattr(F, agg)(col)
-            out.append(expr.alias(name))
+            out.append(getattr(F, agg)(col).alias(name))
         return out
 
     def merge_aggs(self) -> list:
@@ -88,10 +84,32 @@ class RollupSpec:
 
 
 def write_rollup_partial(
-    df: DataFrame, rollup_dir: str, spec: RollupSpec, epoch_id: int
+    df: DataFrame, rollup_dir: str, spec: RollupSpec, epoch_id: int,
+    stream_id: str | None = None,
 ) -> None:
     """One micro-batch's partial aggregates -> ``epoch={id}`` (idempotent
-    overwrite; replays cannot double-count)."""
+    overwrite; replays of the SAME stream cannot double-count).
+
+    ``stream_id`` (recommended: the checkpoint path) arms the history
+    guard: epoch ids restart at 0 under a fresh/lost checkpoint, and an
+    unguarded restart would overwrite historical epoch dirs one by one.
+    The first write records the id in ``_STREAM_ID``; a mismatch refuses
+    the write instead of silently destroying accumulated aggregates."""
+    fs = HadoopFS(df.sparkSession, rollup_dir)
+    if stream_id is not None:
+        marker = url_join(rollup_dir, "_STREAM_ID")
+        if fs.exists(marker):
+            prev = fs.read_bytes(marker).decode()
+            if prev != stream_id:
+                raise RuntimeError(
+                    f"rollup at {rollup_dir} was built by stream "
+                    f"{prev!r}; refusing epoch overwrite from {stream_id!r} "
+                    "— a fresh checkpoint restarts epoch ids at 0 and would "
+                    "silently replace history. Compact and archive the old "
+                    "rollup, or delete _STREAM_ID to adopt it deliberately."
+                )
+        else:
+            fs.write_bytes(marker, stream_id.encode())
     partial = df.groupBy(spec.bucket_expr(), *spec.group_cols).agg(
         *spec.partial_aggs()
     )
@@ -100,12 +118,13 @@ def write_rollup_partial(
     )
 
 
-def rollup_sink(rollup_dir: str, spec: RollupSpec):
+def rollup_sink(rollup_dir: str, spec: RollupSpec, stream_id: str | None = None):
     """foreachBatch callable maintaining the rollup lake:
-    ``stream.writeStream.foreachBatch(rollup_sink(dir, spec))``."""
+    ``stream.writeStream.foreachBatch(rollup_sink(dir, spec, ckpt))``.
+    Pass the checkpoint path as ``stream_id`` to arm the history guard."""
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
-        write_rollup_partial(batch_df, rollup_dir, spec, epoch_id)
+        write_rollup_partial(batch_df, rollup_dir, spec, epoch_id, stream_id)
 
     return fn
 
@@ -118,11 +137,18 @@ def read_rollup(
 ) -> DataFrame:
     """Merge all partials into the current aggregate view.
 
+    Recovers any interrupted compaction swap FIRST (single-writer
+    discipline: readers and the compactor are the same operator role) —
+    without this, a crash between the compactor's source-deletes and its
+    rename would leave the view silently under-counted until the next
+    compact run.
+
     ``derived``: {out_name: (sum_measure, count_measure)} ratio columns
     computed AFTER the merge (the only correct place for avg-like
     measures). Scans O(buckets x batches-since-compaction) partial rows —
     kilobytes — never the raw lake.
     """
+    _recover_rollup(HadoopFS(spark, rollup_dir), rollup_dir)
     parts = spark.read.parquet(url_join(rollup_dir, "epoch=*"))
     merged = parts.groupBy("bucket", *spec.group_cols).agg(*spec.merge_aggs())
     for name, (s, c) in (derived or {}).items():
@@ -130,40 +156,82 @@ def read_rollup(
     return merged
 
 
-def compact_rollup(spark: SparkSession, rollup_dir: str, spec: RollupSpec) -> int:
-    """Fold all epoch partials into one (``epoch=-1``), bounding read cost
-    on a long-running stream. Crash-safe: merged partial is written aside
-    to ``_merge_tmp`` with a manifest of the source epochs, then the swap
-    (delete sources, rename) is replayed by the next compact/read if
-    interrupted. Run against a stopped/committed stream (same single-writer
-    discipline as sink/maintenance.compact_live). Returns epochs folded."""
+def _recover_rollup(fs: HadoopFS, rollup_dir: str) -> None:
+    """Replay or discard an interrupted compaction swap. A ``_merge_tmp``
+    WITH its manifest finished the write — its commit is re-run (the merged
+    rows may be the only copy). One WITHOUT never committed — sources are
+    intact, so it is dropped. A stale manifest inside ``epoch=-1`` (crash
+    between rename and manifest cleanup) is inert (underscore-prefixed,
+    invisible to the parquet reader) and is tidied here."""
     import json
 
-    fs = HadoopFS(spark, rollup_dir)
     tmp = url_join(rollup_dir, "_merge_tmp")
     manifest = url_join(tmp, "_MERGED.json")
-    # recover a previous crash: committed tmp (manifest present) replays
-    # its swap; uncommitted tmp is dropped (sources intact)
     if fs.exists(tmp):
         if fs.exists(manifest):
             srcs = json.loads(fs.read_bytes(manifest))["sources"]
             _commit_rollup_merge(fs, rollup_dir, tmp, srcs)
         else:
             fs.delete(tmp, recursive=True)
-    epochs = [d for d in fs.listdir(rollup_dir) if d.startswith("epoch=")]
+    stale = url_join(rollup_dir, "epoch=-1", "_MERGED.json")
+    if fs.exists(stale):
+        fs.delete(stale, recursive=False)
+
+
+def compact_rollup(
+    spark: SparkSession,
+    rollup_dir: str,
+    spec: RollupSpec,
+    include_latest: bool = False,
+) -> int:
+    """Fold epoch partials into one (``epoch=-1``), bounding read cost on a
+    long-running stream. Crash-safe: the merged partial is written aside to
+    ``_merge_tmp`` with a manifest of the source epochs; the manifest
+    OUTLIVES the rename (same protocol as sink/maintenance._commit_compact
+    — deleting it earlier would make a crash between delete and rename look
+    like an uncommitted write and destroy the only copy). Interrupted swaps
+    are replayed by the next compact OR read.
+
+    By default the highest-numbered epoch is NOT folded
+    (``include_latest=False``): if the stream crashed after writing batch
+    N's partial but before committing offset N, the checkpoint replay will
+    rewrite ``epoch=N`` — folding it first would count batch N twice.
+    Excluding the trailing epoch makes compaction safe against a crashed
+    (not just cleanly stopped) stream at the cost of one unfolded dir.
+    Pass ``include_latest=True`` only for a terminally drained stream.
+    Returns the number of epochs folded."""
+    import json
+
+    fs = HadoopFS(spark, rollup_dir)
+    tmp = url_join(rollup_dir, "_merge_tmp")
+    _recover_rollup(fs, rollup_dir)
+    epochs = sorted(
+        (d for d in fs.listdir(rollup_dir) if d.startswith("epoch=")),
+        key=lambda d: int(d.split("=", 1)[1]),
+    )
+    if not include_latest and epochs and int(epochs[-1].split("=", 1)[1]) >= 0:
+        epochs = epochs[:-1]
     if len(epochs) < 2:
         return 0
-    merged = read_rollup(spark, rollup_dir, spec)
+    merged = (
+        spark.read.parquet(*[url_join(rollup_dir, e) for e in epochs])
+        .groupBy("bucket", *spec.group_cols)
+        .agg(*spec.merge_aggs())
+    )
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    fs.write_bytes(manifest, json.dumps({"sources": epochs}).encode())
+    fs.write_bytes(url_join(tmp, "_MERGED.json"),
+                   json.dumps({"sources": epochs}).encode())
     _commit_rollup_merge(fs, rollup_dir, tmp, epochs)
     return len(epochs)
 
 
 def _commit_rollup_merge(fs: HadoopFS, rollup_dir: str, tmp: str, srcs) -> None:
+    """Idempotent swap, replayable from any crash point: delete sources,
+    rename tmp (manifest still inside) into ``epoch=-1``, THEN drop the
+    manifest from its destination where a crash-stranded copy is inert."""
     for s in srcs:
         fs.delete(url_join(rollup_dir, s), recursive=True)
     dst = url_join(rollup_dir, "epoch=-1")
-    if fs.exists(url_join(tmp, "_MERGED.json")):
-        fs.delete(url_join(tmp, "_MERGED.json"), recursive=False)
+    fs.delete(dst, recursive=True)  # replaced by the merged partial
     fs.rename(tmp, dst)
+    fs.delete(url_join(dst, "_MERGED.json"), recursive=False)

@@ -81,7 +81,7 @@ def test_compaction_preserves_view_and_bounds_epochs(spark, tmp_path):
             _batch(spark, [(e * 10, "a", e + 1), (3, "b", 2 * e)]), d, SPEC, e
         )
     before = _view(spark, d)
-    folded = compact_rollup(spark, d, SPEC)
+    folded = compact_rollup(spark, d, SPEC, include_latest=True)
     assert folded == 5
     fs = HadoopFS(spark, d)
     assert [x for x in fs.listdir(d) if x.startswith("epoch=")] == ["epoch=-1"]
@@ -104,7 +104,7 @@ def test_compaction_crash_recovery(spark, tmp_path):
     # uncommitted tmp (no manifest): dropped by the next compact
     fs.mkdirs(url_join(d, "_merge_tmp"))
     fs.write_bytes(url_join(d, "_merge_tmp", "part-junk.parquet"), b"junk")
-    assert compact_rollup(spark, d, SPEC) == 3
+    assert compact_rollup(spark, d, SPEC, include_latest=True) == 3
     assert _view(spark, d) == before
 
     # committed tmp (manifest written, swap crashed): replayed by recovery
@@ -154,3 +154,56 @@ def test_streaming_end_to_end_with_resume(spark, tmp_path):
     drain()  # resume: only the new file lands
     got = _view(spark, d)
     assert got[(0, "a")][0] == 15 and got[(10, "a")][0] == 7
+
+
+def test_compact_excludes_trailing_epoch_by_default(spark, tmp_path):
+    """The highest epoch may belong to a batch whose offset never
+    committed; folding it would double-count after checkpoint replay, so
+    the default leaves it unfolded — and a replay overwrite stays safe."""
+    d = str(tmp_path / "rollup")
+    os.makedirs(d)
+    for e in range(3):
+        write_rollup_partial(_batch(spark, [(0, "a", 10 + e)]), d, SPEC, e)
+    before = _view(spark, d)
+    assert compact_rollup(spark, d, SPEC) == 2  # epochs 0,1 only
+    fs = HadoopFS(spark, d)
+    left = sorted(x for x in fs.listdir(d) if x.startswith("epoch="))
+    assert left == ["epoch=-1", "epoch=2"]
+    # checkpoint replay rewrites the trailing epoch: view unchanged
+    write_rollup_partial(_batch(spark, [(0, "a", 12)]), d, SPEC, 2)
+    assert _view(spark, d) == before
+
+
+def test_read_recovers_interrupted_swap(spark, tmp_path):
+    """A crash BETWEEN source-deletes and the rename must not under-count
+    the next read: read_rollup replays the committed swap first."""
+    import json
+
+    d = str(tmp_path / "rollup")
+    os.makedirs(d)
+    for e in range(3):
+        write_rollup_partial(_batch(spark, [(0, "a", 1)]), d, SPEC, e)
+    before = _view(spark, d)
+    fs = HadoopFS(spark, d)
+    # build the committed tmp a real compact would have, then simulate the
+    # worst crash point: all sources deleted, rename never happened
+    srcs = sorted(x for x in fs.listdir(d) if x.startswith("epoch="))
+    merged = read_rollup(spark, d, SPEC)
+    tmp = url_join(d, "_merge_tmp")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs.write_bytes(url_join(tmp, "_MERGED.json"),
+                   json.dumps({"sources": srcs}).encode())
+    for s in srcs:
+        fs.delete(url_join(d, s), recursive=True)
+    assert _view(spark, d) == before  # read path replays the swap
+    assert fs.exists(url_join(d, "epoch=-1"))
+
+
+def test_stream_id_guard_refuses_foreign_checkpoint(spark, tmp_path):
+    d = str(tmp_path / "rollup")
+    os.makedirs(d)
+    rollup_sink(d, SPEC, stream_id="ckpt-A")(_batch(spark, [(0, "a", 1)]), 0)
+    with pytest.raises(RuntimeError, match="refusing epoch overwrite"):
+        rollup_sink(d, SPEC, stream_id="ckpt-B")(_batch(spark, [(5, "a", 2)]), 0)
+    # the original stream keeps writing fine (replay included)
+    rollup_sink(d, SPEC, stream_id="ckpt-A")(_batch(spark, [(0, "a", 1)]), 0)
