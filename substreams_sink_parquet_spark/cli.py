@@ -85,6 +85,26 @@ def _resolve_endpoint(args: argparse.Namespace) -> None:
     )
 
 
+def _rollup_spec_from_args(args: argparse.Namespace):
+    """--rollup-bucket-size/-measure/-group -> RollupSpec (None = off)."""
+    if getattr(args, "rollup_bucket_size", None) is None:
+        return None
+    from .streaming.rollup import RollupSpec
+
+    measures = {}
+    for m in args.rollup_measure:
+        name, agg, col = m.split(":", 2)
+        measures[name] = (agg, col)
+    if not measures:
+        measures = {"n_rows": ("count", "*")}
+    return RollupSpec(
+        bucket_col="block_number",
+        bucket_size=args.rollup_bucket_size,
+        group_cols=tuple(args.rollup_group),
+        measures=measures,
+    )
+
+
 def cmd_run(args: argparse.Namespace) -> int:
     _resolve_endpoint(args)
     spark = get_spark("sink-run")
@@ -125,6 +145,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         flush_interval=f"{args.flush_interval_s} seconds",
         exploded_write_workers=args.exploded_write_workers,
         max_files_per_trigger=args.max_files_per_trigger,
+        rollup_spec=_rollup_spec_from_args(args),
     )
     # 30s stats cadence like the reference's ticker (sinker.go:19-90)
     while query.isActive:
@@ -385,6 +406,15 @@ def main(argv: list[str] | None = None) -> int:
                        help="write a parquet bloom filter for COL "
                             "(repeatable; point-lookup row-group skipping)")
     run_p.add_argument("--flush-interval-s", type=int, default=1)
+    run_p.add_argument("--rollup-bucket-size", type=int, default=None,
+                       help="maintain a continuous rollup under _rollup/ "
+                       "with this many blocks per bucket (off when unset)")
+    run_p.add_argument("--rollup-measure", action="append", default=[],
+                       metavar="NAME:AGG:COL",
+                       help="rollup measure, e.g. total:sum:amount or "
+                       "n:count:* (repeatable; agg in sum|count|min|max)")
+    run_p.add_argument("--rollup-group", action="append", default=[],
+                       metavar="COLUMN", help="extra rollup group key (repeatable)")
     run_p.add_argument("--max-files-per-trigger", type=int, default=8,
                        help="staged files admitted per micro-batch — the "
                        "backpressure cap (reference processing-buffer "

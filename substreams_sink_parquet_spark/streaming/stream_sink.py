@@ -73,6 +73,11 @@ class StreamingSink:
     # per-table append jobs in explode mode. 0 = auto (one worker per
     # table); 1 = sequential (the reference's 0=sync).
     exploded_write_workers: int = 0
+    # optional continuous rollup (streaming/rollup.py): per-batch partial
+    # aggregates of the DECODED rows land under ``_rollup/`` next to the
+    # lake, so "total per bucket" queries read kilobytes of partials, not
+    # the raw 100 TB. None = off.
+    rollup_spec: object | None = None
     _max_seen: int = -1
     _schema_checked: bool = False
 
@@ -177,6 +182,19 @@ class StreamingSink:
                         lambda a: self._append_live(a[0], a[1], epoch_id),
                         appends,
                     ))
+            if self.rollup_spec is not None:
+                # while the decode is still persisted (explode mode) this
+                # costs one tiny agg job over cached partitions; in plain
+                # mode it is one extra pass over ONE micro-batch
+                from .rollup import write_rollup_partial
+
+                write_rollup_partial(
+                    decoded,
+                    url_join(self.out_dir, "_rollup"),
+                    self.rollup_spec,
+                    epoch_id,
+                    stream_id=self.out_dir,
+                )
         finally:
             if self.explode and self._child_dirs():
                 decoded.unpersist()
@@ -477,6 +495,7 @@ def run_pipeline(
     flush_interval: str = "1 second",
     exploded_write_workers: int = 0,
     max_files_per_trigger: int = 8,
+    rollup_spec=None,
 ):
     """readStream over staged raw-block parquet → StreamingSink.
 
@@ -497,6 +516,7 @@ def run_pipeline(
         undo_holdback=undo_holdback,
         explode=explode,
         exploded_write_workers=exploded_write_workers,
+        rollup_spec=rollup_spec,
     )
     sink._fs.mkdirs(out_dir)
     # Repair any _compact_* leftover from a compaction run that crashed

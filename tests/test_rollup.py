@@ -207,3 +207,35 @@ def test_stream_id_guard_refuses_foreign_checkpoint(spark, tmp_path):
         rollup_sink(d, SPEC, stream_id="ckpt-B")(_batch(spark, [(5, "a", 2)]), 0)
     # the original stream keeps writing fine (replay included)
     rollup_sink(d, SPEC, stream_id="ckpt-A")(_batch(spark, [(0, "a", 1)]), 0)
+
+
+def test_sink_pipeline_maintains_rollup(spark, tmp_path):
+    """run_pipeline(rollup_spec=...) keeps _rollup/ partials in lockstep
+    with the lake: merged view == direct aggregate of read_lake."""
+    from .test_protowire import BLOCK
+    from .test_streaming import _stage_blocks
+    from substreams_sink_parquet_spark.sink.writer import WriterOptions, read_lake
+    from substreams_sink_parquet_spark.streaming.stream_sink import run_pipeline
+
+    spec = RollupSpec(
+        bucket_col="block_number", bucket_size=10,
+        measures={"n_rows": ("count", "*"), "hi_block": ("max", "block_number")},
+    )
+    in_dir, out, ckpt = str(tmp_path / "in"), str(tmp_path / "lake"), str(tmp_path / "ck")
+    _stage_blocks(spark, in_dir, list(range(0, 25)), 0)
+    q, _ = run_pipeline(
+        spark, in_dir, out, BLOCK, ckpt,
+        opts=WriterOptions(partition_size=10, start_block=0),
+        undo_holdback=0, rollup_spec=spec,
+    )
+    q.awaitTermination(120)
+    got = {
+        r.bucket: (r.n_rows, r.hi_block)
+        for r in read_rollup(spark, url_join(out, "_rollup"), spec).collect()
+    }
+    # the rollup tracks everything INGESTED — finalized ranges plus the
+    # not-yet-final live tail (blocks 20-24 under holdback), exactly what a
+    # "progress so far" dashboard wants
+    assert got == {0: (10, 9), 10: (10, 19), 20: (5, 24)}
+    finalized = read_lake(spark, out).count()
+    assert finalized == 20  # the live tail is not finalized yet
