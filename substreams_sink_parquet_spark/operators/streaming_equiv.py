@@ -126,7 +126,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(v) AS DOUBLE) AS max_value,
            CAST(SUM(v) AS DOUBLE) / COUNT(*) AS avg_value
     FROM (
-        SELECT CAST(epoch(ts) AS BIGINT) - CAST(epoch(ts) AS BIGINT) % 21600
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 21600
                    AS bucket,
                CAST(value AS DECIMAL(18,2)) AS v
         FROM events
@@ -169,4 +169,78 @@ def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_value").cast("double").alias("min_value"),
         F.col("max_value").cast("double").alias("max_value"),
         (F.col("sum_value").cast("double") / F.col("n_events")).alias("avg_value"),
+    )
+
+
+@register(
+    "q_funnel",
+    """
+    WITH ev AS (
+        SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+    ),
+    v AS (
+        SELECT user_id, MIN(sec) AS t1 FROM ev
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT ev.user_id, MIN(ev.sec) AS t2
+        FROM ev JOIN v ON ev.user_id = v.user_id
+        WHERE ev.event_type = 'click' AND ev.sec > v.t1
+        GROUP BY ev.user_id
+    ),
+    p AS (
+        SELECT ev.user_id, MIN(ev.sec) AS t3
+        FROM ev JOIN c ON ev.user_id = c.user_id
+        WHERE ev.event_type = 'purchase' AND ev.sec > c.t2
+        GROUP BY ev.user_id
+    )
+    SELECT v.user_id,
+           1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS steps,
+           t3 - t1 AS secs_to_convert
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    doc="Funnel / ordered-sequence analysis (MATCH_RECOGNIZE stand-in): "
+        "earliest strictly-ordered view -> click -> purchase per user via "
+        "cascaded min-above-threshold aggregations. Every stage shuffles on "
+        "the SAME key (user_id), so at 100 TB the three aggs + joins "
+        "co-partition into one exchange lineage; no self-join explosion, "
+        "no per-user sort",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("sec") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("sec") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t3"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.when(F.col("t2").isNull(), 0).otherwise(1)
+                + F.when(F.col("t3").isNull(), 0).otherwise(1)
+            ).alias("steps"),
+            (F.col("t3") - F.col("t1")).alias("secs_to_convert"),
+        )
     )
