@@ -792,3 +792,61 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return ivfpq_topk(emb, queries, dim=embedding_dim(spark, sf_dir), k=5)
+
+
+@register(
+    "q_embed_quantize",
+    """
+    WITH s AS (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS v,
+               greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                x -> abs(x))), 1e-12) / 127.0
+                   AS scale
+        FROM embeddings
+    )
+    SELECT vec_id,
+           scale,
+           CAST(len(v) AS INTEGER) AS n_dims,
+           CAST(list_sum(list_transform(v, x -> floor(x / scale + 0.5)))
+                AS BIGINT) AS qsum,
+           list_sum(list_transform(v,
+               x -> pow(x - floor(x / scale + 0.5) * scale, 2))) / len(v)
+               AS mse
+    FROM s
+    """,
+    doc="Symmetric int8 vector quantization (per-vector absmax scale): the "
+        "4x-compression storage format for 100 TB embedding corpora. "
+        "Map-only JVM higher-order functions — transform/aggregate inside "
+        "codegen, no UDF, no shuffle; floor(x/scale + 0.5) rounding is "
+        "spelled identically in both engines so the oracle is hash-exact. "
+        "mse column doubles as the documented reconstruction-error audit",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    scale = (
+        F.greatest(
+            F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+        )
+        / F.lit(127.0)
+    ).alias("scale")
+    s = emb.select("vec_id", v.alias("v"), scale)
+    sc = F.col("scale")
+    q_of = lambda x: F.floor(x / sc + F.lit(0.5))
+    return s.select(
+        "vec_id",
+        "scale",
+        F.size("v").alias("n_dims"),
+        F.aggregate(
+            "v", F.lit(0).cast("long"), lambda acc, x: acc + q_of(x)
+        ).alias("qsum"),
+        (
+            F.aggregate(
+                "v",
+                F.lit(0.0),
+                lambda acc, x: acc + F.pow(x - q_of(x) * sc, F.lit(2.0)),
+            )
+            / F.size("v")
+        ).alias("mse"),
+    )
