@@ -200,3 +200,19 @@ def test_ivfpq_recall_floor_and_subset_consistency(spark, sf_dir):
     assert len(set(got) & exact) / len(exact) >= 0.15
     pq = {(r.q_id, r.neighbor_id) for r in S.pq_topk(emb, qs, dim=dim, k=5).collect()}
     assert len(set(got) & pq) / len(pq) >= 0.5
+
+
+def test_embed_quantize_error_bounded_by_half_step(spark, sf_dir):
+    """Symmetric absmax int8: every element's reconstruction error is at
+    most scale/2, so per-vector MSE <= (scale/2)^2; quantized magnitudes
+    fit int8 range."""
+    from substreams_sink_parquet_spark.llm.similarity import q_embed_quantize
+    from substreams_sink_parquet_spark.plans.inspect import plan_report
+
+    df = q_embed_quantize(spark, sf_dir)
+    bad = df.where(F.col("mse") > (F.col("scale") / 2) ** 2 + 1e-18).count()
+    assert bad == 0
+    # map-only: quantization must not shuffle the corpus
+    assert plan_report(df).shuffle_exchanges == 0
+    row = df.orderBy("vec_id").first()
+    assert row.n_dims > 0 and row.scale > 0
