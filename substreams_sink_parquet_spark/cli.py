@@ -88,21 +88,34 @@ def _resolve_endpoint(args: argparse.Namespace) -> None:
 def _rollup_spec_from_args(args: argparse.Namespace):
     """--rollup-bucket-size/-measure/-group -> RollupSpec (None = off)."""
     if getattr(args, "rollup_bucket_size", None) is None:
+        if args.rollup_measure or args.rollup_group:
+            raise SystemExit(
+                "--rollup-measure/--rollup-group require --rollup-bucket-size "
+                "(no rollup is maintained without it)"
+            )
         return None
     from .streaming.rollup import RollupSpec
 
     measures = {}
     for m in args.rollup_measure:
-        name, agg, col = m.split(":", 2)
+        parts = m.split(":", 2)
+        if len(parts) != 3:
+            raise SystemExit(
+                f"--rollup-measure expects NAME:AGG:COL, got {m!r}"
+            )
+        name, agg, col = parts
         measures[name] = (agg, col)
     if not measures:
         measures = {"n_rows": ("count", "*")}
-    return RollupSpec(
-        bucket_col="block_number",
-        bucket_size=args.rollup_bucket_size,
-        group_cols=tuple(args.rollup_group),
-        measures=measures,
-    )
+    try:
+        return RollupSpec(
+            bucket_col="block_number",
+            bucket_size=args.rollup_bucket_size,
+            group_cols=tuple(args.rollup_group),
+            measures=measures,
+        )
+    except ValueError as e:  # non-decomposable agg etc. -> CLI-shaped error
+        raise SystemExit(f"--rollup-measure: {e}")
 
 
 def cmd_run(args: argparse.Namespace) -> int:
@@ -245,6 +258,15 @@ def cmd_compact(args: argparse.Namespace) -> int:
         )
         if done:
             report[table_dir] = {str(rs): list(v) for rs, v in done.items()}
+    from .fsio import url_join
+    from .streaming.rollup import compact_rollup, load_rollup_spec
+
+    rollup_dir = url_join(args.store_url, "_rollup")
+    if fs.exists(rollup_dir):
+        spec = load_rollup_spec(fs, rollup_dir)
+        if spec is not None:
+            folded = compact_rollup(spark, rollup_dir, spec, include_latest=True)
+            report["_rollup"] = {"epochs_folded": folded}
     print(json.dumps(report))
     return 0
 

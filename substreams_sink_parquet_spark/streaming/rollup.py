@@ -63,6 +63,30 @@ class RollupSpec:
                     f"one of {sorted(_ALGEBRA)} (derive avg at read time)"
                 )
 
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(
+            {
+                "bucket_col": self.bucket_col,
+                "bucket_size": self.bucket_size,
+                "group_cols": list(self.group_cols),
+                "measures": {k: list(v) for k, v in self.measures.items()},
+            }
+        )
+
+    @classmethod
+    def from_json(cls, raw: str) -> "RollupSpec":
+        import json
+
+        d = json.loads(raw)
+        return cls(
+            bucket_col=d["bucket_col"],
+            bucket_size=d["bucket_size"],
+            group_cols=tuple(d["group_cols"]),
+            measures={k: tuple(v) for k, v in d["measures"].items()},
+        )
+
     def bucket_expr(self):
         b = F.col(self.bucket_col).cast("long")
         return (b - (b % F.lit(self.bucket_size))).alias("bucket")
@@ -96,6 +120,9 @@ def write_rollup_partial(
     The first write records the id in ``_STREAM_ID``; a mismatch refuses
     the write instead of silently destroying accumulated aggregates."""
     fs = HadoopFS(df.sparkSession, rollup_dir)
+    spec_file = url_join(rollup_dir, "_SPEC.json")
+    if not fs.exists(spec_file):
+        fs.write_bytes(spec_file, spec.to_json().encode())
     if stream_id is not None:
         marker = url_join(rollup_dir, "_STREAM_ID")
         if fs.exists(marker):
@@ -235,3 +262,68 @@ def _commit_rollup_merge(fs: HadoopFS, rollup_dir: str, tmp: str, srcs) -> None:
     fs.delete(dst, recursive=True)  # replaced by the merged partial
     fs.rename(tmp, dst)
     fs.delete(url_join(dst, "_MERGED.json"), recursive=False)
+
+
+def load_rollup_spec(fs: HadoopFS, rollup_dir: str) -> RollupSpec | None:
+    """Reconstruct the spec persisted by the first partial write (None if
+    the rollup was never written or predates spec persistence)."""
+    spec_file = url_join(rollup_dir, "_SPEC.json")
+    if not fs.exists(spec_file):
+        return None
+    return RollupSpec.from_json(fs.read_bytes(spec_file).decode())
+
+
+def retract_rollup(
+    spark: SparkSession,
+    rollup_dir: str,
+    spec: RollupSpec,
+    last_valid_block: int,
+    rescan_df: DataFrame | None,
+) -> None:
+    """Reorg retraction for the rollup — bucket-selective, never a full
+    corpus rescan.
+
+    Partials are keyed by bucket, so a fork at block F poisons exactly the
+    buckets intersecting (F, inf): buckets entirely below F are correct as
+    accumulated and are carried over by a pure partial merge; the ONE
+    bucket spanning F is rebuilt from ``rescan_df`` (the caller supplies
+    the surviving rows of [bucket_start(F), F] — a range-pruned lake+live
+    read, kilobytes at any lake size); buckets above F are dropped (the
+    re-fed stream re-accumulates them in new epochs). Uses the same
+    write-aside + manifest-outlives-rename swap as compaction, so a crash
+    at any point is recovered by the next read/compact/retract."""
+    import json
+
+    fs = HadoopFS(spark, rollup_dir)
+    if not fs.exists(rollup_dir):
+        return
+    _recover_rollup(fs, rollup_dir)
+    epochs = [d for d in fs.listdir(rollup_dir) if d.startswith("epoch=")]
+    if not epochs:
+        return
+    fork_bucket = last_valid_block - last_valid_block % spec.bucket_size
+    parts = spark.read.parquet(*[url_join(rollup_dir, e) for e in epochs])
+    below = (
+        parts.where(F.col("bucket") < fork_bucket)
+        .groupBy("bucket", *spec.group_cols)
+        .agg(*spec.merge_aggs())
+    )
+    pieces = [below]
+    if rescan_df is not None:
+        spanning = (
+            rescan_df.where(
+                (F.col(spec.bucket_col) >= fork_bucket)
+                & (F.col(spec.bucket_col) <= last_valid_block)
+            )
+            .groupBy(spec.bucket_expr(), *spec.group_cols)
+            .agg(*spec.partial_aggs())
+        )
+        pieces.append(spanning)
+    rebuilt = pieces[0]
+    for p in pieces[1:]:
+        rebuilt = rebuilt.unionByName(p)
+    tmp = url_join(rollup_dir, "_merge_tmp")
+    rebuilt.coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs.write_bytes(url_join(tmp, "_MERGED.json"),
+                   json.dumps({"sources": epochs}).encode())
+    _commit_rollup_merge(fs, rollup_dir, tmp, epochs)

@@ -78,6 +78,14 @@ class StreamingSink:
     # lake, so "total per bucket" queries read kilobytes of partials, not
     # the raw 100 TB. None = off.
     rollup_spec: object | None = None
+    # identity of the owning stream (the checkpoint path): arms the
+    # rollup's _STREAM_ID guard — a fresh checkpoint restarts epoch ids at
+    # 0 and must not silently overwrite accumulated rollup history
+    stream_id: str | None = None
+    # fold rollup epoch partials every N batches (include_latest=False, so
+    # the possibly-uncommitted trailing epoch is never folded) — bounds
+    # read_rollup's listing at O(N) dirs on a continuous stream
+    rollup_compact_every: int = 64
     _max_seen: int = -1
     _schema_checked: bool = False
 
@@ -125,8 +133,12 @@ class StreamingSink:
         # metrics node inside InMemoryRelation where they never surface (and
         # ``obs.get`` would block the stream forever), so the separate
         # JVM-only agg job stays — it is noise next to N table writes.
+        # Same reasoning when the rollup persists the decode in plain mode.
         obs = None
-        if not self.explode or not self._child_dirs():
+        will_persist = (self.explode and bool(self._child_dirs())) or (
+            self.rollup_spec is not None
+        )
+        if not will_persist:
             from pyspark.sql import Observation
 
             obs = Observation()
@@ -147,11 +159,11 @@ class StreamingSink:
                         self.spark, url_join(self.out_dir, name), child.schema
                     )
             self._schema_checked = True
-        if self.explode and self._child_dirs():
+        if will_persist:
             # each table write is its own action; without a persist the
             # mapInPandas protobuf decode re-runs once per table (main +
-            # every exploded child) — the single most expensive stage in the
-            # batch, paid N times for no reason
+            # every exploded child, + the rollup partial) — the single most
+            # expensive stage in the batch, paid N times for no reason
             decoded = decoded.persist()
         try:
             appends = [(decoded, self.out_dir)]
@@ -183,20 +195,32 @@ class StreamingSink:
                         appends,
                     ))
             if self.rollup_spec is not None:
-                # while the decode is still persisted (explode mode) this
-                # costs one tiny agg job over cached partitions; in plain
-                # mode it is one extra pass over ONE micro-batch
-                from .rollup import write_rollup_partial
+                # decode is persisted whenever the rollup is on, so this is
+                # one tiny agg job over cached partitions
+                from .rollup import compact_rollup, write_rollup_partial
 
+                rollup_dir = url_join(self.out_dir, "_rollup")
                 write_rollup_partial(
                     decoded,
-                    url_join(self.out_dir, "_rollup"),
+                    rollup_dir,
                     self.rollup_spec,
                     epoch_id,
-                    stream_id=self.out_dir,
+                    stream_id=self.stream_id,
                 )
+                if (
+                    self.rollup_compact_every
+                    and epoch_id > 0
+                    and epoch_id % self.rollup_compact_every == 0
+                ):
+                    # safe mid-stream: the trailing (possibly uncommitted)
+                    # epoch is excluded, and foreachBatch serializes us —
+                    # the stream IS the single writer
+                    compact_rollup(
+                        self.spark, rollup_dir, self.rollup_spec,
+                        include_latest=False,
+                    )
         finally:
-            if self.explode and self._child_dirs():
+            if will_persist:
                 decoded.unpersist()
         if obs is not None:  # from the append action above — no extra job
             hi = obs.get["hi"]
@@ -359,7 +383,51 @@ class StreamingSink:
         for table_dir in [self.out_dir] + self._child_dirs():
             self._undo_finalized(table_dir, last_valid_block)
             self._undo_live(table_dir, last_valid_block)
+        self._retract_rollup(last_valid_block)
         self._max_seen = min(self._max_seen, last_valid_block)
+
+    def _retract_rollup(self, last_valid_block: int) -> None:
+        """Keep ``_rollup/`` in lockstep with a reorg: buckets above the
+        fork are dropped, the spanning bucket is rebuilt from the surviving
+        rows (range-pruned lake + live read — kilobytes at any lake size),
+        buckets below carry over untouched. No-op when no rollup exists.
+        The spec is reloaded from the persisted ``_SPEC.json`` so offline
+        ``undo_lake``/CLI runs (which have no RollupSpec in hand) retract
+        correctly too."""
+        from .rollup import load_rollup_spec, retract_rollup
+
+        rollup_dir = url_join(self.out_dir, "_rollup")
+        if not self._fs.exists(rollup_dir):
+            return
+        spec = self.rollup_spec or load_rollup_spec(self._fs, rollup_dir)
+        if spec is None:
+            return
+        fork_bucket = last_valid_block - last_valid_block % spec.bucket_size
+        pieces = []
+        from ..sink.writer import read_lake
+
+        try:
+            pieces.append(
+                read_lake(self.spark, self.out_dir, fork_bucket, last_valid_block)
+            )
+        except FileNotFoundError:
+            pass
+        live = url_join(self.out_dir, "_live")
+        if self._fs.exists(live) and self._fs.listdir(live):
+            pieces.append(
+                self.spark.read.parquet(live).where(
+                    (F.col("block_number") >= fork_bucket)
+                    & (F.col("block_number") <= last_valid_block)
+                )
+            )
+        rescan = None
+        if pieces:
+            rescan = pieces[0]
+            for p in pieces[1:]:
+                rescan = rescan.unionByName(p, allowMissingColumns=True)
+        retract_rollup(
+            self.spark, rollup_dir, spec, last_valid_block, rescan
+        )
 
     def _undo_live(self, table_dir: str, last_valid_block: int) -> None:
         live = url_join(table_dir, "_live")
@@ -517,6 +585,7 @@ def run_pipeline(
         explode=explode,
         exploded_write_workers=exploded_write_workers,
         rollup_spec=rollup_spec,
+        stream_id=checkpoint_dir,
     )
     sink._fs.mkdirs(out_dir)
     # Repair any _compact_* leftover from a compaction run that crashed

@@ -239,3 +239,75 @@ def test_sink_pipeline_maintains_rollup(spark, tmp_path):
     assert got == {0: (10, 9), 10: (10, 19), 20: (5, 24)}
     finalized = read_lake(spark, out).count()
     assert finalized == 20  # the live tail is not finalized yet
+
+
+def test_spec_json_round_trip():
+    assert RollupSpec.from_json(SPEC.to_json()) == SPEC
+
+
+def test_undo_keeps_rollup_in_lockstep(spark, tmp_path):
+    """Reorg retraction must drop above-fork buckets, rebuild the spanning
+    bucket from surviving rows, and keep below-fork buckets — re-feeding
+    the fork must NOT double-count."""
+    from .test_protowire import BLOCK
+    from .test_streaming import _stage_blocks
+    from substreams_sink_parquet_spark.sink.writer import WriterOptions
+    from substreams_sink_parquet_spark.streaming.stream_sink import run_pipeline
+
+    spec = RollupSpec(
+        bucket_col="block_number", bucket_size=10,
+        measures={"n_rows": ("count", "*"), "hi": ("max", "block_number")},
+    )
+    in_dir, out, ckpt = str(tmp_path / "in"), str(tmp_path / "lake"), str(tmp_path / "ck")
+    _stage_blocks(spark, in_dir, list(range(0, 25)), 0)
+    q, sink = run_pipeline(
+        spark, in_dir, out, BLOCK, ckpt,
+        opts=WriterOptions(partition_size=10, start_block=0),
+        undo_holdback=0, rollup_spec=spec,
+    )
+    q.awaitTermination(120)
+
+    sink.undo(last_valid_block=14)
+    rd = url_join(out, "_rollup")
+    got = {r.bucket: (r.n_rows, r.hi) for r in read_rollup(spark, rd, spec).collect()}
+    assert got == {0: (10, 9), 10: (5, 14)}  # 15..24 retracted
+
+    # re-feed the fork: blocks 15..24 arrive again as a new epoch
+    df = spark.read.parquet(in_dir).where(F.col("block_number") >= 15)
+    sink.process_batch(df, 1)
+    got = {r.bucket: (r.n_rows, r.hi) for r in read_rollup(spark, rd, spec).collect()}
+    assert got == {0: (10, 9), 10: (10, 19), 20: (5, 24)}
+
+
+def test_in_stream_auto_compaction_bounds_epochs(spark, tmp_path):
+    """rollup_compact_every folds committed epochs during the stream; the
+    trailing epoch is never folded."""
+    from .test_protowire import BLOCK
+    from .test_streaming import _stage_blocks
+    from substreams_sink_parquet_spark.fsio import HadoopFS
+    from substreams_sink_parquet_spark.sink.writer import WriterOptions
+    from substreams_sink_parquet_spark.streaming.stream_sink import StreamingSink
+
+    spec = RollupSpec(bucket_col="block_number", bucket_size=10,
+                      measures={"n_rows": ("count", "*")})
+    in_dir, out = str(tmp_path / "in"), str(tmp_path / "lake")
+    sink = StreamingSink(
+        spark=spark, spec=BLOCK, out_dir=out,
+        opts=WriterOptions(partition_size=10, start_block=0),
+        rollup_spec=spec, rollup_compact_every=2, stream_id="ck",
+    )
+    for e in range(5):
+        _stage_blocks(spark, in_dir, list(range(e * 5, e * 5 + 5)), e)
+    staged = spark.read.parquet(in_dir)
+    for e in range(5):
+        lo, hi = e * 5, e * 5 + 5
+        sink.process_batch(
+            staged.where((F.col("block_number") >= lo) & (F.col("block_number") < hi)), e
+        )
+    fs = HadoopFS(spark, out)
+    rd = url_join(out, "_rollup")
+    epochs = sorted(x for x in fs.listdir(rd) if x.startswith("epoch="))
+    # folds ran at epochs 2 and 4; trailing epoch never folded
+    assert "epoch=-1" in epochs and len(epochs) <= 3
+    got = {r.bucket: r.n_rows for r in read_rollup(spark, rd, spec).collect()}
+    assert got == {0: 10, 10: 10, 20: 5}
