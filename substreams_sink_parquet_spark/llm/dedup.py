@@ -557,33 +557,38 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     O(component diameter) — near-dup clusters are shallow (dozens of docs
     around shared content), so this converges in a handful of rounds even at
     corpus scale; every round is one shuffle on doc_id. Each iteration's
-    result is cached and the previous uncached to keep the lineage flat
-    (no exponential plan growth).
+    result is local-checkpointed, which both materializes the round and
+    truncates the plan (nested-cache lineage is exponential to render and
+    livelocks the driver past ~10 rounds — see the in-loop comment).
 
     Only docs that appear in >= 1 pair are returned — singletons are their
     own keeper by definition and would dominate output size at scale.
 
-    The returned frame is the final iteration's CACHED labels (the fixpoint
-    loop needs it cached; dropping it would force a full recompute of every
-    round on the caller's first action). Callers that are done with it may
-    ``unpersist()`` it — or ``spark.catalog.clearCache()`` between
-    measurements, as bench.py does.
+    The returned frame is the final iteration's local checkpoint —
+    already materialized, so the caller's first action reads blocks, not
+    lineage.
     """
     # pairs is consumed by BOTH union branches below; without a persist the
     # whole upstream pair computation (e.g. the shingle self-join) runs
     # twice when edges first materializes — measured as the bulk of this
     # operator's cost at sf0.1
     pairs = pairs.persist()
+    # localCheckpoint (NOT cache) for the per-round frames: each round's
+    # plan nests the previous round's, and nested InMemoryRelations carry
+    # their full AQE subtrees — CacheManager's plan handling (string
+    # rendering included) is exponential in that nesting depth, so a
+    # component needing ~10+ rounds would livelock the DRIVER before any
+    # task runs. A local checkpoint materializes the round AND cuts the
+    # plan flat; same fix as cc_star, found the hard way on a deep graph.
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("a").alias("doc_id")).distinct().withColumn(
         "canonical", F.col("doc_id")
-    ).cache()
-    cached = labels  # the round's cache handle (labels may be a projection)
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc_id)
@@ -591,7 +596,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .agg(F.min("canonical").alias("nbr_min"))
         )
         # the candidate frame carries BOTH labels so fixpoint detection is a
-        # filter over this round's cache, not an extra join against the
+        # filter over this round's checkpoint, not an extra join against the
         # previous labels — one join per round instead of two
         cand = (
             labels.join(neighbor_min, "doc_id", "left")
@@ -602,19 +607,16 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     "canonical"
                 ),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             cand.filter(F.col("canonical") != F.col("old_canonical"))
             .limit(1)
             .count()
         )
-        cached.unpersist()
-        cached = cand
         labels = cand.select("doc_id", "canonical")
         if changed == 0:
             break
-    edges.unpersist()
     pairs.unpersist()
     return labels
 

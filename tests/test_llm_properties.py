@@ -192,3 +192,44 @@ def test_cc_star_matches_min_label_propagation(spark):
     b = {r.doc_id: r.canonical for r in dedup_clusters(pairs).collect()}
     assert a == b
     assert a[4] == 1 and a[13] == 10 and a[23] == 20 and a[43] == 40
+
+
+def test_cc_star_matches_min_label_on_random_graphs(spark):
+    """Deterministic random graphs (fixed seeds): both component algorithms
+    and a pure-Python union-find must agree exactly."""
+    import random
+
+    from substreams_sink_parquet_spark.llm.dedup import cc_star, dedup_clusters
+
+    def unionfind(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical = component min
+        return {n: find(n) for n in parent}
+
+    for seed in (7, 99):
+        rng = random.Random(seed)
+        n = 60
+        edges = sorted({
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(rng.randint(20, 45))
+        })
+        expect = unionfind([list(e) for e in edges])
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "doc_a long, doc_b long"
+        )
+        star = {r.doc_id: r.canonical for r in cc_star(pairs, max_iter=15).collect()}
+        minl = {r.doc_id: r.canonical for r in dedup_clusters(pairs).collect()}
+        assert star == expect, f"seed={seed}"
+        assert minl == expect, f"seed={seed}"
