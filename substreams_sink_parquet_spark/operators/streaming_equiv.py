@@ -244,3 +244,42 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t3") - F.col("t1")).alias("secs_to_convert"),
         )
     )
+
+
+@register(
+    "q_retention",
+    """
+    WITH ev AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+        FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, week FROM ev)
+    SELECT c.cohort_week,
+           a.week - c.cohort_week AS weeks_since,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM active a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY c.cohort_week, a.week - c.cohort_week
+    """,
+    doc="Cohort retention matrix: users bucketed by first-activity week, "
+        "counted per week-offset since. cohort and activity stages both "
+        "shuffle on user_id (co-partitioned lineage); the final matrix agg "
+        "keys on the bounded (cohort, offset) pair — classic "
+        "growth-analytics shape, one of the reference's delegated queries",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / F.lit(604800)).cast("long").alias("week"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
