@@ -201,11 +201,16 @@ def bpe_tokenize(
             for text in pdf["text"]:
                 toks: list[str] = []
                 ws = [w for w in split((text or "").replace(end, "")) if w]
-                if len(memo) > memo_cap:
-                    memo.clear()
                 for w in ws:
                     t = memo.get(w)
                     if t is None:
+                        # cap checked on INSERT, not once per document: a
+                        # single document with > memo_cap distinct words
+                        # must not grow the memo unboundedly within that
+                        # document — the bound is per-worker memory, and a
+                        # document is not a bounded unit
+                        if len(memo) >= memo_cap:
+                            memo.clear()
                         t = encode(w, rk)
                         memo[w] = t
                     toks.extend(t)

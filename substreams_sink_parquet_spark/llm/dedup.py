@@ -140,6 +140,42 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
 # -- exact n-gram Jaccard near-dup ----------------------------------------
 
 
+def _anchored_pair_arrays(groups: DataFrame, ds_col: str = "ds") -> DataFrame:
+    """Chunked ordered-pair expansion of per-shingle doc lists.
+
+    Input: one row per shingle with ``ds`` = array_sort'ed
+    array<struct<doc_id, n_sh>>. Output: one row per (shingle, anchor doc)
+    with ``pair_arr`` = the anchor's pairs against every LATER doc in the
+    sorted list (so doc_a < doc_b by construction).
+
+    Why two explodes instead of one flattened expansion: a shingle at the
+    ``max_doc_freq`` guard boundary would flatten to ~guard²/2 structs
+    inside ONE row before the explode — tens of MB in a single task buffer,
+    and the first knob to blow when the guard is raised at corpus scale.
+    Anchoring first (posexplode over ``ds``) caps every materialized array
+    at ``size(ds) − 1 ≤ guard − 1`` elements: the quadratic pair volume
+    still exists (it must — those are the output rows) but it is spread
+    across ``size(ds)`` rows, each with a bounded buffer, instead of
+    spiking one row. A pytest plants a guard-width hot shingle and pins
+    the per-row bound.
+    """
+    ds = F.col(ds_col)
+    anchored = groups.select(ds, F.posexplode(ds).alias("i", "x"))
+    tail = F.slice(
+        ds,
+        F.col("i") + F.lit(2),
+        F.greatest(F.size(ds) - F.col("i") - 1, F.lit(0)),
+    )
+    pair_arr = F.transform(
+        tail,
+        lambda y: F.struct(
+            F.col("x.doc_id").alias("doc_a"), y["doc_id"].alias("doc_b"),
+            F.col("x.n_sh").alias("n_a"), y["n_sh"].alias("n_b"),
+        ),
+    )
+    return anchored.select(pair_arr.alias("pair_arr"))
+
+
 def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                   max_doc_freq: int | None = None) -> DataFrame:
     """All doc pairs (a<b) with word-n-gram Jaccard >= threshold.
@@ -162,8 +198,12 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     df_ (by shingle), window n_sh (by doc), collect doc lists per shingle
     (by shingle), then per-group ordered-pair expansion (array_sort on the
     struct sorts by doc_id first, so doc_a < doc_b by construction) and one
-    map-side-combined pair aggregation. Per-group expansion memory is
-    bounded by the guard: ≤ max_doc_freq²/2 structs per shingle row.
+    map-side-combined pair aggregation. Per-ROW expansion memory is
+    bounded by the guard *linearly*, not quadratically: the expansion is
+    CHUNKED by anchor (see ``_anchored_pair_arrays``) so no single row ever
+    materializes more than max_doc_freq pair structs at once — a shingle
+    sitting exactly at the guard expands to ≤ guard structs per row across
+    guard rows, never guard²/2 structs inside one task buffer.
     ``n_sh`` counts post-filter shingles, matching the oracle's
     sizes-from-filtered-sh definition.
     """
@@ -180,19 +220,9 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     groups = sh.groupBy("shingle").agg(
         F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
     )
-    xs = F.col("ds")
-    pairs = F.flatten(F.transform(
-        xs,
-        lambda x, i: F.transform(
-            F.slice(xs, i + F.lit(2), F.greatest(F.size(xs) - i - 1, F.lit(0))),
-            lambda y: F.struct(
-                x["doc_id"].alias("doc_a"), y["doc_id"].alias("doc_b"),
-                x["n_sh"].alias("n_a"), y["n_sh"].alias("n_b"),
-            ),
-        ),
-    ))
     return (
-        groups.select(F.explode(pairs).alias("p")).select("p.*")
+        _anchored_pair_arrays(groups)
+        .select(F.explode("pair_arr").alias("p")).select("p.*")
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_common"))
         .withColumn(
@@ -678,6 +708,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def _edge_sig(edges: DataFrame) -> tuple:
+    """(count, hash-sum, hash-xor) signature of a distinct (u, v) edge set —
+    the one-exchange set-equality probe for cc_star's fixpoint test. Sum and
+    xor of per-row xxhash64 are order-independent, so the signature is a
+    pure function of the SET; both edge sets being distinct by construction
+    makes multiset/set ambiguity moot."""
+    row = (
+        edges.select(F.xxhash64("u", "v").alias("h"))
+        .agg(
+            F.count("*").alias("n"),
+            # decimal sum: long hashes summed as longs overflow under ANSI
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("hs"),
+            F.expr("bit_xor(h)").alias("hx"),
+        )
+        .first()
+    )
+    return (row.n, row.hs, row.hx)
+
+
 def cc_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components by alternating large-star / small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -699,11 +748,22 @@ def cc_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     hot node (a million-duplicate boilerplate doc) is an aggregation hot
     key (combiner-friendly), never a million-element array in one task.
     Each round is two shuffles (agg + join); fixpoint when the oriented
-    edge set stops changing. Same output contract as ``dedup_clusters``:
-    (doc_id, canonical=component min) for every doc in >= 1 pair, returned
-    cached (callers may unpersist).
+    edge set stops changing — detected by a count+checksum signature over
+    the (distinct) edge set: ONE single-stage aggregate per round, where
+    the earlier two ``exceptAll`` probes each cost a join-shaped job over
+    both edge sets (2 extra exchanges per round — the dominant per-round
+    overhead in the r3 bench). Two sets with equal cardinality, equal
+    xxhash64-sum AND equal xxhash64-xor are identical up to a ~2^-128
+    collision — astronomically below any hardware-error floor. Same output
+    contract as ``dedup_clusters``: (doc_id, canonical=component min) for
+    every doc in >= 1 pair — including docs whose ONLY pair is a self-pair
+    (doc_a == doc_b), which label themselves exactly as dedup_clusters
+    labels them. Returned cached (callers may unpersist).
     """
     pairs = pairs.persist()
+    selfs = pairs.where(F.col("doc_a") == F.col("doc_b")).select(
+        F.col("doc_a").alias("doc_id")
+    ).distinct()
     # orient child > parent; star rounds preserve this invariant.
     # localCheckpoint (NOT cache) each round: every round references the
     # previous edge set four times (sym, both star joins, the fixpoint
@@ -719,11 +779,14 @@ def cc_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if not edges.take(1):  # no edges: nothing to contract, nothing to label
+    if not edges.take(1):  # no proper edges: only self-paired docs to label
+        labels = selfs.select(
+            "doc_id", F.col("doc_id").alias("canonical")
+        ).cache()
+        labels.count()
         pairs.unpersist()
-        return edges.select(
-            F.col("u").alias("doc_id"), F.col("v").alias("canonical")
-        )
+        return labels
+    sig = _edge_sig(edges)
     for _ in range(max_iter):
         # -- large-star: sym neighborhoods; larger neighbors -> min
         sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -753,15 +816,16 @@ def cc_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # short-circuit: one direction differing already proves non-fixpoint
-        changed = (
-            nxt.exceptAll(edges).limit(1).count()
-            or edges.exceptAll(nxt).limit(1).count()
-        )
+        # fixpoint test: ONE aggregate job over the checkpointed edge set
+        # (count + order-independent sum/xor checksums of xxhash64(u, v));
+        # the previous round's signature is carried, so no job touches the
+        # old edge set at all
+        nxt_sig = _edge_sig(nxt)
         edges = nxt
-        if changed == 0:
+        if nxt_sig == sig:
             converged = True
             break
+        sig = nxt_sig
     else:
         converged = False
     if not converged:
@@ -774,11 +838,15 @@ def cc_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     roots = edges.select(F.col("v").alias("doc_id")).distinct().join(
         edges.select(F.col("u").alias("doc_id")).distinct(), "doc_id", "left_anti"
     )
-    labels = (
-        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("canonical"))
-        .unionByName(roots.select("doc_id", F.col("doc_id").alias("canonical")))
-        .cache()
-    )
+    edge_labels = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("canonical")
+    ).unionByName(roots.select("doc_id", F.col("doc_id").alias("canonical")))
+    # docs whose ONLY pair is a self-pair never enter the edge set; they
+    # are their own keeper (dedup_clusters contract)
+    labels = edge_labels.unionByName(
+        selfs.join(edge_labels.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("canonical"))
+    ).cache()
     labels.count()
     pairs.unpersist()
     return labels

@@ -58,6 +58,22 @@ def test_training_is_deterministic(spark, tiny):
     assert train_bpe(tiny, num_merges=8) == train_bpe(tiny, num_merges=8)
 
 
+def test_memo_cap_inside_one_document_keeps_output_correct(spark, monkeypatch):
+    """The memo cap is enforced on INSERT, so a single document with more
+    distinct words than the cap stays bounded mid-document. Correctness
+    must not depend on memo hits: with a cap of 4 and a 50-distinct-word
+    document, tokenization still round-trips losslessly."""
+    from substreams_sink_parquet_spark.llm import bpe as bpe_mod
+
+    monkeypatch.setattr(bpe_mod, "_MEMO_CAP", 4)
+    text = " ".join(f"word{i}x" for i in range(50)) + " word0x word1x"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = train_bpe(docs, num_merges=30)
+    toks = bpe_tokenize(docs, merges)
+    got = toks.select(detokenize_expr().alias("t")).first().t
+    assert got == text
+
+
 def test_more_merges_compress_monotonically(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").limit(60)
     m40 = train_bpe(docs, num_merges=40)

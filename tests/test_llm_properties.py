@@ -233,3 +233,87 @@ def test_cc_star_matches_min_label_on_random_graphs(spark):
         minl = {r.doc_id: r.canonical for r in dedup_clusters(pairs).collect()}
         assert star == expect, f"seed={seed}"
         assert minl == expect, f"seed={seed}"
+
+
+def test_cc_star_and_min_label_agree_on_self_pairs(spark):
+    """A doc whose ONLY pair is a self-pair (doc_a == doc_b) must label
+    itself in BOTH algorithms — the shared output contract ('every doc in
+    >= 1 pair'), previously violated by cc_star's u != v filter."""
+    from substreams_sink_parquet_spark.llm.dedup import cc_star, dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (5, 5), (2, 2)], "doc_a long, doc_b long"
+    )
+    a = {r.doc_id: r.canonical for r in cc_star(pairs, max_iter=10).collect()}
+    b = {r.doc_id: r.canonical for r in dedup_clusters(pairs).collect()}
+    assert a == b == {1: 1, 2: 1, 5: 5}
+    # degenerate graph: ONLY self-pairs, no proper edge at all
+    only_selfs = spark.createDataFrame([(7, 7), (9, 9)], "doc_a long, doc_b long")
+    a2 = {r.doc_id: r.canonical for r in cc_star(only_selfs, max_iter=5).collect()}
+    b2 = {r.doc_id: r.canonical for r in dedup_clusters(only_selfs).collect()}
+    assert a2 == b2 == {7: 7, 9: 9}
+
+
+def test_jaccard_hot_shingle_expansion_is_row_bounded(spark):
+    """Plant ONE shingle shared by 1000 docs (the max_doc_freq guard
+    boundary): the chunked expansion must never materialize more than
+    (guard - 1) pair structs in any single row — the flattened form would
+    build ~guard²/2 ≈ 500k structs in one task buffer."""
+    from pyspark.sql import functions as F
+
+    from substreams_sink_parquet_spark.llm.dedup import _anchored_pair_arrays
+
+    n_docs = 1000
+    groups = spark.range(1).select(
+        F.lit("hot shingle text").alias("shingle"),
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_docs - 1)),
+                lambda i: F.struct(
+                    i.cast("long").alias("doc_id"), F.lit(10).alias("n_sh")
+                ),
+            )
+        ).alias("ds"),
+    )
+    widths = _anchored_pair_arrays(groups).select(
+        F.size("pair_arr").alias("w")
+    )
+    stats = widths.agg(
+        F.max("w").alias("mx"), F.sum("w").alias("total"), F.count("*").alias("rows")
+    ).first()
+    assert stats.mx == n_docs - 1          # per-row buffer bound: guard - 1
+    assert stats.rows == n_docs            # one row per anchor doc
+    assert stats.total == n_docs * (n_docs - 1) // 2  # all pairs still emitted
+
+
+def test_jaccard_pairs_unchanged_by_chunked_expansion(spark):
+    """The chunked expansion is a pure plan-shape change: pair set and
+    jaccard values must match the direct python reference on a corpus with
+    a planted hot shingle shared by every doc."""
+    import itertools
+
+    from substreams_sink_parquet_spark.llm.dedup import jaccard_pairs
+
+    texts = [
+        (i, "common anchor phrase " + " ".join(f"w{i}_{j}" for j in range(i % 4 + 2)))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    def shingles(t, n=3):
+        ws = t.split(" ")
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    expect = {}
+    sh = {i: shingles(t) for i, t in texts}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if inter:
+            j = inter / len(sh[a] | sh[b])
+            if j >= 0.3:
+                expect[(a, b)] = round(j, 9)
+    got = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in jaccard_pairs(df, n=3, threshold=0.3).collect()
+    }
+    assert got == expect
