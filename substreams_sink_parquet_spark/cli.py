@@ -265,7 +265,14 @@ def cmd_compact(args: argparse.Namespace) -> int:
     if fs.exists(rollup_dir):
         spec = load_rollup_spec(fs, rollup_dir)
         if spec is not None:
-            folded = compact_rollup(spark, rollup_dir, spec, include_latest=True)
+            # a "stopped" lake includes crashed-not-drained streams, whose
+            # trailing rollup epoch may belong to a batch with an
+            # uncommitted offset — folding it into epoch=-1 would count
+            # that batch twice after checkpoint replay. Fold it only under
+            # the explicit --drained assertion.
+            folded = compact_rollup(
+                spark, rollup_dir, spec, include_latest=args.drained
+            )
             report["_rollup"] = {"epochs_folded": folded}
     print(json.dumps(report))
     return 0
@@ -473,6 +480,12 @@ def main(argv: list[str] | None = None) -> int:
     compact_p.add_argument("--target-files", type=int, default=1)
     compact_p.add_argument("--min-files", type=int, default=2)
     compact_p.add_argument("--compression", default="zstd")
+    compact_p.add_argument(
+        "--drained", action="store_true",
+        help="assert the stream was TERMINALLY drained (not merely "
+             "stopped/crashed): also folds the trailing rollup epoch, "
+             "which is unsafe if its batch's offset never committed",
+    )
     compact_p.set_defaults(fn=cmd_compact)
 
     tier_p = sub.add_parser(

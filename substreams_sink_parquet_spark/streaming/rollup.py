@@ -164,19 +164,48 @@ def read_rollup(
 ) -> DataFrame:
     """Merge all partials into the current aggregate view.
 
-    Recovers any interrupted compaction swap FIRST (single-writer
-    discipline: readers and the compactor are the same operator role) —
-    without this, a crash between the compactor's source-deletes and its
-    rename would leave the view silently under-counted until the next
-    compact run.
+    STRICTLY NON-MUTATING. read_rollup is the advertised query API for a
+    rollup the running stream continuously maintains, so a reader may race
+    the stream's own in-batch ``compact_rollup``: a read-path recovery that
+    deletes a manifest-less ``_merge_tmp`` could destroy the compactor's
+    write AFTER its parquet data landed but BEFORE its manifest did — the
+    compactor would then commit a gutted directory and delete every source
+    epoch. Instead, interrupted swaps are handled read-only:
+
+    - a ``_merge_tmp`` WITH a manifest is a finished merge whose sources
+      may be partially deleted — it is read as an extra source and the
+      epochs its manifest names are excluded (they are the merged rows'
+      originals; surviving ones would double-count);
+    - a ``_merge_tmp`` WITHOUT a manifest is an unfinished write whose
+      sources are intact — ignored entirely.
+
+    Actual repair stays with the writer-side entry points
+    (``compact_rollup`` / ``retract_rollup``), which own the single-writer
+    role and call ``_recover_rollup``.
 
     ``derived``: {out_name: (sum_measure, count_measure)} ratio columns
     computed AFTER the merge (the only correct place for avg-like
     measures). Scans O(buckets x batches-since-compaction) partial rows —
     kilobytes — never the raw lake.
     """
-    _recover_rollup(HadoopFS(spark, rollup_dir), rollup_dir)
-    parts = spark.read.parquet(url_join(rollup_dir, "epoch=*"))
+    import json
+
+    fs = HadoopFS(spark, rollup_dir)
+    tmp = url_join(rollup_dir, "_merge_tmp")
+    manifest = url_join(tmp, "_MERGED.json")
+    excluded: set[str] = set()
+    paths: list[str] = []
+    if fs.exists(manifest):
+        excluded = set(json.loads(fs.read_bytes(manifest))["sources"])
+        paths.append(tmp)  # manifest file itself is _-prefixed: invisible
+    paths.extend(
+        url_join(rollup_dir, d)
+        for d in fs.listdir(rollup_dir)
+        if d.startswith("epoch=") and d not in excluded
+    )
+    # no sources at all: preserve the historical error shape of an empty
+    # glob read rather than inventing a schema
+    parts = spark.read.parquet(*(paths or [url_join(rollup_dir, "epoch=*")]))
     merged = parts.groupBy("bucket", *spec.group_cols).agg(*spec.merge_aggs())
     for name, (s, c) in (derived or {}).items():
         merged = merged.withColumn(name, F.col(s) / F.col(c))

@@ -174,9 +174,13 @@ def test_compact_excludes_trailing_epoch_by_default(spark, tmp_path):
     assert _view(spark, d) == before
 
 
-def test_read_recovers_interrupted_swap(spark, tmp_path):
+def test_read_handles_interrupted_swap_without_mutating(spark, tmp_path):
     """A crash BETWEEN source-deletes and the rename must not under-count
-    the next read: read_rollup replays the committed swap first."""
+    the next read. The read path is NON-MUTATING (a reader may race the
+    stream's in-batch compactor, so it must never delete or rename): it
+    reads the manifest-bearing tmp as an extra source, excludes the
+    manifest's listed epochs, and leaves repair to the next writer-side
+    compact."""
     import json
 
     d = str(tmp_path / "rollup")
@@ -186,17 +190,39 @@ def test_read_recovers_interrupted_swap(spark, tmp_path):
     before = _view(spark, d)
     fs = HadoopFS(spark, d)
     # build the committed tmp a real compact would have, then simulate the
-    # worst crash point: all sources deleted, rename never happened
+    # worst crash point: SOME sources deleted, rename never happened
     srcs = sorted(x for x in fs.listdir(d) if x.startswith("epoch="))
     merged = read_rollup(spark, d, SPEC)
     tmp = url_join(d, "_merge_tmp")
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     fs.write_bytes(url_join(tmp, "_MERGED.json"),
                    json.dumps({"sources": srcs}).encode())
-    for s in srcs:
-        fs.delete(url_join(d, s), recursive=True)
-    assert _view(spark, d) == before  # read path replays the swap
-    assert fs.exists(url_join(d, "epoch=-1"))
+    fs.delete(url_join(d, srcs[0]), recursive=True)  # partial delete
+    assert _view(spark, d) == before   # correct view, surviving srcs excluded
+    assert fs.exists(tmp)              # read did NOT mutate
+    assert not fs.exists(url_join(d, "epoch=-1"))
+    # writer-side compact replays the swap and converges the layout
+    assert compact_rollup(spark, d, SPEC) == 0
+    assert _view(spark, d) == before
+    assert fs.exists(url_join(d, "epoch=-1")) and not fs.exists(tmp)
+
+
+def test_read_ignores_manifestless_tmp_of_inflight_compactor(spark, tmp_path):
+    """A manifest-less ``_merge_tmp`` is an IN-FLIGHT compactor write: the
+    read must neither count it nor delete it (deleting it would gut the
+    compactor's directory right before its manifest lands, and the commit
+    would then destroy every source epoch)."""
+    d = str(tmp_path / "rollup")
+    os.makedirs(d)
+    for e in range(2):
+        write_rollup_partial(_batch(spark, [(0, "a", 1)]), d, SPEC, e)
+    before = _view(spark, d)
+    fs = HadoopFS(spark, d)
+    tmp = url_join(d, "_merge_tmp")
+    # in-flight compactor: data already written, manifest not yet
+    read_rollup(spark, d, SPEC).coalesce(1).write.mode("overwrite").parquet(tmp)
+    assert _view(spark, d) == before   # tmp not counted
+    assert fs.exists(tmp)              # and not deleted
 
 
 def test_stream_id_guard_refuses_foreign_checkpoint(spark, tmp_path):
