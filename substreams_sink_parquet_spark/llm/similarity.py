@@ -147,6 +147,37 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
     )
 
 
+def _seed_rows(embeddings: DataFrame, vec_col: str, k: int,
+               id_col: str = "vec_id") -> list:
+    """k deterministic pseudo-random seed vectors (list of Rows with ``.v``).
+
+    Ordering by ``xxhash64(id)`` (id tie-break) and taking k compiles to
+    TakeOrderedAndProject — a per-partition k-row heap merged on the
+    driver, NEVER a global Sort of the corpus (pinned by a plan pytest).
+    The hash order makes the seeds a uniform-ish sample instead of the
+    previous lowest-id prefix (adjacent ids can be correlated — a crawl
+    ordered by source would seed every centroid from one shard), while
+    staying exactly reproducible across runs and partitionings: this IS
+    the 'seeded TABLESAMPLE' move, expressed without a sample-rate guess
+    that could under-fill k on a small input."""
+    return _seed_plan(embeddings, vec_col, k, id_col).collect()
+
+
+def _seed_plan(embeddings: DataFrame, vec_col: str, k: int,
+               id_col: str = "vec_id") -> DataFrame:
+    """The seeding plan itself (separate so a pytest can pin its physical
+    shape: TakeOrderedAndProject, never a global Sort)."""
+    return (
+        embeddings
+        .select(
+            F.col(id_col).alias("__sid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy(F.xxhash64("__sid"), F.col("__sid"))
+        .limit(k)
+    )
+
+
 _DIM_CACHE: dict[str, int] = {}
 
 
@@ -220,16 +251,13 @@ def ivf_centroids(embeddings: DataFrame, vec_col: str = "embedding",
     n_centroids x dim floats, the part of an IVF index that is *supposed* to
     be small and resident everywhere).
 
-    Seeds are a deterministic corpus sample (lowest vec_ids — at 100 TB a
-    seeded TABLESAMPLE); each Lloyd iteration reassigns the corpus map-only
-    and recomputes means by exploding (dimension, value) pairs — the
-    per-(centroid, dim) average combines map-side, so its exchange is
+    Seeds are a deterministic hash-ordered sample (``_seed_rows`` — a
+    TakeOrderedAndProject per-partition heap, no global sort, no
+    adjacent-id correlation); each Lloyd iteration reassigns the corpus
+    map-only and recomputes means by exploding (dimension, value) pairs —
+    the per-(centroid, dim) average combines map-side, so its exchange is
     n_centroids x dim rows, independent of corpus size."""
-    seeds = (
-        embeddings.orderBy("vec_id").limit(n_centroids)
-        .select(F.col(vec_col).cast("array<double>").alias("v"))
-        .collect()
-    )
+    seeds = _seed_rows(embeddings, vec_col, n_centroids)
     cents = [(i + 1, list(r.v)) for i, r in enumerate(seeds)]
     for _ in range(refine_iters):
         # keep carries the vector through the map-only assignment — a
@@ -564,18 +592,15 @@ def pq_codebooks(embeddings: DataFrame, dim: int, m: int = 8, k: int = 16,
     quantizer (the part of a PQ index that is supposed to be tiny and
     live everywhere).
 
-    Seeds are the sub-vectors of the k lowest-vec_id rows (deterministic —
-    a seeded TABLESAMPLE at 100 TB); each Lloyd iteration refines ALL
-    subspaces in ONE exploded pass: (s, subvec) rows → map-only nearest-code
-    assignment against the 3-D codebook literal → per-(s, code, dim) means
-    whose exchange is m*k*dsub rows, independent of corpus size.
+    Seeds are the sub-vectors of k deterministic hash-ordered sample rows
+    (``_seed_rows`` — TakeOrderedAndProject, no global sort); each Lloyd
+    iteration refines ALL subspaces in ONE exploded pass: (s, subvec) rows
+    → map-only nearest-code assignment against the 3-D codebook literal →
+    per-(s, code, dim) means whose exchange is m*k*dsub rows, independent
+    of corpus size.
     """
     dsub = dim // m
-    seed_rows = (
-        embeddings.orderBy("vec_id").limit(k)
-        .select(F.col(vec_col).cast("array<double>").alias("v"))
-        .collect()
-    )
+    seed_rows = _seed_rows(embeddings, vec_col, k)
     cbs = [
         [list(r.v[s * dsub:(s + 1) * dsub]) for r in seed_rows]
         for s in range(m)
@@ -651,6 +676,56 @@ def pq_encode(embeddings: DataFrame, cbs: list[list[list[float]]],
     return embeddings.select(*keep, codes.alias("codes"))
 
 
+def _adc_table(vec_expr: Column, cbs: list[list[list[float]]]) -> Column:
+    """Per-query ADC distance table: ``dt[s][j]`` = L2² between the query's
+    subvector s and code j of subspace s — m x k doubles computed as ONE
+    JVM expression over the codebook literal (no driver-side math), ready
+    to broadcast with the probe row."""
+    m, dsub = len(cbs), len(cbs[0][0])
+    lit3 = F.lit(cbs)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.element_at(lit3, s + 1),
+            lambda c: _l2sq(F.slice(vec_expr, s * dsub + 1, dsub), c),
+        ),
+    )
+
+
+def _adc_score(m: int) -> Column:
+    """ADC distance of a corpus row: m table lookups (``dt`` from the
+    broadcast probe, ``codes`` from the encoded corpus row), summed."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("dt"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        ),
+    )
+
+
+def _centroid_lookup(cents: list[tuple[int, list[float]]]):
+    """cent_id column -> centroid vector column, via two literals (id list
+    + 2-D matrix; one py4j crossing each) and an array_position lookup —
+    handles non-contiguous cent_ids (a Lloyd iteration can empty a cell)."""
+    ids_lit = F.lit([int(cid) for cid, _ in cents])
+    cmat = F.lit([[float(x) for x in vec] for _, vec in cents])
+
+    def lookup(cent_col: Column) -> Column:
+        return F.element_at(cmat, F.array_position(ids_lit, cent_col).cast("int"))
+
+    return lookup
+
+
+def _residual(vec_col: str | Column, cvec: Column) -> Column:
+    """vector − assigned centroid, as array<double> (the PQ input under
+    residual encoding)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.zip_with(v, cvec, lambda x, y: x.cast("double") - y)
+
+
 def pq_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
             m: int = 8, n_codes: int = 16) -> DataFrame:
     """Approximate top-k via PQ + asymmetric distance computation (ADC).
@@ -667,30 +742,10 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     from .dedup import spread_if_narrow
 
     corpus = pq_encode(spread_if_narrow(embeddings.select("vec_id", "embedding")), cbs)
-    dsub = dim // m
-    lit3 = F.lit(cbs)
-    dt = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.transform(
-            F.element_at(lit3, s + 1),
-            lambda c: _l2sq(
-                F.slice(F.col("q_vec").cast("array<double>"), s * dsub + 1, dsub),
-                c,
-            ),
-        ),
-    )
+    dt = _adc_table(F.col("q_vec").cast("array<double>"), cbs)
     probes = queries.select("q_id", dt.alias("dt"))
     joined = corpus.join(F.broadcast(probes), corpus.vec_id != probes.q_id)
-    score = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(F.col("dt"), s + 1),
-            F.element_at(F.col("codes"), s + 1) + 1,
-        ),
-    )
-    scored = joined.select("q_id", "vec_id", score.alias("adc"))
+    scored = joined.select("q_id", "vec_id", _adc_score(m).alias("adc"))
     w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -717,7 +772,7 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
                n_centroids: int = 16, nprobe: int = 4, m: int = 8,
-               n_codes: int = 16) -> DataFrame:
+               n_codes: int = 16, residual: bool = True) -> DataFrame:
     """IVF-PQ: coarse cells bound the COMPUTE (only nprobe/n_centroids of
     the corpus is scored per query), PQ codes bound the MEMORY (the scored
     candidates are 8-byte code arrays, not raw vectors) — the composition
@@ -725,50 +780,55 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     parts (``ivf_centroids``/``_nearest_centroid`` and
     ``pq_codebooks``/``pq_encode``) each half uses standalone.
 
-    Simplification vs FAISS: codes quantize the raw vectors, not the
-    per-cell residuals — residual encoding needs a per-cell codebook train
-    pass; the plan shape (map-only assign + encode, broadcast probe tables,
-    cell-pruned ADC scan, per-query window) is identical either way.
+    ``residual=True`` (the FAISS default, and the default here): PQ codes
+    quantize the per-cell RESIDUAL (vector − assigned centroid), not the
+    raw vector. Residuals concentrate near the origin with within-cell
+    spread only, so the same m x n_codes bits resolve finer distances —
+    measurably higher recall at identical parameters (pinned by pytest
+    against the raw-vector variant). The query side mirrors it: each
+    (query, probed cell) pair computes its ADC table from the query's
+    residual wrt THAT cell's centroid, so tables stay per-probe-row and
+    broadcast exactly as before. Plan shape is unchanged either way:
+    map-only assign + encode, broadcast probe tables, cell-pruned ADC
+    scan, per-query window. The residual train/encode input is persisted
+    once (at 100 TB: write the assignment out bucketed by cent_id) — the
+    codebook Lloyd pass and the encode pass would otherwise both recompute
+    the quantizer assignment.
     """
     cents = ivf_centroids(embeddings, n_centroids=n_centroids)
-    cbs = pq_codebooks(embeddings, dim=dim, m=m, k=n_codes)
     from .dedup import spread_if_narrow
 
     spreaded = spread_if_narrow(embeddings.select("vec_id", "embedding"))
     assigned = _nearest_centroid(
         spreaded, cents, "embedding", keep=["vec_id", "embedding"]
     )
-    corpus = pq_encode(assigned, cbs, keep=["vec_id", "cent_id"])
-    dsub = dim // m
-    lit3 = F.lit(cbs)
-    dt = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.transform(
-            F.element_at(lit3, s + 1),
-            lambda c: _l2sq(
-                F.slice(F.col("q_vec").cast("array<double>"), s * dsub + 1, dsub),
-                c,
-            ),
-        ),
-    )
+    cvec = _centroid_lookup(cents)
+    if residual:
+        assigned = assigned.withColumn(
+            "resid", _residual("embedding", cvec(F.col("cent_id")))
+        ).persist()
+        cbs = pq_codebooks(assigned, dim=dim, m=m, k=n_codes, vec_col="resid")
+        corpus = pq_encode(assigned, cbs, vec_col="resid",
+                           keep=["vec_id", "cent_id"])
+    else:
+        cbs = pq_codebooks(embeddings, dim=dim, m=m, k=n_codes)
+        corpus = pq_encode(assigned, cbs, keep=["vec_id", "cent_id"])
     probes = _nearest_centroid(
         queries, cents, "q_vec", keep=["q_id", "q_vec"], nprobe=nprobe
-    ).select("q_id", F.col("cent_id").alias("p_cent"), dt.alias("dt"))
+    )
+    q_expr = F.col("q_vec").cast("array<double>")
+    if residual:
+        q_expr = _residual(q_expr, cvec(F.col("cent_id")))
+    probes = probes.select(
+        "q_id", F.col("cent_id").alias("p_cent"),
+        _adc_table(q_expr, cbs).alias("dt"),
+    )
     joined = corpus.join(
         F.broadcast(probes),
         (corpus.cent_id == probes.p_cent) & (corpus.vec_id != probes.q_id),
     )
-    score = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(F.col("dt"), s + 1),
-            F.element_at(F.col("codes"), s + 1) + 1,
-        ),
-    )
     scored = (
-        joined.select("q_id", "vec_id", score.alias("adc"))
+        joined.select("q_id", "vec_id", _adc_score(m).alias("adc"))
         .dropDuplicates(["q_id", "vec_id"])  # nprobe cells may overlap
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
@@ -782,9 +842,11 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
 @register(
     "q_sim_topk_ivfpq",
     None,  # approximate: cell recall x code resolution → rows-only
-    doc="IVF-PQ ANN (16 cells, nprobe=4, 8x16 PQ codes, ADC): cell pruning "
-        "bounds compute, code compression bounds memory — the FAISS "
-        "workhorse composition from this module's own IVF and PQ halves",
+    doc="IVF-PQ ANN (16 cells, nprobe=4, 8x16 PQ codes, ADC, residual "
+        "encoding): cell pruning bounds compute, code compression bounds "
+        "memory, and codes quantize per-cell residuals (the FAISS default) "
+        "so the same bits resolve finer distances — recall vs the "
+        "raw-vector variant pinned in pytest",
 )
 def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
