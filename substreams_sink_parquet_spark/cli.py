@@ -327,6 +327,9 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         flush_interval=args.flush_interval,
         near_dup=args.near_dup,
         neardup_threshold=args.neardup_threshold,
+        embed_dup=args.embed_dup,
+        embed_threshold=args.embed_threshold,
+        embed_dim=args.embed_dim,
     )
     query.awaitTermination()
     n = corpus_docs(spark, args.store_url).count()
@@ -514,6 +517,13 @@ def main(argv: list[str] | None = None) -> int:
     corpus_p.add_argument("--follow", action="store_true",
                           help="keep running (micro-batch) instead of drain-and-stop")
     corpus_p.add_argument("--flush-interval", default="1 second")
+    corpus_p.add_argument("--embed-dup", action="store_true",
+                          help="also reject docs whose inline embedding is "
+                               "near-identical (LSH-bucketed cosine) to an "
+                               "admitted doc's; requires --embed-dim")
+    corpus_p.add_argument("--embed-threshold", type=float, default=0.99)
+    corpus_p.add_argument("--embed-dim", type=int, default=None,
+                          help="embedding dimension (required with --embed-dup)")
     corpus_p.add_argument("--near-dup", action="store_true",
                           help="also reject MinHash near-duplicates of the corpus")
     corpus_p.add_argument("--neardup-threshold", type=float, default=0.5)

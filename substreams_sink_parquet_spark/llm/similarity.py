@@ -480,6 +480,69 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_embedding_neardup(
+    new_docs: DataFrame,
+    emb_index: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Screen a new batch against the already-admitted corpus by embedding
+    cosine — the incremental/persistent-index form of
+    ``embedding_neardup_pairs_lsh``, mirroring ``dedup.incremental_neardup``'s
+    contract exactly (streaming/corpus_stream.py is the caller).
+
+    ``new_docs``: (doc_id, embedding, …); ``emb_index``: (bucket, embedding)
+    rows persisted from every PREVIOUS batch. A doc is REJECTED iff some
+    index row or some surviving lower-id batch doc shares its LSH bucket
+    and has rounded cosine >= threshold. Returns the admitted docs' bucket
+    rows (doc_id, bucket, embedding) — callers append the non-null rows to
+    the index. Docs with a null or wrong-dimension embedding are
+    UNSCREENABLE (no signal to compare): admitted with an all-null row,
+    exactly like short docs in the MinHash stage.
+
+    Scale shape: the index join partitions on the bucket id (the block key
+    that exists at 100 TB); the index never moves document text, only
+    (bucket, embedding) rows; hyperplanes are hash-derived so buckets are
+    stable across batches and restarts — an index row bucketed last month
+    still collides with today's re-crawl."""
+    vec_ok = F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+    batch = lsh_bucket(
+        new_docs.filter(vec_ok).select("doc_id", "embedding"),
+        "embedding", dim, n_planes,
+    )
+    unscreenable = new_docs.filter(~vec_ok).select(
+        "doc_id",
+        F.lit(None).cast("bigint").alias("bucket"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    sim = lambda a, b: F.round(cosine(a, b), 4) >= threshold  # noqa: E731
+    hit_corpus = (
+        batch.alias("a")
+        .join(emb_index.alias("x"), F.col("a.bucket") == F.col("x.bucket"))
+        .filter(sim(F.col("a.embedding"), F.col("x.embedding")))
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    hit_batch = (
+        batch.alias("a")
+        .join(
+            batch.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),  # keep the lower id
+        )
+        .filter(sim(F.col("a.embedding"), F.col("b.embedding")))
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    rejected = hit_corpus.unionByName(hit_batch).distinct()
+    return (
+        batch.select("doc_id", "bucket", "embedding")
+        .join(rejected, "doc_id", "left_anti")
+        .unionByName(unscreenable)
+    )
+
+
 # -- semantic dedup (cluster-then-prune) -----------------------------------
 
 

@@ -34,6 +34,10 @@ DOC_SCHEMA = T.StructType(
         T.StructField("lang", T.StringType()),
         T.StructField("source", T.StringType()),
         T.StructField("n_chars", T.LongType()),
+        # optional: crawls that ship embeddings inline use the streaming
+        # embedding near-dup stage; absent key -> null (PERMISSIVE), and
+        # null-embedding docs pass that stage unscreened
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
         T.StructField(CORRUPT_COL, T.StringType()),
     ]
 )

@@ -11,9 +11,11 @@ document text, so its cost scales with the index, not the corpus
 index by hash for a zero-shuffle anti join).
 
 Layout under ``out_dir``:
-  - ``docs/epoch={id}/``        admitted documents of one micro-batch
-  - ``_index/epoch={id}/``      their content hashes (the dedup index)
-  - ``_quarantine/epoch={id}/`` unparseable raw lines (forensics)
+  - ``docs/epoch={id}/``           admitted documents of one micro-batch
+  - ``_index/epoch={id}/``         their content hashes (the dedup index)
+  - ``_neardup_index/epoch={id}/`` MinHash band rows (near_dup stage)
+  - ``_embed_index/epoch={id}/``   LSH (bucket, embedding) rows (embed stage)
+  - ``_quarantine/epoch={id}/``    unparseable raw lines (forensics)
 
 Exactly-once under at-least-once replays, same contract as the block sink
 (stream_sink.py:_append_live): every output is keyed by epoch and
@@ -46,9 +48,25 @@ class CorpusSink:
     # ``_neardup_index/epoch={id}/`` with the same replay contract.
     near_dup: bool = False
     neardup_threshold: float = 0.5
+    # semantic third stage: reject docs whose inline EMBEDDING is
+    # near-identical (LSH-bucket-blocked rounded cosine >= embed_threshold)
+    # to an already-admitted doc's — catches paraphrased/translated
+    # re-crawls that share no n-grams at all. The (bucket, embedding)
+    # index persists under ``_embed_index/epoch={id}/`` with the same
+    # replay contract; docs without an embedding pass unscreened.
+    embed_dup: bool = False
+    embed_threshold: float = 0.99
+    embed_dim: int | None = None
+    embed_planes: int = 6
 
     def __post_init__(self) -> None:
         self._fs = HadoopFS(self.spark, self.out_dir)
+        if self.embed_dup and not self.embed_dim:
+            raise ValueError(
+                "embed_dup=True needs embed_dim (embedding dimension is "
+                "pipeline metadata — never inferred from a batch, which "
+                "may be empty)"
+            )
 
     def _index_dirs(self, root_name: str, exclude_epoch: int) -> list[str]:
         index_root = url_join(self.out_dir, root_name)
@@ -82,9 +100,12 @@ class CorpusSink:
         # without a persist the JSONL parse of the batch runs twice more
         # than needed across the write actions below
         clean = clean.persist()
+        to_unpersist = [clean]
         try:
+            # stage 1: exact content hash vs the persistent hash index
             admitted = incremental_dedup(clean, index)
             kept = clean.join(admitted.select("doc_id"), "doc_id")
+            nd_admitted = None
             if self.near_dup:
                 from ..llm.dedup import incremental_neardup
 
@@ -97,47 +118,75 @@ class CorpusSink:
                     nd_index = self.spark.createDataFrame(
                         [], "band_id int, band_hash bigint, sig array<bigint>"
                     )
+                # stage 2: MinHash band overlap vs the persistent band index
                 nd_admitted = incremental_neardup(
                     kept, nd_index, threshold=self.neardup_threshold
                 ).persist()
-                try:
-                    kept = kept.join(
-                        nd_admitted.select("doc_id").distinct(), "doc_id"
-                    ).persist()
-                    kept.write.mode("overwrite").parquet(
-                        url_join(self.out_dir, "docs", f"epoch={epoch_id}")
-                    )
-                    # unscreenable (short) docs are admitted with null band
-                    # rows — only real signatures enter the index
-                    nd_admitted.filter(
-                        F.col("band_id").isNotNull()
-                    ).select("band_id", "band_hash", "sig").write.mode(
-                        "overwrite"
-                    ).parquet(
-                        url_join(
-                            self.out_dir, "_neardup_index", f"epoch={epoch_id}"
-                        )
-                    )
-                    # the exact index records only FINALLY-admitted docs, so
-                    # a later exact re-crawl of a near-dup-rejected text is
-                    # itself re-screened by the near-dup stage, not the hash
-                    admitted.join(
-                        kept.select("doc_id"), "doc_id"
-                    ).select("text_hash").write.mode("overwrite").parquet(
-                        url_join(self.out_dir, "_index", f"epoch={epoch_id}")
-                    )
-                finally:
-                    nd_admitted.unpersist()
-                    kept.unpersist()
-            else:
-                kept.write.mode("overwrite").parquet(
-                    url_join(self.out_dir, "docs", f"epoch={epoch_id}")
+                to_unpersist.append(nd_admitted)
+                kept = kept.join(
+                    nd_admitted.select("doc_id").distinct(), "doc_id"
                 )
-                admitted.select("text_hash").write.mode("overwrite").parquet(
-                    url_join(self.out_dir, "_index", f"epoch={epoch_id}")
+            ed_admitted = None
+            if self.embed_dup:
+                from ..llm.similarity import incremental_embedding_neardup
+
+                ed_dirs = self._index_dirs(
+                    "_embed_index", exclude_epoch=int(epoch_id)
                 )
+                if ed_dirs:
+                    ed_index = self.spark.read.parquet(*ed_dirs)
+                else:
+                    ed_index = self.spark.createDataFrame(
+                        [], "bucket bigint, embedding array<float>"
+                    )
+                # stage 3: embedding cosine vs the persistent bucket index
+                ed_admitted = incremental_embedding_neardup(
+                    kept, ed_index,
+                    threshold=self.embed_threshold,
+                    dim=self.embed_dim,
+                    n_planes=self.embed_planes,
+                ).persist()
+                to_unpersist.append(ed_admitted)
+                kept = kept.join(
+                    ed_admitted.select("doc_id").distinct(), "doc_id"
+                )
+            kept = kept.persist()
+            to_unpersist.append(kept)
+            kept.write.mode("overwrite").parquet(
+                url_join(self.out_dir, "docs", f"epoch={epoch_id}")
+            )
+            kept_ids = kept.select("doc_id")
+            # EVERY index records only FINALLY-admitted docs: a doc a later
+            # stage rejects must leave no trace in any earlier stage's
+            # index, or a future re-crawl of content that is NOT in the
+            # corpus would be rejected against it. Unscreenable docs carry
+            # all-null signature rows — only real signatures are persisted.
+            if nd_admitted is not None:
+                nd_admitted.join(kept_ids, "doc_id").filter(
+                    F.col("band_id").isNotNull()
+                ).select("band_id", "band_hash", "sig").write.mode(
+                    "overwrite"
+                ).parquet(
+                    url_join(self.out_dir, "_neardup_index", f"epoch={epoch_id}")
+                )
+            if ed_admitted is not None:
+                # the embed stage is LAST: ed_admitted == finally kept by
+                # construction, no re-filter join needed
+                ed_admitted.filter(
+                    F.col("bucket").isNotNull()
+                ).select("bucket", "embedding").write.mode(
+                    "overwrite"
+                ).parquet(
+                    url_join(self.out_dir, "_embed_index", f"epoch={epoch_id}")
+                )
+            admitted.join(kept_ids, "doc_id").select(
+                "text_hash"
+            ).write.mode("overwrite").parquet(
+                url_join(self.out_dir, "_index", f"epoch={epoch_id}")
+            )
         finally:
-            clean.unpersist()
+            for df in to_unpersist:
+                df.unpersist()
 
 
 def corpus_docs(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -164,6 +213,10 @@ def run_corpus_pipeline(
     flush_interval: str = "1 second",
     near_dup: bool = False,
     neardup_threshold: float = 0.5,
+    embed_dup: bool = False,
+    embed_threshold: float = 0.99,
+    embed_dim: int | None = None,
+    embed_planes: int = 6,
 ):
     """readStream over JSONL shards → CorpusSink.
 
@@ -175,6 +228,8 @@ def run_corpus_pipeline(
     sink = CorpusSink(
         spark=spark, out_dir=out_dir,
         near_dup=near_dup, neardup_threshold=neardup_threshold,
+        embed_dup=embed_dup, embed_threshold=embed_threshold,
+        embed_dim=embed_dim, embed_planes=embed_planes,
     )
     sink._fs.mkdirs(out_dir)
     parsed = (
@@ -219,7 +274,11 @@ def _commit_index_compact(fs: HadoopFS, index_root: str, srcs: list[str]) -> Non
     fs.delete(url_join(dst, _MANIFEST), recursive=False)
 
 
-_INDEX_ROOTS = (("_index", ["text_hash"]), ("_neardup_index", ["band_id", "band_hash", "sig"]))
+_INDEX_ROOTS = (
+    ("_index", ["text_hash"]),
+    ("_neardup_index", ["band_id", "band_hash", "sig"]),
+    ("_embed_index", ["bucket", "embedding"]),
+)
 
 
 def recover_index_compact(fs: HadoopFS, out_dir: str) -> dict[str, str]:
@@ -248,8 +307,8 @@ def recover_index_compact(fs: HadoopFS, out_dir: str) -> dict[str, str]:
 
 def compact_index(spark: SparkSession, out_dir: str, min_epochs: int = 2) -> bool:
     """Merge the corpus indexes' per-batch epoch dirs into one ``epoch=-1``
-    dir each — the exact hash index AND (when present) the near-dup band
-    index. A long-running corpus build accumulates one small index file
+    dir each — every stage index present (exact hash, MinHash band,
+    embedding bucket). A long-running corpus build accumulates one small index file
     set per micro-batch per index — the classic small-file pathology; at
     scale, run this on a cadence (and write the result bucketed by the
     join key so the per-batch joins co-locate — layout.py). Run ONLY

@@ -329,3 +329,131 @@ def test_corpus_docs_empty_store_reads_as_zero_rows(spark, tmp_path):
     df = corpus_docs(spark, str(tmp_path / "never_written"))
     assert df.count() == 0
     assert "doc_id" in df.columns and "text" in df.columns
+
+
+# -- embedding (semantic) third stage ---------------------------------------
+
+_EDDL = ("doc_id long, text string, lang string, source string, n_chars long, "
+         "embedding array<float>, _corrupt_line string")
+
+
+def _edoc(doc_id, text, emb):
+    return (doc_id, text, "en", "w", len(text), emb, None)
+
+
+def test_corpus_embed_stage_rejects_paraphrase_recrawls_across_restarts(
+    spark, tmp_path
+):
+    """The semantic third stage: a paraphrased re-crawl shares NO n-grams
+    (exact hash and MinHash both pass it) but its embedding is
+    near-identical — it must be rejected against the persistent
+    (bucket, embedding) index, across sink restarts and epoch replays;
+    genuinely different embeddings and embedding-less docs are admitted."""
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        CorpusSink,
+        corpus_docs,
+    )
+
+    e1 = [1.0, 0.2, -0.5, 0.8]
+    e1_near = [1.001, 0.2, -0.5, 0.801]          # cosine ~ 1.0
+    e_other = [-0.9, 1.5, 2.0, -0.1]             # far from e1
+    out = str(tmp_path / "out")
+
+    def sink():  # a fresh instance per drain = a restart (state is on disk)
+        return CorpusSink(
+            spark=spark, out_dir=out, near_dup=True,
+            embed_dup=True, embed_threshold=0.99, embed_dim=4,
+        )
+
+    sink().process_batch(
+        spark.createDataFrame([_edoc(1, "the original document text", e1)], _EDDL),
+        0,
+    )
+    batch1 = spark.createDataFrame(
+        [
+            _edoc(5, "a fully rephrased rendition sharing zero trigrams", e1_near),
+            _edoc(6, "genuinely novel content with its own meaning", e_other),
+            _edoc(7, "no embedding shipped for this one", None),
+        ],
+        _EDDL,
+    )
+    sink().process_batch(batch1, 1)   # restart before batch 1
+    assert {r.doc_id for r in corpus_docs(spark, out).collect()} == {1, 6, 7}
+    # crash replay of epoch 1: must not self-reject via its own index dirs
+    sink().process_batch(batch1, 1)
+    assert {r.doc_id for r in corpus_docs(spark, out).collect()} == {1, 6, 7}
+    # a later re-crawl near doc 6's embedding is rejected after ANOTHER restart
+    sink().process_batch(
+        spark.createDataFrame(
+            [_edoc(9, "yet another wording of that novel content",
+                   [x * 1.001 for x in e_other])],
+            _EDDL,
+        ),
+        2,
+    )
+    assert {r.doc_id for r in corpus_docs(spark, out).collect()} == {1, 6, 7}
+
+
+def test_incremental_embedding_neardup_in_batch_and_unscreenables(spark):
+    from substreams_sink_parquet_spark.llm.similarity import (
+        incremental_embedding_neardup,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            (3, [1.0, 0.0, 0.5, -0.2]),
+            (7, [1.0005, 0.0, 0.5, -0.2001]),   # near-dup of 3: higher id loses
+            (9, [-2.0, 1.0, 0.1, 0.9]),         # distinct
+            (11, None),                         # unscreenable: null
+            (13, [1.0, 2.0]),                   # unscreenable: wrong dim
+        ],
+        "doc_id long, embedding array<float>",
+    )
+    empty = spark.createDataFrame([], "bucket bigint, embedding array<float>")
+    rows = incremental_embedding_neardup(
+        batch, empty, threshold=0.99, dim=4
+    ).collect()
+    assert {r.doc_id for r in rows} == {3, 9, 11, 13}
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[11].bucket is None and by_id[13].bucket is None
+    assert by_id[3].bucket is not None and by_id[9].bucket is not None
+
+
+def test_compact_index_merges_embed_epochs_and_still_rejects(spark, tmp_path):
+    """_embed_index participates in index compaction: epochs below the
+    trailing one fold into epoch=-1, and a post-compaction paraphrase
+    re-crawl is still rejected against the merged index."""
+    from substreams_sink_parquet_spark.fsio import HadoopFS, url_join
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        CorpusSink,
+        compact_index,
+        corpus_docs,
+    )
+
+    out = str(tmp_path / "out")
+    sink = CorpusSink(
+        spark=spark, out_dir=out, embed_dup=True,
+        embed_threshold=0.99, embed_dim=4,
+    )
+    vecs = {0: [1.0, 0.1, 0.2, 0.3], 1: [-1.0, 0.5, 0.1, -0.9],
+            2: [0.3, -1.2, 0.8, 0.4]}
+    for e, v in vecs.items():
+        sink.process_batch(
+            spark.createDataFrame([_edoc(e + 1, f"text number {e}", v)], _EDDL), e
+        )
+    assert compact_index(spark, out)
+    fs = HadoopFS(spark, out)
+    left = sorted(
+        d for d in fs.listdir(url_join(out, "_embed_index"))
+        if d.startswith("epoch=")
+    )
+    assert left == ["epoch=-1", "epoch=2"]  # trailing epoch never folded
+    sink.process_batch(
+        spark.createDataFrame(
+            [_edoc(50, "recrawl wording of text zero",
+                   [x * 0.999 for x in vecs[0]])],
+            _EDDL,
+        ),
+        3,
+    )
+    assert {r.doc_id for r in corpus_docs(spark, out).collect()} == {1, 2, 3}
