@@ -140,40 +140,59 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
 # -- exact n-gram Jaccard near-dup ----------------------------------------
 
 
+_PAIR_CHUNK = 64  # anchors expanded per row; per-row buffer <= 64 * guard
+
+
 def _anchored_pair_arrays(groups: DataFrame, ds_col: str = "ds") -> DataFrame:
     """Chunked ordered-pair expansion of per-shingle doc lists.
 
     Input: one row per shingle with ``ds`` = array_sort'ed
-    array<struct<doc_id, n_sh>>. Output: one row per (shingle, anchor doc)
-    with ``pair_arr`` = the anchor's pairs against every LATER doc in the
-    sorted list (so doc_a < doc_b by construction).
+    array<struct<doc_id, n_sh>>. Output: one row per (shingle, 64-anchor
+    chunk) with ``pair_arr`` = those anchors' pairs against every LATER
+    doc in the sorted list (so doc_a < doc_b by construction).
 
-    Why two explodes instead of one flattened expansion: a shingle at the
-    ``max_doc_freq`` guard boundary would flatten to ~guard²/2 structs
-    inside ONE row before the explode — tens of MB in a single task buffer,
-    and the first knob to blow when the guard is raised at corpus scale.
-    Anchoring first (posexplode over ``ds``) caps every materialized array
-    at ``size(ds) − 1 ≤ guard − 1`` elements: the quadratic pair volume
-    still exists (it must — those are the output rows) but it is spread
-    across ``size(ds)`` rows, each with a bounded buffer, instead of
-    spiking one row. A pytest plants a guard-width hot shingle and pins
+    Why chunk at all: a shingle at the ``max_doc_freq`` guard boundary
+    would flatten to ~guard²/2 structs inside ONE row before the explode —
+    tens of MB in a single task buffer, and the first knob to blow when
+    the guard is raised at corpus scale. Chunking caps the materialized
+    array at ``_PAIR_CHUNK * (size(ds) − 1)`` elements (~2 MB at the
+    guard), spreading the unavoidable quadratic pair volume across
+    ``ceil(size/64)`` rows. Why chunks of 64 rather than one row per
+    anchor: the overwhelming majority of shingles have tiny doc lists
+    (df <= a handful), and per-anchor explosion re-materializes ``ds``
+    once PER ANCHOR — measured a 19% regression on the whole query at
+    sf0.1. With 64-anchor chunks every ``size <= 64`` shingle keeps the
+    original one-row expansion (identical cost) and only genuinely hot
+    shingles split. A pytest plants a guard-width hot shingle and pins
     the per-row bound.
     """
     ds = F.col(ds_col)
-    anchored = groups.select(ds, F.posexplode(ds).alias("i", "x"))
-    tail = F.slice(
+    n = F.size(ds)
+    w = _PAIR_CHUNK
+    chunked = groups.select(
         ds,
-        F.col("i") + F.lit(2),
-        F.greatest(F.size(ds) - F.col("i") - 1, F.lit(0)),
+        F.explode(
+            F.sequence(F.lit(0), F.floor((n - 1) / F.lit(w)).cast("int"))
+        ).alias("ci"),
     )
-    pair_arr = F.transform(
-        tail,
-        lambda y: F.struct(
-            F.col("x.doc_id").alias("doc_a"), y["doc_id"].alias("doc_b"),
-            F.col("x.n_sh").alias("n_a"), y["n_sh"].alias("n_b"),
+    base = F.col("ci") * w  # 0-based index of the chunk's first anchor
+    pair_arr = F.flatten(F.transform(
+        # the chunk's anchors (1-based slice; a short final chunk is fine)
+        F.slice(ds, base + 1, w),
+        lambda x, j: F.transform(
+            # tail after absolute anchor base+j (0-based): 1-based start
+            # base+j+2, length n − (base+j+1)
+            F.slice(
+                ds, base + j + 2,
+                F.greatest(F.size(ds) - base - j - 1, F.lit(0)),
+            ),
+            lambda y: F.struct(
+                x["doc_id"].alias("doc_a"), y["doc_id"].alias("doc_b"),
+                x["n_sh"].alias("n_a"), y["n_sh"].alias("n_b"),
+            ),
         ),
-    )
-    return anchored.select(pair_arr.alias("pair_arr"))
+    ))
+    return chunked.select(pair_arr.alias("pair_arr"))
 
 
 def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
@@ -627,7 +646,9 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         # the candidate frame carries BOTH labels so fixpoint detection is a
         # filter over this round's checkpoint, not an extra join against the
-        # previous labels — one join per round instead of two
+        # previous labels — one join per round instead of two. The
+        # checkpoint is LAZY: the changed-count below is the materializing
+        # action, so each round runs one job, not an extra eager count()
         cand = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -637,11 +658,10 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     "canonical"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             cand.filter(F.col("canonical") != F.col("old_canonical"))
-            .limit(1)
             .count()
         )
         labels = cand.select("doc_id", "canonical")
@@ -810,15 +830,21 @@ def cc_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .where(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
+        # LAZY checkpoint: the fixpoint-signature aggregate right below is
+        # the materializing action, so each round runs ONE job total —
+        # eager=True would spend a separate count() job per round, and the
+        # r3 exceptAll probes spent two more on top of that. (Lazy local
+        # checkpoints still return a flat LogicalRDD plan, so the lineage
+        # truncation this loop depends on is unchanged.)
         nxt = (
             small.unionByName(mins2.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # fixpoint test: ONE aggregate job over the checkpointed edge set
-        # (count + order-independent sum/xor checksums of xxhash64(u, v));
-        # the previous round's signature is carried, so no job touches the
+        # fixpoint test: ONE aggregate job over the edge set (count +
+        # order-independent sum/xor checksums of xxhash64(u, v)); the
+        # previous round's signature is carried, so no job touches the
         # old edge set at all
         nxt_sig = _edge_sig(nxt)
         edges = nxt

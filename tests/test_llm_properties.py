@@ -257,33 +257,46 @@ def test_cc_star_and_min_label_agree_on_self_pairs(spark):
 def test_jaccard_hot_shingle_expansion_is_row_bounded(spark):
     """Plant ONE shingle shared by 1000 docs (the max_doc_freq guard
     boundary): the chunked expansion must never materialize more than
-    (guard - 1) pair structs in any single row — the flattened form would
-    build ~guard²/2 ≈ 500k structs in one task buffer."""
+    _PAIR_CHUNK * (guard - 1) pair structs in any single row — the
+    flattened form would build ~guard²/2 ≈ 500k structs in one task
+    buffer. A small shingle (<= one chunk) must stay a single row, the
+    unchanged fast path."""
+    import math
+
     from pyspark.sql import functions as F
 
-    from substreams_sink_parquet_spark.llm.dedup import _anchored_pair_arrays
+    from substreams_sink_parquet_spark.llm.dedup import (
+        _PAIR_CHUNK,
+        _anchored_pair_arrays,
+    )
+
+    def widths(n_docs):
+        groups = spark.range(1).select(
+            F.lit("hot shingle text").alias("shingle"),
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_docs - 1)),
+                    lambda i: F.struct(
+                        i.cast("long").alias("doc_id"), F.lit(10).alias("n_sh")
+                    ),
+                )
+            ).alias("ds"),
+        )
+        return _anchored_pair_arrays(groups).select(
+            F.size("pair_arr").alias("w")
+        ).agg(
+            F.max("w").alias("mx"), F.sum("w").alias("total"),
+            F.count("*").alias("rows"),
+        ).first()
 
     n_docs = 1000
-    groups = spark.range(1).select(
-        F.lit("hot shingle text").alias("shingle"),
-        F.array_sort(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_docs - 1)),
-                lambda i: F.struct(
-                    i.cast("long").alias("doc_id"), F.lit(10).alias("n_sh")
-                ),
-            )
-        ).alias("ds"),
-    )
-    widths = _anchored_pair_arrays(groups).select(
-        F.size("pair_arr").alias("w")
-    )
-    stats = widths.agg(
-        F.max("w").alias("mx"), F.sum("w").alias("total"), F.count("*").alias("rows")
-    ).first()
-    assert stats.mx == n_docs - 1          # per-row buffer bound: guard - 1
-    assert stats.rows == n_docs            # one row per anchor doc
-    assert stats.total == n_docs * (n_docs - 1) // 2  # all pairs still emitted
+    hot = widths(n_docs)
+    assert hot.mx <= _PAIR_CHUNK * (n_docs - 1)       # per-row buffer bound
+    assert hot.rows == math.ceil(n_docs / _PAIR_CHUNK)
+    assert hot.total == n_docs * (n_docs - 1) // 2    # all pairs still emitted
+    cold = widths(10)
+    assert cold.rows == 1                              # small => one row
+    assert cold.total == cold.mx == 45
 
 
 def test_jaccard_pairs_unchanged_by_chunked_expansion(spark):
