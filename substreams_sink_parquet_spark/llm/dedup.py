@@ -36,9 +36,21 @@ def spread_if_narrow(df: DataFrame) -> DataFrame:
     scan already yields thousands of partitions and this is a no-op — an
     unconditional repartition here would be a full shuffle of the entire
     text corpus before any work happens (VERDICT round 1, What's wrong #1).
-    The partition count comes from the plan (rdd.getNumPartitions), not a
-    job."""
+
+    The exact partition count needs a logical→RDD conversion
+    (rdd.getNumPartitions — no job, but it physical-plans the frame on
+    the driver, which costs real time on very deep plans). At corpus
+    scale that conversion is skipped entirely: a file-backed frame with
+    >= cores input files already scans wide (parquet files are
+    split-or-whole units), and ``inputFiles()`` is a FileIndex metadata
+    read the scan has already cached. Only few-file/local frames — the
+    test/bench shapes — fall through to the exact check."""
     par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= par:
+            return df
+    except Exception:
+        pass  # non-file source: fall through to the exact count
     if df.rdd.getNumPartitions() >= par:
         return df
     return df.repartition(par)
