@@ -759,7 +759,31 @@ def _edge_sig(edges: DataFrame) -> tuple:
     return (row.n, row.hs, row.hx)
 
 
-def cc_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def _local_components(edge_rows) -> dict:
+    """Driver-side union-find (path compression, union-by-min so the root
+    IS the component minimum) — the local solve for sub-threshold graphs."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edge_rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {n: find(n) for n in parent}
+
+
+def cc_star(pairs: DataFrame, max_iter: int = 25,
+            local_threshold: int = 200_000) -> DataFrame:
     """Connected components by alternating large-star / small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     the deep-graph-safe alternative to ``dedup_clusters``.
@@ -791,6 +815,19 @@ def cc_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     every doc in >= 1 pair — including docs whose ONLY pair is a self-pair
     (doc_a == doc_b), which label themselves exactly as dedup_clusters
     labels them. Returned cached (callers may unpersist).
+
+    SIZE-ADAPTIVE: the initial signature aggregate already yields the
+    exact edge count, and a near-dup pair graph is usually TINY relative
+    to its corpus (pairs exist only where docs overlap). Below
+    ``local_threshold`` edges (default 200k ≈ a few MB collected) the
+    components are solved by driver-side union-find in microseconds —
+    the distributed fixpoint would spend ~10 scheduler stages PER ROUND
+    shuffling a few hundred rows, pure coordination overhead. Above the
+    threshold the star-contraction rounds run distributed, unchanged.
+    This is the same size-based strategy choice Spark itself makes for
+    broadcast vs shuffle joins (and GraphFrames makes for connected
+    components); both paths produce identical labels (pinned by pytest
+    running the chain/random-graph suite with local_threshold=0).
     """
     pairs = pairs.persist()
     selfs = pairs.where(F.col("doc_a") == F.col("doc_b")).select(
@@ -819,6 +856,27 @@ def cc_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         pairs.unpersist()
         return labels
     sig = _edge_sig(edges)
+    if sig[0] <= local_threshold:
+        # local solve: the whole graph fits on the driver with room to
+        # spare — union-find it and skip the distributed fixpoint's
+        # per-round scheduler cost entirely
+        # one collect job; the threshold bounds it at a few MB
+        comp = _local_components((r.u, r.v) for r in edges.collect())
+        spark = pairs.sparkSession
+        from pyspark.sql import types as T
+
+        sch = T.StructType([
+            T.StructField("doc_id", edges.schema["u"].dataType),
+            T.StructField("canonical", edges.schema["v"].dataType),
+        ])
+        edge_labels = spark.createDataFrame(sorted(comp.items()), sch)
+        labels = edge_labels.unionByName(
+            selfs.join(edge_labels.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.col("doc_id").alias("canonical"))
+        ).cache()
+        labels.count()
+        pairs.unpersist()
+        return labels
     for _ in range(max_iter):
         # -- large-star: sym neighborhoods; larger neighbors -> min
         sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))

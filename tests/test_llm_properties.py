@@ -161,17 +161,32 @@ def test_decontaminate_empty_eval_set_flags_nothing(spark):
     assert decontaminate(train, eval_set, n=8).count() == 0
 
 
-def test_cc_star_collapses_deep_chain_in_log_rounds(spark):
-    """A 200-link chain needs ~200 min-label rounds but O(log n) star
-    rounds; max_iter=10 must already reach the exact fixpoint."""
+def _cc_star_both_paths(spark, pairs, max_iter):
+    """Run cc_star through BOTH strategies — the driver-side union-find
+    local solve (default threshold) and the distributed star-contraction
+    rounds (local_threshold=0) — and pin that they agree exactly."""
     from substreams_sink_parquet_spark.llm.dedup import cc_star
 
-    pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+    local = {r.doc_id: r.canonical for r in cc_star(pairs, max_iter=max_iter).collect()}
+    dist = {
+        r.doc_id: r.canonical
+        for r in cc_star(pairs, max_iter=max_iter, local_threshold=0).collect()
+    }
+    assert local == dist
+    return local
+
+
+def test_cc_star_collapses_deep_chain_in_log_rounds(spark):
+    """A 200-link chain needs ~200 min-label rounds but O(log n) star
+    rounds; max_iter=10 must already reach the exact fixpoint — on the
+    DISTRIBUTED path (local_threshold=0), with the local solve agreeing."""
+    got = _cc_star_both_paths(
+        spark,
+        spark.createDataFrame(
+            [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+        ),
+        max_iter=10,
     )
-    labels = cc_star(pairs, max_iter=10)
-    got = {r.doc_id: r.canonical for r in labels.collect()}
-    labels.unpersist()
     assert got == {i: 0 for i in range(201)}
 
 
@@ -188,7 +203,7 @@ def test_cc_star_matches_min_label_propagation(spark):
         (41, 40), (40, 42), (43, 42),    # min in the middle
     ]
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    a = {r.doc_id: r.canonical for r in cc_star(pairs, max_iter=10).collect()}
+    a = _cc_star_both_paths(spark, pairs, max_iter=10)
     b = {r.doc_id: r.canonical for r in dedup_clusters(pairs).collect()}
     assert a == b
     assert a[4] == 1 and a[13] == 10 and a[23] == 20 and a[43] == 40
@@ -229,7 +244,7 @@ def test_cc_star_matches_min_label_on_random_graphs(spark):
         pairs = spark.createDataFrame(
             [(a, b) for a, b in edges], "doc_a long, doc_b long"
         )
-        star = {r.doc_id: r.canonical for r in cc_star(pairs, max_iter=15).collect()}
+        star = _cc_star_both_paths(spark, pairs, max_iter=15)
         minl = {r.doc_id: r.canonical for r in dedup_clusters(pairs).collect()}
         assert star == expect, f"seed={seed}"
         assert minl == expect, f"seed={seed}"
@@ -244,7 +259,7 @@ def test_cc_star_and_min_label_agree_on_self_pairs(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (5, 5), (2, 2)], "doc_a long, doc_b long"
     )
-    a = {r.doc_id: r.canonical for r in cc_star(pairs, max_iter=10).collect()}
+    a = _cc_star_both_paths(spark, pairs, max_iter=10)
     b = {r.doc_id: r.canonical for r in dedup_clusters(pairs).collect()}
     assert a == b == {1: 1, 2: 1, 5: 5}
     # degenerate graph: ONLY self-pairs, no proper edge at all
