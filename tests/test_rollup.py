@@ -201,6 +201,11 @@ def test_read_handles_interrupted_swap_without_mutating(spark, tmp_path):
     assert _view(spark, d) == before   # correct view, surviving srcs excluded
     assert fs.exists(tmp)              # read did NOT mutate
     assert not fs.exists(url_join(d, "epoch=-1"))
+    # worst crash point: EVERY source deleted, tmp is the only copy
+    for s in srcs[1:]:
+        fs.delete(url_join(d, s), recursive=True)
+    assert _view(spark, d) == before
+    assert fs.exists(tmp)
     # writer-side compact replays the swap and converges the layout
     assert compact_rollup(spark, d, SPEC) == 0
     assert _view(spark, d) == before
