@@ -543,6 +543,76 @@ def incremental_embedding_neardup(
     )
 
 
+def semantic_decontaminate(train: DataFrame, eval_set: DataFrame,
+                           threshold: float) -> DataFrame:
+    """Embedding-space eval-set contamination scan: per training vector,
+    the max (rounded) cosine against ANY benchmark vector, how many
+    benchmark vectors clear ``threshold``, and the contaminated verdict.
+
+    The n-gram ``decontaminate`` (dedup.py) catches verbatim leakage;
+    this catches PARAPHRASED leakage — an eval question reworded into a
+    training doc shares no 8-gram but lands next to it in embedding
+    space. Same asymmetric-join scale shape: the eval side is
+    benchmark-suite-sized (thousands of vectors — MBs), so it rides a
+    broadcast nested-loop join; per-corpus-row cost is |eval| x dim
+    multiply-adds inside codegen'd HOFs; the per-vector aggregation is
+    keyed by vec_id (high-cardinality, combiner-friendly — the broadcast
+    join preserves partitioning, so partials collapse map-side and the
+    exchange carries one row per train vector). The corpus is never
+    shuffled by anything eval-sized. For benchmark suites too big to
+    broadcast whole, pre-block both sides with ``lsh_bucket`` and join
+    on the bucket instead — the composition already used by
+    ``embedding_neardup_pairs_lsh``.
+
+    Cosines are ROUNDED to 4 decimals before max/threshold so the cut is
+    stable across engines (the q_dedup_embedding oracle contract).
+    """
+    ev = eval_set.select(F.col("embedding").alias("e_vec"))
+    cos4 = F.round(cosine("embedding", "e_vec"), 4)
+    return (
+        train.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(ev))
+        .groupBy("vec_id")
+        .agg(
+            F.max(cos4).alias("max_cos"),
+            F.sum((cos4 >= threshold).cast("long")).alias("n_eval_hits"),
+        )
+        .withColumn("contaminated", F.col("max_cos") >= threshold)
+    )
+
+
+@register(
+    "q_decontaminate_semantic",
+    """
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE vec_id % 7 = 0),
+         t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id % 7 <> 0)
+    SELECT t.vec_id,
+           MAX(ROUND(list_cosine_similarity(t.v, e.v), 4)) AS max_cos,
+           CAST(SUM(CASE WHEN ROUND(list_cosine_similarity(t.v, e.v), 4)
+                              >= 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_eval_hits,
+           MAX(ROUND(list_cosine_similarity(t.v, e.v), 4)) >= 0.4
+               AS contaminated
+    FROM t, e
+    GROUP BY t.vec_id
+    """,
+    doc="Semantic (embedding-space) benchmark decontamination: flags "
+        "training vectors whose max rounded cosine against the eval split "
+        "(vec_id % 7 = 0) clears 0.4 — catches PARAPHRASED eval leakage "
+        "the 8-gram scan can't see. Broadcast eval side, map-side partial "
+        "agg, one vec_id-keyed exchange",
+)
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 7 != 0),
+        emb.filter(F.col("vec_id") % 7 == 0),
+        threshold=0.4,
+    )
+
+
 # -- semantic dedup (cluster-then-prune) -----------------------------------
 
 

@@ -316,3 +316,31 @@ def test_embed_quantize_error_bounded_by_half_step(spark, sf_dir):
     assert plan_report(df).shuffle_exchanges == 0
     row = df.orderBy("vec_id").first()
     assert row.n_dims > 0 and row.scale > 0
+
+
+def test_semantic_decontaminate_flags_planted_paraphrase(spark):
+    """A training vector near-identical to an eval vector (the paraphrase
+    case: zero shared n-grams, same embedding neighborhood) must be
+    flagged; an orthogonal one must not. Eval membership and counts are
+    exact."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # eval (0 % 7 == 0)
+        (7, [0.0, 1.0, 0.0, 0.0]),    # eval
+        (1, [0.999, 0.01, 0.0, 0.0]),  # train: paraphrase of eval 0
+        (2, [0.0, 0.0, 1.0, 0.0]),    # train: clean
+        (3, [0.7, 0.7, 0.0, 0.0]),    # train: mid-similarity to BOTH evals
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: r
+        for r in S.semantic_decontaminate(
+            emb.filter(F.col("vec_id") % 7 != 0),
+            emb.filter(F.col("vec_id") % 7 == 0),
+            threshold=0.9,
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1].contaminated and got[1].n_eval_hits == 1
+    assert not got[2].contaminated and got[2].n_eval_hits == 0
+    assert not got[3].contaminated  # cos ~= 0.707 < 0.9, to either eval
+    assert abs(got[3].max_cos - 0.7071) < 1e-4
