@@ -150,6 +150,108 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sample_quality_weighted",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(str_split(text, ' ')) AS n_words,
+               CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                   / len(str_split(text, ' ')) AS score
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(score, 4) AS score4,
+           ((doc_id * {_A} + {_B}) % {_M}) % 1000
+               < CAST(FLOOR(score * 1000) AS BIGINT) AS kept
+    FROM scored
+    """,
+    doc="Quality-weighted deterministic sampling (the DSIR-style selection "
+        "primitive): each doc's keep PROBABILITY equals its quality score "
+        "(here lexical diversity = distinct words / words), realized by the "
+        "same universal-hash membership as the other samplers — keep iff "
+        "hash bucket < floor(score*1000). Reproducible at any parallelism, "
+        "map-only (zero shuffle): higher-quality docs survive "
+        "proportionally more often, without sorting or sampling state",
+)
+def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    staged = docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias(
+            "score"
+        ),
+    )
+    bucket = ((F.col("doc_id") * _A + _B) % _M) % 1000
+    return staged.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("score", 4).alias("score4"),
+        (bucket < F.floor(F.col("score") * 1000)).alias("kept"),
+    )
+
+
+@register(
+    "q_sample_token_budget",
+    """
+    WITH scored AS (
+        SELECT source, doc_id,
+               len(str_split(text, ' ')) AS n_tokens,
+               CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                   / len(str_split(text, ' ')) AS score
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY score DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM scored
+    )
+    SELECT source, doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           cum_tokens <= 20000 AS selected
+    FROM ranked
+    """,
+    doc="Token-budget corpus selection: within each source, take the "
+        "highest-quality docs (lexical diversity, doc_id tie-break) until "
+        "a 20k-token budget fills — the data-mixing primitive for 'N "
+        "tokens per source' recipes. One window scan partitioned by "
+        "source; at scale each source's running sum is independent, and a "
+        "skewed giant source salts into (source, hash-bucket) sub-budgets",
+)
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias(
+            "score"
+        ),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return scored.select(
+        "source",
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        (F.sum("n_tokens").over(w) <= 20000).alias("selected"),
+    )
+
+
+@register(
     "q_sample_temperature",
     f"""
     WITH counts AS (

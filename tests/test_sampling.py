@@ -116,3 +116,40 @@ def test_export_training_shards_reproducible_order(spark, tmp_path):
         r.doc_id for r in docs.select("doc_id").collect()
     )  # every doc exactly once
     assert len(oa) == 8 and all(ids for ids in oa.values())
+
+
+def test_quality_weighted_keep_rate_tracks_score(spark, sf_dir):
+    """Keep probability equals the quality score, so the kept fraction in
+    the top score quartile must exceed the bottom quartile's, and the
+    decision must be partition-count invariant."""
+    from substreams_sink_parquet_spark.llm.sampling import q_sample_quality_weighted
+
+    df = q_sample_quality_weighted(spark, sf_dir)
+    rows = df.collect()
+    by_score = sorted(rows, key=lambda r: r.score4)
+    q = len(rows) // 4
+    lo = sum(r.kept for r in by_score[:q]) / q
+    hi = sum(r.kept for r in by_score[-q:]) / q
+    assert hi > lo
+    again = {(r.doc_id, r.kept) for r in df.repartition(7).collect()}
+    assert again == {(r.doc_id, r.kept) for r in rows}
+
+
+def test_token_budget_is_prefix_of_quality_order_and_bounded(spark, sf_dir):
+    """Within each source the selected set must be a PREFIX of the
+    quality-descending order (once the budget trips, nothing later is
+    selected) and its token sum must respect the 20k budget."""
+    from collections import defaultdict
+
+    from substreams_sink_parquet_spark.llm.sampling import q_sample_token_budget
+
+    rows = q_sample_token_budget(spark, sf_dir).collect()
+    per_src = defaultdict(list)
+    for r in rows:
+        per_src[r.source].append(r)
+    assert per_src
+    for src, rs in per_src.items():
+        rs.sort(key=lambda r: r.cum_tokens)
+        flags = [r.selected for r in rs]
+        assert flags == sorted(flags, reverse=True), src  # prefix property
+        assert sum(r.n_tokens for r in rs if r.selected) <= 20000, src
