@@ -427,6 +427,13 @@ def incremental_neardup(new_docs: DataFrame, band_index: DataFrame,
     carry no signal MinHash can compare (see banded_minhash) — so they are
     ADMITTED, with one all-null band row each: callers append only the
     non-null rows to the index (exact dedup already handled identity).
+
+    In-batch rejection compares only against batch docs that themselves
+    SURVIVE the corpus screen: rejecting doc B against batch-mate A when A
+    is itself corpus-rejected would make B's fate depend on batch
+    boundaries — A leaves no index rows, so an identical re-crawl of B
+    next batch would be admitted. Longer same-batch chains resolve over
+    subsequent batches through the index.
     """
     batch = banded_minhash(new_docs, n=n, num_hashes=num_hashes, bands=bands)
     short = new_docs.filter(F.size(F.split("text", " ")) < n).select(
@@ -449,10 +456,11 @@ def incremental_neardup(new_docs: DataFrame, band_index: DataFrame,
         .select(F.col("a.doc_id").alias("doc_id"))
         .distinct()
     )
+    survivors = batch.join(hit_corpus, "doc_id", "left_anti")
     hit_batch = (
         batch.alias("a")
         .join(
-            batch.alias("b"),
+            survivors.alias("b"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") > F.col("b.doc_id")),  # keep the lower id

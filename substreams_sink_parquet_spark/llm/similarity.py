@@ -494,12 +494,27 @@ def incremental_embedding_neardup(
 
     ``new_docs``: (doc_id, embedding, …); ``emb_index``: (bucket, embedding)
     rows persisted from every PREVIOUS batch. A doc is REJECTED iff some
-    index row or some surviving lower-id batch doc shares its LSH bucket
-    and has rounded cosine >= threshold. Returns the admitted docs' bucket
-    rows (doc_id, bucket, embedding) — callers append the non-null rows to
-    the index. Docs with a null or wrong-dimension embedding are
-    UNSCREENABLE (no signal to compare): admitted with an all-null row,
-    exactly like short docs in the MinHash stage.
+    index row or some corpus-surviving lower-id batch doc is an LSH-bucket
+    candidate and has rounded cosine >= threshold. Returns the admitted
+    docs' bucket rows (doc_id, bucket, embedding) — callers append the
+    non-null rows to the index. Docs with a null or wrong-dimension
+    embedding are UNSCREENABLE (no signal to compare): admitted with an
+    all-null row, exactly like short docs in the MinHash stage.
+
+    MULTI-PROBE candidate generation: the BATCH side probes its own bucket
+    plus every Hamming-1 bucket (the `lsh_topk_multiprobe` move) against
+    both the index and itself. Single-probe misses a true near-dup whenever
+    ANY plane separates the pair — at cosine 0.99 and 6 planes that is a
+    ~24% admit-through rate, the dominant error mode; probing the one-bit
+    neighbors recovers exactly those cases for (n_planes+1)x fan-out of
+    the SMALL (batch) side only. The index stays one row per doc.
+
+    In-batch rejection compares only against docs that themselves survive
+    the CORPUS screen: rejecting doc B against batch-mate A when A is
+    itself corpus-rejected would make B's fate depend on which batch it
+    arrived in (an identical re-crawl next batch would be admitted, since
+    rejected docs leave no index rows). Longer same-batch chains resolve
+    over subsequent batches through the index.
 
     Scale shape: the index join partitions on the bucket id (the block key
     that exists at 100 TB); the index never moves document text, only
@@ -511,6 +526,19 @@ def incremental_embedding_neardup(
         new_docs.filter(vec_ok).select("doc_id", "embedding"),
         "embedding", dim, n_planes,
     )
+    probes = batch.select(
+        "doc_id",
+        "embedding",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                    for i in range(n_planes)
+                ],
+            )
+        ).alias("bucket"),
+    )
     unscreenable = new_docs.filter(~vec_ok).select(
         "doc_id",
         F.lit(None).cast("bigint").alias("bucket"),
@@ -518,16 +546,19 @@ def incremental_embedding_neardup(
     )
     sim = lambda a, b: F.round(cosine(a, b), 4) >= threshold  # noqa: E731
     hit_corpus = (
-        batch.alias("a")
+        probes.alias("a")
         .join(emb_index.alias("x"), F.col("a.bucket") == F.col("x.bucket"))
         .filter(sim(F.col("a.embedding"), F.col("x.embedding")))
         .select(F.col("a.doc_id").alias("doc_id"))
         .distinct()
     )
+    survivors = batch.join(hit_corpus, "doc_id", "left_anti")
     hit_batch = (
-        batch.alias("a")
+        probes.alias("a")
+        .join(hit_corpus.withColumnRenamed("doc_id", "a_gone"),
+              F.col("a.doc_id") == F.col("a_gone"), "left_anti")
         .join(
-            batch.alias("b"),
+            survivors.alias("b"),
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") > F.col("b.doc_id")),  # keep the lower id
         )
@@ -566,10 +597,15 @@ def semantic_decontaminate(train: DataFrame, eval_set: DataFrame,
 
     Cosines are ROUNDED to 4 decimals before max/threshold so the cut is
     stable across engines (the q_dedup_embedding oracle contract).
+
+    An EMPTY eval set reports every training vector (null max_cos, zero
+    hits, contaminated=false) rather than zero rows — 'nothing to compare
+    against' must stay distinguishable from 'the report never ran', the
+    same guard the n-gram decontaminate pins in pytest.
     """
     ev = eval_set.select(F.col("embedding").alias("e_vec"))
     cos4 = F.round(cosine("embedding", "e_vec"), 4)
-    return (
+    hits = (
         train.select("vec_id", "embedding")
         .crossJoin(F.broadcast(ev))
         .groupBy("vec_id")
@@ -577,7 +613,19 @@ def semantic_decontaminate(train: DataFrame, eval_set: DataFrame,
             F.max(cos4).alias("max_cos"),
             F.sum((cos4 >= threshold).cast("long")).alias("n_eval_hits"),
         )
-        .withColumn("contaminated", F.col("max_cos") >= threshold)
+    )
+    # left join back so an empty eval set yields all-clean rows, not none
+    return (
+        train.select("vec_id")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            "max_cos",
+            F.coalesce("n_eval_hits", F.lit(0)).alias("n_eval_hits"),
+            F.coalesce(F.col("max_cos") >= threshold, F.lit(False)).alias(
+                "contaminated"
+            ),
+        )
     )
 
 
@@ -940,7 +988,14 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
         assigned = assigned.withColumn(
             "resid", _residual("embedding", cvec(F.col("cent_id")))
         ).persist()
+        # the persist serves the codebook TRAINING passes (which collect
+        # eagerly, right here); the encode side is one lazy consumer, so
+        # release the cache before returning — a registered query must not
+        # leak one cached corpus copy per invocation. The final job then
+        # recomputes the quantizer assignment exactly once, same as the
+        # raw path.
         cbs = pq_codebooks(assigned, dim=dim, m=m, k=n_codes, vec_col="resid")
+        assigned.unpersist()
         corpus = pq_encode(assigned, cbs, vec_col="resid",
                            keep=["vec_id", "cent_id"])
     else:

@@ -201,7 +201,15 @@ def corpus_docs(spark: SparkSession, out_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], T.StructType([f for f in DOC_SCHEMA.fields if f.name != CORRUPT_COL])
         )
-    return spark.read.option("basePath", docs_root).parquet(docs_root)
+    # mergeSchema: a corpus written across engine versions can mix epochs
+    # with and without the optional embedding column; without the merge,
+    # Spark takes one arbitrary footer's schema and the column appears or
+    # vanishes run-to-run
+    return (
+        spark.read.option("basePath", docs_root)
+        .option("mergeSchema", "true")
+        .parquet(docs_root)
+    )
 
 
 def run_corpus_pipeline(

@@ -344,3 +344,17 @@ def test_semantic_decontaminate_flags_planted_paraphrase(spark):
     assert not got[2].contaminated and got[2].n_eval_hits == 0
     assert not got[3].contaminated  # cos ~= 0.707 < 0.9, to either eval
     assert abs(got[3].max_cos - 0.7071) < 1e-4
+
+
+def test_semantic_decontaminate_empty_eval_reports_all_clean(spark):
+    """An empty eval set must report every training vector as clean (zero
+    rows would be indistinguishable from 'the scan never ran') — the same
+    guard the n-gram decontaminate pins."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    rows = S.semantic_decontaminate(emb, empty, threshold=0.5).collect()
+    assert {r.vec_id for r in rows} == {1, 2}
+    assert all(not r.contaminated and r.n_eval_hits == 0 and r.max_cos is None
+               for r in rows)

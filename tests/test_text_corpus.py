@@ -457,3 +457,88 @@ def test_compact_index_merges_embed_epochs_and_still_rejects(spark, tmp_path):
         3,
     )
     assert {r.doc_id for r in corpus_docs(spark, out).collect()} == {1, 2, 3}
+
+
+def test_embed_stage_multiprobe_rejects_one_plane_miss(spark):
+    """Single-probe LSH admits a paraphrase whenever ONE hyperplane
+    separates the near-identical pair (~24% of 0.99-cosine pairs at 6
+    planes). The batch side probes Hamming-1 buckets, so a planted pair
+    that lands in adjacent buckets must still be rejected."""
+    from substreams_sink_parquet_spark.llm.similarity import (
+        incremental_embedding_neardup,
+        lsh_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    dim, planes = 8, 6
+    base = [1.0, 0.4, -0.3, 0.8, 0.1, -0.6, 0.2, 0.5]
+
+    def bucket_of(vecs):
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "doc_id long, embedding array<float>",
+        )
+        return [r.bucket for r in lsh_bucket(df, "embedding", dim, planes)
+                .orderBy("doc_id").collect()]
+
+    # search deterministic small perturbations for a Hamming-1 neighbor
+    # with near-1 cosine (exists whenever base sits close to one plane)
+    b0 = bucket_of([base])[0]
+    planted = None
+    for axis in range(dim):
+        for eps in (0.02, 0.05, 0.1, 0.2, -0.02, -0.05, -0.1, -0.2):
+            cand = list(base)
+            cand[axis] += eps
+            b1 = bucket_of([cand])[0]
+            if b1 != b0 and bin(b1 ^ b0).count("1") == 1:
+                planted = cand
+                break
+        if planted:
+            break
+    assert planted is not None, "fixture search failed: widen eps grid"
+    index = spark.createDataFrame(
+        [(b0, [float(x) for x in base])], "bucket long, embedding array<float>"
+    )
+    got = incremental_embedding_neardup(
+        spark.createDataFrame(
+            [(42, [float(x) for x in planted])],
+            "doc_id long, embedding array<float>",
+        ),
+        index,
+        threshold=0.99,
+        dim=dim,
+        n_planes=planes,
+    ).collect()
+    assert got == []  # rejected despite the bucket mismatch
+
+
+def test_embed_stage_in_batch_rejection_is_batch_order_independent(spark):
+    """Doc 5 is corpus-rejected; doc 9 near-dups doc 5 but NOT the corpus
+    row. Rejecting 9 against the non-surviving 5 would admit an identical
+    re-crawl of 9 next batch (5 left no index rows) — so 9 must be
+    admitted NOW, matching the across-batch outcome."""
+    import math
+
+    from substreams_sink_parquet_spark.llm.similarity import (
+        incremental_embedding_neardup,
+        lsh_bucket,
+    )
+
+    def unit(theta):  # cos 7deg = .9925 >= .99; cos 14deg = .9703 < .99
+        return [float(math.cos(theta)), float(math.sin(theta)), 0.0, 0.0]
+
+    x, d5, d9 = unit(0.0), unit(math.radians(7)), unit(math.radians(14))
+    idx_rows = lsh_bucket(
+        spark.createDataFrame([(0, x)], "doc_id long, embedding array<float>"),
+        "embedding", 4, 6,
+    ).select("bucket", "embedding")
+    batch = spark.createDataFrame(
+        [(5, d5), (9, d9)], "doc_id long, embedding array<float>"
+    )
+    admitted = {
+        r.doc_id
+        for r in incremental_embedding_neardup(
+            batch, idx_rows, threshold=0.99, dim=4, n_planes=6
+        ).collect()
+    }
+    assert admitted == {9}
