@@ -364,6 +364,58 @@ def cmd_corpus_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ann_build(args: argparse.Namespace) -> int:
+    """Build (or rebuild) a persisted IVF-PQ index from a parquet table of
+    (vec_id, embedding) rows: codes partitioned by cell + kilobyte
+    metadata (llm/ann_index.py). Query it with ``ann-query``; grow it
+    without retraining via ``--append``."""
+    from .llm.ann_index import append_to_ann_index, write_ann_index
+
+    if not args.append and args.dim is None:
+        print("ann-build: --dim is required when building (not --append)",
+              file=sys.stderr)
+        return 2
+    spark = get_spark("ann-build")
+    vecs = spark.read.parquet(args.embeddings)
+    if args.append:
+        append_to_ann_index(vecs, args.index_dir)
+        print(f"ann-build OK: appended {vecs.count()} vectors into {args.index_dir}")
+        return 0
+    meta = write_ann_index(
+        vecs, args.index_dir, dim=args.dim,
+        n_centroids=args.cells, m=args.m, n_codes=args.codes,
+        residual=not args.no_residual,
+    )
+    print(
+        f"ann-build OK: {args.index_dir} cells={len(meta['centroids'])} "
+        f"m={meta['m']} codes={meta['n_codes']} residual={meta['residual']}"
+    )
+    return 0
+
+
+def cmd_ann_query(args: argparse.Namespace) -> int:
+    """Top-k search against a persisted index; queries are a parquet table
+    of (vec_id, embedding) rows. Prints one JSON line per query id with
+    its ranked neighbor ids."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from .llm.ann_index import ann_topk
+
+    spark = get_spark("ann-query")
+    queries = spark.read.parquet(args.queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    res = ann_topk(spark, args.index_dir, queries, k=args.k, nprobe=args.nprobe)
+    out: dict[int, list[int]] = {}
+    for r in res.orderBy("q_id", "rank").collect():
+        out.setdefault(r.q_id, []).append(r.neighbor_id)
+    for q_id in sorted(out):
+        print(json.dumps({"q_id": q_id, "neighbors": out[q_id]}))
+    return 0
+
+
 def cmd_setup(args: argparse.Namespace) -> int:
     """Probe round-trip (setup.go:31-66): write → read-back-compare → delete."""
     spark = get_spark("sink-setup")
@@ -544,6 +596,36 @@ def main(argv: list[str] | None = None) -> int:
     cexport_p.add_argument("--shards", type=int, default=64)
     cexport_p.add_argument("--seed", type=int, default=42)
     cexport_p.set_defaults(fn=cmd_corpus_export)
+
+    annb_p = sub.add_parser(
+        "ann-build", help="build/append a persisted IVF-PQ vector index"
+    )
+    annb_p.add_argument("index_dir", help="index root (codes/ + _ANN_META.json)")
+    annb_p.add_argument("--embeddings", required=True,
+                        help="parquet of (vec_id, embedding) rows")
+    annb_p.add_argument("--dim", type=int, default=None,
+                        help="embedding dimension (required unless --append)")
+    annb_p.add_argument("--cells", type=int, default=16,
+                        help="IVF coarse cells (n_centroids)")
+    annb_p.add_argument("--m", type=int, default=8, help="PQ subspaces")
+    annb_p.add_argument("--codes", type=int, default=16,
+                        help="PQ codes per subspace")
+    annb_p.add_argument("--no-residual", action="store_true",
+                        help="quantize raw vectors instead of cell residuals")
+    annb_p.add_argument("--append", action="store_true",
+                        help="encode with the existing index's frozen "
+                             "quantizer/codebooks and append (no retrain)")
+    annb_p.set_defaults(fn=cmd_ann_build)
+
+    annq_p = sub.add_parser(
+        "ann-query", help="top-k search against a persisted IVF-PQ index"
+    )
+    annq_p.add_argument("index_dir")
+    annq_p.add_argument("--queries", required=True,
+                        help="parquet of (vec_id, embedding) query rows")
+    annq_p.add_argument("--k", type=int, default=5)
+    annq_p.add_argument("--nprobe", type=int, default=4)
+    annq_p.set_defaults(fn=cmd_ann_query)
 
     query_p = sub.add_parser("query", help="run SQL over a sink lake")
     query_p.add_argument("sql")

@@ -283,3 +283,59 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "q_resample_ohlc",
+    """
+    WITH b AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+               ts, event_id, value
+        FROM events
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM b
+    )
+    SELECT event_type, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM r
+    GROUP BY event_type, bucket
+    """,
+    doc="OHLC time-bucket resample (TimescaleDB time_bucket + first/last, "
+        "1h buckets): open/close picked by deterministic (ts, event_id) "
+        "order via lexicographic struct min/max INSIDE the one aggregation "
+        "— no ranking window pass, one shuffle on the (type, bucket) key; "
+        "decimal volume sum for order-independent hashing. The oracle "
+        "spells the same selection with ROW_NUMBER, proving the struct "
+        "min/max == first/last-by-time equivalence",
+)
+def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    # lexicographic struct ordering: (ts, event_id) is unique, so min/max
+    # structs ARE the first/last events; .value extracts their price
+    first_s = F.min(F.struct("ts", "event_id", "value"))
+    last_s = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        ev.select("event_type", bucket.alias("bucket"), "ts", "event_id", "value")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            first_s["value"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last_s["value"].alias("close"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("volume"),
+        )
+    )

@@ -325,3 +325,31 @@ def test_cli_tier_finalized(tmp_path, spark, capsys):
         "0000000030-0000000060.parquet",
     }
     assert read_lake(spark, out_dir).count() == 30
+
+
+def test_cli_ann_build_and_query(tmp_path, spark, capsys, sf_dir):
+    import json
+
+    from substreams_sink_parquet_spark.cli import main
+
+    idx = str(tmp_path / "ann")
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    rc = main(["ann-build", idx, "--embeddings", emb_path, "--dim", "64"])
+    assert rc == 0
+    assert "ann-build OK" in capsys.readouterr().out
+
+    # query the index with two corpus vectors
+    q_path = str(tmp_path / "q.parquet")
+    spark.read.parquet(emb_path).filter("vec_id < 2").select(
+        "vec_id", "embedding"
+    ).write.parquet(q_path)
+    rc = main(["ann-query", idx, "--queries", q_path, "--k", "3"])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert {x["q_id"] for x in lines} == {0, 1}
+    for x in lines:
+        assert len(x["neighbors"]) == 3 and x["q_id"] not in x["neighbors"]
+
+    # --dim is mandatory for a fresh build
+    assert main(["ann-build", str(tmp_path / "a2"),
+                 "--embeddings", emb_path]) == 2
