@@ -617,7 +617,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- pair graph → clusters (canonical keeper assignment) -------------------
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20,
+                   local_threshold: int = 200_000) -> DataFrame:
     """Connected components over a near-dup pair graph: (doc_id, canonical).
 
     Iterative min-label propagation in plain DataFrame ops: every node
@@ -629,6 +630,12 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     result is local-checkpointed, which both materializes the round and
     truncates the plan (nested-cache lineage is exponential to render and
     livelocks the driver past ~10 rounds — see the in-loop comment).
+
+    SIZE-ADAPTIVE like ``cc_star``: below ``local_threshold`` edges the
+    components union-find on the driver (a near-dup pair graph is tiny
+    relative to its corpus; the distributed rounds would be pure
+    scheduler overhead at that size). The distributed path is pinned by
+    pytest via ``local_threshold=0``.
 
     Only docs that appear in >= 1 pair are returned — singletons are their
     own keeper by definition and would dominate output size at scale.
@@ -655,6 +662,19 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if edges.count() <= local_threshold:
+        comp = _local_components((r.a, r.b) for r in edges.collect())
+        spark = pairs.sparkSession
+        from pyspark.sql import types as T
+
+        sch = T.StructType([
+            T.StructField("doc_id", edges.schema["a"].dataType),
+            T.StructField("canonical", edges.schema["b"].dataType),
+        ])
+        labels = spark.createDataFrame(sorted(comp.items()), sch).cache()
+        labels.count()
+        pairs.unpersist()
+        return labels
     labels = edges.select(F.col("a").alias("doc_id")).distinct().withColumn(
         "canonical", F.col("doc_id")
     ).localCheckpoint(eager=True)

@@ -205,7 +205,11 @@ def test_cc_star_matches_min_label_propagation(spark):
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     a = _cc_star_both_paths(spark, pairs, max_iter=10)
     b = {r.doc_id: r.canonical for r in dedup_clusters(pairs).collect()}
-    assert a == b
+    b_dist = {
+        r.doc_id: r.canonical
+        for r in dedup_clusters(pairs, local_threshold=0).collect()
+    }
+    assert a == b == b_dist
     assert a[4] == 1 and a[13] == 10 and a[23] == 20 and a[43] == 40
 
 
@@ -245,7 +249,10 @@ def test_cc_star_matches_min_label_on_random_graphs(spark):
             [(a, b) for a, b in edges], "doc_a long, doc_b long"
         )
         star = _cc_star_both_paths(spark, pairs, max_iter=15)
-        minl = {r.doc_id: r.canonical for r in dedup_clusters(pairs).collect()}
+        minl = {
+            r.doc_id: r.canonical
+            for r in dedup_clusters(pairs, local_threshold=0).collect()
+        }  # distributed min-label path
         assert star == expect, f"seed={seed}"
         assert minl == expect, f"seed={seed}"
 
