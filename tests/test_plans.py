@@ -210,3 +210,34 @@ def test_pipeline_pretrain_no_barriers(spark, sf_dir):
     rep = plan_report(registry()["q_pipeline_pretrain"].fn(spark, sf_dir))
     assert not rep.has_cartesian
     assert rep.broadcast_joins >= 1  # eval-gram index rides broadcast
+
+
+def test_quality_weighted_sampling_is_map_only(spark, sf_dir):
+    # keep decision = hash arithmetic + per-row score: pure projection over
+    # the scan, ZERO exchanges at any corpus size
+    rep = plan_report(registry()["q_sample_quality_weighted"].fn(spark, sf_dir))
+    assert rep.shuffle_exchanges == 0, rep.text
+
+
+def test_token_budget_single_exchange(spark, sf_dir):
+    # one window pass partitioned by source: exactly one exchange
+    rep = plan_report(registry()["q_sample_token_budget"].fn(spark, sf_dir))
+    assert rep.shuffle_exchanges == 1, rep.text
+
+
+def test_resample_ohlc_single_exchange_no_window(spark, sf_dir):
+    # open/close ride struct min/max INSIDE the one aggregation: a single
+    # agg exchange and NO ranking-window pass (the oracle's ROW_NUMBER
+    # formulation would cost a full sort per (type, bucket) group)
+    rep = plan_report(registry()["q_resample_ohlc"].fn(spark, sf_dir))
+    assert rep.shuffle_exchanges == 1, rep.text
+    assert "Window" not in rep.text, rep.text
+
+
+def test_semantic_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    # eval vectors broadcast (nested-loop, benchmark-sized); the corpus is
+    # exchanged only by the final high-cardinality vec_id agg — never by
+    # anything eval-shaped
+    rep = plan_report(registry()["q_decontaminate_semantic"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in rep.text, rep.text
+    assert "CartesianProduct" not in rep.text, rep.text
