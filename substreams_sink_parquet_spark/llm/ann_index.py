@@ -162,6 +162,10 @@ def ann_topk(spark: SparkSession, index_dir: str, queries: DataFrame,
     # driver-side cell resolution: nprobe x |queries| ids — a STATIC
     # partition filter the scan prunes on, never a full-index listing
     cells = sorted({r.p_cent for r in probes.select("p_cent").distinct().collect()})
+    if not cells:  # no queries: an empty ranked frame, not an IN () error
+        return spark.createDataFrame(
+            [], "q_id long, neighbor_id long, rank int"
+        )
     codes = spark.read.parquet(url_join(index_dir, "codes")).where(
         F.col("cent_id").isin(cells)
     )

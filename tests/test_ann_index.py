@@ -81,3 +81,21 @@ def test_append_encodes_with_frozen_codebooks_and_is_searchable(spark, tmp_path)
     # in the right cell and scored
     got = A.ann_topk(spark, idx, probe, k=3, nprobe=2).collect()
     assert 999 in {r.neighbor_id for r in got}
+
+
+def test_edge_cases_empty_queries_and_oversized_nprobe(spark, tmp_path):
+    """No queries => empty ranked frame with the contract schema (not an
+    IN () planning error); nprobe > n_centroids degrades to probing every
+    cell, equivalent to full-scan PQ over the same codes."""
+    base = [(i, [float(i % 7), float((i * 3) % 5), 1.0, -0.5]) for i in range(40)]
+    emb = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ann")
+    A.write_ann_index(emb, idx, dim=4, n_centroids=4, m=2, n_codes=8)
+    empty_q = spark.createDataFrame([], "q_id long, q_vec array<float>")
+    res = A.ann_topk(spark, idx, empty_q, k=5)
+    assert res.columns == ["q_id", "neighbor_id", "rank"] and res.count() == 0
+    one_q = spark.createDataFrame(
+        [(0, base[0][1])], "q_id long, q_vec array<float>"
+    )
+    wide = A.ann_topk(spark, idx, one_q, k=3, nprobe=99).collect()
+    assert len(wide) == 3 and all(r.q_id == 0 for r in wide)
