@@ -371,7 +371,21 @@ def cmd_ann_build(args: argparse.Namespace) -> int:
     without retraining via ``--append``."""
     from .llm.ann_index import append_to_ann_index, write_ann_index
 
-    if not args.append and args.dim is None:
+    if args.append:
+        # append encodes under the index's FROZEN quantizer/codebooks —
+        # build parameters cannot apply; refuse them rather than letting a
+        # user believe they rescaled the index
+        explicit = [
+            n for n, v in (("--dim", args.dim), ("--cells", args.cells),
+                           ("--m", args.m), ("--codes", args.codes))
+            if v is not None
+        ] + (["--no-residual"] if args.no_residual else [])
+        if explicit:
+            print(f"ann-build: {', '.join(explicit)} cannot be combined with "
+                  "--append (the existing index's parameters are frozen; "
+                  "rebuild without --append to change them)", file=sys.stderr)
+            return 2
+    elif args.dim is None:
         print("ann-build: --dim is required when building (not --append)",
               file=sys.stderr)
         return 2
@@ -379,11 +393,14 @@ def cmd_ann_build(args: argparse.Namespace) -> int:
     vecs = spark.read.parquet(args.embeddings)
     if args.append:
         append_to_ann_index(vecs, args.index_dir)
-        print(f"ann-build OK: appended {vecs.count()} vectors into {args.index_dir}")
+        print(f"ann-build OK: appended vectors from {args.embeddings} "
+              f"into {args.index_dir}")
         return 0
     meta = write_ann_index(
         vecs, args.index_dir, dim=args.dim,
-        n_centroids=args.cells, m=args.m, n_codes=args.codes,
+        n_centroids=args.cells if args.cells is not None else 16,
+        m=args.m if args.m is not None else 8,
+        n_codes=args.codes if args.codes is not None else 16,
         residual=not args.no_residual,
     )
     print(
@@ -605,11 +622,12 @@ def main(argv: list[str] | None = None) -> int:
                         help="parquet of (vec_id, embedding) rows")
     annb_p.add_argument("--dim", type=int, default=None,
                         help="embedding dimension (required unless --append)")
-    annb_p.add_argument("--cells", type=int, default=16,
-                        help="IVF coarse cells (n_centroids)")
-    annb_p.add_argument("--m", type=int, default=8, help="PQ subspaces")
-    annb_p.add_argument("--codes", type=int, default=16,
-                        help="PQ codes per subspace")
+    annb_p.add_argument("--cells", type=int, default=None,
+                        help="IVF coarse cells (n_centroids, default 16)")
+    annb_p.add_argument("--m", type=int, default=None,
+                        help="PQ subspaces (default 8)")
+    annb_p.add_argument("--codes", type=int, default=None,
+                        help="PQ codes per subspace (default 16)")
     annb_p.add_argument("--no-residual", action="store_true",
                         help="quantize raw vectors instead of cell residuals")
     annb_p.add_argument("--append", action="store_true",

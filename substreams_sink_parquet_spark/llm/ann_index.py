@@ -117,6 +117,17 @@ def append_to_ann_index(new_vectors: DataFrame, index_dir: str,
     src = new_vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
+    # a wrong-dimension vector would encode into garbage codes via
+    # zip_with/slice null propagation — refuse loudly before writing
+    bad = src.filter(
+        F.col("embedding").isNull() | (F.size("embedding") != meta["dim"])
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"append_to_ann_index: input contains null or non-{meta['dim']}"
+            "-dimensional embeddings; the index's dimension is frozen at "
+            "build time — filter or re-embed the batch first"
+        )
     assigned = _nearest_centroid(
         src, cents, "embedding", keep=["vec_id", "embedding"]
     )
@@ -162,13 +173,19 @@ def ann_topk(spark: SparkSession, index_dir: str, queries: DataFrame,
     # driver-side cell resolution: nprobe x |queries| ids — a STATIC
     # partition filter the scan prunes on, never a full-index listing
     cells = sorted({r.p_cent for r in probes.select("p_cent").distinct().collect()})
+    codes = spark.read.parquet(url_join(index_dir, "codes"))
     if not cells:  # no queries: an empty ranked frame, not an IN () error
+        from pyspark.sql import types as T
+
         return spark.createDataFrame(
-            [], "q_id long, neighbor_id long, rank int"
+            [],
+            T.StructType([
+                T.StructField("q_id", queries.schema["q_id"].dataType),
+                T.StructField("neighbor_id", codes.schema["vec_id"].dataType),
+                T.StructField("rank", T.IntegerType()),
+            ]),
         )
-    codes = spark.read.parquet(url_join(index_dir, "codes")).where(
-        F.col("cent_id").isin(cells)
-    )
+    codes = codes.where(F.col("cent_id").isin(cells))
     joined = codes.join(
         F.broadcast(probes),
         (codes.cent_id == probes.p_cent) & (codes.vec_id != probes.q_id),

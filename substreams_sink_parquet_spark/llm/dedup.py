@@ -406,6 +406,25 @@ def _sig_overlap_est(sig_a, sig_b, num_hashes: int):
     ) / F.lit(num_hashes)
 
 
+def _greedy_reject(pairs) -> set:
+    """Arrival-order-consistent in-batch rejection: given verified
+    near-dup pairs (hi, lo) with hi > lo among corpus-surviving batch
+    docs, return the docs sequential one-per-batch processing (ascending
+    id) would reject — doc d is rejected iff some ADMITTED lower doc
+    near-dups it. A doc rejected only via another REJECTED doc stays
+    admitted, exactly as its identical re-crawl would be next batch
+    (the rejected doc leaves no index rows). Plain-Python greedy over the
+    collected pair list; chains of any depth resolve exactly."""
+    by_hi: dict = {}
+    for hi, lo in pairs:
+        by_hi.setdefault(hi, []).append(lo)
+    rejected: set = set()
+    for hi in sorted(by_hi):
+        if any(lo not in rejected for lo in by_hi[hi]):
+            rejected.add(hi)
+    return rejected
+
+
 def incremental_neardup(new_docs: DataFrame, band_index: DataFrame,
                         n: int = 3, num_hashes: int = 32, bands: int = 8,
                         threshold: float = 0.5) -> DataFrame:
@@ -428,12 +447,15 @@ def incremental_neardup(new_docs: DataFrame, band_index: DataFrame,
     ADMITTED, with one all-null band row each: callers append only the
     non-null rows to the index (exact dedup already handled identity).
 
-    In-batch rejection compares only against batch docs that themselves
-    SURVIVE the corpus screen: rejecting doc B against batch-mate A when A
-    is itself corpus-rejected would make B's fate depend on batch
-    boundaries — A leaves no index rows, so an identical re-crawl of B
-    next batch would be admitted. Longer same-batch chains resolve over
-    subsequent batches through the index.
+    In-batch outcomes are ARRIVAL-ORDER CONSISTENT: the admitted set is
+    exactly what sequential one-doc-per-batch processing (ascending
+    doc_id) would produce — a doc is rejected iff a lower-id doc that is
+    ITSELF ADMITTED near-dups it. Computed via ``_greedy_reject`` over
+    the collected in-batch verified pair list: that list is bounded by
+    the batch's internal duplication (O(batch), never O(corpus)), the
+    same driver-bounded-artifact pattern as the ANN model collects. The
+    corpus-rejected id list is likewise collected once, so the expensive
+    index join runs exactly one action.
     """
     batch = banded_minhash(new_docs, n=n, num_hashes=num_hashes, bands=bands)
     short = new_docs.filter(F.size(F.split("text", " ")) < n).select(
@@ -442,38 +464,50 @@ def incremental_neardup(new_docs: DataFrame, band_index: DataFrame,
         F.lit(None).cast("int").alias("band_id"),
         F.lit(None).cast("bigint").alias("band_hash"),
     )
-    hit_corpus = (
-        batch.alias("a")
-        .join(
-            band_index.alias("x"),
-            (F.col("a.band_id") == F.col("x.band_id"))
-            & (F.col("a.band_hash") == F.col("x.band_hash")),
+    hit_corpus = {
+        r.doc_id
+        for r in (
+            batch.alias("a")
+            .join(
+                band_index.alias("x"),
+                (F.col("a.band_id") == F.col("x.band_id"))
+                & (F.col("a.band_hash") == F.col("x.band_hash")),
+            )
+            .filter(
+                _sig_overlap_est(F.col("a.sig"), F.col("x.sig"), num_hashes)
+                >= threshold
+            )
+            .select(F.col("a.doc_id").alias("doc_id"))
+            .distinct()
+            .collect()
         )
-        .filter(
-            _sig_overlap_est(F.col("a.sig"), F.col("x.sig"), num_hashes)
-            >= threshold
-        )
-        .select(F.col("a.doc_id").alias("doc_id"))
-        .distinct()
+    }
+    spark = new_docs.sparkSession
+    corpus_gone = spark.createDataFrame(
+        [(d,) for d in sorted(hit_corpus)], "doc_id long"
     )
-    survivors = batch.join(hit_corpus, "doc_id", "left_anti")
-    hit_batch = (
-        batch.alias("a")
+    survivors = batch.join(corpus_gone, "doc_id", "left_anti")
+    pair_rows = (
+        survivors.alias("a")
         .join(
             survivors.alias("b"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") > F.col("b.doc_id")),  # keep the lower id
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
         )
         .filter(
             _sig_overlap_est(F.col("a.sig"), F.col("b.sig"), num_hashes)
             >= threshold
         )
-        .select(F.col("a.doc_id").alias("doc_id"))
+        .select(F.col("a.doc_id").alias("hi"), F.col("b.doc_id").alias("lo"))
         .distinct()
+        .collect()
     )
-    rejected = hit_corpus.unionByName(hit_batch).distinct()
-    return batch.join(rejected, "doc_id", "left_anti").unionByName(short)
+    rejected = hit_corpus | _greedy_reject((r.hi, r.lo) for r in pair_rows)
+    rej_df = spark.createDataFrame(
+        [(d,) for d in sorted(rejected)], "doc_id long"
+    )
+    return batch.join(rej_df, "doc_id", "left_anti").unionByName(short)
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
@@ -662,7 +696,9 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20,
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if edges.count() <= local_threshold:
+    # edges is SYMMETRIZED (2 rows per undirected pair), so double the
+    # threshold to keep one size policy with cc_star's oriented count
+    if edges.count() <= 2 * local_threshold:
         comp = _local_components((r.a, r.b) for r in edges.collect())
         spark = pairs.sparkSession
         from pyspark.sql import types as T

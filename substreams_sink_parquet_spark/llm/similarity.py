@@ -379,6 +379,28 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- multi-probe LSH -------------------------------------------------------
 
 
+def _hamming1_probes(df: DataFrame, n_planes: int, n_probes: int | None = None,
+                     keep: list[str] | None = None) -> DataFrame:
+    """Explode each row's ``bucket`` into itself plus its Hamming-1
+    neighbors (one sign bit flipped) — the shared multi-probe expansion
+    used by both the ANN query path and the incremental screening path,
+    so a change to the probe scheme cannot silently diverge between them."""
+    probes = n_probes if n_probes is not None else n_planes
+    cols = keep if keep is not None else [c for c in df.columns if c != "bucket"]
+    return df.select(
+        *cols,
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                    for i in range(min(probes, n_planes))
+                ],
+            )
+        ).alias("bucket"),
+    )
+
+
 def lsh_topk_multiprobe(embeddings: DataFrame, queries: DataFrame, dim: int,
                         k: int = 5, n_planes: int = 10,
                         n_probes: int | None = None) -> DataFrame:
@@ -390,20 +412,10 @@ def lsh_topk_multiprobe(embeddings: DataFrame, queries: DataFrame, dim: int,
     that avoids either more tables (memory) or fewer planes (selectivity).
     The probe side stays broadcast (n_probes+1 rows per query); the corpus is
     still bucketed once and never shuffled."""
-    probes = n_probes if n_probes is not None else n_planes
     corpus = lsh_bucket(embeddings, "embedding", dim, n_planes)
-    probed = lsh_bucket(queries, "q_vec", dim, n_planes).select(
-        "q_id",
-        "q_vec",
-        F.explode(
-            F.array(
-                F.col("bucket"),
-                *[
-                    F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
-                    for i in range(min(probes, n_planes))
-                ],
-            )
-        ).alias("bucket"),
+    probed = _hamming1_probes(
+        lsh_bucket(queries, "q_vec", dim, n_planes),
+        n_planes, n_probes, keep=["q_id", "q_vec"],
     )
     joined = corpus.join(
         F.broadcast(probed),
@@ -502,74 +514,76 @@ def incremental_embedding_neardup(
     all-null row, exactly like short docs in the MinHash stage.
 
     MULTI-PROBE candidate generation: the BATCH side probes its own bucket
-    plus every Hamming-1 bucket (the `lsh_topk_multiprobe` move) against
-    both the index and itself. Single-probe misses a true near-dup whenever
-    ANY plane separates the pair — at cosine 0.99 and 6 planes that is a
-    ~24% admit-through rate, the dominant error mode; probing the one-bit
-    neighbors recovers exactly those cases for (n_planes+1)x fan-out of
-    the SMALL (batch) side only. The index stays one row per doc.
+    plus every Hamming-1 bucket (``_hamming1_probes`` — shared with
+    ``lsh_topk_multiprobe``) against both the index and itself.
+    Single-probe misses a true near-dup whenever ANY plane separates the
+    pair — at cosine 0.99 and 6 planes that is a ~24% admit-through rate,
+    the dominant error mode; probing the one-bit neighbors recovers
+    exactly those cases for (n_planes+1)x fan-out of the SMALL (batch)
+    side only. The index stays one row per doc.
 
-    In-batch rejection compares only against docs that themselves survive
-    the CORPUS screen: rejecting doc B against batch-mate A when A is
-    itself corpus-rejected would make B's fate depend on which batch it
-    arrived in (an identical re-crawl next batch would be admitted, since
-    rejected docs leave no index rows). Longer same-batch chains resolve
-    over subsequent batches through the index.
+    In-batch outcomes are ARRIVAL-ORDER CONSISTENT (``dedup._greedy_reject``
+    semantics): a doc is rejected iff an ADMITTED lower-id batch-mate
+    near-dups it — exactly the sequential one-doc-per-batch outcome, for
+    chains of any depth. The corpus-rejected ids and the verified in-batch
+    pair list are collected (both O(batch), never O(corpus)), so the
+    expensive index join runs exactly one action.
 
     Scale shape: the index join partitions on the bucket id (the block key
     that exists at 100 TB); the index never moves document text, only
     (bucket, embedding) rows; hyperplanes are hash-derived so buckets are
     stable across batches and restarts — an index row bucketed last month
     still collides with today's re-crawl."""
+    from .dedup import _greedy_reject
+
     vec_ok = F.col("embedding").isNotNull() & (F.size("embedding") == dim)
     batch = lsh_bucket(
         new_docs.filter(vec_ok).select("doc_id", "embedding"),
         "embedding", dim, n_planes,
     )
-    probes = batch.select(
-        "doc_id",
-        "embedding",
-        F.explode(
-            F.array(
-                F.col("bucket"),
-                *[
-                    F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
-                    for i in range(n_planes)
-                ],
-            )
-        ).alias("bucket"),
-    )
+    probes = _hamming1_probes(batch, n_planes, keep=["doc_id", "embedding"])
     unscreenable = new_docs.filter(~vec_ok).select(
         "doc_id",
         F.lit(None).cast("bigint").alias("bucket"),
         F.lit(None).cast("array<float>").alias("embedding"),
     )
     sim = lambda a, b: F.round(cosine(a, b), 4) >= threshold  # noqa: E731
-    hit_corpus = (
-        probes.alias("a")
-        .join(emb_index.alias("x"), F.col("a.bucket") == F.col("x.bucket"))
-        .filter(sim(F.col("a.embedding"), F.col("x.embedding")))
-        .select(F.col("a.doc_id").alias("doc_id"))
-        .distinct()
+    hit_corpus = {
+        r.doc_id
+        for r in (
+            probes.alias("a")
+            .join(emb_index.alias("x"), F.col("a.bucket") == F.col("x.bucket"))
+            .filter(sim(F.col("a.embedding"), F.col("x.embedding")))
+            .select(F.col("a.doc_id").alias("doc_id"))
+            .distinct()
+            .collect()
+        )
+    }
+    spark = new_docs.sparkSession
+    corpus_gone = spark.createDataFrame(
+        [(d,) for d in sorted(hit_corpus)], "doc_id long"
     )
-    survivors = batch.join(hit_corpus, "doc_id", "left_anti")
-    hit_batch = (
-        probes.alias("a")
-        .join(hit_corpus.withColumnRenamed("doc_id", "a_gone"),
-              F.col("a.doc_id") == F.col("a_gone"), "left_anti")
+    survivors = batch.join(corpus_gone, "doc_id", "left_anti")
+    surv_probes = probes.join(corpus_gone, "doc_id", "left_anti")
+    pair_rows = (
+        surv_probes.alias("a")
         .join(
             survivors.alias("b"),
             (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") > F.col("b.doc_id")),  # keep the lower id
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
         )
         .filter(sim(F.col("a.embedding"), F.col("b.embedding")))
-        .select(F.col("a.doc_id").alias("doc_id"))
+        .select(F.col("a.doc_id").alias("hi"), F.col("b.doc_id").alias("lo"))
         .distinct()
+        .collect()
     )
-    rejected = hit_corpus.unionByName(hit_batch).distinct()
+    rejected = hit_corpus | _greedy_reject((r.hi, r.lo) for r in pair_rows)
+    rej_df = spark.createDataFrame(
+        [(d,) for d in sorted(rejected)], "doc_id long"
+    )
     return (
         batch.select("doc_id", "bucket", "embedding")
-        .join(rejected, "doc_id", "left_anti")
+        .join(rej_df, "doc_id", "left_anti")
         .unionByName(unscreenable)
     )
 

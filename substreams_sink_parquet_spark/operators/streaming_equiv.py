@@ -296,10 +296,14 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (
         SELECT *,
+               -- order on MICROSECOND-truncated time: Spark reads the
+               -- nanos-shipped fixture truncated to micros (tables.py),
+               -- so sub-microsecond ordering must not decide open/close
                ROW_NUMBER() OVER (PARTITION BY event_type, bucket
-                                  ORDER BY ts, event_id) AS rn_a,
+                                  ORDER BY epoch_us(ts), event_id) AS rn_a,
                ROW_NUMBER() OVER (PARTITION BY event_type, bucket
-                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC)
+                   AS rn_d
         FROM b
     )
     SELECT event_type, bucket,

@@ -542,3 +542,33 @@ def test_embed_stage_in_batch_rejection_is_batch_order_independent(spark):
         ).collect()
     }
     assert admitted == {9}
+
+
+def test_embed_stage_chain_of_three_matches_sequential_arrival(spark):
+    """A-B-C chain inside ONE batch (B~A, C~B, C!~A): sequential arrival
+    would admit A, reject B (vs A), then admit C (B left no index rows and
+    C !~ A). The in-batch greedy must produce exactly that — rejecting C
+    against the already-rejected B would diverge from what C's identical
+    re-crawl gets next batch."""
+    import math
+
+    from substreams_sink_parquet_spark.llm.similarity import (
+        incremental_embedding_neardup,
+    )
+
+    def unit(deg):
+        t = math.radians(deg)
+        return [float(math.cos(t)), float(math.sin(t)), 0.0, 0.0]
+
+    batch = spark.createDataFrame(
+        [(1, unit(0)), (2, unit(7)), (3, unit(14))],
+        "doc_id long, embedding array<float>",
+    )
+    empty = spark.createDataFrame([], "bucket bigint, embedding array<float>")
+    admitted = {
+        r.doc_id
+        for r in incremental_embedding_neardup(
+            batch, empty, threshold=0.99, dim=4
+        ).collect()
+    }
+    assert admitted == {1, 3}
