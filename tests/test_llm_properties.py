@@ -352,3 +352,31 @@ def test_jaccard_pairs_unchanged_by_chunked_expansion(spark):
         for r in jaccard_pairs(df, n=3, threshold=0.3).collect()
     }
     assert got == expect
+
+
+def test_greedy_reject_matches_sequential_simulation():
+    """_greedy_reject must equal brute-force sequential admission (docs
+    arrive one per batch in ascending id; each is rejected iff it
+    near-dups an already-ADMITTED doc) on random pair graphs."""
+    import random
+
+    from substreams_sink_parquet_spark.llm.dedup import _greedy_reject
+
+    for seed in range(25):
+        rng = random.Random(seed)
+        n = rng.randint(2, 30)
+        ids = sorted(rng.sample(range(100), n))
+        pairs = set()
+        for _ in range(rng.randint(0, 40)):
+            a, b = rng.sample(ids, 2)
+            pairs.add((max(a, b), min(a, b)))
+        # sequential simulation
+        admitted: set = set()
+        for d in ids:
+            lower_admitted_dup = any(
+                (d, lo) in pairs for lo in admitted if lo < d
+            )
+            if not lower_admitted_dup:
+                admitted.add(d)
+        expect_rejected = set(ids) - admitted
+        assert _greedy_reject(pairs) == expect_rejected, f"seed={seed}"
