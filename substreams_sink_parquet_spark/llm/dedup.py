@@ -425,6 +425,24 @@ def _greedy_reject(pairs) -> set:
     return rejected
 
 
+# in-batch verified pair lists beyond this size skip the exact greedy: a
+# pathological batch (say a million copies of one page) has a QUADRATIC
+# internal pair set, which must never be collected. The fallback rejects
+# every doc with ANY lower surviving partner — conservative (over-rejects
+# mid-chain docs), deterministic, and O(batch) rows after distinct.
+_MAX_EXACT_PAIRS = 2_000_000
+
+
+def _inbatch_rejected(pair_df: DataFrame, spark) -> set | DataFrame:
+    """Exact greedy when the pair list is collectable, distributed
+    conservative fallback otherwise. Returns a python set of ids or a
+    one-column ``doc_id`` frame (the fallback)."""
+    rows = pair_df.limit(_MAX_EXACT_PAIRS + 1).collect()
+    if len(rows) <= _MAX_EXACT_PAIRS:
+        return _greedy_reject((r.hi, r.lo) for r in rows)
+    return pair_df.select(F.col("hi").alias("doc_id")).distinct()
+
+
 def incremental_neardup(new_docs: DataFrame, band_index: DataFrame,
                         n: int = 3, num_hashes: int = 32, bands: int = 8,
                         threshold: float = 0.5) -> DataFrame:
@@ -487,7 +505,7 @@ def incremental_neardup(new_docs: DataFrame, band_index: DataFrame,
         [(d,) for d in sorted(hit_corpus)], "doc_id long"
     )
     survivors = batch.join(corpus_gone, "doc_id", "left_anti")
-    pair_rows = (
+    pair_df = (
         survivors.alias("a")
         .join(
             survivors.alias("b"),
@@ -501,12 +519,14 @@ def incremental_neardup(new_docs: DataFrame, band_index: DataFrame,
         )
         .select(F.col("a.doc_id").alias("hi"), F.col("b.doc_id").alias("lo"))
         .distinct()
-        .collect()
     )
-    rejected = hit_corpus | _greedy_reject((r.hi, r.lo) for r in pair_rows)
-    rej_df = spark.createDataFrame(
-        [(d,) for d in sorted(rejected)], "doc_id long"
-    )
+    inb = _inbatch_rejected(pair_df, spark)
+    if isinstance(inb, set):
+        rej_df = spark.createDataFrame(
+            [(d,) for d in sorted(hit_corpus | inb)], "doc_id long"
+        )
+    else:  # pathological pair volume: distributed conservative fallback
+        rej_df = corpus_gone.unionByName(inb).distinct()
     return batch.join(rej_df, "doc_id", "left_anti").unionByName(short)
 
 

@@ -534,7 +534,7 @@ def incremental_embedding_neardup(
     (bucket, embedding) rows; hyperplanes are hash-derived so buckets are
     stable across batches and restarts — an index row bucketed last month
     still collides with today's re-crawl."""
-    from .dedup import _greedy_reject
+    from .dedup import _inbatch_rejected
 
     vec_ok = F.col("embedding").isNotNull() & (F.size("embedding") == dim)
     batch = lsh_bucket(
@@ -565,7 +565,7 @@ def incremental_embedding_neardup(
     )
     survivors = batch.join(corpus_gone, "doc_id", "left_anti")
     surv_probes = probes.join(corpus_gone, "doc_id", "left_anti")
-    pair_rows = (
+    pair_df = (
         surv_probes.alias("a")
         .join(
             survivors.alias("b"),
@@ -575,12 +575,14 @@ def incremental_embedding_neardup(
         .filter(sim(F.col("a.embedding"), F.col("b.embedding")))
         .select(F.col("a.doc_id").alias("hi"), F.col("b.doc_id").alias("lo"))
         .distinct()
-        .collect()
     )
-    rejected = hit_corpus | _greedy_reject((r.hi, r.lo) for r in pair_rows)
-    rej_df = spark.createDataFrame(
-        [(d,) for d in sorted(rejected)], "doc_id long"
-    )
+    inb = _inbatch_rejected(pair_df, spark)
+    if isinstance(inb, set):
+        rej_df = spark.createDataFrame(
+            [(d,) for d in sorted(hit_corpus | inb)], "doc_id long"
+        )
+    else:  # pathological pair volume: distributed conservative fallback
+        rej_df = corpus_gone.unionByName(inb).distinct()
     return (
         batch.select("doc_id", "bucket", "embedding")
         .join(rej_df, "doc_id", "left_anti")
