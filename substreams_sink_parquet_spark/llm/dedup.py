@@ -427,20 +427,24 @@ def _greedy_reject(pairs) -> set:
 
 # in-batch verified pair lists beyond this size skip the exact greedy: a
 # pathological batch (say a million copies of one page) has a QUADRATIC
-# internal pair set, which must never be collected. The fallback rejects
-# every doc with ANY lower surviving partner — conservative (over-rejects
-# mid-chain docs), deterministic, and O(batch) rows after distinct.
-_MAX_EXACT_PAIRS = 2_000_000
+# internal pair set, which must never be collected (~500k pairs is tens
+# of MB of driver Rows — bounded; 2 longs/pair). Past the cap the caller
+# falls back to a LEFT SEMI join (reject any doc with ANY verified lower
+# surviving partner): conservative — it over-rejects mid-chain docs vs
+# the sequential-arrival semantics — deterministic, and the semi probe
+# stops at each row's FIRST verified match, so the identical-copies
+# batch costs O(batch), never the quadratic pair materialization.
+_MAX_EXACT_PAIRS = 500_000
 
 
-def _inbatch_rejected(pair_df: DataFrame, spark) -> set | DataFrame:
-    """Exact greedy when the pair list is collectable, distributed
-    conservative fallback otherwise. Returns a python set of ids or a
-    one-column ``doc_id`` frame (the fallback)."""
+def _exact_inbatch_rejected(pair_df: DataFrame) -> set | None:
+    """The exact greedy's rejected set, or None when the verified pair
+    list exceeds ``_MAX_EXACT_PAIRS`` (callers then build the semi-join
+    fallback — see the cap comment above)."""
     rows = pair_df.limit(_MAX_EXACT_PAIRS + 1).collect()
-    if len(rows) <= _MAX_EXACT_PAIRS:
-        return _greedy_reject((r.hi, r.lo) for r in rows)
-    return pair_df.select(F.col("hi").alias("doc_id")).distinct()
+    if len(rows) > _MAX_EXACT_PAIRS:
+        return None
+    return _greedy_reject((r.hi, r.lo) for r in rows)
 
 
 def incremental_neardup(new_docs: DataFrame, band_index: DataFrame,
@@ -469,11 +473,15 @@ def incremental_neardup(new_docs: DataFrame, band_index: DataFrame,
     exactly what sequential one-doc-per-batch processing (ascending
     doc_id) would produce — a doc is rejected iff a lower-id doc that is
     ITSELF ADMITTED near-dups it. Computed via ``_greedy_reject`` over
-    the collected in-batch verified pair list: that list is bounded by
-    the batch's internal duplication (O(batch), never O(corpus)), the
-    same driver-bounded-artifact pattern as the ANN model collects. The
-    corpus-rejected id list is likewise collected once, so the expensive
-    index join runs exactly one action.
+    the collected in-batch verified pair list (normally O(batch internal
+    duplication), the driver-bounded-artifact pattern). EXCEPTION: a
+    pathological batch whose pair list exceeds ``_MAX_EXACT_PAIRS``
+    (quadratic — e.g. a million copies of one page) falls back to a LEFT
+    SEMI rejection of any doc with a verified lower surviving partner:
+    conservative (over-rejects mid-chain docs vs the sequential
+    semantics), deterministic, and never materializes the quadratic. The
+    corpus-rejected id list is collected once, so the expensive index
+    join runs exactly one action.
     """
     batch = banded_minhash(new_docs, n=n, num_hashes=num_hashes, bands=bands)
     short = new_docs.filter(F.size(F.split("text", " ")) < n).select(
@@ -520,13 +528,32 @@ def incremental_neardup(new_docs: DataFrame, band_index: DataFrame,
         .select(F.col("a.doc_id").alias("hi"), F.col("b.doc_id").alias("lo"))
         .distinct()
     )
-    inb = _inbatch_rejected(pair_df, spark)
-    if isinstance(inb, set):
+    inb = _exact_inbatch_rejected(pair_df)
+    if inb is not None:
         rej_df = spark.createDataFrame(
             [(d,) for d in sorted(hit_corpus | inb)], "doc_id long"
         )
-    else:  # pathological pair volume: distributed conservative fallback
-        rej_df = corpus_gone.unionByName(inb).distinct()
+    else:
+        # pathological pair volume: LEFT SEMI short-circuits at each row's
+        # first verified lower partner — O(batch) for the identical-copies
+        # case, never the quadratic pair set
+        semi = (
+            survivors.alias("a")
+            .join(
+                survivors.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") > F.col("b.doc_id"))
+                & (
+                    _sig_overlap_est(F.col("a.sig"), F.col("b.sig"), num_hashes)
+                    >= threshold
+                ),
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        rej_df = corpus_gone.unionByName(semi).distinct()
     return batch.join(rej_df, "doc_id", "left_anti").unionByName(short)
 
 

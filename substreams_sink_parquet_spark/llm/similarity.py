@@ -527,14 +527,18 @@ def incremental_embedding_neardup(
     near-dups it — exactly the sequential one-doc-per-batch outcome, for
     chains of any depth. The corpus-rejected ids and the verified in-batch
     pair list are collected (both O(batch), never O(corpus)), so the
-    expensive index join runs exactly one action.
+    expensive index join runs exactly one action. EXCEPTION: past
+    ``dedup._MAX_EXACT_PAIRS`` verified pairs (a quadratic pathological
+    batch) the screen falls back to a LEFT SEMI rejection of any doc with
+    a verified lower surviving partner — conservative vs the sequential
+    semantics, deterministic, never materializes the quadratic.
 
     Scale shape: the index join partitions on the bucket id (the block key
     that exists at 100 TB); the index never moves document text, only
     (bucket, embedding) rows; hyperplanes are hash-derived so buckets are
     stable across batches and restarts — an index row bucketed last month
     still collides with today's re-crawl."""
-    from .dedup import _inbatch_rejected
+    from .dedup import _exact_inbatch_rejected
 
     vec_ok = F.col("embedding").isNotNull() & (F.size("embedding") == dim)
     batch = lsh_bucket(
@@ -576,13 +580,27 @@ def incremental_embedding_neardup(
         .select(F.col("a.doc_id").alias("hi"), F.col("b.doc_id").alias("lo"))
         .distinct()
     )
-    inb = _inbatch_rejected(pair_df, spark)
-    if isinstance(inb, set):
+    inb = _exact_inbatch_rejected(pair_df)
+    if inb is not None:
         rej_df = spark.createDataFrame(
             [(d,) for d in sorted(hit_corpus | inb)], "doc_id long"
         )
-    else:  # pathological pair volume: distributed conservative fallback
-        rej_df = corpus_gone.unionByName(inb).distinct()
+    else:
+        # pathological pair volume: LEFT SEMI short-circuits at each row's
+        # first verified lower partner — never the quadratic pair set
+        semi = (
+            surv_probes.alias("a")
+            .join(
+                survivors.alias("b"),
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") > F.col("b.doc_id"))
+                & sim(F.col("a.embedding"), F.col("b.embedding")),
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        rej_df = corpus_gone.unionByName(semi).distinct()
     return (
         batch.select("doc_id", "bucket", "embedding")
         .join(rej_df, "doc_id", "left_anti")

@@ -572,3 +572,39 @@ def test_embed_stage_chain_of_three_matches_sequential_arrival(spark):
         ).collect()
     }
     assert admitted == {1, 3}
+
+
+def test_pathological_pair_cap_falls_back_conservatively(spark, monkeypatch):
+    """With the exact-greedy pair cap forced to 1, the A-B-C chain takes
+    the LEFT SEMI fallback: B AND C are both rejected (conservative
+    over-rejection of the mid-chain doc), never an error, never a
+    quadratic materialization. With the normal cap, the same input admits
+    C (exact greedy) — both branches are deterministic."""
+    import math
+
+    from substreams_sink_parquet_spark.llm import dedup as dedup_mod
+    from substreams_sink_parquet_spark.llm.similarity import (
+        incremental_embedding_neardup,
+    )
+
+    def unit(deg):
+        t = math.radians(deg)
+        return [float(math.cos(t)), float(math.sin(t)), 0.0, 0.0]
+
+    batch = spark.createDataFrame(
+        [(1, unit(0)), (2, unit(7)), (3, unit(14))],
+        "doc_id long, embedding array<float>",
+    )
+    empty = spark.createDataFrame([], "bucket bigint, embedding array<float>")
+
+    def run():
+        return {
+            r.doc_id
+            for r in incremental_embedding_neardup(
+                batch, empty, threshold=0.99, dim=4
+            ).collect()
+        }
+
+    assert run() == {1, 3}                      # exact greedy path
+    monkeypatch.setattr(dedup_mod, "_MAX_EXACT_PAIRS", 1)
+    assert run() == {1}                         # fallback: over-rejects C
