@@ -63,11 +63,19 @@ EXTENDED = [
 SINK_BLOCKS = 20_000  # reference worked example is 15k blocks (README.md:28-29)
 
 
-def bench_sink(spark) -> float:
+def bench_sink(spark, plain_only: bool = False) -> dict:
     """Blocks/sec through the full ingest path: staged raw parquet →
     protobuf decode (mapInPandas) → range partition → rotating padded-name
     parquet writes incl. backfill. This is the reference's primary job
-    (stream-to-batch conversion), so its throughput is a headline number."""
+    (stream-to-batch conversion), so its throughput is a headline number.
+
+    Returns ALL per-mode samples plus a decode-stage probe, not just the
+    max: BENCH_r04 reported a 4x sink swing on an unchanged code path, and
+    a single best-of-3 number could not distinguish run contention from a
+    real regression (VERDICT r4, Wrong #1). Runs BEFORE the query sweep in
+    main() for the same reason — the r4 collapse reproduced only after the
+    29-query x 3-pass sweep had degraded the shared JVM (measured: fresh
+    plain 16.4k vs post-sweep 5.8k blocks/s on identical code)."""
     import shutil
     import tempfile
 
@@ -117,12 +125,19 @@ def bench_sink(spark) -> float:
         warm_out = os.path.join(work, "warm_out")
         os.makedirs(warm_out)
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        # write_tasks deliberately OFF here: this 20k-block micro-batch is
+        # DECODE-dominated (decode_stage_sec ~0.65 of a ~1s job), so
+        # sub-splitting the 4 ranges only adds per-file overhead — measured
+        # 20.3k (off) vs 14.3k (write_tasks=32) blocks/s in one session.
+        # The knob's win case is the write-dominated catch-up batch, which
+        # bench_catchup_write measures explicitly.
+        wopts = WriterOptions(partition_size=5000)
         stage_raw_blocks(spark, warm_in, synth_blocks(spec, range(1000), payload))
         write_ranges(
             # repartition(cpus): the warm-up must spawn the WHOLE Python
             # worker pool, or the timed run pays ~3s of worker startup
             decode_payloads(spark.read.parquet(warm_in).repartition(cpus), spec),
-            warm_out, WriterOptions(partition_size=5000), ranges=[0],
+            warm_out, wopts, ranges=[0],
         )
 
         from substreams_sink_parquet_spark.partition import range_start_col
@@ -136,23 +151,26 @@ def bench_sink(spark) -> float:
             .collect()
         ]
 
-        # best-of-3 each, like the query timings: the whole measured job is
-        # ~2-3 s, where one GC pause or scheduler hiccup is a 30% swing
+        # 3 samples each, ALL reported: the whole measured job is ~1-3 s,
+        # where one GC pause or a co-running process is a 30%+ swing — the
+        # max alone hid exactly that in r4
         def run_plain(out_dir: str) -> float:
             os.makedirs(out_dir)
             t0 = time.time()
             raw = spark.read.parquet(in_dir).repartition(cpus)  # CPU-bound decode
             decoded = decode_payloads(raw, spec)
-            write_ranges(decoded, out_dir, WriterOptions(partition_size=5000),
-                         ranges=ranges)
+            write_ranges(decoded, out_dir, wopts, ranges=ranges)
             return SINK_BLOCKS / (time.time() - t0)
 
         # exploded ingest — the reference's flagship mode (README.md:33-41):
         # main table + one table per root repeated field, decode persisted
         # so it runs once, not once per table. Table writes run CONCURRENTLY
         # (independent directories; Spark's cache manager locks per
-        # partition, so racing jobs materialize the decode exactly once) —
-        # measured ~1.5x over sequential writes at 20k blocks.
+        # partition, so racing jobs materialize the decode exactly once).
+        # Re-measured under r5's controlled conditions: concurrent beat
+        # sequential in 3/3 independent probes (23.2k vs 16.6k blocks/s
+        # fresh, ~1.4x) — r4's inversion was machine contention, so the
+        # concurrent default stands; the _seq control keeps tracking it.
         def run_exploded(out_ex: str, workers: int | None = None) -> float:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -171,32 +189,92 @@ def bench_sink(spark) -> float:
                     max_workers=workers or len(jobs)
                 ) as pool:
                     list(pool.map(
-                        lambda j: write_ranges(
-                            j[1], j[0], WriterOptions(partition_size=5000),
-                            ranges=ranges,
-                        ),
+                        lambda j: write_ranges(j[1], j[0], wopts, ranges=ranges),
                         jobs,
                     ))
             finally:
                 decoded.unpersist()
             return SINK_BLOCKS / (time.time() - t0)
 
-        rate_plain = round(max(
-            run_plain(os.path.join(work, f"out{i}")) for i in range(3)
-        ), 1)
-        rate_exploded = round(max(
-            run_exploded(os.path.join(work, f"out_ex{i}")) for i in range(3)
-        ), 1)
-        # sequential control for the same job list: tracks the concurrency
-        # win (exploded_write_workers parity) round over round instead of
-        # leaving the ~1.5x claim as a code comment
-        rate_exploded_seq = round(max(
-            run_exploded(os.path.join(work, f"out_exs{i}"), workers=1)
-            for i in range(3)
-        ), 1)
-        return rate_plain, rate_exploded, rate_exploded_seq
+        samples = {
+            "plain": [
+                round(run_plain(os.path.join(work, f"out{i}")), 1)
+                for i in range(3)
+            ],
+        }
+        if not plain_only:
+            samples["exploded"] = [
+                round(run_exploded(os.path.join(work, f"out_ex{i}")), 1)
+                for i in range(3)
+            ]
+            # sequential control for the same job list: tracks the
+            # concurrency win (exploded_write_workers parity) round over
+            # round instead of leaving the claim as a code comment
+            samples["exploded_seq"] = [
+                round(run_exploded(os.path.join(work, f"out_exs{i}"), workers=1), 1)
+                for i in range(3)
+            ]
+
+        # decode-stage probe: time the mapInPandas decode alone (noop sink)
+        # so a future sink swing can be attributed to decode vs write
+        t0 = time.time()
+        decode_payloads(
+            spark.read.parquet(in_dir).repartition(cpus), spec
+        ).write.format("noop").mode("overwrite").save()
+        decode_sec = round(time.time() - t0, 3)
+
+        return {"samples": samples, "decode_stage_sec": decode_sec}
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def bench_catchup_write(spark) -> dict:
+    """The write_tasks win case, measured in isolation: a catch-up batch of
+    400k pre-decoded rows across 4 LARGE ranges, where parquet encode (not
+    protobuf decode) dominates. Default one-task-per-range caps encode at 4
+    cores of 32; write_tasks=cpus sub-splits each range into block-ordered
+    -partNNNN files (sink/writer.py:_stage_partitioning). Two timed samples
+    per mode after one warm-up; all samples reported."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from substreams_sink_parquet_spark.sink.writer import (
+        WriterOptions,
+        write_ranges,
+    )
+
+    n = 400_000
+    ps = n // 4
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    df = (
+        spark.range(n).withColumnRenamed("id", "block_number")
+        .withColumn("block_id", F.concat(F.lit("0x"), F.hex("block_number")))
+        .withColumn("body", F.repeat(F.sha2(F.col("block_id"), 256), 8))
+        .repartition(cpus)
+        .persist()
+    )
+    df.count()
+    ranges = list(range(0, n, ps))
+    work = tempfile.mkdtemp(prefix="bench_catchup_")
+    try:
+        def one(wt: int | None) -> float:
+            out = tempfile.mkdtemp(dir=work)
+            t0 = time.time()
+            write_ranges(df, out, WriterOptions(partition_size=ps, write_tasks=wt),
+                         ranges=ranges)
+            return round(n / (time.time() - t0), 1)
+
+        one(None)  # warm-up (first dynamic-partition write pays setup)
+        samples = {
+            "one_task_per_range": [one(None), one(None)],
+            "subsplit": [one(cpus), one(cpus)],
+        }
+        return samples
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        df.unpersist()
 
 
 def main() -> None:
@@ -219,33 +297,56 @@ def main() -> None:
 
     run("q_agg_basic")  # JVM / codegen warm-up, untimed
 
-    # three passes, report the per-query minimum: steady-state cost, not
-    # first-run JIT/shuffle-service jitter (n=1 driver artifacts whipsawed
-    # sub-second queries by ±20% in earlier rounds). HEADLINE passes finish
-    # before EXTENDED starts so the heavy extended plans can't pollute the
-    # round-over-round-comparable headline numbers with GC pressure.
-    timings: dict[str, float] = {}
+    # Sink bench runs FIRST (after only the one-query warm-up) so the
+    # headline ingest number is measured in a known JVM state; a second
+    # pass after the sweep exposes drift/contention (r4's "collapse" never
+    # reproduced in controlled fresh-vs-post-sweep probes — the bench must
+    # make co-running load visible rather than silently absorb it).
+    sink_pre = bench_sink(spark)
+    catchup = bench_catchup_write(spark)
+
+    # three passes per query; the comparable per-query number stays the
+    # MINIMUM (steady-state cost), with median + spread (max−min) reported
+    # alongside so sub-noise-floor round-over-round deltas are identifiable
+    # as noise (VERDICT r4, Next #6).
+    # HEADLINE passes finish before EXTENDED starts so the heavy extended
+    # plans can't pollute the round-over-round-comparable headline numbers
+    # with GC pressure.
+    raw: dict[str, list[float]] = {}
     for group in (HEADLINE, EXTENDED):
         for _pass in range(3):
             for name in group:
                 t0 = time.time()
                 run(name)
-                dt = round(time.time() - t0, 3)
-                timings[name] = min(timings.get(name, float("inf")), dt)
+                raw.setdefault(name, []).append(round(time.time() - t0, 3))
 
-    sink_rate, sink_rate_exploded, sink_rate_exploded_seq = bench_sink(spark)
+    timings = {n: min(v) for n, v in raw.items()}
+    medians = {n: round(sorted(v)[len(v) // 2], 3) for n, v in raw.items()}
+    spreads = {n: round(max(v) - min(v), 3) for n, v in raw.items()}
+
+    # post-sweep sink re-run (plain mode only): if this diverges from the
+    # pre-sweep samples, the session degraded mid-bench — the round's
+    # verdict should read the samples, not guess
+    sink_post = bench_sink(spark, plain_only=True)
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
+    pre = sink_pre["samples"]
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "queries_spread": spreads,
         "value_covers": HEADLINE,
         "extended_total_sec": round(sum(timings[n] for n in EXTENDED), 3),
-        "sink_blocks_per_sec": sink_rate,
-        "sink_blocks_per_sec_exploded": sink_rate_exploded,
-        "sink_blocks_per_sec_exploded_seq": sink_rate_exploded_seq,
+        "sink_blocks_per_sec": max(pre["plain"]),
+        "sink_blocks_per_sec_exploded": max(pre["exploded"]),
+        "sink_blocks_per_sec_exploded_seq": max(pre["exploded_seq"]),
+        "sink_samples_pre_sweep": pre,
+        "sink_samples_post_sweep": sink_post["samples"],
+        "sink_decode_stage_sec": sink_pre["decode_stage_sec"],
+        "catchup_write_rows_per_sec": catchup,
         "sf": sf,
     }))
 

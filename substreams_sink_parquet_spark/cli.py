@@ -135,6 +135,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         target_file_bytes=args.target_file_bytes,
         bloom_filter_columns=tuple(args.bloom_filter),
         pad=args.pad_width,
+        write_tasks=args.write_tasks,
     )
     out_dir = args.store_url
     if args.output_prefix:
@@ -490,6 +491,11 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument("--target-file-bytes", type=int, default=None,
                        help="soft per-file byte target; oversize ranges "
                             "split into -partNNNN files (run.go:48)")
+    run_p.add_argument("--write-tasks", type=int, default=None,
+                       help="minimum parquet-encode parallelism per write "
+                            "job (extension; no reference flag): large "
+                            "ranges finalize as ordered -partNNNN files "
+                            "instead of capping encode at ranges-per-batch")
     run_p.add_argument("--pad-width", type=int, default=10,
                        help="zero-pad width of range file names (run.go:33)")
     run_p.add_argument("--output-prefix", default=None,

@@ -41,13 +41,18 @@ def spread_if_narrow(df: DataFrame) -> DataFrame:
     (rdd.getNumPartitions — no job, but it physical-plans the frame on
     the driver, which costs real time on very deep plans). At corpus
     scale that conversion is skipped entirely: a file-backed frame with
-    >= cores input files already scans wide (parquet files are
-    split-or-whole units), and ``inputFiles()`` is a FileIndex metadata
-    read the scan has already cached. Only few-file/local frames — the
-    test/bench shapes — fall through to the exact check."""
+    comfortably more input files than cores already scans wide, and
+    ``inputFiles()`` is a FileIndex metadata read the scan has already
+    cached. The margin is 4x, not 1x: Spark BIN-PACKS small files into
+    partitions (maxSplitBytes / openCostInBytes), so with non-default
+    configs (raised openCostInBytes, files.minPartitionNum, a large
+    maxPartitionBytes) a many-small-file frame can still scan narrower
+    than cores — at >= 4x files-per-core the packed scan is wide under
+    any sane config. Borderline file counts and few-file/local frames —
+    the test/bench shapes — fall through to the exact check."""
     par = df.sparkSession.sparkContext.defaultParallelism
     try:
-        if len(df.inputFiles()) >= par:
+        if len(df.inputFiles()) >= 4 * par:
             return df
     except Exception:
         pass  # non-file source: fall through to the exact count
@@ -173,37 +178,52 @@ def _anchored_pair_arrays(groups: DataFrame, ds_col: str = "ds") -> DataFrame:
     anchor: the overwhelming majority of shingles have tiny doc lists
     (df <= a handful), and per-anchor explosion re-materializes ``ds``
     once PER ANCHOR — measured a 19% regression on the whole query at
-    sf0.1. With 64-anchor chunks every ``size <= 64`` shingle keeps the
-    original one-row expansion (identical cost) and only genuinely hot
-    shingles split. A pytest plants a guard-width hot shingle and pins
+    sf0.1. The ``size <= 64`` case therefore takes an explicit fast
+    path: its branch of the CASE WHEN below is the original whole-list
+    expansion (no chunk-slice copy, no base arithmetic — the round-4
+    version routed small lists through the chunked expression and paid
+    +33% on the whole query for arithmetic that is dead weight when
+    there is only one chunk). Only genuinely hot shingles evaluate the
+    chunked branch. A pytest plants a guard-width hot shingle and pins
     the per-row bound.
     """
     ds = F.col(ds_col)
     n = F.size(ds)
     w = _PAIR_CHUNK
+
+    def expand(anchors, base):
+        # pairs of each anchor (0-based absolute index base+j) against
+        # every LATER doc in ds: 1-based tail start base+j+2, length
+        # n − (base+j+1); a short final chunk slices empty via greatest
+        return F.flatten(F.transform(
+            anchors,
+            lambda x, j: F.transform(
+                F.slice(
+                    ds, base + j + 2,
+                    F.greatest(n - base - j - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"), y["doc_id"].alias("doc_b"),
+                    x["n_sh"].alias("n_a"), y["n_sh"].alias("n_b"),
+                ),
+            ),
+        ))
+
     chunked = groups.select(
         ds,
         F.explode(
-            F.sequence(F.lit(0), F.floor((n - 1) / F.lit(w)).cast("int"))
+            # the fast path emits its single chunk row without the
+            # sequence arithmetic; CASE WHEN evaluates lazily per row
+            F.when(n <= w, F.array(F.lit(0))).otherwise(
+                F.sequence(F.lit(0), F.floor((n - 1) / F.lit(w)).cast("int"))
+            )
         ).alias("ci"),
     )
     base = F.col("ci") * w  # 0-based index of the chunk's first anchor
-    pair_arr = F.flatten(F.transform(
+    pair_arr = F.when(F.size(ds) <= w, expand(ds, F.lit(0))).otherwise(
         # the chunk's anchors (1-based slice; a short final chunk is fine)
-        F.slice(ds, base + 1, w),
-        lambda x, j: F.transform(
-            # tail after absolute anchor base+j (0-based): 1-based start
-            # base+j+2, length n − (base+j+1)
-            F.slice(
-                ds, base + j + 2,
-                F.greatest(F.size(ds) - base - j - 1, F.lit(0)),
-            ),
-            lambda y: F.struct(
-                x["doc_id"].alias("doc_a"), y["doc_id"].alias("doc_b"),
-                x["n_sh"].alias("n_a"), y["n_sh"].alias("n_b"),
-            ),
-        ),
-    ))
+        expand(F.slice(ds, base + 1, w), base)
+    )
     return chunked.select(pair_arr.alias("pair_arr"))
 
 
@@ -231,10 +251,11 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     struct sorts by doc_id first, so doc_a < doc_b by construction) and one
     map-side-combined pair aggregation. Per-ROW expansion memory is
     bounded by the guard *linearly*, not quadratically: the expansion is
-    CHUNKED by anchor (see ``_anchored_pair_arrays``) so no single row ever
-    materializes more than max_doc_freq pair structs at once — a shingle
-    sitting exactly at the guard expands to ≤ guard structs per row across
-    guard rows, never guard²/2 structs inside one task buffer.
+    CHUNKED by anchor (see ``_anchored_pair_arrays``) so no single row
+    materializes more than ``_PAIR_CHUNK * max_doc_freq`` pair structs at
+    once — a shingle sitting exactly at the guard expands to ≤ 64·guard
+    structs per row across ceil(guard/64) rows, never guard²/2 structs
+    inside one task buffer.
     ``n_sh`` counts post-filter shingles, matching the oracle's
     sizes-from-filtered-sh definition.
     """

@@ -45,6 +45,7 @@ from ..sink.writer import (
     _finalize,
     _range_end as _writer_range_end,
     _split_range_name,
+    _stage_partitioning,
     backfill_empty,
     ensure_schema_compatible,
     parquet_write_options,
@@ -306,14 +307,20 @@ class StreamingSink:
             .withColumnRenamed("range_start", "__range_start")
         )
         staging = url_join(table_dir, "_staging")
+        # same partitioning contract as write_ranges: one task per range by
+        # default; with opts.write_tasks set, ranges sub-split on a computed
+        # block-bucket column (catch-up batches with few large ready ranges
+        # otherwise encode on len(ranges) cores)
+        staged_df, part_cols = _stage_partitioning(
+            df, len(ranges), self.opts, "block_number"
+        )
         writer = (
-            df.repartition(len(ranges), "__range_start")
-            .sortWithinPartitions("__range_start", "block_number")
+            staged_df.sortWithinPartitions(*part_cols, "block_number")
             .write.mode("overwrite")
         )
         for k, v in parquet_write_options(self.opts).items():
             writer = writer.option(k, v)
-        writer.partitionBy("__range_start").parquet(staging)
+        writer.partitionBy(*part_cols).parquet(staging)
         _finalize(self.spark, self._fs, staging, table_dir, ranges, self.opts)
         for src in srcs:
             self._fs.delete(src, recursive=True)

@@ -171,3 +171,49 @@ def test_lake_coverage_part_siblings_stay_contiguous(spark, tmp_path):
     rep = lake_coverage(HadoopFS(spark, str(out)), str(out))
     assert rep["overlaps"] == [] and rep["gaps"] == []
     assert rep["contiguous"]
+
+
+def test_write_tasks_subsplits_large_ranges_in_block_order(spark, tmp_path):
+    """write_tasks > n_ranges: a large range finalizes as ordered -partNNNN
+    siblings (encode parallelism above ranges-per-batch, VERDICT r4 #5);
+    name-sorted parts concatenate to the globally block-sorted range."""
+    out = str(tmp_path / "lake")
+    os.makedirs(out)
+    # 2 ranges of 100 blocks each, written with 8-way encode parallelism
+    df = decode_payloads(_blocks_df(spark, list(range(200))), BLOCK)
+    files = write_ranges(
+        df, out,
+        WriterOptions(partition_size=100, start_block=0, pad=10, write_tasks=8),
+    )
+    by_range = {}
+    for f in files:
+        by_range.setdefault(f.split("-part")[0].split(".parquet")[0], []).append(f)
+    assert len(by_range) == 2
+    assert any(len(v) > 1 for v in by_range.values())  # actually sub-split
+    for parts in by_range.values():
+        blocks = []
+        for p in sorted(parts):
+            blocks += pq.read_table(os.path.join(out, p)).column(
+                "block_number"
+            ).to_pylist()
+        assert blocks == sorted(blocks)  # name order == block order
+    # the full lake reads back complete and the name-index prunes correctly
+    assert read_lake(spark, out).count() == 200
+    assert read_lake(spark, out, start_block=150, end_block=160).count() == 11
+
+
+def test_write_tasks_small_ranges_keep_plain_single_file(spark, tmp_path):
+    """write_tasks must not shatter a batch of many small ranges — with
+    n_ranges >= write_tasks the one-file-per-range rotation holds."""
+    out = str(tmp_path / "lake")
+    os.makedirs(out)
+    df = decode_payloads(_blocks_df(spark, [0, 5, 12, 27]), BLOCK)
+    files = write_ranges(
+        df, out,
+        WriterOptions(partition_size=10, start_block=0, pad=10, write_tasks=2),
+    )
+    assert files == [
+        "0000000000-0000000010.parquet",
+        "0000000010-0000000020.parquet",
+        "0000000020-0000000030.parquet",
+    ]
