@@ -331,6 +331,7 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         embed_dup=args.embed_dup,
         embed_threshold=args.embed_threshold,
         embed_dim=args.embed_dim,
+        ann_index_dir=args.ann_index,
     )
     query.awaitTermination()
     n = corpus_docs(spark, args.store_url).count()
@@ -408,6 +409,20 @@ def cmd_ann_build(args: argparse.Namespace) -> int:
         f"ann-build OK: {args.index_dir} cells={len(meta['centroids'])} "
         f"m={meta['m']} codes={meta['n_codes']} residual={meta['residual']}"
     )
+    return 0
+
+
+def cmd_ann_compact(args: argparse.Namespace) -> int:
+    """Fold the streaming code appends (``codes_epochs/epoch=N``) into one
+    ``epoch=-1`` dir — crash-safe manifest swap, trailing epoch excluded;
+    run against a STOPPED corpus stream (single-writer discipline, same as
+    corpus-compact)."""
+    from .llm.ann_index import compact_ann_epochs
+
+    spark = get_spark("ann-compact")
+    did = compact_ann_epochs(spark, args.index_dir, min_epochs=args.min_epochs)
+    print(f"ann-compact OK: {'merged' if did else 'nothing to do'} "
+          f"in {args.index_dir}")
     return 0
 
 
@@ -599,6 +614,11 @@ def main(argv: list[str] | None = None) -> int:
     corpus_p.add_argument("--embed-threshold", type=float, default=0.99)
     corpus_p.add_argument("--embed-dim", type=int, default=None,
                           help="embedding dimension (required with --embed-dup)")
+    corpus_p.add_argument("--ann-index", default=None,
+                          help="existing ann-build index dir: admitted docs' "
+                               "inline embeddings are appended per batch "
+                               "(frozen codebooks, replay-safe) so ann-query "
+                               "serves the corpus without a rebuild")
     corpus_p.add_argument("--near-dup", action="store_true",
                           help="also reject MinHash near-duplicates of the corpus")
     corpus_p.add_argument("--neardup-threshold", type=float, default=0.5)
@@ -650,6 +670,15 @@ def main(argv: list[str] | None = None) -> int:
     annq_p.add_argument("--k", type=int, default=5)
     annq_p.add_argument("--nprobe", type=int, default=4)
     annq_p.set_defaults(fn=cmd_ann_query)
+
+    annc_p = sub.add_parser(
+        "ann-compact",
+        help="fold a corpus stream's per-batch ANN code appends into one "
+             "epoch dir (stopped stream only)",
+    )
+    annc_p.add_argument("index_dir")
+    annc_p.add_argument("--min-epochs", type=int, default=2)
+    annc_p.set_defaults(fn=cmd_ann_compact)
 
     query_p = sub.add_parser("query", help="run SQL over a sink lake")
     query_p.add_argument("sql")

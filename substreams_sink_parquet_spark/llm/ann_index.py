@@ -28,6 +28,20 @@ Incremental growth: ``append_to_ann_index`` encodes NEW vectors with the
 frozen quantizer/codebooks (map-only) and appends into the same cell
 partitions — the standard serve-time pattern (FAISS ``add``); retrain
 (``write_ann_index``) when drift accumulates.
+
+Streaming growth: ``append_epoch_to_ann_index`` is the REPLAY-SAFE form
+for foreachBatch callers (the corpus builder's CorpusSink) — each batch's
+codes land in ``codes_epochs/epoch={id}/cent_id={c}/`` and are
+OVERWRITTEN per epoch, the same idempotence contract as every other
+corpus index, so an at-least-once replay converges instead of
+double-inserting. ``ann_topk`` scans the base codes and every epoch
+append, each with the same static cell pruning.
+
+Crash-safety of rebuilds: ``_ANN_META.json`` is the COMMIT MARKER. An
+in-place rebuild deletes it BEFORE overwriting ``codes/`` — a crash
+between the two leaves codes without meta, which every read path refuses
+loudly, instead of silently decoding new codes against the old run's
+centroids/codebooks.
 """
 
 from __future__ import annotations
@@ -64,9 +78,23 @@ def write_ann_index(
     id_col: str = "vec_id",
 ) -> dict:
     """Train quantizer + codebooks, encode the corpus, and lay the index
-    down partitioned by cell. Returns the metadata dict it persisted."""
+    down partitioned by cell. Returns the metadata dict it persisted.
+
+    Rebuild crash-safety: meta is deleted FIRST (commit-marker protocol).
+    The codes overwrite below is not atomic; if this run dies mid-write,
+    the next reader finds codes without meta and fails loudly instead of
+    pairing the new codes with the PREVIOUS build's centroids/codebooks —
+    which would ADC-decode silently-garbage neighbors. A rebuild also
+    clears any ``codes_epochs`` appends: they were encoded with the old
+    codebooks and are superseded by the retrain's full-corpus encode."""
     spark = embeddings.sparkSession
     fs = HadoopFS(spark, index_dir)
+    meta_path = url_join(index_dir, _META)
+    if fs.exists(meta_path):
+        fs.delete(meta_path, recursive=False)
+    ep_root = url_join(index_dir, "codes_epochs")
+    if fs.exists(ep_root):
+        fs.delete(ep_root, recursive=True)
     src = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
@@ -104,15 +132,10 @@ def read_ann_meta(spark: SparkSession, index_dir: str) -> dict:
     return json.loads(fs.read_bytes(url_join(index_dir, _META)))
 
 
-def append_to_ann_index(new_vectors: DataFrame, index_dir: str,
-                        vec_col: str = "embedding",
-                        id_col: str = "vec_id") -> None:
-    """Encode new vectors with the FROZEN quantizer/codebooks and append
-    into the existing cell partitions — map-only, no retrain, the FAISS
-    ``add`` path. The caller owns dedup of vec_ids (compose with the
-    corpus builder's screens upstream)."""
-    spark = new_vectors.sparkSession
-    meta = read_ann_meta(spark, index_dir)
+def _encode_frozen(new_vectors: DataFrame, meta: dict, vec_col: str,
+                   id_col: str, caller: str) -> DataFrame:
+    """Map-only encode of new vectors under the FROZEN quantizer/codebooks
+    (the FAISS ``add`` path — no retrain)."""
     cents = [(int(c), list(v)) for c, v in meta["centroids"]]
     src = new_vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
@@ -124,7 +147,7 @@ def append_to_ann_index(new_vectors: DataFrame, index_dir: str,
     ).limit(1).count()
     if bad:
         raise ValueError(
-            f"append_to_ann_index: input contains null or non-{meta['dim']}"
+            f"{caller}: input contains null or non-{meta['dim']}"
             "-dimensional embeddings; the index's dimension is frozen at "
             "build time — filter or re-embed the batch first"
         )
@@ -136,14 +159,117 @@ def append_to_ann_index(new_vectors: DataFrame, index_dir: str,
         assigned = assigned.withColumn(
             "resid", _residual("embedding", cvec(F.col("cent_id")))
         )
-        codes = pq_encode(assigned, meta["codebooks"], vec_col="resid",
-                          keep=["vec_id", "cent_id"])
-    else:
-        codes = pq_encode(assigned, meta["codebooks"],
-                          keep=["vec_id", "cent_id"])
+        return pq_encode(assigned, meta["codebooks"], vec_col="resid",
+                         keep=["vec_id", "cent_id"])
+    return pq_encode(assigned, meta["codebooks"], keep=["vec_id", "cent_id"])
+
+
+def append_to_ann_index(new_vectors: DataFrame, index_dir: str,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> None:
+    """Encode new vectors with the frozen quantizer/codebooks and append
+    into the existing cell partitions. The caller owns dedup of vec_ids
+    (compose with the corpus builder's screens upstream) AND at-most-once
+    invocation — a parquet append is not idempotent; replay-prone callers
+    (foreachBatch) must use ``append_epoch_to_ann_index`` instead."""
+    spark = new_vectors.sparkSession
+    meta = read_ann_meta(spark, index_dir)
+    codes = _encode_frozen(new_vectors, meta, vec_col, id_col,
+                           "append_to_ann_index")
     codes.write.mode("append").partitionBy("cent_id").parquet(
         url_join(index_dir, "codes")
     )
+
+
+def append_epoch_to_ann_index(new_vectors: DataFrame, index_dir: str,
+                              epoch_id: int, vec_col: str = "embedding",
+                              id_col: str = "vec_id") -> None:
+    """Replay-safe streaming append: the batch's codes are encoded with
+    the frozen codebooks and OVERWRITE ``codes_epochs/epoch={id}/`` —
+    the same epoch-keyed idempotence contract as the corpus builder's
+    other indexes, so an at-least-once foreachBatch replay converges
+    instead of duplicating codes. Cell partitioning (and so query-time
+    pruning) is preserved inside each epoch directory."""
+    spark = new_vectors.sparkSession
+    meta = read_ann_meta(spark, index_dir)
+    codes = _encode_frozen(new_vectors, meta, vec_col, id_col,
+                           "append_epoch_to_ann_index")
+    codes.write.mode("overwrite").partitionBy("cent_id").parquet(
+        url_join(index_dir, "codes_epochs", f"epoch={int(epoch_id)}")
+    )
+
+
+_EP_MANIFEST = "_MERGED.json"
+
+
+def recover_ann_compact(fs: HadoopFS, index_dir: str) -> str | None:
+    """Repair a crashed compact_ann_epochs: a ``_compact`` WITH its
+    manifest finished writing — re-run its commit; one WITHOUT never
+    committed (sources intact) — drop it. Same write-ahead protocol as
+    the corpus index compaction (streaming/corpus_stream.py)."""
+    ep_root = url_join(index_dir, "codes_epochs")
+    tmp = url_join(ep_root, "_compact")
+    if not fs.exists(tmp):
+        return None
+    manifest = url_join(tmp, _EP_MANIFEST)
+    if fs.exists(manifest):
+        srcs = json.loads(fs.read_bytes(manifest))["sources"]
+        _commit_ann_compact(fs, ep_root, srcs)
+        return "committed"
+    fs.delete(tmp, recursive=True)
+    return "dropped"
+
+
+def _commit_ann_compact(fs: HadoopFS, ep_root: str, srcs: list[str]) -> None:
+    tmp = url_join(ep_root, "_compact")
+    for src in srcs:
+        fs.delete(url_join(ep_root, src), recursive=True)
+    dst = url_join(ep_root, "epoch=-1")
+    fs.rename(tmp, dst)
+    fs.delete(url_join(dst, _EP_MANIFEST), recursive=False)
+
+
+def compact_ann_epochs(spark: SparkSession, index_dir: str,
+                       min_epochs: int = 2) -> bool:
+    """Fold per-batch code appends into one ``epoch=-1`` dir (still
+    cell-partitioned, so query pruning is unchanged) — bounds the
+    O(epochs) listing a long-running corpus stream accumulates. Run ONLY
+    against a stopped stream; like the corpus index compaction, the
+    HIGHEST-numbered epoch is never folded (a crashed batch's replay
+    relies on overwriting its own epoch dir BY NAME — folding it first
+    would leave its first attempt's codes in epoch=-1 AND the replayed
+    dir, double-counting every vector)."""
+    fs = HadoopFS(spark, index_dir)
+    recover_ann_compact(fs, index_dir)
+    ep_root = url_join(index_dir, "codes_epochs")
+    if not fs.exists(ep_root):
+        return False
+    epochs = sorted(e for e in fs.listdir(ep_root) if e.startswith("epoch="))
+    numbered = [e for e in epochs if int(e.split("=", 1)[1]) >= 0]
+    if numbered:
+        trailing = max(numbered, key=lambda e: int(e.split("=", 1)[1]))
+        epochs = [e for e in epochs if e != trailing]
+    # skip data-less epoch dirs (batches that admitted nothing embeddable)
+    with_data = [
+        e for e in epochs
+        if any(c.startswith("cent_id=") for c in fs.listdir(url_join(ep_root, e)))
+    ]
+    if len(epochs) < min_epochs:
+        return False
+    tmp = url_join(ep_root, "_compact")
+    if with_data:
+        merged = spark.read.option("basePath", ep_root).parquet(
+            *[url_join(ep_root, e) for e in with_data]
+        ).drop("epoch")
+        merged.write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
+    else:
+        fs.mkdirs(tmp)
+    fs.write_bytes(
+        url_join(tmp, _EP_MANIFEST),
+        json.dumps({"sources": epochs}).encode(),
+    )
+    _commit_ann_compact(fs, ep_root, epochs)
+    return True
 
 
 def ann_topk(spark: SparkSession, index_dir: str, queries: DataFrame,
@@ -174,6 +300,43 @@ def ann_topk(spark: SparkSession, index_dir: str, queries: DataFrame,
     # partition filter the scan prunes on, never a full-index listing
     cells = sorted({r.p_cent for r in probes.select("p_cent").distinct().collect()})
     codes = spark.read.parquet(url_join(index_dir, "codes"))
+    # streaming appends (append_epoch_to_ann_index) live beside the base
+    # build, epoch-keyed; each epoch dir is cell-partitioned so the same
+    # static isin prunes it — index freshness == corpus freshness without
+    # a rebuild
+    fs = HadoopFS(spark, index_dir)
+    ep_root = url_join(index_dir, "codes_epochs")
+    if fs.exists(ep_root):
+        # STRICTLY NON-MUTATING read, tolerant of an in-flight
+        # compact_ann_epochs (same read-only contract as read_rollup): a
+        # _compact WITH its manifest is a finished merge whose sources may
+        # be partially deleted — read it and exclude the epochs it names;
+        # one WITHOUT a manifest is an unfinished write — ignore it.
+        excluded: set[str] = set()
+        extra: list[DataFrame] = []
+        tmp = url_join(ep_root, "_compact")
+        manifest = url_join(tmp, _EP_MANIFEST)
+        if fs.exists(manifest):
+            excluded = set(json.loads(fs.read_bytes(manifest))["sources"])
+            if any(c.startswith("cent_id=") for c in fs.listdir(tmp)):
+                extra.append(spark.read.parquet(tmp))
+        # an epoch whose batch admitted no embeddable docs stages an empty
+        # dir (no cent_id= partitions) — skip those or schema inference fails
+        ep_dirs = [
+            url_join(ep_root, e)
+            for e in fs.listdir(ep_root)
+            if e.startswith("epoch=") and e not in excluded and any(
+                c.startswith("cent_id=")
+                for c in fs.listdir(url_join(ep_root, e))
+            )
+        ]
+        if ep_dirs:
+            extra.append(
+                spark.read.option("basePath", ep_root).parquet(*ep_dirs)
+                .drop("epoch")
+            )
+        for ep in extra:
+            codes = codes.unionByName(ep.select(*codes.columns))
     if not cells:  # no queries: an empty ranked frame, not an IN () error
         from pyspark.sql import types as T
 

@@ -58,6 +58,14 @@ class CorpusSink:
     embed_threshold: float = 0.99
     embed_dim: int | None = None
     embed_planes: int = 6
+    # serving-index composition: when set, each batch's FINALLY-admitted
+    # docs that carry a valid inline embedding are ALSO encoded into the
+    # persisted IVF-PQ index at this path (frozen codebooks, epoch-keyed
+    # replay-safe append — llm.ann_index.append_epoch_to_ann_index), so
+    # `ann-query` serves the corpus as of the last committed batch with
+    # no rebuild. The index must already exist (`ann-build`): codebooks
+    # are trained artifacts, not something a micro-batch should invent.
+    ann_index_dir: str | None = None
 
     def __post_init__(self) -> None:
         self._fs = HadoopFS(self.spark, self.out_dir)
@@ -67,6 +75,19 @@ class CorpusSink:
                 "pipeline metadata — never inferred from a batch, which "
                 "may be empty)"
             )
+        if self.ann_index_dir is not None:
+            from ..llm.ann_index import read_ann_meta
+
+            # fail at construction, not on batch 47: the frozen-codebook
+            # append path is meaningless without a built index
+            try:
+                self._ann_meta = read_ann_meta(self.spark, self.ann_index_dir)
+            except Exception as e:
+                raise ValueError(
+                    f"ann_index_dir={self.ann_index_dir!r} holds no readable "
+                    "_ANN_META.json — build the index first (`ann-build` / "
+                    "write_ann_index), then point the corpus stream at it"
+                ) from e
 
     def _index_dirs(self, root_name: str, exclude_epoch: int) -> list[str]:
         index_root = url_join(self.out_dir, root_name)
@@ -184,6 +205,20 @@ class CorpusSink:
             ).write.mode("overwrite").parquet(
                 url_join(self.out_dir, "_index", f"epoch={epoch_id}")
             )
+            if self.ann_index_dir is not None:
+                from ..llm.ann_index import append_epoch_to_ann_index
+
+                # only embeddable docs enter the serving index (null /
+                # wrong-dim embeddings have no vector to serve); the
+                # epoch-keyed overwrite makes a replayed batch converge
+                embeddable = kept.filter(
+                    F.col("embedding").isNotNull()
+                    & (F.size("embedding") == self._ann_meta["dim"])
+                ).select("doc_id", "embedding")
+                append_epoch_to_ann_index(
+                    embeddable, self.ann_index_dir, int(epoch_id),
+                    vec_col="embedding", id_col="doc_id",
+                )
         finally:
             for df in to_unpersist:
                 df.unpersist()
@@ -225,6 +260,7 @@ def run_corpus_pipeline(
     embed_threshold: float = 0.99,
     embed_dim: int | None = None,
     embed_planes: int = 6,
+    ann_index_dir: str | None = None,
 ):
     """readStream over JSONL shards → CorpusSink.
 
@@ -238,6 +274,7 @@ def run_corpus_pipeline(
         near_dup=near_dup, neardup_threshold=neardup_threshold,
         embed_dup=embed_dup, embed_threshold=embed_threshold,
         embed_dim=embed_dim, embed_planes=embed_planes,
+        ann_index_dir=ann_index_dir,
     )
     sink._fs.mkdirs(out_dir)
     parsed = (

