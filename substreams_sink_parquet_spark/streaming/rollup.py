@@ -193,19 +193,41 @@ def read_rollup(
     fs = HadoopFS(spark, rollup_dir)
     tmp = url_join(rollup_dir, "_merge_tmp")
     manifest = url_join(tmp, "_MERGED.json")
-    excluded: set[str] = set()
-    paths: list[str] = []
-    if fs.exists(manifest):
-        excluded = set(json.loads(fs.read_bytes(manifest))["sources"])
-        paths.append(tmp)  # manifest file itself is _-prefixed: invisible
-    paths.extend(
-        url_join(rollup_dir, d)
-        for d in fs.listdir(rollup_dir)
-        if d.startswith("epoch=") and d not in excluded
-    )
+
+    def _resolve() -> list[str]:
+        """One consistent snapshot attempt. TOCTOU (ADVICE r4): checking
+        the manifest BEFORE listing leaves a window where the compactor
+        writes the manifest and deletes source epochs between the two
+        calls — the reader would then see neither the merged rows nor the
+        sources. Re-checking the manifest AFTER the listing closes it: if
+        it appeared (or its source set changed) mid-scan, rebuild the
+        paths from the post-listing state, which by the single-writer
+        commit order (manifest outlives source deletes) is consistent."""
+        for _attempt in range(3):
+            had_manifest = fs.exists(manifest)
+            excluded: set[str] = set()
+            paths: list[str] = []
+            if had_manifest:
+                excluded = set(json.loads(fs.read_bytes(manifest))["sources"])
+                paths.append(tmp)  # manifest file is _-prefixed: invisible
+            listing = [d for d in fs.listdir(rollup_dir) if d.startswith("epoch=")]
+            if fs.exists(manifest) != had_manifest:
+                continue  # compactor raced the scan: take a fresh snapshot
+            paths.extend(
+                url_join(rollup_dir, d) for d in listing if d not in excluded
+            )
+            return paths
+        return paths  # give up re-snapshotting; the read below may retry once
+
     # no sources at all: preserve the historical error shape of an empty
     # glob read rather than inventing a schema
-    parts = spark.read.parquet(*(paths or [url_join(rollup_dir, "epoch=*")]))
+    try:
+        parts = spark.read.parquet(*(_resolve() or [url_join(rollup_dir, "epoch=*")]))
+    except Exception:
+        # paths deleted between the listing and the eager footer read
+        # (commit completed mid-scan): one re-resolved retry sees the
+        # post-commit state (epoch=-1 in place, tmp gone)
+        parts = spark.read.parquet(*(_resolve() or [url_join(rollup_dir, "epoch=*")]))
     merged = parts.groupBy("bucket", *spec.group_cols).agg(*spec.merge_aggs())
     for name, (s, c) in (derived or {}).items():
         merged = merged.withColumn(name, F.col(s) / F.col(c))

@@ -342,3 +342,41 @@ def test_in_stream_auto_compaction_bounds_epochs(spark, tmp_path):
     assert "epoch=-1" in epochs and len(epochs) <= 3
     got = {r.bucket: r.n_rows for r in read_rollup(spark, rd, spec).collect()}
     assert got == {0: 10, 10: 10, 20: 5}
+
+
+def test_read_rechecks_manifest_that_appears_mid_scan(spark, tmp_path, monkeypatch):
+    """ADVICE r5 TOCTOU: the compactor writes its manifest AND deletes the
+    source epochs in the window between read_rollup's manifest check and
+    its directory listing. The old read returned a silently under-counted
+    view (neither sources nor tmp); the re-check after listdir must detect
+    the race and re-snapshot."""
+    import json
+
+    d = str(tmp_path / "rollup")
+    os.makedirs(d)
+    for e in range(3):
+        write_rollup_partial(_batch(spark, [(0, "a", 1), (11, "b", e)]), d, SPEC, e)
+    before = _view(spark, d)
+    fs = HadoopFS(spark, d)
+    srcs = sorted(x for x in fs.listdir(d) if x.startswith("epoch="))
+    tmp = url_join(d, "_merge_tmp")
+    # pre-stage the compactor's merged data, but NOT its manifest yet
+    read_rollup(spark, d, SPEC).coalesce(1).write.mode("overwrite").parquet(tmp)
+
+    manifest = url_join(tmp, "_MERGED.json")
+    state = {"fired": False}
+    real_exists = HadoopFS.exists
+
+    def racing_exists(self, path):
+        if path == manifest and not state["fired"]:
+            # first manifest probe sees "no manifest"; the compactor then
+            # lands the manifest and deletes every source before listdir
+            state["fired"] = True
+            fs.write_bytes(manifest, json.dumps({"sources": srcs}).encode())
+            for s in srcs:
+                fs.delete(url_join(d, s), recursive=True)
+            return False
+        return real_exists(self, path)
+
+    monkeypatch.setattr(HadoopFS, "exists", racing_exists)
+    assert _view(spark, d) == before  # re-snapshot saw tmp + manifest
