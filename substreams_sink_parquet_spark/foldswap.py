@@ -1,0 +1,84 @@
+"""Write-ahead manifest-swap protocol for epoch-folding compactions.
+
+One shared implementation of the commit/recover pair used everywhere the
+engine folds per-batch ``epoch=N`` directories into one ``epoch=-1``:
+the continuous rollup (streaming/rollup.py), the corpus builder's dedup
+indexes (streaming/corpus_stream.py), and the ANN index's streaming code
+appends (llm/ann_index.py). The protocol (same family as
+sink/maintenance._commit_compact):
+
+1. The compactor writes the merged data ASIDE into a tmp dir under the
+   root, then a ``_MERGED.json`` manifest naming the exact source epoch
+   dirs. The manifest is the commit record and OUTLIVES the swap —
+   deleting it earlier would make a crash between delete and rename look
+   like an uncommitted write, and recovery would then destroy the only
+   copy of the merged rows.
+2. ``commit_fold``: delete the sources, rename tmp into the destination
+   (manifest still inside), THEN drop the manifest from the destination,
+   where a crash-stranded copy is inert (underscore-prefixed files are
+   invisible to parquet readers). Every step is idempotent, so the
+   commit is replayable from any crash point.
+3. ``recover_fold``: a tmp WITH its manifest finished writing — re-run
+   its commit (the merged rows may be the only copy); one WITHOUT never
+   committed and its sources are intact — drop it. A stale manifest
+   stranded in the destination is tidied.
+
+Readers that may race a compactor do NOT call recover (single-writer
+discipline); they read manifest-aware and re-check the manifest after
+listing — see read_rollup / ann_topk for the tolerant-read side.
+"""
+
+from __future__ import annotations
+
+import json
+
+from .fsio import HadoopFS, url_join
+
+MANIFEST = "_MERGED.json"
+FOLDED_EPOCH = "epoch=-1"
+
+
+def write_fold_manifest(fs: HadoopFS, tmp: str, srcs: list[str]) -> None:
+    """Arm the commit: the manifest names the exact source set the tmp
+    dir's contents replace. Written LAST, after the merged data."""
+    fs.write_bytes(
+        url_join(tmp, MANIFEST), json.dumps({"sources": list(srcs)}).encode()
+    )
+
+
+def commit_fold(fs: HadoopFS, root: str, tmp_name: str, srcs: list[str],
+                dst_name: str = FOLDED_EPOCH) -> None:
+    """Idempotent swap, replayable from any crash point (step 2 above).
+    ``srcs`` are directory NAMES under ``root``. The destination is
+    deleted defensively before the rename — a no-op at the sites that
+    always fold the previous destination in as a source."""
+    tmp = url_join(root, tmp_name)
+    for s in srcs:
+        fs.delete(url_join(root, s), recursive=True)
+    dst = url_join(root, dst_name)
+    fs.delete(dst, recursive=True)
+    fs.rename(tmp, dst)
+    fs.delete(url_join(dst, MANIFEST), recursive=False)
+
+
+def recover_fold(fs: HadoopFS, root: str, tmp_name: str,
+                 dst_name: str = FOLDED_EPOCH) -> str | None:
+    """Repair an interrupted fold (step 3 above). Returns "committed",
+    "dropped", or None when there was nothing to repair. WRITER-side
+    only: a reader racing a live compactor must use the tolerant-read
+    pattern instead, never this."""
+    tmp = url_join(root, tmp_name)
+    action = None
+    if fs.exists(tmp):
+        manifest = url_join(tmp, MANIFEST)
+        if fs.exists(manifest):
+            srcs = json.loads(fs.read_bytes(manifest))["sources"]
+            commit_fold(fs, root, tmp_name, srcs, dst_name)
+            action = "committed"
+        else:
+            fs.delete(tmp, recursive=True)
+            action = "dropped"
+    stale = url_join(root, dst_name, MANIFEST)
+    if fs.exists(stale):
+        fs.delete(stale, recursive=False)
+    return action

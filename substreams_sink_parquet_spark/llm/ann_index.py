@@ -51,6 +51,12 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..foldswap import (
+    MANIFEST as _EP_MANIFEST,
+    commit_fold,
+    recover_fold,
+    write_fold_manifest,
+)
 from ..fsio import HadoopFS, url_join
 from .similarity import (
     _adc_score,
@@ -80,21 +86,20 @@ def write_ann_index(
     """Train quantizer + codebooks, encode the corpus, and lay the index
     down partitioned by cell. Returns the metadata dict it persisted.
 
-    Rebuild crash-safety: meta is deleted FIRST (commit-marker protocol).
-    The codes overwrite below is not atomic; if this run dies mid-write,
-    the next reader finds codes without meta and fails loudly instead of
-    pairing the new codes with the PREVIOUS build's centroids/codebooks —
-    which would ADC-decode silently-garbage neighbors. A rebuild also
-    clears any ``codes_epochs`` appends: they were encoded with the old
-    codebooks and are superseded by the retrain's full-corpus encode."""
+    Rebuild crash-safety: meta is deleted BEFORE the codes overwrite
+    (commit-marker protocol). The codes overwrite is not atomic; if this
+    run dies mid-write, the next reader finds codes without meta and
+    fails loudly instead of pairing the new codes with the PREVIOUS
+    build's centroids/codebooks — which would ADC-decode silently-garbage
+    neighbors. The deletes happen only AFTER training succeeds (not at
+    entry): a rebuild that merely FAILS — wrong dim, empty input, a
+    training error — must leave the old, still-consistent index serving,
+    not brick it before a single new byte exists. A successful rebuild
+    also clears any ``codes_epochs`` appends: they were encoded with the
+    old codebooks and are superseded by the retrain's full-corpus
+    encode."""
     spark = embeddings.sparkSession
     fs = HadoopFS(spark, index_dir)
-    meta_path = url_join(index_dir, _META)
-    if fs.exists(meta_path):
-        fs.delete(meta_path, recursive=False)
-    ep_root = url_join(index_dir, "codes_epochs")
-    if fs.exists(ep_root):
-        fs.delete(ep_root, recursive=True)
     src = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
@@ -113,6 +118,15 @@ def write_ann_index(
     else:
         cbs = pq_codebooks(src, dim=dim, m=m, k=n_codes)
         codes = pq_encode(assigned, cbs, keep=["vec_id", "cent_id"])
+    # training succeeded — NOW retract the commit marker (and the epoch
+    # appends the retrain supersedes) immediately before the overwrite, so
+    # the destruction window is only the non-atomic codes write itself
+    meta_path = url_join(index_dir, _META)
+    if fs.exists(meta_path):
+        fs.delete(meta_path, recursive=False)
+    ep_root = url_join(index_dir, "codes_epochs")
+    if fs.exists(ep_root):
+        fs.delete(ep_root, recursive=True)
     codes.write.mode("overwrite").partitionBy("cent_id").parquet(
         url_join(index_dir, "codes")
     )
@@ -133,24 +147,28 @@ def read_ann_meta(spark: SparkSession, index_dir: str) -> dict:
 
 
 def _encode_frozen(new_vectors: DataFrame, meta: dict, vec_col: str,
-                   id_col: str, caller: str) -> DataFrame:
+                   id_col: str, caller: str, validate: bool = True) -> DataFrame:
     """Map-only encode of new vectors under the FROZEN quantizer/codebooks
-    (the FAISS ``add`` path — no retrain)."""
+    (the FAISS ``add`` path — no retrain). ``validate=False`` skips the
+    wrong-dimension probe — ONLY for callers that already filtered
+    null/wrong-dim vectors (the probe is a Spark action; on a per-batch
+    streaming path it would be one extra job per micro-batch)."""
     cents = [(int(c), list(v)) for c, v in meta["centroids"]]
     src = new_vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
-    # a wrong-dimension vector would encode into garbage codes via
-    # zip_with/slice null propagation — refuse loudly before writing
-    bad = src.filter(
-        F.col("embedding").isNull() | (F.size("embedding") != meta["dim"])
-    ).limit(1).count()
-    if bad:
-        raise ValueError(
-            f"{caller}: input contains null or non-{meta['dim']}"
-            "-dimensional embeddings; the index's dimension is frozen at "
-            "build time — filter or re-embed the batch first"
-        )
+    if validate:
+        # a wrong-dimension vector would encode into garbage codes via
+        # zip_with/slice null propagation — refuse loudly before writing
+        bad = src.filter(
+            F.col("embedding").isNull() | (F.size("embedding") != meta["dim"])
+        ).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"{caller}: input contains null or non-{meta['dim']}"
+                "-dimensional embeddings; the index's dimension is frozen at "
+                "build time — filter or re-embed the batch first"
+            )
     assigned = _nearest_centroid(
         src, cents, "embedding", keep=["vec_id", "embedding"]
     )
@@ -183,50 +201,34 @@ def append_to_ann_index(new_vectors: DataFrame, index_dir: str,
 
 def append_epoch_to_ann_index(new_vectors: DataFrame, index_dir: str,
                               epoch_id: int, vec_col: str = "embedding",
-                              id_col: str = "vec_id") -> None:
+                              id_col: str = "vec_id",
+                              validate: bool = True) -> None:
     """Replay-safe streaming append: the batch's codes are encoded with
     the frozen codebooks and OVERWRITE ``codes_epochs/epoch={id}/`` —
     the same epoch-keyed idempotence contract as the corpus builder's
     other indexes, so an at-least-once foreachBatch replay converges
     instead of duplicating codes. Cell partitioning (and so query-time
-    pruning) is preserved inside each epoch directory."""
+    pruning) is preserved inside each epoch directory. ``validate=False``
+    is for callers that already filtered null/wrong-dim embeddings
+    (CorpusSink does) — it saves one Spark job per micro-batch."""
     spark = new_vectors.sparkSession
     meta = read_ann_meta(spark, index_dir)
     codes = _encode_frozen(new_vectors, meta, vec_col, id_col,
-                           "append_epoch_to_ann_index")
+                           "append_epoch_to_ann_index", validate=validate)
     codes.write.mode("overwrite").partitionBy("cent_id").parquet(
         url_join(index_dir, "codes_epochs", f"epoch={int(epoch_id)}")
     )
 
 
-_EP_MANIFEST = "_MERGED.json"
-
-
 def recover_ann_compact(fs: HadoopFS, index_dir: str) -> str | None:
-    """Repair a crashed compact_ann_epochs: a ``_compact`` WITH its
-    manifest finished writing — re-run its commit; one WITHOUT never
-    committed (sources intact) — drop it. Same write-ahead protocol as
-    the corpus index compaction (streaming/corpus_stream.py)."""
+    """Repair a crashed compact_ann_epochs via the shared write-ahead
+    protocol (``foldswap.recover_fold``): a ``_compact`` WITH its manifest
+    finished writing — re-run its commit; one WITHOUT never committed
+    (sources intact) — drop it."""
     ep_root = url_join(index_dir, "codes_epochs")
-    tmp = url_join(ep_root, "_compact")
-    if not fs.exists(tmp):
+    if not fs.exists(ep_root):
         return None
-    manifest = url_join(tmp, _EP_MANIFEST)
-    if fs.exists(manifest):
-        srcs = json.loads(fs.read_bytes(manifest))["sources"]
-        _commit_ann_compact(fs, ep_root, srcs)
-        return "committed"
-    fs.delete(tmp, recursive=True)
-    return "dropped"
-
-
-def _commit_ann_compact(fs: HadoopFS, ep_root: str, srcs: list[str]) -> None:
-    tmp = url_join(ep_root, "_compact")
-    for src in srcs:
-        fs.delete(url_join(ep_root, src), recursive=True)
-    dst = url_join(ep_root, "epoch=-1")
-    fs.rename(tmp, dst)
-    fs.delete(url_join(dst, _EP_MANIFEST), recursive=False)
+    return recover_fold(fs, ep_root, "_compact")
 
 
 def compact_ann_epochs(spark: SparkSession, index_dir: str,
@@ -264,11 +266,8 @@ def compact_ann_epochs(spark: SparkSession, index_dir: str,
         merged.write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
     else:
         fs.mkdirs(tmp)
-    fs.write_bytes(
-        url_join(tmp, _EP_MANIFEST),
-        json.dumps({"sources": epochs}).encode(),
-    )
-    _commit_ann_compact(fs, ep_root, epochs)
+    write_fold_manifest(fs, tmp, epochs)
+    commit_fold(fs, ep_root, "_compact", epochs)
     return True
 
 
@@ -307,35 +306,56 @@ def ann_topk(spark: SparkSession, index_dir: str, queries: DataFrame,
     fs = HadoopFS(spark, index_dir)
     ep_root = url_join(index_dir, "codes_epochs")
     if fs.exists(ep_root):
-        # STRICTLY NON-MUTATING read, tolerant of an in-flight
-        # compact_ann_epochs (same read-only contract as read_rollup): a
-        # _compact WITH its manifest is a finished merge whose sources may
-        # be partially deleted — read it and exclude the epochs it names;
-        # one WITHOUT a manifest is an unfinished write — ignore it.
-        excluded: set[str] = set()
-        extra: list[DataFrame] = []
-        tmp = url_join(ep_root, "_compact")
-        manifest = url_join(tmp, _EP_MANIFEST)
-        if fs.exists(manifest):
-            excluded = set(json.loads(fs.read_bytes(manifest))["sources"])
-            if any(c.startswith("cent_id=") for c in fs.listdir(tmp)):
-                extra.append(spark.read.parquet(tmp))
-        # an epoch whose batch admitted no embeddable docs stages an empty
-        # dir (no cent_id= partitions) — skip those or schema inference fails
-        ep_dirs = [
-            url_join(ep_root, e)
-            for e in fs.listdir(ep_root)
-            if e.startswith("epoch=") and e not in excluded and any(
-                c.startswith("cent_id=")
-                for c in fs.listdir(url_join(ep_root, e))
-            )
-        ]
-        if ep_dirs:
-            extra.append(
-                spark.read.option("basePath", ep_root).parquet(*ep_dirs)
-                .drop("epoch")
-            )
-        for ep in extra:
+
+        def _epoch_frames() -> list[DataFrame]:
+            """One snapshot of the streaming appends. STRICTLY NON-MUTATING
+            and tolerant of an in-flight compact_ann_epochs, with the same
+            two guards read_rollup uses: a _compact WITH its manifest is a
+            finished merge whose sources may be partially deleted — read it
+            and exclude the epochs it names; one WITHOUT a manifest is an
+            unfinished write — ignore it. The manifest is RE-CHECKED after
+            the listing (TOCTOU: the compactor can land the manifest and
+            delete sources between the two calls — the one-check version
+            would see neither); on a flip the snapshot is retaken, and the
+            last attempt completes unconditionally because the eager read
+            below retries once on paths deleted mid-scan."""
+            tmp = url_join(ep_root, "_compact")
+            manifest = url_join(tmp, _EP_MANIFEST)
+            for attempt in range(3):
+                had_manifest = fs.exists(manifest)
+                excluded: set[str] = set()
+                extra: list[DataFrame] = []
+                if had_manifest:
+                    excluded = set(json.loads(fs.read_bytes(manifest))["sources"])
+                    if any(c.startswith("cent_id=") for c in fs.listdir(tmp)):
+                        extra.append(spark.read.parquet(tmp))
+                listing = fs.listdir(ep_root)
+                if attempt < 2 and fs.exists(manifest) != had_manifest:
+                    continue  # compactor raced the scan: retake the snapshot
+                # an epoch whose batch admitted no embeddable docs stages an
+                # empty dir (no cent_id= partitions) — skip those or schema
+                # inference fails
+                ep_dirs = [
+                    url_join(ep_root, e)
+                    for e in listing
+                    if e.startswith("epoch=") and e not in excluded and any(
+                        c.startswith("cent_id=")
+                        for c in fs.listdir(url_join(ep_root, e))
+                    )
+                ]
+                if ep_dirs:
+                    extra.append(
+                        spark.read.option("basePath", ep_root).parquet(*ep_dirs)
+                        .drop("epoch")
+                    )
+                return extra
+            return []
+
+        try:
+            frames = _epoch_frames()
+        except Exception:
+            frames = _epoch_frames()  # commit completed mid-scan: re-resolve
+        for ep in frames:
             codes = codes.unionByName(ep.select(*codes.columns))
     if not cells:  # no queries: an empty ranked frame, not an IN () error
         from pyspark.sql import types as T

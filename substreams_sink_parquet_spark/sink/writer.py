@@ -293,7 +293,12 @@ def _finalize(spark: SparkSession, fs: HadoopFS, staging: str, out_dir: str,
         parts = _ordered_range_parts(fs, part_dir)
         if not parts:
             raise RuntimeError(f"range {rs}: staged directory holds no part files")
-        if len(parts) != 1 and opts.write_tasks is None:
+        # keyed off the ACTUAL staged layout, not opts.write_tasks: a flat
+        # range dir (no __sub= level) promises one-task-per-range, and a
+        # multi-file flat dir would finalize in task order, not block order
+        # — raise regardless of configuration (e.g. maxRecordsPerFile set
+        # in the session would split a task's output)
+        if len(parts) != 1 and "/" not in parts[0][0]:
             raise RuntimeError(
                 f"range {rs}: expected exactly 1 part file, got {len(parts)} "
                 "(range-hash repartition invariant violated)"

@@ -218,6 +218,9 @@ class CorpusSink:
                 append_epoch_to_ann_index(
                     embeddable, self.ann_index_dir, int(epoch_id),
                     vec_col="embedding", id_col="doc_id",
+                    # the filter above IS the validation; validate=True
+                    # would re-check it with an extra Spark job per batch
+                    validate=False,
                 )
         finally:
             for df in to_unpersist:
@@ -305,18 +308,14 @@ COMPACTED_EPOCH = -1
 
 
 def _commit_index_compact(fs: HadoopFS, index_root: str, srcs: list[str]) -> None:
-    """Swap a fully-written ``_compact`` dir into ``epoch=-1``. Idempotent
-    from any crash point (same write-ahead protocol as
-    sink/maintenance.py:_commit_compact): deletes are no-ops on missing
-    dirs and the manifest pins the exact source set. Duplicated hashes
-    during the swap window are harmless — the index feeds a LEFT ANTI
-    join, for which membership is idempotent."""
-    tmp = url_join(index_root, "_compact")
-    for src in srcs:
-        fs.delete(url_join(index_root, src), recursive=True)
-    dst = url_join(index_root, f"epoch={COMPACTED_EPOCH}")
-    fs.rename(tmp, dst)
-    fs.delete(url_join(dst, _MANIFEST), recursive=False)
+    """Swap a fully-written ``_compact`` dir into ``epoch=-1`` via the
+    shared write-ahead protocol (``foldswap.commit_fold``) — idempotent
+    from any crash point. Duplicated hashes during the swap window are
+    harmless — the index feeds a LEFT ANTI join, for which membership is
+    idempotent."""
+    from ..foldswap import commit_fold
+
+    commit_fold(fs, index_root, "_compact", srcs)
 
 
 _INDEX_ROOTS = (
@@ -328,25 +327,20 @@ _INDEX_ROOTS = (
 
 def recover_index_compact(fs: HadoopFS, out_dir: str) -> dict[str, str]:
     """Repair ``_compact`` leftovers from a crashed compact_index run, for
-    BOTH index roots: with a manifest the write finished — re-run its
-    commit; without one it never committed and its sources are intact —
-    drop it. Returns {root_name: action} for roots that needed repair."""
-    import json
+    every index root, via the shared protocol (``foldswap.recover_fold``):
+    with a manifest the write finished — re-run its commit; without one it
+    never committed and its sources are intact — drop it. Returns
+    {root_name: action} for roots that needed repair."""
+    from ..foldswap import recover_fold
 
     actions: dict[str, str] = {}
     for root_name, _cols in _INDEX_ROOTS:
         index_root = url_join(out_dir, root_name)
-        tmp = url_join(index_root, "_compact")
-        if not fs.exists(tmp):
+        if not fs.exists(index_root):
             continue
-        manifest = url_join(tmp, _MANIFEST)
-        if fs.exists(manifest):
-            srcs = json.loads(fs.read_bytes(manifest))["sources"]
-            _commit_index_compact(fs, index_root, srcs)
-            actions[root_name] = "committed"
-        else:
-            fs.delete(tmp, recursive=True)
-            actions[root_name] = "dropped"
+        action = recover_fold(fs, index_root, "_compact")
+        if action is not None:
+            actions[root_name] = action
     return actions
 
 
@@ -396,10 +390,9 @@ def compact_index(spark: SparkSession, out_dir: str, min_epochs: int = 2) -> boo
         )
         tmp = url_join(index_root, "_compact")
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        fs.write_bytes(
-            url_join(tmp, _MANIFEST),
-            json.dumps({"sources": epochs}).encode(),
-        )
+        from ..foldswap import write_fold_manifest
+
+        write_fold_manifest(fs, tmp, epochs)
         _commit_index_compact(fs, index_root, epochs)
         did = True
     return did

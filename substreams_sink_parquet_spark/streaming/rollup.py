@@ -203,7 +203,7 @@ def read_rollup(
         it appeared (or its source set changed) mid-scan, rebuild the
         paths from the post-listing state, which by the single-writer
         commit order (manifest outlives source deletes) is consistent."""
-        for _attempt in range(3):
+        for attempt in range(3):
             had_manifest = fs.exists(manifest)
             excluded: set[str] = set()
             paths: list[str] = []
@@ -211,13 +211,16 @@ def read_rollup(
                 excluded = set(json.loads(fs.read_bytes(manifest))["sources"])
                 paths.append(tmp)  # manifest file is _-prefixed: invisible
             listing = [d for d in fs.listdir(rollup_dir) if d.startswith("epoch=")]
-            if fs.exists(manifest) != had_manifest:
+            if attempt < 2 and fs.exists(manifest) != had_manifest:
                 continue  # compactor raced the scan: take a fresh snapshot
+            # the LAST attempt always completes — returning the truncated
+            # [tmp]-only snapshot here would silently drop every live epoch,
+            # the exact under-count this loop exists to prevent; a stale
+            # final snapshot is instead caught by the read retry below
             paths.extend(
                 url_join(rollup_dir, d) for d in listing if d not in excluded
             )
             return paths
-        return paths  # give up re-snapshotting; the read below may retry once
 
     # no sources at all: preserve the historical error shape of an empty
     # glob read rather than inventing a schema
@@ -235,25 +238,13 @@ def read_rollup(
 
 
 def _recover_rollup(fs: HadoopFS, rollup_dir: str) -> None:
-    """Replay or discard an interrupted compaction swap. A ``_merge_tmp``
-    WITH its manifest finished the write — its commit is re-run (the merged
-    rows may be the only copy). One WITHOUT never committed — sources are
-    intact, so it is dropped. A stale manifest inside ``epoch=-1`` (crash
-    between rename and manifest cleanup) is inert (underscore-prefixed,
-    invisible to the parquet reader) and is tidied here."""
-    import json
+    """Replay or discard an interrupted compaction swap — the shared
+    write-ahead protocol (``foldswap.recover_fold``): a ``_merge_tmp``
+    WITH its manifest finished the write and is re-committed; one WITHOUT
+    is dropped; a stale destination manifest is tidied."""
+    from ..foldswap import recover_fold
 
-    tmp = url_join(rollup_dir, "_merge_tmp")
-    manifest = url_join(tmp, "_MERGED.json")
-    if fs.exists(tmp):
-        if fs.exists(manifest):
-            srcs = json.loads(fs.read_bytes(manifest))["sources"]
-            _commit_rollup_merge(fs, rollup_dir, tmp, srcs)
-        else:
-            fs.delete(tmp, recursive=True)
-    stale = url_join(rollup_dir, "epoch=-1", "_MERGED.json")
-    if fs.exists(stale):
-        fs.delete(stale, recursive=False)
+    recover_fold(fs, rollup_dir, "_merge_tmp")
 
 
 def compact_rollup(
@@ -297,22 +288,20 @@ def compact_rollup(
         .agg(*spec.merge_aggs())
     )
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    fs.write_bytes(url_join(tmp, "_MERGED.json"),
-                   json.dumps({"sources": epochs}).encode())
+    from ..foldswap import write_fold_manifest
+
+    write_fold_manifest(fs, tmp, epochs)
     _commit_rollup_merge(fs, rollup_dir, tmp, epochs)
     return len(epochs)
 
 
 def _commit_rollup_merge(fs: HadoopFS, rollup_dir: str, tmp: str, srcs) -> None:
-    """Idempotent swap, replayable from any crash point: delete sources,
-    rename tmp (manifest still inside) into ``epoch=-1``, THEN drop the
-    manifest from its destination where a crash-stranded copy is inert."""
-    for s in srcs:
-        fs.delete(url_join(rollup_dir, s), recursive=True)
-    dst = url_join(rollup_dir, "epoch=-1")
-    fs.delete(dst, recursive=True)  # replaced by the merged partial
-    fs.rename(tmp, dst)
-    fs.delete(url_join(dst, "_MERGED.json"), recursive=False)
+    """Idempotent swap via the shared protocol (``foldswap.commit_fold``):
+    delete sources, rename tmp (manifest still inside) into ``epoch=-1``,
+    THEN drop the manifest from its destination."""
+    from ..foldswap import commit_fold
+
+    commit_fold(fs, rollup_dir, "_merge_tmp", list(srcs))
 
 
 def load_rollup_spec(fs: HadoopFS, rollup_dir: str) -> RollupSpec | None:

@@ -245,3 +245,42 @@ def test_compact_ann_epochs_preserves_results_and_trailing_epoch(spark, tmp_path
     assert A.recover_ann_compact(fs, idx) == "dropped"
     assert {(r.neighbor_id, r.rank)
             for r in A.ann_topk(spark, idx, probe, k=5, nprobe=2).collect()} == before
+
+
+def test_failed_rebuild_leaves_old_index_serving(spark, tmp_path):
+    """A rebuild that FAILS during training (bad input) must not touch the
+    existing index: meta, codes, and streaming appends all survive and
+    queries keep serving — only a successful retrain supersedes them."""
+    import os
+
+    import pytest
+
+    base = [
+        (i, [float(math.cos(i)), float(math.sin(i))] + [0.1 * j for j in range(6)])
+        for i in range(64)
+    ]
+    emb = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ann")
+    A.write_ann_index(emb, idx, dim=8, n_centroids=4, m=4)
+    A.append_epoch_to_ann_index(
+        spark.createDataFrame(
+            [(900, [2.0, 0.1, 0.2, 0.1, 0.3, 0.1, 0.2, 0.4])],
+            "vec_id long, embedding array<float>",
+        ),
+        idx, 0,
+    )
+    probe = spark.createDataFrame(
+        [(1, [2.0, 0.1, 0.2, 0.1, 0.3, 0.1, 0.2, 0.4])],
+        "q_id long, q_vec array<float>",
+    )
+    before = {r.neighbor_id for r in A.ann_topk(spark, idx, probe, k=3).collect()}
+    assert 900 in before
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(Exception):
+        A.write_ann_index(empty, idx, dim=8, n_centroids=4, m=4)
+
+    assert os.path.exists(os.path.join(idx, "_ANN_META.json"))
+    assert os.path.exists(os.path.join(idx, "codes_epochs"))
+    after = {r.neighbor_id for r in A.ann_topk(spark, idx, probe, k=3).collect()}
+    assert after == before
