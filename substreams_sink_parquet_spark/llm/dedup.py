@@ -629,6 +629,62 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, n=3, num_hashes=32, bands=8, threshold=0.5)
 
 
+def _planted_dup_corpus(docs: DataFrame, n_planted: int = 20,
+                        offset: int = 10000,
+                        min_words: int | None = None):
+    """(augmented corpus, truth pairs): the fixture has no identical-text
+    pairs, so the detection ground truth is PLANTED — docs 0..n get an
+    exact copy at doc_id+offset, derived identically in Spark and in the
+    oracle's SQL. Truth = the planted (original, copy) pairs; the
+    detector must surface every one (identical text is the
+    similarity-1.0 extreme of any near-dup band)."""
+    base = docs.select("doc_id", "text")
+    seeds = base.filter(F.col("doc_id") < n_planted)
+    if min_words is not None:
+        seeds = seeds.filter(F.size(F.split("text", " ")) >= min_words)
+    planted = seeds.select(
+        (F.col("doc_id") + offset).alias("doc_id"), "text"
+    )
+    truth = seeds.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + offset).alias("doc_b"),
+    )
+    return base.unionByName(planted), truth
+
+
+def _detection_audit(truth: DataFrame, found: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, detected): the oracle-computable truth pairs plus a
+    boolean claiming the hash-specific detector found each — TRUE by
+    construction (identical text ⇒ identical signature ⇒ same bands/chunks
+    ⇒ candidate ⇒ similarity 1), so the DuckDB oracle claims literal TRUE
+    and a broken signature/banding/verify stage hash-mismatches."""
+    hits = found.select("doc_a", "doc_b").withColumn("__hit", F.lit(1))
+    return truth.join(hits, ["doc_a", "doc_b"], "left").select(
+        "doc_a", "doc_b", F.col("__hit").isNotNull().alias("detected")
+    )
+
+
+@register(
+    "q_dedup_minhash_audit",
+    """
+    SELECT doc_id AS doc_a, doc_id + 10000 AS doc_b, TRUE AS detected
+    FROM documents
+    WHERE doc_id < 20 AND len(string_split(text, ' ')) >= 3
+    """,
+    doc="HASHABLE detection audit for MinHash+LSH: 20 planted exact copies "
+        "(>=3 words — the operator's shingling floor) must each surface as "
+        "a candidate pair (identical signatures agree in all bands, "
+        "estimated Jaccard 1.0); the oracle enumerates the planted pairs "
+        "in SQL and claims detected=TRUE — a broken signature, banding, or "
+        "verify stage hash-mismatches in the driver gate",
+)
+def q_dedup_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    aug, truth = _planted_dup_corpus(docs, min_words=3)
+    found = minhash_lsh_pairs(aug, n=3, num_hashes=32, bands=8, threshold=0.5)
+    return _detection_audit(truth, found)
+
+
 # -- SimHash ---------------------------------------------------------------
 
 
@@ -714,6 +770,24 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=3)
+
+
+@register(
+    "q_dedup_simhash_audit",
+    """
+    SELECT doc_id AS doc_a, doc_id + 10000 AS doc_b, TRUE AS detected
+    FROM documents WHERE doc_id < 20
+    """,
+    doc="HASHABLE detection audit for SimHash: 20 planted exact copies "
+        "have identical 64-bit fingerprints (Hamming 0) and identical "
+        "pigeonhole chunks, so every planted pair must be detected; the "
+        "oracle enumerates the pairs in SQL and claims detected=TRUE",
+)
+def q_dedup_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    aug, truth = _planted_dup_corpus(docs)
+    found = simhash_pairs(aug, max_hamming=3)
+    return _detection_audit(truth, found)
 
 
 # -- pair graph → clusters (canonical keeper assignment) -------------------

@@ -1050,16 +1050,92 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_vec"),
     )
     brute = l2_topk(emb, queries, k=k)
-    approx = ivfpq_topk(
-        emb, queries, dim=embedding_dim(spark, sf_dir), k=k
-    ).withColumnRenamed("rank", "a_rank")
+    approx = ivfpq_topk(emb, queries, dim=embedding_dim(spark, sf_dir), k=k)
+    return _recall_audit(brute, approx, k=k, floor=0.1)
+
+
+def _recall_audit(brute: DataFrame, approx: DataFrame, k: int,
+                  floor: float) -> DataFrame:
+    """Hash-gate shape shared by the ANN recall audits: emit the BRUTE
+    top-k (oracle-recomputable in SQL) plus a per-query boolean claiming
+    the approximate operator's recall@k met the floor — TRUE everywhere
+    by construction of the probe set, so the DuckDB oracle claims a
+    literal TRUE and any operator regression hash-mismatches."""
+    approx = approx.withColumnRenamed("rank", "a_rank")
     hits = brute.join(approx, ["q_id", "neighbor_id"], "left")
     per_q = hits.groupBy("q_id").agg(
-        ((F.count("a_rank") / F.lit(float(k))) >= 0.1).alias("recall_ok")
+        ((F.count("a_rank") / F.lit(float(k))) >= floor).alias("recall_ok")
     )
     return brute.join(per_q, "q_id").select(
         "q_id", "neighbor_id", "rank", "recall_ok"
     )
+
+
+_SELF_RECALL_COSINE_ORACLE = """
+    WITH q AS (SELECT vec_id + 10000 AS q_id,
+                      CAST(embedding AS DOUBLE[]) AS q_vec
+               FROM embeddings WHERE vec_id >= 100 AND vec_id < 108),
+         scored AS (
+             SELECT q.q_id, e.vec_id,
+                    list_cosine_similarity(q.q_vec, CAST(e.embedding AS DOUBLE[])) AS cos
+             FROM embeddings e, q
+             WHERE e.vec_id <> q.q_id
+         )
+    SELECT q_id, vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank,
+           TRUE AS recall_ok
+    FROM scored
+    QUALIFY rank <= 10
+    """
+
+
+def _copy_queries(emb: DataFrame) -> DataFrame:
+    """Probe vectors that are EXACT COPIES of corpus vectors 100..107
+    (q_id offset so self-exclusion does not fire): the source vector is
+    the cosine-1.0 / distance-0 true neighbor, deterministically rank 1
+    on the brute side, and any bucketing/cell scheme assigns the copy to
+    the source's bucket — so a working approximate operator always
+    recovers it (self-recall, the FAISS sanity-check criterion)."""
+    return emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 108)
+    ).select(
+        (F.col("vec_id") + 10000).alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+
+
+@register(
+    "q_lsh_recall",
+    _SELF_RECALL_COSINE_ORACLE,
+    doc="HASHABLE self-recall audit for LSH top-k: identical vectors land "
+        "in identical hyperplane buckets, so the planted source is always "
+        "a candidate and ranks first by cosine — brute cosine side oracled "
+        "in DuckDB, per-query recall@10 >= 0.1 boolean claimed TRUE",
+)
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    k = 10
+    queries = _copy_queries(emb)
+    brute = cosine_topk(emb, queries, k=k)
+    approx = lsh_topk(emb, queries, dim=embedding_dim(spark, sf_dir), k=k)
+    return _recall_audit(brute, approx, k=k, floor=0.1)
+
+
+@register(
+    "q_ivf_recall",
+    _SELF_RECALL_COSINE_ORACLE,
+    doc="HASHABLE self-recall audit for IVF-Flat top-k: an exact copy "
+        "assigns to its source's cell, which is probed first, so the "
+        "source is always scored and ranks first by cosine — brute cosine "
+        "side oracled in DuckDB, per-query recall@10 >= 0.1 boolean",
+)
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    k = 10
+    queries = _copy_queries(emb)
+    brute = cosine_topk(emb, queries, k=k)
+    approx = ivf_topk(emb, queries, k=k, n_centroids=16, nprobe=2)
+    return _recall_audit(brute, approx, k=k, floor=0.1)
 
 
 def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
