@@ -632,3 +632,34 @@ def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
     ])
     assert n_batches >= 3  # one file admitted per trigger
     assert read_lake(spark, out_dir).count() == 30
+
+
+def test_stream_finalize_subsplits_with_write_tasks(spark, tmp_path):
+    """write_tasks in the streaming finalize: few-but-large ready ranges
+    sub-split into block-ordered -partNNNN files (encode parallelism above
+    ranges-per-batch), and the lake reads back complete and ordered."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _stage_blocks(spark, input_dir, list(range(0, 250)), 0)
+
+    opts = WriterOptions(partition_size=100, start_block=0, write_tasks=8)
+    query, sink = run_pipeline(
+        spark, input_dir, out_dir, BLOCK, ckpt, opts=opts, available_now=True
+    )
+    query.awaitTermination(120)
+
+    files = _final_files(out_dir)
+    assert any("-part" in f for f in files), files
+    by_range = {}
+    for f in files:
+        by_range.setdefault(f.split("-part")[0], []).append(f)
+    for parts in by_range.values():
+        blocks = []
+        for p in sorted(parts):
+            blocks += pq.read_table(
+                os.path.join(out_dir, p)
+            ).column("block_number").to_pylist()
+        assert blocks == sorted(blocks)  # name order == block order
+    total = sum(pq.read_table(os.path.join(out_dir, f)).num_rows for f in files)
+    assert total == 200  # ranges [0,100) and [100,200) finalized complete
