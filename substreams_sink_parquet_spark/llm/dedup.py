@@ -164,9 +164,12 @@ def _anchored_pair_arrays(groups: DataFrame, ds_col: str = "ds") -> DataFrame:
     """Chunked ordered-pair expansion of per-shingle doc lists.
 
     Input: one row per shingle with ``ds`` = array_sort'ed
-    array<struct<doc_id, n_sh>>. Output: one row per (shingle, 64-anchor
-    chunk) with ``pair_arr`` = those anchors' pairs against every LATER
-    doc in the sorted list (so doc_a < doc_b by construction).
+    array<long> of doc ids. Output: one row per (shingle, 64-anchor
+    chunk) with ``pair_arr`` = struct<doc_a, doc_b> pairs of those
+    anchors against every LATER doc in the sorted list (so
+    doc_a < doc_b by construction). Ids only — per-doc shingle counts
+    join back AFTER the pair aggregation (see ``jaccard_pairs``), which
+    halves the bytes this expansion materializes and shuffles.
 
     Why chunk at all: a shingle at the ``max_doc_freq`` guard boundary
     would flatten to ~guard²/2 structs inside ONE row before the explode —
@@ -202,10 +205,7 @@ def _anchored_pair_arrays(groups: DataFrame, ds_col: str = "ds") -> DataFrame:
                     ds, base + j + 2,
                     F.greatest(n - base - j - 1, F.lit(0)),
                 ),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"), y["doc_id"].alias("doc_b"),
-                    x["n_sh"].alias("n_a"), y["n_sh"].alias("n_b"),
-                ),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
             ),
         ))
 
@@ -235,48 +235,59 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     shingle (partitioned by shingle hash — scales with vocabulary), count
     common shingles per pair, then |A∪B| = |A|+|B|−|A∩B|.
 
-    The doc-frequency hot-key guard (``max_doc_freq``) and the per-doc
-    shingle counts are WINDOW functions over the one exploded shingle
-    stream, and candidate pairs come from a grouped per-shingle expansion
-    rather than a self-join. Rationale, in shuffle math (the dominant cost
-    at corpus scale): an agg-branch + self-join formulation recomputes the
-    explode per consumer and either force-broadcasts the non-hot shingle
-    list (essentially the whole vocabulary — an OOM at 100 TB; the round-2
-    code did exactly that) or shuffles the shingle stream twice for the
-    join — and the lambda expressions inside the explode defeat plan
-    canonicalization, so ReuseExchange never kicks in and the explode truly
-    runs twice. The grouped form is 1 explode + 4 exchanges total: window
-    df_ (by shingle), window n_sh (by doc), collect doc lists per shingle
-    (by shingle), then per-group ordered-pair expansion (array_sort on the
-    struct sorts by doc_id first, so doc_a < doc_b by construction) and one
-    map-side-combined pair aggregation. Per-ROW expansion memory is
-    bounded by the guard *linearly*, not quadratically: the expansion is
-    CHUNKED by anchor (see ``_anchored_pair_arrays``) so no single row
-    materializes more than ``_PAIR_CHUNK * max_doc_freq`` pair structs at
-    once — a shingle sitting exactly at the guard expands to ≤ 64·guard
-    structs per row across ceil(guard/64) rows, never guard²/2 structs
-    inside one task buffer.
+    Shuffle math (the dominant cost at corpus scale): ONE explode and
+    three exchanges. The per-shingle doc lists come straight from
+    ``groupBy(shingle).collect_list`` with the hot-key guard as a filter
+    on the collected list's SIZE — not a window: the earlier window-``df_``
+    + window-``n_sh`` formulation (r2-r4) pushed the whole exploded
+    shingle stream through two extra sort-based exchanges before the
+    groupBy, measured +50% on the whole query at sf0.1. The per-doc
+    post-filter shingle counts (``n_sh``) are recovered by re-exploding
+    the guarded groups into a doc-count aggregate — the groupBy's shuffle
+    is written once and read by both consumers (ReuseExchange; the agg
+    itself runs twice, cheap next to a full-stream sort) — and joined
+    back AFTER the pair aggregation as two broadcast joins of an
+    O(|docs|) two-column table, so the quadratic pair stream carries ids
+    only (half the bytes of the struct-with-counts formulation).
+    Candidate pairs come from the grouped per-shingle expansion
+    (array_sort ⇒ doc_a < doc_b by construction) with one
+    map-side-combined pair aggregation; an agg-branch + self-join
+    formulation would instead recompute the explode per consumer or
+    force-broadcast the vocabulary (an OOM at 100 TB — the round-2 code
+    did exactly that). Per-ROW expansion memory is bounded by the guard
+    *linearly*, not quadratically: the expansion is CHUNKED by anchor
+    (see ``_anchored_pair_arrays``) so no single row materializes more
+    than ``_PAIR_CHUNK * max_doc_freq`` pair structs at once — a shingle
+    sitting exactly at the guard expands to ≤ 64·guard structs per row
+    across ceil(guard/64) rows, never guard²/2 structs inside one task
+    buffer.
     ``n_sh`` counts post-filter shingles, matching the oracle's
     sizes-from-filtered-sh definition.
     """
     sh = word_shingles(spread_if_narrow(docs.select("doc_id", "text")), n=n)
-    if max_doc_freq is not None:
-        sh = (
-            sh.withColumn(
-                "df_", F.count("*").over(Window.partitionBy("shingle"))
-            )
-            .filter(F.col("df_") <= max_doc_freq)
-            .drop("df_")
-        )
-    sh = sh.withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
     groups = sh.groupBy("shingle").agg(
-        F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
     )
-    return (
+    if max_doc_freq is not None:
+        groups = groups.filter(F.size("ds") <= max_doc_freq)
+    n_sh = (
+        groups.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    )
+    pairs = (
         _anchored_pair_arrays(groups)
         .select(F.explode("pair_arr").alias("p")).select("p.*")
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
+    )
+    # NO broadcast hint on the count joins: n_sh is O(|docs|) rows — tiny
+    # at test scale (AQE broadcasts it at runtime), but a forced broadcast
+    # of a billion-doc corpus' counts would OOM the driver at 100 TB,
+    # where AQE correctly degrades these to shuffle joins on the doc id
+    na = n_sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = n_sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(na, "doc_a").join(nb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),

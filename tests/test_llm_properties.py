@@ -298,9 +298,7 @@ def test_jaccard_hot_shingle_expansion_is_row_bounded(spark):
             F.array_sort(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(n_docs - 1)),
-                    lambda i: F.struct(
-                        i.cast("long").alias("doc_id"), F.lit(10).alias("n_sh")
-                    ),
+                    lambda i: i.cast("long"),
                 )
             ).alias("ds"),
         )
