@@ -332,6 +332,7 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         embed_threshold=args.embed_threshold,
         embed_dim=args.embed_dim,
         ann_index_dir=args.ann_index,
+        input_format=args.format,
     )
     query.awaitTermination()
     n = corpus_docs(spark, args.store_url).count()
@@ -614,6 +615,10 @@ def main(argv: list[str] | None = None) -> int:
     corpus_p.add_argument("--embed-threshold", type=float, default=0.99)
     corpus_p.add_argument("--embed-dim", type=int, default=None,
                           help="embedding dimension (required with --embed-dup)")
+    corpus_p.add_argument("--format", choices=("jsonl", "warc"),
+                          default="jsonl",
+                          help="shard format: jsonl documents or WARC/WET "
+                               "crawl archives (Common Crawl shape)")
     corpus_p.add_argument("--ann-index", default=None,
                           help="existing ann-build index dir: admitted docs' "
                                "inline embeddings are appended per batch "

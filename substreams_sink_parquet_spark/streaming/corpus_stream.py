@@ -264,13 +264,19 @@ def run_corpus_pipeline(
     embed_dim: int | None = None,
     embed_planes: int = 6,
     ann_index_dir: str | None = None,
+    input_format: str = "jsonl",
 ):
-    """readStream over JSONL shards → CorpusSink.
+    """readStream over document shards → CorpusSink.
 
-    The stream is ``spark.readStream.text`` + PERMISSIVE ``from_json`` —
-    the streaming twin of ``sources.text_corpus.read_jsonl_corpus`` (same
-    schema, same quarantine semantics), so file tracking and offsets come
-    from the standard file source and the parse stays JVM-side.
+    ``input_format="jsonl"`` (default): ``spark.readStream.text`` +
+    PERMISSIVE ``from_json`` — the streaming twin of
+    ``sources.text_corpus.read_jsonl_corpus`` (same schema, same
+    quarantine semantics). ``input_format="warc"``: WARC/WET crawl shards
+    via ``sources.warc_corpus.stream_warc_corpus`` (marker-delimited
+    record split, JVM-side header parse) — structurally broken records
+    arrive with the raw record in the corrupt column and take the same
+    quarantine path. Either way file tracking and offsets come from the
+    standard file source and the parse stays JVM-side.
     """
     sink = CorpusSink(
         spark=spark, out_dir=out_dir,
@@ -280,17 +286,31 @@ def run_corpus_pipeline(
         ann_index_dir=ann_index_dir,
     )
     sink._fs.mkdirs(out_dir)
-    parsed = (
-        spark.readStream.text(input_dir)
-        .select(
-            F.from_json(
-                "value",
-                DOC_SCHEMA,
-                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
-            ).alias("__d")
+    if input_format == "warc":
+        from ..sources.warc_corpus import WARC_MARKER, parse_warc_docs
+
+        raw = spark.readStream.option("lineSep", WARC_MARKER).text(input_dir)
+        parsed = parse_warc_docs(raw, ("conversion", "response")).select(
+            "doc_id", "text", "lang", "source", "n_chars",
+            F.lit(None).cast("array<float>").alias("embedding"),
+            F.col("_corrupt_record").alias(CORRUPT_COL),
         )
-        .select("__d.*")
-    )
+    elif input_format == "jsonl":
+        parsed = (
+            spark.readStream.text(input_dir)
+            .select(
+                F.from_json(
+                    "value",
+                    DOC_SCHEMA,
+                    {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+                ).alias("__d")
+            )
+            .select("__d.*")
+        )
+    else:
+        raise ValueError(
+            f"input_format={input_format!r}: expected 'jsonl' or 'warc'"
+        )
     writer = parsed.writeStream.foreachBatch(sink.process_batch).option(
         "checkpointLocation", checkpoint_dir
     )
