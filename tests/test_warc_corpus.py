@@ -144,3 +144,40 @@ def test_warc_pipeline_end_to_end_with_quarantine(spark, tmp_path):
     }
     quar = spark.read.parquet(os.path.join(out, "_quarantine", "epoch=0"))
     assert quar.count() == 1
+
+
+def test_warc_roundtrip_property(spark, tmp_path):
+    """Property: serializing arbitrary document texts into WET shards and
+    parsing them back recovers exactly the stripped texts with distinct
+    deterministic ids. Alphabet excludes the record marker (it is the
+    split delimiter by design — a body containing it would be a new
+    record, per the format's own framing rules)."""
+    from hypothesis import given, settings, strategies as st
+
+    body = st.text(alphabet=" abcdefgh\n.,-", min_size=1, max_size=120).map(
+        lambda s: s.strip()
+    ).filter(lambda s: s)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(body, min_size=1, max_size=8))
+    def check(texts):
+        shard = ""
+        for i, t in enumerate(texts):
+            shard += (
+                "WARC/1.0\r\n"
+                "WARC-Type: conversion\r\n"
+                f"WARC-Record-ID: <urn:uuid:rec-{i}>\r\n"
+                f"WARC-Target-URI: https://x.test/{i}\r\n"
+                "\r\n"
+                f"{t}\r\n\r\n"
+            )
+        d = tmp_path / "prop"
+        d.mkdir(exist_ok=True)
+        (d / "p.warc.wet").write_text(shard)
+        clean, bad = read_warc_corpus(spark, str(d))
+        rows = clean.collect()
+        assert sorted(r.text for r in rows) == sorted(texts)
+        assert len({r.doc_id for r in rows}) == len(texts)
+        assert bad.count() == 0
+
+    check()
