@@ -5,16 +5,34 @@ downstream screen (dedup, quality, corpus builder) composes unchanged.
 Scalable parse, no Python in the loop:
 
 - **Record splitting is the file format's own marker as a custom line
-  separator** (``spark.read.option("lineSep", "WARC/1.0")``). Hadoop's
-  line reader handles delimiters that straddle HDFS/S3 split boundaries,
-  so a multi-GB WET shard parallelizes across tasks WITHOUT reading any
-  file whole — the move that makes this viable on a 100 TB crawl, where
-  a wholetext-per-file read would serialize each shard into one task.
+  separator** (``spark.read.option("lineSep", "WARC/1.")`` — the version
+  digit stays with the chunk, so WARC/1.0 and WARC/1.1 shards both
+  parse). Hadoop's line reader handles delimiters that straddle HDFS/S3
+  split boundaries, so a multi-GB WET shard parallelizes across tasks
+  WITHOUT reading any file whole — the move that makes this viable on a
+  100 TB crawl, where a wholetext-per-file read would serialize each
+  shard into one task.
+  KNOWN LIMIT of marker splitting vs the spec's Content-Length framing:
+  a record BODY containing the literal marker bytes splits there — the
+  document is truncated at the marker and the tail, lacking headers,
+  lands in quarantine (visible, not silent). In WET text extracts the
+  sequence essentially only occurs in pages about the WARC format
+  itself; exact Content-Length framing would require a sequential byte
+  reader and give up split parallelism, the wrong trade at crawl scale.
 - **Header fields are JVM-side regexp_extract**, the body a substring
   after the blank line; everything stays inside whole-stage codegen.
+  The CR-normalized copy of each record is computed ONCE in a prior
+  projection — header extraction, body slicing, and the emptiness
+  filter all reuse it (one regex pass per record, not four).
 - **Quarantine contract matches the JSONL source**: structurally broken
-  records (no WARC-Type header) come back as a separate frame with the
-  raw record text for forensics, never silently dropped.
+  records (no WARC-Type header, or a document-typed record missing its
+  mandatory WARC-Record-ID) come back as a separate frame with the raw
+  record text for forensics, never silently dropped.
+- **Raw ``response`` records** (non-WET crawls) carry an HTTP message
+  as body; the text is taken AFTER the HTTP header block's blank line,
+  so status lines and headers never pollute the document text. WET
+  ``conversion`` records — the training-data case and the default —
+  use the body as-is.
 
 ``doc_id`` is ``xxhash64`` of the WARC-Record-ID (the format's unique
 record key), making ids deterministic across re-reads and stable under
@@ -34,8 +52,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: WARC record header marker (WARC/1.1 shards use the same prefix check).
-WARC_MARKER = "WARC/1.0"
+#: Record split marker: the version-agnostic prefix, so 1.0 and 1.1
+#: shards both split (the trailing version digit stays in the chunk and
+#: is skipped by the line-anchored header regexes).
+WARC_MARKER = "WARC/1."
 
 
 def parse_warc_docs(raw: DataFrame,
@@ -48,29 +68,52 @@ def parse_warc_docs(raw: DataFrame,
     the streaming corpus path feeds this straight into CorpusSink's
     quarantine split, which would otherwise union two filtered branches
     of the same file source and read every shard twice per batch."""
-    v = F.col("value")
-    # header block = up to the first blank line; WARC mandates CRLF but
-    # hand-made fixtures (and some extractors) emit LF — accept both by
-    # normalizing CR away before any splitting
-    norm = F.regexp_replace(v, "\r", "")
-    headers = F.substring_index(norm, "\n\n", 1)
-    body = F.expr(
-        "substring(regexp_replace(value, '\r', ''), "
-        "length(substring_index(regexp_replace(value, '\r', ''), '\n\n', 1)) + 3)"
+    # the CR-normalized record is computed ONCE here; every downstream
+    # expression (header block, body slice, emptiness check) reuses the
+    # projected column instead of re-running the regex per consumer.
+    # WARC mandates CRLF but hand-made fixtures (and some extractors)
+    # emit LF — normalizing CR away accepts both.
+    normed = raw.select(
+        F.regexp_replace("value", "\r", "").alias("norm"),
+        F.col("value").alias("_raw"),
+    ).filter(
+        # delimiter artifacts (the empty chunk before a file's first
+        # marker, a trailing marker): whitespace-only once normalized.
+        # translate is a per-char map — no regex pass.
+        F.trim(F.translate("norm", "\n\t", "  ")) != ""
     )
-    rec = raw.select(
+    headers = F.substring_index(F.col("norm"), "\n\n", 1)
+    body = F.expr(
+        "substring(norm, length(substring_index(norm, '\n\n', 1)) + 3)"
+    )
+    rec = normed.select(
         F.regexp_extract(headers, r"(?m)^WARC-Type:\s*(\S+)", 1).alias("warc_type"),
         F.regexp_extract(headers, r"(?m)^WARC-Record-ID:\s*<?([^>\s]+)", 1).alias("record_id"),
         F.regexp_extract(headers, r"(?m)^WARC-Target-URI:\s*(\S+)", 1).alias("uri"),
         F.regexp_extract(headers, r"(?m)^WARC-Identified-Content-Language:\s*(\S+)", 1).alias("lang_hdr"),
+        body.alias("body"),
+        "_raw",
+    )
+    # a raw crawl's `response` record body is an HTTP message: the
+    # document text starts after the HTTP header block's blank line
+    # (status line + headers are protocol framing, not training text)
+    payload = F.when(
+        F.col("warc_type") == "response",
+        F.expr("substring(body, length(substring_index(body, '\n\n', 1)) + 3)"),
+    ).otherwise(F.col("body"))
+    rec = rec.select(
+        "warc_type", "record_id", "uri", "lang_hdr", "_raw",
         # trim() strips spaces only — record bodies end in newlines, so
         # strip all leading/trailing whitespace classes explicitly
-        F.regexp_replace(F.regexp_replace(body, r"^\s+", ""), r"\s+$", "")
+        F.regexp_replace(F.regexp_replace(payload, r"^\s+", ""), r"\s+$", "")
         .alias("text"),
-        v.alias("_raw"),
-    ).filter(F.regexp_replace(v, r"\s", "") != "")  # delimiter artifacts
-    is_doc = F.col("warc_type").isin(*record_types) & (F.col("record_id") != "")
-    is_broken = F.col("warc_type") == ""
+    )
+    is_doctype = F.col("warc_type").isin(*record_types)
+    is_doc = is_doctype & (F.col("record_id") != "")
+    # broken = headerless chunk (incl. the tail of a marker-in-body
+    # split) OR a document record missing its spec-mandatory id —
+    # both must surface for forensics, never vanish
+    is_broken = (F.col("warc_type") == "") | (is_doctype & (F.col("record_id") == ""))
     return rec.filter(is_doc | is_broken).select(
         F.when(is_doc, F.xxhash64("record_id")).alias("doc_id"),
         F.when(is_doc, F.col("text")).alias("text"),
@@ -96,12 +139,14 @@ def _parse_records(raw: DataFrame, record_types: tuple[str, ...]):
 def read_warc_corpus(
     spark: SparkSession,
     path: str,
-    record_types: tuple[str, ...] = ("conversion", "response"),
+    record_types: tuple[str, ...] = ("conversion",),
 ) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantined) from WARC/WET shards under ``path``.
 
     ``record_types``: which WARC record types are documents — WET text
-    extracts use ``conversion``; raw crawls use ``response``. Metadata
+    extracts use ``conversion`` (the default: the training-data case);
+    raw crawls opt into ``response``, whose HTTP payload may be
+    compressed binary a real pipeline must decode upstream. Metadata
     records (``warcinfo``, ``request``, ``metadata``) are format
     framing, not documents, and are dropped (they are well-formed, so
     they are NOT quarantine material)."""
@@ -112,7 +157,7 @@ def read_warc_corpus(
 def stream_warc_corpus(
     spark: SparkSession,
     path: str,
-    record_types: tuple[str, ...] = ("conversion", "response"),
+    record_types: tuple[str, ...] = ("conversion",),
 ) -> tuple[DataFrame, DataFrame]:
     """Streaming twin of :func:`read_warc_corpus` — same parse over
     ``readStream`` file tracking, for feeding ``CorpusSink`` with crawl

@@ -290,7 +290,7 @@ def run_corpus_pipeline(
         from ..sources.warc_corpus import WARC_MARKER, parse_warc_docs
 
         raw = spark.readStream.option("lineSep", WARC_MARKER).text(input_dir)
-        parsed = parse_warc_docs(raw, ("conversion", "response")).select(
+        parsed = parse_warc_docs(raw, ("conversion",)).select(
             "doc_id", "text", "lang", "source", "n_chars",
             F.lit(None).cast("array<float>").alias("embedding"),
             F.col("_corrupt_record").alias(CORRUPT_COL),
@@ -323,7 +323,6 @@ def run_corpus_pipeline(
 
 # -- index maintenance ------------------------------------------------------
 
-_MANIFEST = "_MERGED.json"
 COMPACTED_EPOCH = -1
 
 
@@ -385,8 +384,6 @@ def compact_index(spark: SparkSession, out_dir: str, min_epochs: int = 2) -> boo
     ``_compact`` first; the commit phase (delete sources, rename into
     place) is idempotent and re-runnable via ``recover_index_compact``,
     which is also invoked automatically here."""
-    import json
-
     fs = HadoopFS(spark, out_dir)
     recover_index_compact(fs, out_dir)
     did = False

@@ -291,14 +291,14 @@ def compact_rollup(
     from ..foldswap import write_fold_manifest
 
     write_fold_manifest(fs, tmp, epochs)
-    _commit_rollup_merge(fs, rollup_dir, tmp, epochs)
+    _commit_rollup_merge(fs, rollup_dir, epochs)
     return len(epochs)
 
 
-def _commit_rollup_merge(fs: HadoopFS, rollup_dir: str, tmp: str, srcs) -> None:
+def _commit_rollup_merge(fs: HadoopFS, rollup_dir: str, srcs) -> None:
     """Idempotent swap via the shared protocol (``foldswap.commit_fold``):
-    delete sources, rename tmp (manifest still inside) into ``epoch=-1``,
-    THEN drop the manifest from its destination."""
+    delete sources, rename ``_merge_tmp`` (manifest still inside) into
+    ``epoch=-1``, THEN drop the manifest from its destination."""
     from ..foldswap import commit_fold
 
     commit_fold(fs, rollup_dir, "_merge_tmp", list(srcs))
@@ -364,6 +364,7 @@ def retract_rollup(
         rebuilt = rebuilt.unionByName(p)
     tmp = url_join(rollup_dir, "_merge_tmp")
     rebuilt.coalesce(1).write.mode("overwrite").parquet(tmp)
-    fs.write_bytes(url_join(tmp, "_MERGED.json"),
-                   json.dumps({"sources": epochs}).encode())
-    _commit_rollup_merge(fs, rollup_dir, tmp, epochs)
+    from ..foldswap import write_fold_manifest
+
+    write_fold_manifest(fs, tmp, epochs)
+    _commit_rollup_merge(fs, rollup_dir, epochs)

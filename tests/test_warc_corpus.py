@@ -181,3 +181,37 @@ def test_warc_roundtrip_property(spark, tmp_path):
         assert bad.count() == 0
 
     check()
+
+
+def test_warc_1_1_and_response_and_missing_id(spark, tmp_path):
+    """Review findings r5: WARC/1.1 shards must parse (version-agnostic
+    marker); a raw `response` record's text starts after the HTTP header
+    block; a document-typed record missing its mandatory record id is
+    QUARANTINED (not silently dropped)."""
+    shard = (
+        "WARC/1.1\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: https://x.test/page\r\n"
+        "WARC-Record-ID: <urn:uuid:resp-1>\r\n"
+        "\r\n"
+        "HTTP/1.1 200 OK\r\n"
+        "Content-Type: text/html\r\n"
+        "\r\n"
+        "actual page payload text\r\n"
+        "\r\n"
+        "WARC/1.1\r\n"
+        "WARC-Type: conversion\r\n"
+        "\r\n"
+        "doc with no record id must be quarantined\r\n"
+    )
+    d = tmp_path / "warc11"
+    d.mkdir()
+    (d / "s.warc").write_text(shard)
+    clean, bad = read_warc_corpus(spark, str(d), record_types=("response", "conversion"))
+    rows = clean.collect()
+    assert len(rows) == 1
+    assert rows[0].text == "actual page payload text"  # no HTTP framing
+    assert rows[0].source == "https://x.test/page"
+    quarantined = bad.collect()
+    assert len(quarantined) == 1
+    assert "no record id" in quarantined[0].corrupt_record
