@@ -1284,6 +1284,252 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- exact substring dedup: duplicated-SPAN detection + removal ------------
+#
+# q_dedup_substring above inventories recurring grams; these two operators
+# finish the published ExactSubstr pipeline (train-data dedup literature:
+# find every substring shared across documents, merge overlapping hits
+# into maximal spans, and cut the spans out of the text). The reference
+# sink has no analytics surface — parity target is the training-pipeline
+# brief.
+
+
+def _dup_gram_positions(docs: DataFrame, n: int, min_docs: int) -> DataFrame:
+    """(doc_id, total_words, pos) of every word ``n``-gram occurrence whose
+    gram recurs across >= ``min_docs`` distinct documents.
+
+    100 TB shape: grams are md5'd BEFORE any shuffle, so the exchange key
+    is a fixed 32-byte digest instead of an ~8-word string (the gram text
+    never leaves the map side). The positions frame feeds two consumers —
+    the recurring-gram aggregate and the join back. When the duplicated
+    set is small (boilerplate-light corpora, small SF) AQE broadcasts it
+    and the join side stays map-only (the explode re-runs, cheap map
+    work); when it is large both sides shuffle on ``h`` and the
+    positions Exchange is shared (ReuseExchange — identical subplans),
+    the one-shuffle-two-consumers shape jaccard_pairs uses. No driver
+    collects either way; the duplicated-gram set stays distributed (it
+    scales with corpus boilerplate, not with a broadcast budget)."""
+    words = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.md5(F.array_join(F.slice(words, i + 1, n), " ")),
+    )
+    pos = docs.select(
+        "doc_id",
+        F.size(words).alias("total_words"),
+        F.posexplode(
+            F.when(F.size(words) >= n, grams).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("pos", "h"),
+    )
+    dup = (
+        pos.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    return pos.join(dup, "h").select("doc_id", "total_words", "pos")
+
+
+def duplicated_spans(docs: DataFrame, n: int = 8, min_docs: int = 2) -> DataFrame:
+    """Per-document merged duplicated-span stats: ``n_dup_spans`` maximal
+    spans (overlapping/touching duplicated ``n``-gram hits coalesced),
+    ``dup_words`` words covered, ``total_words``. Only documents with at
+    least one duplicated span appear.
+
+    The merge is a single scalar-state fold over the doc's sorted hit
+    positions — state (spans, covered, prev_end), one pass, no interval
+    array materialized — inside ONE groupBy(doc_id) aggregation, so the
+    whole operator is: explode, gram agg, join (shuffle-shared with the
+    agg), one doc_id agg. Every count is exact integer arithmetic
+    (hash-stable vs the oracle; no float accumulation)."""
+    hits = _dup_gram_positions(docs.select("doc_id", "text"), n, min_docs)
+    ps = F.array_sort(F.collect_list("pos"))
+    fold = F.aggregate(
+        ps,
+        F.struct(
+            F.lit(0).alias("k"), F.lit(0).alias("d"), F.lit(-1).alias("e")
+        ),
+        lambda acc, x: F.when(
+            x > acc["e"],  # gap: a new span [x, x+n)
+            F.struct(
+                (acc["k"] + 1).alias("k"),
+                (acc["d"] + n).alias("d"),
+                (x + n).alias("e"),
+            ),
+        ).otherwise(  # overlap/touch: extend the open span to x+n
+            F.struct(
+                acc["k"].alias("k"),
+                (acc["d"] + x + n - acc["e"]).alias("d"),
+                (x + n).alias("e"),
+            )
+        ),
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.first("total_words").alias("tw"), fold.alias("f"))
+        .select(
+            "doc_id",
+            F.col("f.k").cast("long").alias("n_dup_spans"),
+            F.col("f.d").cast("long").alias("dup_words"),
+            F.col("tw").cast("long").alias("total_words"),
+        )
+    )
+
+
+def _merged_span_arrays(hits: DataFrame, n: int) -> DataFrame:
+    """(doc_id, spans) with ``spans`` = array<struct<s,e>> of merged
+    half-open word-index intervals, from the per-doc sorted hit fold."""
+    empty = F.array().cast("array<struct<s:int,e:int>>")
+    ps = F.array_sort(F.collect_list("pos"))
+    last = lambda acc: F.try_element_at(acc, F.lit(-1))  # noqa: E731
+    fold = F.aggregate(
+        ps,
+        empty,
+        lambda acc, x: F.when(
+            (F.size(acc) == 0) | (x > last(acc)["e"]),
+            F.concat(acc, F.array(F.struct(x.alias("s"), (x + n).alias("e")))),
+        ).otherwise(
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last(acc)["s"].alias("s"), (x + n).alias("e")
+                    )
+                ),
+            )
+        ),
+    )
+    return hits.groupBy("doc_id").agg(fold.alias("spans"))
+
+
+def remove_duplicated_spans(
+    docs: DataFrame, n: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """ExactSubstr REMOVAL: every document with cross-document duplicated
+    spans cut out (word-level; single-space rejoin). All documents appear —
+    span-free ones pass through with their text intact.
+
+    The cut is per-row array logic (filter words whose index falls in a
+    merged span), so beyond :func:`duplicated_spans`'s three exchanges the
+    only addition is the doc_id join of the span arrays back to the
+    corpus — no extra pass over the text, no Python in the loop."""
+    hits = _dup_gram_positions(docs.select("doc_id", "text"), n, min_docs)
+    spans = _merged_span_arrays(hits, n)
+    no_spans = F.array().cast("array<struct<s:int,e:int>>")
+    sp = F.coalesce(F.col("spans"), no_spans)
+    words = F.split("text", " ")
+    kept = F.filter(
+        F.transform(words, lambda w, j: F.struct(w.alias("w"), j.alias("j"))),
+        lambda t: ~F.exists(
+            sp, lambda s: (t["j"] >= s["s"]) & (t["j"] < s["e"])
+        ),
+    )
+    return docs.join(spans, "doc_id", "left").select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda t: t["w"]), " ").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_words_kept"),
+    )
+
+
+_SUBSTR_POS_CTE = """
+    WITH pos0 AS (
+        SELECT doc_id,
+               len(str_split(text, ' ')) AS nw,
+               UNNEST(list_transform(
+                   range(len(str_split(text, ' ')) - 7),
+                   i -> struct_pack(
+                       p := i,
+                       h := md5(array_to_string(
+                           str_split(text, ' ')[i+1:i+8], ' '))
+                   )
+               )) AS u
+        FROM documents
+    ),
+    pos AS (SELECT doc_id, nw, u.p AS p, u.h AS h FROM pos0),
+    dup AS (
+        SELECT h FROM pos GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT pos.doc_id, pos.nw, pos.p FROM pos JOIN dup USING (h)),
+    isl AS (
+        SELECT doc_id, nw, p,
+               CASE WHEN LAG(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                         OR p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+                    THEN 1 ELSE 0 END AS new_island
+        FROM hits
+    ),
+    grp AS (
+        SELECT doc_id, nw, p,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY p) AS gid
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, ANY_VALUE(nw) AS nw, gid,
+               MIN(p) AS s, MAX(p) + 8 AS e
+        FROM grp GROUP BY doc_id, gid
+    )
+"""
+
+
+@register(
+    "q_dedup_substring_spans",
+    _SUBSTR_POS_CTE + """
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(e - s) AS BIGINT) AS dup_words,
+           CAST(ANY_VALUE(nw) AS BIGINT) AS total_words
+    FROM spans GROUP BY doc_id
+    """,
+    doc="ExactSubstr span detection: duplicated word-8-gram hits merged "
+        "into maximal per-document spans (gaps-and-islands in the oracle; "
+        "a single scalar-state array fold in Spark), exact integer span/"
+        "coverage counts per document. Explode + one gram aggregation + "
+        "a join back (AQE-broadcast when the dup set is small, shuffle-"
+        "shared otherwise) + one doc_id aggregation; grams md5'd map-side "
+        "so the shuffle carries 32-byte digests, not gram text",
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_if_narrow(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return duplicated_spans(docs, n=8, min_docs=2)
+
+
+@register(
+    "q_dedup_substring_clean",
+    _SUBSTR_POS_CTE + """,
+    allw AS (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   range(len(str_split(text, ' '))),
+                   j -> struct_pack(j := j, wd := str_split(text, ' ')[j+1])
+               )) AS u
+        FROM documents
+    ),
+    aw AS (SELECT doc_id, u.j AS j, u.wd AS wd FROM allw),
+    kept AS (
+        SELECT a.doc_id, a.j, a.wd
+        FROM aw a LEFT JOIN spans s
+          ON a.doc_id = s.doc_id AND a.j >= s.s AND a.j < s.e
+        WHERE s.doc_id IS NULL
+    )
+    SELECT d.doc_id,
+           COALESCE(string_agg(k.wd, ' ' ORDER BY k.j), '') AS clean_text,
+           CAST(COUNT(k.j) AS BIGINT) AS n_words_kept
+    FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    GROUP BY d.doc_id
+    """,
+    doc="ExactSubstr span REMOVAL: the full published pipeline — every "
+        "document re-emitted with cross-document duplicated spans cut out "
+        "(word-level, single-space rejoin), span-free documents passing "
+        "through intact. Spark cuts with per-row array filters against the "
+        "merged span array (no extra text pass); the oracle reconstructs "
+        "via an anti-join of word positions against spans",
+)
+def q_dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_if_narrow(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return remove_duplicated_spans(docs, n=8, min_docs=2)
+
+
 # -- Benchmark decontamination ---------------------------------------------
 
 

@@ -378,3 +378,66 @@ def test_greedy_reject_matches_sequential_simulation():
                 admitted.add(d)
         expect_rejected = set(ids) - admitted
         assert _greedy_reject(pairs) == expect_rejected, f"seed={seed}"
+
+
+def test_substring_span_removal_cuts_planted_boilerplate(spark):
+    """ExactSubstr end-to-end on planted data: a shared 10-word license
+    header recurring in two docs is detected as ONE merged span in each
+    (overlapping 8-gram hits coalesced), removed from both, and a
+    boilerplate-free doc passes through byte-identical. Stats and removal
+    must agree: words_kept == total_words - dup_words."""
+    from substreams_sink_parquet_spark.llm.dedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    boiler = "this text is licensed under the sample license terms v1"  # 10 words
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "iota kappa " + boiler + " lambda mu nu xi omicron pi rho"),
+            (3, "unique words only here nothing shared across any document at all"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {r.doc_id: r for r in duplicated_spans(docs, n=8).collect()}
+    assert set(spans) == {1, 2}
+    for d in (1, 2):
+        assert spans[d].n_dup_spans == 1  # overlapping hits merged
+        assert spans[d].dup_words == 10  # exactly the planted header
+    clean = {r.doc_id: r for r in remove_duplicated_spans(docs, n=8).collect()}
+    assert clean[1].clean_text == "alpha beta gamma delta epsilon zeta eta theta"
+    assert clean[2].clean_text == "iota kappa lambda mu nu xi omicron pi rho"
+    assert clean[3].clean_text == docs.filter("doc_id = 3").first().text
+    for d in (1, 2):
+        total = len(docs.filter(f"doc_id = {d}").first().text.split(" "))
+        assert clean[d].n_words_kept == total - spans[d].dup_words
+
+
+def test_substring_spans_merge_and_multi_span(spark):
+    """Two separated duplicated regions in one doc stay TWO spans (the
+    gap survives the merge); a doc made entirely of one duplicated
+    region reports full coverage and empties on removal."""
+    from substreams_sink_parquet_spark.llm.dedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    a = "a1 a2 a3 a4 a5 a6 a7 a8"  # 8 words: exactly one 8-gram
+    b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = spark.createDataFrame(
+        [
+            (1, a + " gapword1 gapword2 " + b),
+            (2, a),
+            (3, b + " tailword"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {r.doc_id: r for r in duplicated_spans(docs, n=8).collect()}
+    assert spans[1].n_dup_spans == 2 and spans[1].dup_words == 16
+    assert spans[2].n_dup_spans == 1 and spans[2].dup_words == 8
+    assert spans[2].total_words == 8
+    clean = {r.doc_id: r for r in remove_duplicated_spans(docs, n=8).collect()}
+    assert clean[1].clean_text == "gapword1 gapword2"
+    assert clean[2].clean_text == "" and clean[2].n_words_kept == 0
+    assert clean[3].clean_text == "tailword"
