@@ -692,3 +692,211 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(ln.cast("double"), F.lit(0.9)).alias("p90_chars"),
         F.sum(F.when(n_words >= 30, 1).otherwise(0)).cast("long").alias("n_min_length"),
     )
+
+
+# -- lexical retrieval: Okapi BM25 -----------------------------------------
+
+
+def bm25_scores(docs: DataFrame, query_terms: list[str],
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 score of every document against a seed query — the
+    lexical-retrieval primitive corpus curation leans on (seed-similarity
+    selection, retrieval-based decontamination, eval-set mining). The
+    reference sink has no analytics surface; parity target is the
+    training-pipeline brief.
+
+    100 TB shape — NO per-term explode of the corpus: the query is a tiny
+    literal, so per-document term frequencies are map-only array HOFs
+    over the token array (one pass per doc, whole-stage codegen). The
+    only aggregates are |terms|-row document-frequency counts and a
+    1-row (N, avgdl) corpus stat, both broadcast back; the quadratic
+    "score every doc" stage is embarrassingly map-only. Per-term score
+    contributions are rounded and decimal-summed so the result is
+    accumulation-order independent (hash-stable vs the oracle).
+    """
+    words = F.split("text", " ")
+    toks = docs.select("doc_id", words.alias("w"), F.size(words).alias("dl"))
+    tf_cols = [
+        F.size(F.filter(F.col("w"), lambda x: x == F.lit(t))).alias(f"tf_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    tf = toks.select("doc_id", "dl", *tf_cols)
+    # document frequency per query term + corpus stats: two tiny aggs,
+    # broadcast back onto the map-only scoring pass
+    df_agg = tf.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = tf.crossJoin(F.broadcast(df_agg))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    norm = F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / avgdl)
+
+    def term(i: int):
+        tfi = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        contrib = idf * tfi * F.lit(k1 + 1.0) / (tfi + norm)
+        return F.round(contrib, 9).cast("decimal(20,9)")
+
+    total = term(0)
+    for i in range(1, len(query_terms)):
+        total = total + term(i)
+    return scored.select(
+        "doc_id",
+        F.round(total.cast("double"), 6).alias("bm25"),
+        F.col("dl").cast("long").alias("n_words"),
+    )
+
+
+_BM25_TERMS = ("spark", "merge", "join", "fast")
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS w,
+               len(str_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, dl, q.term,
+               len(list_filter(w, x -> x = q.term)) AS tf
+        FROM toks, (SELECT UNNEST([{terms}]) AS term) q
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM toks),
+    dfs AS (
+        SELECT term, SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+        FROM tf GROUP BY term
+    ),
+    contrib AS (
+        SELECT tf.doc_id, tf.dl,
+               CAST(ROUND(
+                   LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * CAST(tf AS DOUBLE) * 2.2
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * dl
+                               / (CAST(sum_dl AS DOUBLE) / n_docs))),
+                   9) AS DECIMAL(20,9)) AS c
+        FROM tf JOIN dfs USING (term) CROSS JOIN stats
+    )
+    SELECT doc_id,
+           ROUND(CAST(SUM(c) AS DOUBLE), 6) AS bm25,
+           CAST(ANY_VALUE(dl) AS BIGINT) AS n_words
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 25
+    """
+
+
+@register(
+    "q_text_bm25",
+    _bm25_oracle(),
+    doc="BM25 seed-query retrieval: top-25 documents for a fixed 4-term "
+        "query (k1=1.2, b=0.75, Lucene-style +1-inside-log idf). "
+        "Map-only per-doc term frequencies (query terms are literals — "
+        "no corpus explode), |terms|-row df agg + 1-row corpus stats "
+        "broadcast back, TakeOrdered top-k; per-term contributions "
+        "rounded to 9 decimals and decimal-summed for order-independent "
+        "scores",
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = bm25_scores(docs, list(_BM25_TERMS))
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(25)
+
+
+# -- winnowing document fingerprints ---------------------------------------
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 12, w: int = 4) -> DataFrame:
+    """Winnowing fingerprint selection (the published local fingerprinting
+    algorithm behind plagiarism/overlap detectors): hash every character
+    ``k``-gram, slide a window of ``w`` consecutive hashes, keep each
+    window's minimum — any shared substring of length >= k + w - 1 between
+    two documents is GUARANTEED to share a selected fingerprint, at ~2/(w+1)
+    the density of the full k-gram set.
+
+    Entirely map-only — per-row array HOFs, zero shuffles: the selected
+    set is emitted as an exact count + a sorted-join digest (catalog
+    convention: arrays never leave stringified). Hash = first 8 hex chars
+    of md5 (engine-portable; lexicographic min on hex strings is a
+    uniform random min). At 100 TB this is a pure scan-side pass whose
+    output is O(docs), the index a downstream overlap join buckets on."""
+    n_grams = F.length("text") - k + 1
+    h = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.substring(F.md5(F.col("text").substr(i + 1, F.lit(k))), 1, 8),
+    )
+    hs = F.col("h")
+    mins = F.transform(
+        F.sequence(F.lit(0), F.size(hs) - w),
+        lambda j: F.array_min(F.slice(hs, j + 1, w)),
+    )
+    fps = F.array_sort(
+        F.array_distinct(
+            F.when(F.size(hs) >= w, mins)
+            .when(F.size(hs) > 0, F.array(F.array_min(hs)))
+            .otherwise(F.array().cast("array<string>"))
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.when(n_grams > 0, h).otherwise(F.array().cast("array<string>")).alias("h"),
+        )
+        .select("doc_id", fps.alias("fps"))
+        .select(
+            "doc_id",
+            F.size("fps").cast("long").alias("n_fingerprints"),
+            F.md5(F.array_join("fps", ",")).alias("fp_digest"),
+        )
+    )
+
+
+@register(
+    "q_text_winnow",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN length(text) - 11 > 0
+                    THEN list_transform(
+                        range(length(text) - 11),
+                        i -> substr(md5(substr(text, i + 1, 12)), 1, 8))
+                    ELSE [] END AS h
+        FROM documents
+    ),
+    sel AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   CASE WHEN len(h) >= 4
+                        THEN list_transform(
+                            range(len(h) - 3),
+                            j -> list_aggregate(h[j+1:j+4], 'min'))
+                        WHEN len(h) > 0
+                        THEN [list_aggregate(h, 'min')]
+                        ELSE [] END
+               )) AS fps
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           md5(array_to_string(fps, ',')) AS fp_digest
+    FROM sel
+    """,
+    doc="Winnowing fingerprint selection (k=12, w=4): window-min of char "
+        "k-gram hashes, guaranteeing any shared substring of length >= 15 "
+        "surfaces in both documents' fingerprint sets. Map-only, zero "
+        "shuffles; exact count + sorted-join digest per document",
+)
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_fingerprints(docs, k=12, w=4)

@@ -4,6 +4,8 @@ quarantined with the raw text — one shared scan, job never aborts."""
 import json
 import os
 
+import pytest
+
 from substreams_sink_parquet_spark.sources.text_corpus import (
     CORRUPT_COL,
     read_jsonl_corpus,
@@ -608,3 +610,77 @@ def test_pathological_pair_cap_falls_back_conservatively(spark, monkeypatch):
     assert run() == {1, 3}                      # exact greedy path
     monkeypatch.setattr(dedup_mod, "_MAX_EXACT_PAIRS", 1)
     assert run() == {1}                         # fallback: over-rejects C
+
+
+def test_bm25_matches_reference_formula(spark):
+    """bm25_scores must equal a plain-Python Okapi BM25 computed on the
+    same tiny corpus (k1=1.2, b=0.75, +1-inside-log idf), and rank a
+    term-dense doc above a sparse one; term-free docs score 0."""
+    import math
+
+    from substreams_sink_parquet_spark.llm.text import bm25_scores
+
+    corpus = {
+        1: "spark merge join fast spark merge join",
+        2: "spark alone among many other plain filler words here",
+        3: "nothing relevant in this document at all whatsoever",
+    }
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["spark", "merge", "join", "fast"]).collect()}
+
+    toks = {d: t.split(" ") for d, t in corpus.items()}
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    expect = {}
+    for d, w in toks.items():
+        s = 0.0
+        for t in ("spark", "merge", "join", "fast"):
+            tf = w.count(t)
+            df = sum(1 for ww in toks.values() if t in ww)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(w) / avgdl)), 9)
+        expect[d] = round(s, 6)
+    assert got == pytest.approx(expect, abs=1e-6)
+    assert got[1] > got[2] > got[3] == 0.0
+
+
+def test_winnowing_guarantee_on_shared_substring(spark):
+    """The winnowing guarantee: documents sharing a substring of length
+    >= k + w - 1 MUST share at least one selected fingerprint. Density:
+    far fewer fingerprints than k-grams."""
+    from substreams_sink_parquet_spark.llm.text import winnow_fingerprints
+
+    k, w = 12, 4
+    shared = "the quick brown fox jumps over the lazy dog today"  # >> k+w-1
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words here " + shared + " and unique tail one"),
+            (2, "totally different opening text " + shared + " other ending"),
+            (3, "no overlap with anything else in this corpus entry"),
+        ],
+        "doc_id long, text string",
+    )
+    # recompute the selected SETS (not just the digest) via the same API
+    # internals: two docs sharing the substring must intersect
+    from pyspark.sql import functions as F
+
+    n_grams = F.length("text") - k + 1
+    h = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.substring(F.md5(F.col("text").substr(i + 1, F.lit(k))), 1, 8),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("h")) - w),
+        lambda j: F.array_min(F.slice(F.col("h"), j + 1, w)),
+    )
+    sets = {
+        r.doc_id: set(r.fps)
+        for r in docs.select("doc_id", h.alias("h"))
+        .select("doc_id", F.array_distinct(mins).alias("fps"))
+        .collect()
+    }
+    assert sets[1] & sets[2], "shared substring must share a fingerprint"
+    assert not (sets[1] & sets[3] and sets[2] & sets[3])
+    out = {r.doc_id: r for r in winnow_fingerprints(docs, k=k, w=w).collect()}
+    text_len = len("prefix words here " + shared + " and unique tail one")
+    assert out[1].n_fingerprints < (text_len - k + 1) / 2  # density win
