@@ -437,3 +437,147 @@ def export_training_shards(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+
+
+# -- DSIR: importance-weighted data selection -------------------------------
+
+_DSIR_B = 4096  # hashed n-gram feature buckets
+
+
+def _bucket(tok) -> F.Column:
+    """Engine-portable feature hash: first 8 md5 hex chars as an int,
+    mod the bucket count (verified bit-identical to DuckDB's
+    ``('0x'||substr(md5(t),1,8))::UBIGINT``)."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % _DSIR_B
+    )
+
+
+def dsir_logweights(docs: DataFrame, is_target: F.Column) -> DataFrame:
+    """Importance weights for data selection with importance resampling
+    (the published DSIR recipe): fit bag-of-hashed-n-gram unigram models
+    over a TARGET slice and the RAW corpus, and score every document with
+    log p_target(x) − log p_raw(x). High scores = raw documents that look
+    like the target domain — the standard way to carve a domain-matched
+    subcorpus out of a web-scale crawl.
+
+    Features are word unigrams + bigrams hashed into ``_DSIR_B`` buckets
+    (md5-based — deterministic across engines/runs); both models are
+    Laplace-smoothed bucket multinomials. 100 TB shape: one explode →
+    per-(doc, bucket) count shuffle; the two models are a ``_DSIR_B``-row
+    aggregate OF those counts (second, tiny exchange) broadcast back onto
+    them; the final per-doc sum shuffles reduced counts, never tokens.
+    Per-bucket contributions are rounded and decimal-summed so scores are
+    accumulation-order independent (hash-stable)."""
+    words = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
+    )
+    toks = docs.select(
+        "doc_id",
+        is_target.alias("is_t"),
+        F.explode(
+            F.when(F.size(words) >= 2, F.concat(words, bigrams)).otherwise(words)
+        ).alias("tok"),
+    )
+    per_doc = toks.groupBy("doc_id", F.col("is_t"), _bucket(F.col("tok")).alias("b")).agg(
+        F.count("*").alias("n")
+    )
+    model = per_doc.groupBy("b").agg(
+        F.sum("n").alias("c_raw"),
+        F.sum(F.when(F.col("is_t"), F.col("n")).otherwise(0)).alias("c_t"),
+    )
+    totals = model.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_t").alias("t_t")
+    )
+    joined = per_doc.join(F.broadcast(model), "b").crossJoin(F.broadcast(totals))
+    lr = F.log(
+        (F.col("c_t") + F.lit(1)).cast("double")
+        / (F.col("t_t") + F.lit(_DSIR_B)).cast("double")
+    ) - F.log(
+        (F.col("c_raw") + F.lit(1)).cast("double")
+        / (F.col("t_raw") + F.lit(_DSIR_B)).cast("double")
+    )
+    contrib = F.round(F.col("n") * lr, 9).cast("decimal(24,9)")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("is_t")).alias("is_target"),
+            F.sum("n").cast("long").alias("n_features"),
+            F.round(F.sum(contrib).cast("double"), 6).alias("dsir_logw"),
+        )
+    )
+
+
+def dsir_select(docs: DataFrame, is_target: F.Column, k: int,
+                temperature: float = 1.0, seed: int = 42) -> DataFrame:
+    """Gumbel top-k importance RESAMPLING over :func:`dsir_logweights`
+    (sampling without replacement ∝ exp(logw / temperature)): adds a
+    deterministic hash-derived Gumbel to each scaled log-weight and keeps
+    the top ``k`` non-target documents. Hash randomness (md5 of
+    doc_id:seed) makes the draw reproducible across engines, runs, and
+    parallelism — the same property every other sampler in this module
+    guarantees. TakeOrdered top-k; no extra shuffles beyond the scorer."""
+    lw = dsir_logweights(docs, is_target)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.lit(seed))), 1, 8),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    gumbel = -F.log(-F.log(u + F.lit(1e-12)))
+    key = F.col("dsir_logw") / F.lit(temperature) + gumbel
+    return (
+        lw.filter(~F.col("is_target"))
+        .select("doc_id", "dsir_logw", key.alias("gumbel_key"))
+        .orderBy(F.col("gumbel_key").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+@register(
+    "q_sample_dsir",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang = 'fr' AS is_t,
+               UNNEST(list_concat(
+                   str_split(text, ' '),
+                   list_transform(
+                       range(len(str_split(text, ' ')) - 1),
+                       i -> str_split(text, ' ')[i+1] || ' ' || str_split(text, ' ')[i+2]
+                   )
+               )) AS tok
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, is_t,
+               (('0x' || substr(md5(tok), 1, 8))::UBIGINT % {_DSIR_B})::BIGINT AS b,
+               COUNT(*) AS n
+        FROM toks GROUP BY doc_id, is_t, b
+    ),
+    model AS (
+        SELECT b, SUM(n) AS c_raw, SUM(CASE WHEN is_t THEN n ELSE 0 END) AS c_t
+        FROM per_doc GROUP BY b
+    ),
+    totals AS (SELECT SUM(c_raw) AS t_raw, SUM(c_t) AS t_t FROM model)
+    SELECT doc_id,
+           ANY_VALUE(is_t) AS is_target,
+           CAST(SUM(n) AS BIGINT) AS n_features,
+           ROUND(CAST(SUM(CAST(ROUND(
+               n * (LN((c_t + 1) / (CAST(t_t AS DOUBLE) + {_DSIR_B}))
+                    - LN((c_raw + 1) / (CAST(t_raw AS DOUBLE) + {_DSIR_B}))),
+               9) AS DECIMAL(24,9))) AS DOUBLE), 6) AS dsir_logw
+    FROM per_doc JOIN model USING (b) CROSS JOIN totals
+    GROUP BY doc_id
+    """,
+    doc="DSIR importance weights: hashed unigram+bigram bag features "
+        f"({_DSIR_B} buckets, engine-portable md5 hash), Laplace-smoothed "
+        "target ('fr' slice) vs raw multinomials, per-doc log-likelihood "
+        "ratio with rounded decimal-summed contributions. One token "
+        "explode, reduced-count shuffles only, model + totals broadcast",
+)
+def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return dsir_logweights(docs, F.col("lang") == "fr")

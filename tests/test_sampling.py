@@ -153,3 +153,39 @@ def test_token_budget_is_prefix_of_quality_order_and_bounded(spark, sf_dir):
         flags = [r.selected for r in rs]
         assert flags == sorted(flags, reverse=True), src  # prefix property
         assert sum(r.n_tokens for r in rs if r.selected) <= 20000, src
+
+
+def test_dsir_prefers_target_like_raw_docs_and_is_deterministic(spark):
+    """DSIR semantics on planted domains: a raw document written in the
+    TARGET slice's vocabulary must out-score a raw document from a
+    different domain; dsir_select(k=1) picks it; the draw is identical
+    across repeated runs (hash-derived Gumbel, no RNG state)."""
+    from pyspark.sql import functions as F
+
+    from substreams_sink_parquet_spark.llm.sampling import (
+        dsir_logweights,
+        dsir_select,
+    )
+
+    medical = "patient dose trial symptom clinical therapy diagnosis"
+    legal = "court statute plaintiff ruling appeal verdict contract"
+    docs = spark.createDataFrame(
+        [
+            (1, "t", medical + " cohort outcome relapse"),
+            (2, "t", "clinical trial dose patient symptom therapy outcome"),
+            (3, "r", medical + " treatment efficacy"),   # target-like raw
+            (4, "r", legal + " litigation clause"),      # off-domain raw
+            (5, "r", legal + " hearing docket motion"),
+        ],
+        "doc_id long, grp string, text string",
+    )
+    is_t = F.col("grp") == "t"
+    lw = {r.doc_id: r.dsir_logw for r in dsir_logweights(docs, is_t).collect()}
+    assert lw[3] > lw[4] and lw[3] > lw[5]
+    pick = [r.doc_id for r in dsir_select(docs, is_t, k=1, temperature=0.1).collect()]
+    assert pick == [3]
+    again = [r.doc_id for r in dsir_select(docs, is_t, k=1, temperature=0.1).collect()]
+    assert pick == again
+    # select never returns target rows, k bounds the output
+    sel = dsir_select(docs, is_t, k=10).collect()
+    assert {r.doc_id for r in sel} <= {3, 4, 5}
