@@ -822,6 +822,25 @@ def _l2sq(a: Column, b: Column) -> Column:
     return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
 
 
+def _nearest_code(sub: Column, lit3: Column, s: Column | int, k: int) -> Column:
+    """Index of the nearest of the ``k`` codebook rows to ``sub`` in
+    subspace ``s``: ``array_min`` over (distance, j) structs — same
+    (min d, then min j) tie-break as sorting and taking the head, without
+    materializing a sorted copy of the candidate array per row. Kept as
+    compact HOFs on purpose: a fully unrolled static expansion (k*dsub
+    scalar terms per candidate) ballooned the Catalyst tree to ~8k nodes
+    and TRIPLED plan+eval time — the HOF tree is small, and the
+    interpreted-eval cost is paid in parallel (callers spread the scan
+    wide first)."""
+    s1 = (s + 1) if isinstance(s, int) else (s + F.lit(1))
+    cands = F.zip_with(
+        F.element_at(lit3, s1),
+        F.lit(list(range(k))),
+        lambda c, j: F.struct(_l2sq(sub, c).alias("d"), j.alias("j")),
+    )
+    return F.array_min(cands)["j"]
+
+
 def pq_codebooks(embeddings: DataFrame, dim: int, m: int = 8, k: int = 16,
                  vec_col: str = "embedding",
                  refine_iters: int = 1) -> list[list[list[float]]]:
@@ -833,17 +852,23 @@ def pq_codebooks(embeddings: DataFrame, dim: int, m: int = 8, k: int = 16,
     Seeds are the sub-vectors of k deterministic hash-ordered sample rows
     (``_seed_rows`` — TakeOrderedAndProject, no global sort); each Lloyd
     iteration refines ALL subspaces in ONE exploded pass: (s, subvec) rows
-    → map-only nearest-code assignment against the 3-D codebook literal →
-    per-(s, code, dim) means whose exchange is m*k*dsub rows, independent
-    of corpus size.
+    → map-only nearest-code assignment against the 3-D codebook literal
+    (``_nearest_code`` — array_min, no per-row sorted copy) → per-(s,
+    code) means as dsub parallel avg aggregates, whose exchange is m*k
+    partial rows, independent of corpus size. The interpreted-HOF
+    assignment is the per-row cost, so the scan is spread wide FIRST
+    (a one-file sf0.1 scan otherwise ran the whole pass on 2-3 cores —
+    that, not the expression, was most of the r4 wall time).
     """
+    from .dedup import spread_if_narrow
+
     dsub = dim // m
     seed_rows = _seed_rows(embeddings, vec_col, k)
     cbs = [
         [list(r.v[s * dsub:(s + 1) * dsub]) for r in seed_rows]
         for s in range(m)
     ]
-    subs = embeddings.select(
+    subs = spread_if_narrow(embeddings.select(vec_col)).select(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(m - 1)),
@@ -854,31 +879,18 @@ def pq_codebooks(embeddings: DataFrame, dim: int, m: int = 8, k: int = 16,
     )
     for _ in range(refine_iters):
         lit3 = F.lit(cbs)
-        cands = F.zip_with(
-            F.element_at(lit3, F.col("s") + 1),
-            F.lit(list(range(k))),
-            lambda c, j: F.struct(_l2sq(F.col("sub"), c).alias("d"),
-                                  j.alias("j")),
-        )
         assigned = subs.select(
-            "s", "sub",
-            F.element_at(F.array_sort(cands), 1)["j"].alias("code"),
+            "s",
+            _nearest_code(F.col("sub"), lit3, F.col("s"), k).alias("code"),
+            *[F.element_at("sub", p + 1).alias(f"v{p}") for p in range(dsub)],
         )
         rows = (
-            assigned.select("s", "code", F.posexplode("sub").alias("pos", "v"))
-            .groupBy("s", "code", "pos")
-            .agg(F.avg("v").alias("mv"))
-            .groupBy("s", "code")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
-                    lambda t: t["mv"],
-                ).alias("cv")
-            )
+            assigned.groupBy("s", "code")
+            .agg(*[F.avg(f"v{p}").alias(f"m{p}") for p in range(dsub)])
             .collect()
         )
         for r in rows:  # codes with no members keep their seed
-            cbs[r.s][r.code] = list(r.cv)
+            cbs[r.s][r.code] = [float(r[f"m{p}"]) for p in range(dsub)]
     return cbs
 
 
@@ -893,23 +905,10 @@ def pq_encode(embeddings: DataFrame, cbs: list[list[list[float]]],
     lit3 = F.lit(cbs)
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.element_at(
-            F.array_sort(
-                F.zip_with(
-                    F.element_at(lit3, s + 1),
-                    F.lit(list(range(k))),
-                    lambda c, j: F.struct(
-                        _l2sq(
-                            F.slice(F.col(vec_col).cast("array<double>"),
-                                    s * dsub + 1, dsub),
-                            c,
-                        ).alias("d"),
-                        j.alias("j"),
-                    ),
-                )
-            ),
-            1,
-        )["j"],
+        lambda s: _nearest_code(
+            F.slice(F.col(vec_col).cast("array<double>"), s * dsub + 1, dsub),
+            lit3, s, k,
+        ),
     )
     return embeddings.select(*keep, codes.alias("codes"))
 
@@ -932,16 +931,17 @@ def _adc_table(vec_expr: Column, cbs: list[list[list[float]]]) -> Column:
 
 def _adc_score(m: int) -> Column:
     """ADC distance of a corpus row: m table lookups (``dt`` from the
-    broadcast probe, ``codes`` from the encoded corpus row), summed."""
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
+    broadcast probe, ``codes`` from the encoded corpus row), summed —
+    unrolled to m static terms so the hot scoring loop stays inside
+    whole-stage codegen (the HOF form was interpreted per row)."""
+    total = None
+    for s in range(m):
+        term = F.element_at(
             F.element_at(F.col("dt"), s + 1),
             F.element_at(F.col("codes"), s + 1) + 1,
-        ),
-    )
+        )
+        total = term if total is None else total + term
+    return total
 
 
 def _centroid_lookup(cents: list[tuple[int, list[float]]]):
