@@ -258,7 +258,13 @@ def _nearest_centroid(vecs: DataFrame, cent_rows: list[tuple[int, list[float]]],
             (-cosine(vec_col, v)).alias("negcos"), cid.alias("cent_id")
         ),
     )
-    picked = F.slice(F.array_sort(cands), 1, nprobe)
+    # nprobe=1 (the assignment path, run over the whole corpus) skips the
+    # per-row sorted copy: array_min is the same (best cosine, lowest id)
+    # pick without materializing order the caller throws away
+    picked = (
+        F.array(F.array_min(cands)) if nprobe == 1
+        else F.slice(F.array_sort(cands), 1, nprobe)
+    )
     out = [F.col("__p.cent_id").alias("cent_id")]
     if with_score:
         out.append((-F.col("__p.negcos")).alias("cent_cos"))
@@ -279,7 +285,10 @@ def ivf_centroids(embeddings: DataFrame, vec_col: str = "embedding",
     adjacent-id correlation); each Lloyd iteration reassigns the corpus
     map-only and recomputes means by exploding (dimension, value) pairs —
     the per-(centroid, dim) average combines map-side, so its exchange is
-    n_centroids x dim rows, independent of corpus size."""
+    n_centroids x dim rows, independent of corpus size. (A dim-parallel
+    avg-column formulation — the shape pq_codebooks uses at dsub=8 — was
+    A/B'd here and LOST at dim=64: 64 aggregate expressions cost more in
+    analysis and buffer bookkeeping than the row fan-out saves.)"""
     seeds = _seed_rows(embeddings, vec_col, n_centroids)
     cents = [(i + 1, list(r.v)) for i, r in enumerate(seeds)]
     for _ in range(refine_iters):
@@ -855,10 +864,11 @@ def pq_codebooks(embeddings: DataFrame, dim: int, m: int = 8, k: int = 16,
     → map-only nearest-code assignment against the 3-D codebook literal
     (``_nearest_code`` — array_min, no per-row sorted copy) → per-(s,
     code) means as dsub parallel avg aggregates, whose exchange is m*k
-    partial rows, independent of corpus size. The interpreted-HOF
-    assignment is the per-row cost, so the scan is spread wide FIRST
-    (a one-file sf0.1 scan otherwise ran the whole pass on 2-3 cores —
-    that, not the expression, was most of the r4 wall time).
+    partial rows, independent of corpus size (A/B'd against the previous
+    posexplode-per-element means: modestly faster at dsub=8, and no
+    N×dim row fan-out). The scan is spread wide first so the
+    interpreted-HOF assignment uses every core on a few-file input
+    (identity at scale).
     """
     from .dedup import spread_if_narrow
 
@@ -1287,3 +1297,145 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size("v")
         ).alias("mse"),
     )
+
+
+# -- hybrid retrieval: BM25 + vector, reciprocal-rank fusion ---------------
+
+
+def rrf_fuse(rankings: list[DataFrame], c: int = 60,
+             id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion of ranked lists (the standard production
+    recipe for combining lexical and vector retrieval): each list
+    contributes 1/(c + rank) per document; fused score is the sum.
+
+    Inputs are (id_col, rank) frames. Contributions are rounded and
+    decimal-summed (order-independent, hash-stable); the union is
+    top-k-sized rows per list, so the fuse aggregates a few dozen rows
+    regardless of corpus size — all the heavy lifting happened in the
+    per-list retrievers."""
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.round(F.lit(1.0) / (F.lit(c) + F.col("rank")), 9)
+            .cast("decimal(20,9)")
+            .alias("contrib"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(id_col).agg(
+        F.round(F.sum("contrib").cast("double"), 6).alias("rrf_score"),
+        F.count("*").cast("long").alias("n_lists"),
+    )
+
+
+_HYBRID_K = 20
+
+
+def _hybrid_oracle() -> str:
+    from .text import _BM25_TERMS
+
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS w,
+               len(str_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, dl, q.term,
+               len(list_filter(w, x -> x = q.term)) AS tf
+        FROM toks, (SELECT UNNEST([{terms}]) AS term) q
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM toks),
+    dfs AS (
+        SELECT term, SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+        FROM tf GROUP BY term
+    ),
+    bmscore AS (
+        SELECT tf.doc_id,
+               ROUND(CAST(SUM(CAST(ROUND(
+                   tf * LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 2.2
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * dl
+                               / (CAST(sum_dl AS DOUBLE) / n_docs))),
+                   9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS bm25
+        FROM tf JOIN dfs USING (term) CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    bmrank AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM bmscore QUALIFY rank <= {_HYBRID_K}
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id = 0),
+    csrank AS (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), qv.v), 6) DESC,
+                   vec_id
+               ) AS rank
+        FROM embeddings e CROSS JOIN qv
+        QUALIFY rank <= {_HYBRID_K}
+    ),
+    fused AS (
+        SELECT doc_id,
+               CAST(ROUND(1.0 / (60 + rank), 9) AS DECIMAL(20,9)) AS contrib
+        FROM bmrank
+        UNION ALL
+        SELECT doc_id,
+               CAST(ROUND(1.0 / (60 + rank), 9) AS DECIMAL(20,9)) AS contrib
+        FROM csrank
+    )
+    SELECT doc_id,
+           ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS rrf_score,
+           CAST(COUNT(*) AS BIGINT) AS n_lists
+    FROM fused GROUP BY doc_id
+    """
+
+
+@register(
+    "q_retrieval_hybrid",
+    _hybrid_oracle(),
+    doc="Hybrid retrieval: BM25 top-20 for the seed text query fused with "
+        "brute-cosine top-20 for a probe embedding via reciprocal-rank "
+        "fusion (1/(60+rank)). Each retriever keeps its own optimal plan "
+        "(map-only BM25 + TakeOrdered; broadcast-probe cosine + TakeOrdered); "
+        "the fuse itself aggregates ~2k rows of (id, contrib) regardless "
+        "of corpus size",
+)
+def q_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _BM25_TERMS, bm25_scores
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bm = bm25_scores(docs, list(_BM25_TERMS))
+    bmrank = (
+        bm.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= _HYBRID_K)
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    csrank = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine("embedding", "q_vec"), 6).alias("cos6"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos6").desc(), F.col("doc_id")))
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= _HYBRID_K)
+    )
+    return rrf_fuse([bmrank, csrank])

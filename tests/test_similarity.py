@@ -358,3 +358,24 @@ def test_semantic_decontaminate_empty_eval_reports_all_clean(spark):
     assert {r.vec_id for r in rows} == {1, 2}
     assert all(not r.contaminated and r.n_eval_hits == 0 and r.max_cos is None
                for r in rows)
+
+
+def test_rrf_fuse_matches_formula_and_rewards_agreement(spark):
+    """RRF must equal sum(1/(c+rank)) exactly and rank a document that
+    appears in BOTH lists above one appearing in a single list at the
+    same position."""
+    from substreams_sink_parquet_spark.llm.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(11, 1), (13, 2), (10, 3)], "doc_id long, rank int")
+    got = {r.doc_id: (r.rrf_score, r.n_lists) for r in rrf_fuse([a, b]).collect()}
+    expect = {
+        10: round(round(1 / 61, 9) + round(1 / 63, 9), 6),
+        11: round(round(1 / 62, 9) + round(1 / 61, 9), 6),
+        12: round(round(1 / 63, 9), 6),
+        13: round(round(1 / 62, 9), 6),
+    }
+    assert {d: s for d, (s, _) in got.items()} == expect
+    assert got[10][1] == 2 and got[12][1] == 1
+    # both-list docs beat same-position single-list docs
+    assert got[11][0] > got[13][0] and got[10][0] > got[12][0]
