@@ -57,6 +57,12 @@ EXTENDED = [
     "q_sim_topk_pq",
     "q_text_bpe",
     "q_dedup_clusters_star",
+    # round 5
+    "q_dedup_substring_clean",
+    "q_text_bm25",
+    "q_text_winnow",
+    "q_sample_dsir",
+    "q_retrieval_hybrid",
 ]
 
 

@@ -243,3 +243,37 @@ def test_semantic_decontaminate_broadcasts_eval_side(spark, sf_dir):
     rep = plan_report(registry()["q_decontaminate_semantic"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in rep.text, rep.text
     assert "CartesianProduct" not in rep.text, rep.text
+
+
+def test_bm25_corpus_never_shuffled_topk_is_takeordered(spark, sf_dir):
+    rep = plan_report(registry()["q_text_bm25"].fn(spark, sf_dir))
+    # scoring is map-only over the scan: the only exchanges feed the tiny
+    # df/corpus-stats aggregate, which comes back as a broadcast
+    assert "TakeOrderedAndProject" in rep.text
+    assert rep.broadcast_joins >= 1
+    assert rep.sortmerge_joins == 0 and rep.hash_joins == 0
+    assert rep.shuffle_exchanges <= 1, rep.text  # the 1-row stats agg
+
+
+def test_winnowing_is_map_only(spark, sf_dir):
+    rep = plan_report(registry()["q_text_winnow"].fn(spark, sf_dir))
+    assert rep.shuffle_exchanges == 0, rep.text
+
+
+def test_substring_spans_bounded_exchanges_no_sorts(spark, sf_dir):
+    rep = plan_report(registry()["q_dedup_substring_spans"].fn(spark, sf_dir))
+    # explode -> gram agg -> join back -> doc agg: every exchange carries
+    # md5 digests or reduced counts, and nothing plans a cartesian. Two of
+    # the exchanges are spread_if_narrow's round-robin repartitions of the
+    # one-file test scan (identity on a wide cluster scan).
+    assert not rep.has_cartesian
+    assert rep.shuffle_exchanges <= 5, rep.text
+
+
+def test_dsir_shuffles_reduced_counts_models_broadcast(spark, sf_dir):
+    rep = plan_report(registry()["q_sample_dsir"].fn(spark, sf_dir))
+    assert not rep.has_cartesian or rep.broadcast_joins >= 1
+    # (doc,bucket) counts + bucket model + final doc agg; the model and
+    # totals come back via broadcast, never a corpus-wide join shuffle
+    assert rep.broadcast_exchanges >= 2, rep.text
+    assert rep.sortmerge_joins == 0, rep.text
