@@ -450,6 +450,92 @@ def cmd_ann_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_retrieve(args: argparse.Namespace) -> int:
+    """BM25 retrieval over a documents parquet dir; with ``--embeddings``
+    (+ ``--query-vec-id``) the lexical ranking fuses with brute-cosine via
+    reciprocal-rank fusion. Prints one JSON line per hit, best first.
+    Thin wrapper over the catalog operators (llm/text.py bm25_scores,
+    llm/similarity.py rrf_fuse) — same plans, same determinism."""
+    import json
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .llm.text import bm25_scores
+
+    terms = [t for t in args.query.split() if t]
+    if not terms:
+        print("retrieve: --query must contain at least one term", file=sys.stderr)
+        return 2
+    spark = get_spark("retrieve")
+    docs = spark.read.parquet(args.docs).select("doc_id", "text")
+    bm = bm25_scores(docs, terms)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    bmrank = (
+        bm.select("doc_id", "bm25", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= args.k)
+    )
+    if not args.embeddings:
+        for r in bmrank.orderBy("rank").collect():
+            print(json.dumps({"doc_id": r.doc_id, "bm25": r.bm25, "rank": r.rank}))
+        return 0
+    from .llm.similarity import cosine, rrf_fuse
+
+    emb = spark.read.parquet(args.embeddings)
+    qv = emb.filter(F.col("vec_id") == args.query_vec_id).select(
+        F.col("embedding").alias("q_vec")
+    )
+    cs = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine("embedding", "q_vec"), 6).alias("cos6"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos6").desc(), F.col("doc_id")))
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= args.k)
+    )
+    fused = rrf_fuse([bmrank.select("doc_id", "rank"), cs])
+    top = fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(args.k)
+    for r in top.collect():
+        print(json.dumps(
+            {"doc_id": r.doc_id, "rrf_score": r.rrf_score, "n_lists": r.n_lists}
+        ))
+    return 0
+
+
+def cmd_select(args: argparse.Namespace) -> int:
+    """DSIR data selection: score every document's target-vs-raw
+    log-likelihood ratio against the ``--target-lang`` slice and keep the
+    reproducible Gumbel top-k non-target documents. Prints JSON ids, or
+    writes the selected documents as parquet with ``--out``."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from .llm.sampling import dsir_select
+
+    spark = get_spark("select")
+    docs = spark.read.parquet(args.docs).select("doc_id", "lang", "text")
+    sel = dsir_select(
+        docs, F.col("lang") == args.target_lang, k=args.k,
+        temperature=args.temperature, seed=args.seed,
+    )
+    if args.out:
+        sel.select("doc_id").join(docs, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        print(f"select OK: wrote top-{args.k} to {args.out}")
+        return 0
+    for r in sel.collect():
+        print(json.dumps({"doc_id": r.doc_id, "dsir_logw": r.dsir_logw}))
+    return 0
+
+
 def cmd_setup(args: argparse.Namespace) -> int:
     """Probe round-trip (setup.go:31-66): write → read-back-compare → delete."""
     spark = get_spark("sink-setup")
@@ -684,6 +770,34 @@ def main(argv: list[str] | None = None) -> int:
     annc_p.add_argument("index_dir")
     annc_p.add_argument("--min-epochs", type=int, default=2)
     annc_p.set_defaults(fn=cmd_ann_compact)
+
+    retr_p = sub.add_parser(
+        "retrieve", help="BM25 (optionally hybrid RRF) retrieval over a corpus"
+    )
+    retr_p.add_argument("docs", help="parquet dir of (doc_id, text) rows")
+    retr_p.add_argument("--query", required=True,
+                        help="whitespace-separated query terms")
+    retr_p.add_argument("--k", type=int, default=20)
+    retr_p.add_argument("--embeddings", default=None,
+                        help="parquet of (vec_id, embedding) rows: fuse "
+                             "cosine ranking via reciprocal-rank fusion")
+    retr_p.add_argument("--query-vec-id", type=int, default=0,
+                        help="vec_id whose embedding is the vector query")
+    retr_p.set_defaults(fn=cmd_retrieve)
+
+    sel_p = sub.add_parser(
+        "select", help="DSIR importance-weighted corpus selection"
+    )
+    sel_p.add_argument("docs", help="parquet dir of (doc_id, lang, text) rows")
+    sel_p.add_argument("--target-lang", required=True,
+                       help="lang value defining the target slice")
+    sel_p.add_argument("--k", type=int, default=100)
+    sel_p.add_argument("--temperature", type=float, default=1.0)
+    sel_p.add_argument("--seed", type=int, default=42)
+    sel_p.add_argument("--out", default=None,
+                       help="write selected documents to this parquet dir "
+                            "instead of printing ids")
+    sel_p.set_defaults(fn=cmd_select)
 
     query_p = sub.add_parser("query", help="run SQL over a sink lake")
     query_p.add_argument("sql")

@@ -353,3 +353,45 @@ def test_cli_ann_build_and_query(tmp_path, spark, capsys, sf_dir):
     # --dim is mandatory for a fresh build
     assert main(["ann-build", str(tmp_path / "a2"),
                  "--embeddings", emb_path]) == 2
+
+
+def test_cli_retrieve_and_select(tmp_path, spark, capsys, sf_dir):
+    import json
+
+    from substreams_sink_parquet_spark.cli import main
+
+    docs = f"{sf_dir}/documents.parquet"
+    emb = f"{sf_dir}/embeddings.parquet"
+
+    rc = main(["retrieve", docs, "--query", "spark merge join fast", "--k", "5"])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 5
+    assert [x["rank"] for x in lines] == [1, 2, 3, 4, 5]
+    assert lines[0]["bm25"] >= lines[-1]["bm25"]
+
+    rc = main(["retrieve", docs, "--query", "spark merge join fast", "--k", "5",
+               "--embeddings", emb, "--query-vec-id", "0"])
+    assert rc == 0
+    fused = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(fused) == 5
+    assert all(set(x) == {"doc_id", "rrf_score", "n_lists"} for x in fused)
+    assert fused[0]["rrf_score"] >= fused[-1]["rrf_score"]
+
+    # empty query is a usage error, not a traceback
+    assert main(["retrieve", docs, "--query", "   "]) == 2
+
+    rc = main(["select", docs, "--target-lang", "fr", "--k", "7"])
+    assert rc == 0
+    sel = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(sel) == 7
+
+    out = str(tmp_path / "selected")
+    rc = main(["select", docs, "--target-lang", "fr", "--k", "7", "--out", out])
+    assert rc == 0
+    assert "select OK" in capsys.readouterr().out
+    got = spark.read.parquet(out)
+    assert got.count() == 7
+    assert {r.doc_id for r in got.select("doc_id").collect()} == \
+        {x["doc_id"] for x in sel}  # --out writes the same deterministic draw
+    assert got.filter("lang = 'fr'").count() == 0  # never target rows
