@@ -463,35 +463,49 @@ def dsir_logweights(docs: DataFrame, is_target: F.Column) -> DataFrame:
 
     Features are word unigrams + bigrams hashed into ``_DSIR_B`` buckets
     (md5-based — deterministic across engines/runs); both models are
-    Laplace-smoothed bucket multinomials. 100 TB shape: one explode →
-    per-(doc, bucket) count shuffle; the two models are a ``_DSIR_B``-row
-    aggregate OF those counts (second, tiny exchange) broadcast back onto
-    them; the final per-doc sum shuffles reduced counts, never tokens.
-    Per-bucket contributions are rounded and decimal-summed so scores are
-    accumulation-order independent (hash-stable)."""
+    Laplace-smoothed bucket multinomials. 100 TB shape: the ONLY exchange
+    is the bucket-count model aggregate (map-side combined to <= _DSIR_B
+    partials per task); the fitted log-ratio table is a bounded driver
+    artifact (_DSIR_B doubles — the same contract as the IVF/PQ
+    codebooks) shipped back as a literal, so SCORING is a map-only fold
+    over each document's own bucket array: no per-(doc, bucket) shuffle,
+    no per-doc aggregation exchange, no join. Per-bucket log-ratios are
+    rounded to 9 dp BEFORE the per-occurrence decimal sum, so scores are
+    exact-decimal totals independent of accumulation order (hash-stable;
+    the oracle multiplies the same rounded ratio by the count)."""
     words = F.split("text", " ")
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size(words) - 2),
         lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
     )
-    toks = docs.select(
+    toks = F.when(F.size(words) >= 2, F.concat(words, bigrams)).otherwise(words)
+    from .dedup import spread_if_narrow
+
+    # the per-token md5 hashing is the per-row cost and the pipeline is
+    # now map-only — a narrow few-file scan would run it on as many cores
+    # as there are files (identity at scale, where the scan is wide)
+    docs = spread_if_narrow(docs)
+    # staged projection: the bucket array is computed once and PERSISTED —
+    # the model fit and the scoring fold both consume it, and the
+    # per-token md5 hashing is the dominant cost, so recomputing it per
+    # consumer doubles the query. The cache backs the returned frame's
+    # lineage (same contract as semantic_dedup's assignment cache); at
+    # 100 TB the equivalent move is materializing the feature arrays to
+    # the lake once and fitting/scoring from that table.
+    feats = docs.select(
         "doc_id",
         is_target.alias("is_t"),
-        F.explode(
-            F.when(F.size(words) >= 2, F.concat(words, bigrams)).otherwise(words)
-        ).alias("tok"),
+        F.transform(toks, lambda t: _bucket(t)).alias("bs"),
+    ).persist()
+    model = (
+        feats.select("is_t", F.explode("bs").alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count("*").alias("c_raw"),
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("c_t"),
+        )
     )
-    per_doc = toks.groupBy("doc_id", F.col("is_t"), _bucket(F.col("tok")).alias("b")).agg(
-        F.count("*").alias("n")
-    )
-    model = per_doc.groupBy("b").agg(
-        F.sum("n").alias("c_raw"),
-        F.sum(F.when(F.col("is_t"), F.col("n")).otherwise(0)).alias("c_t"),
-    )
-    totals = model.agg(
-        F.sum("c_raw").alias("t_raw"), F.sum("c_t").alias("t_t")
-    )
-    joined = per_doc.join(F.broadcast(model), "b").crossJoin(F.broadcast(totals))
+    totals = model.agg(F.sum("c_raw").alias("t_raw"), F.sum("c_t").alias("t_t"))
     lr = F.log(
         (F.col("c_t") + F.lit(1)).cast("double")
         / (F.col("t_t") + F.lit(_DSIR_B)).cast("double")
@@ -499,14 +513,32 @@ def dsir_logweights(docs: DataFrame, is_target: F.Column) -> DataFrame:
         (F.col("c_raw") + F.lit(1)).cast("double")
         / (F.col("t_raw") + F.lit(_DSIR_B)).cast("double")
     )
-    contrib = F.round(F.col("n") * lr, 9).cast("decimal(24,9)")
-    return (
-        joined.groupBy("doc_id")
-        .agg(
-            F.any_value(F.col("is_t")).alias("is_target"),
-            F.sum("n").cast("long").alias("n_features"),
-            F.round(F.sum(contrib).cast("double"), 6).alias("dsir_logw"),
-        )
+    # one bounded collect: (bucket, 9dp-rounded log-ratio) — LN evaluated
+    # by the same Spark expression path the joined formulation used, so
+    # the values (and the DuckDB hash-match) are unchanged
+    fitted = (
+        model.crossJoin(F.broadcast(totals))
+        .select("b", F.round(lr, 9).alias("lr9"))
+        .collect()
+    )
+    lr_arr = [0.0] * _DSIR_B
+    for r in fitted:
+        lr_arr[r.b] = float(r.lr9)
+    lr_lit = F.lit(lr_arr)
+    zero = F.lit(0).cast("decimal(24,9)")
+    score = F.aggregate(
+        F.col("bs"),
+        zero,
+        lambda acc, b: (
+            acc
+            + F.element_at(lr_lit, b.cast("int") + 1).cast("decimal(24,9)")
+        ).cast("decimal(24,9)"),
+    )
+    return feats.select(
+        "doc_id",
+        F.col("is_t").alias("is_target"),
+        F.size("bs").cast("long").alias("n_features"),
+        F.round(score.cast("double"), 6).alias("dsir_logw"),
     )
 
 
@@ -565,18 +597,20 @@ def dsir_select(docs: DataFrame, is_target: F.Column, k: int,
     SELECT doc_id,
            ANY_VALUE(is_t) AS is_target,
            CAST(SUM(n) AS BIGINT) AS n_features,
-           ROUND(CAST(SUM(CAST(ROUND(
-               n * (LN((c_t + 1) / (CAST(t_t AS DOUBLE) + {_DSIR_B}))
-                    - LN((c_raw + 1) / (CAST(t_raw AS DOUBLE) + {_DSIR_B}))),
-               9) AS DECIMAL(24,9))) AS DOUBLE), 6) AS dsir_logw
+           ROUND(CAST(SUM(n * CAST(ROUND(
+               LN((c_t + 1) / (CAST(t_t AS DOUBLE) + {_DSIR_B}))
+               - LN((c_raw + 1) / (CAST(t_raw AS DOUBLE) + {_DSIR_B})),
+               9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS dsir_logw
     FROM per_doc JOIN model USING (b) CROSS JOIN totals
     GROUP BY doc_id
     """,
     doc="DSIR importance weights: hashed unigram+bigram bag features "
         f"({_DSIR_B} buckets, engine-portable md5 hash), Laplace-smoothed "
         "target ('fr' slice) vs raw multinomials, per-doc log-likelihood "
-        "ratio with rounded decimal-summed contributions. One token "
-        "explode, reduced-count shuffles only, model + totals broadcast",
+        "ratio with rounded decimal-summed contributions. One reduced "
+        "model-fit exchange; the fitted log-ratio table is a bounded "
+        "driver artifact shipped as a literal, so scoring is a map-only "
+        "fold per document",
 )
 def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")

@@ -257,7 +257,11 @@ def test_bm25_corpus_never_shuffled_topk_is_takeordered(spark, sf_dir):
 
 def test_winnowing_is_map_only(spark, sf_dir):
     rep = plan_report(registry()["q_text_winnow"].fn(spark, sf_dir))
-    assert rep.shuffle_exchanges == 0, rep.text
+    # the one allowed exchange is spread_if_narrow's round-robin
+    # repartition of the one-file test scan (identity at scale); the
+    # fingerprint selection itself is pure map work
+    assert rep.shuffle_exchanges <= 1, rep.text
+    assert rep.broadcast_joins == 0 and rep.sortmerge_joins == 0
 
 
 def test_substring_spans_bounded_exchanges_no_sorts(spark, sf_dir):
@@ -270,10 +274,13 @@ def test_substring_spans_bounded_exchanges_no_sorts(spark, sf_dir):
     assert rep.shuffle_exchanges <= 5, rep.text
 
 
-def test_dsir_shuffles_reduced_counts_models_broadcast(spark, sf_dir):
+def test_dsir_scoring_is_joinless_map_fold(spark, sf_dir):
     rep = plan_report(registry()["q_sample_dsir"].fn(spark, sf_dir))
-    assert not rep.has_cartesian or rep.broadcast_joins >= 1
-    # (doc,bucket) counts + bucket model + final doc agg; the model and
-    # totals come back via broadcast, never a corpus-wide join shuffle
-    assert rep.broadcast_exchanges >= 2, rep.text
-    assert rep.sortmerge_joins == 0, rep.text
+    # the fitted log-ratio table ships as a literal (bounded driver
+    # artifact), so SCORING plans no join of any kind — a map-only fold
+    # over the persisted per-doc bucket arrays
+    assert not rep.has_cartesian
+    assert rep.broadcast_joins == 0 and rep.sortmerge_joins == 0 \
+        and rep.hash_joins == 0, rep.text
+    assert "InMemoryTableScan" in rep.text  # feature arrays computed once
+    assert rep.shuffle_exchanges <= 2, rep.text  # spread + cached lineage
