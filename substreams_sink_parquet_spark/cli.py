@@ -333,6 +333,7 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         embed_dim=args.embed_dim,
         ann_index_dir=args.ann_index,
         input_format=args.format,
+        quality_gate=args.quality_gate,
     )
     query.awaitTermination()
     n = corpus_docs(spark, args.store_url).count()
@@ -712,6 +713,10 @@ def main(argv: list[str] | None = None) -> int:
                                "serves the corpus without a rebuild")
     corpus_p.add_argument("--near-dup", action="store_true",
                           help="also reject MinHash near-duplicates of the corpus")
+    corpus_p.add_argument("--quality-gate", action="store_true",
+                          help="drop documents failing the Gopher-style rule "
+                               "cascade BEFORE dedup; rejection reasons land "
+                               "under _rejects/epoch=N")
     corpus_p.add_argument("--neardup-threshold", type=float, default=0.5)
     corpus_p.set_defaults(fn=cmd_corpus)
 

@@ -66,6 +66,16 @@ class CorpusSink:
     # no rebuild. The index must already exist (`ann-build`): codebooks
     # are trained artifacts, not something a micro-batch should invent.
     ann_index_dir: str | None = None
+    # quality stage 0: drop documents failing the Gopher-style rule
+    # cascade (llm.text.quality_verdict_expr — the same single source of
+    # truth q_text_filter_pipeline and the trained classifier's weak
+    # labeler use) BEFORE any dedup stage, so rejected docs never enter
+    # any index and a later IMPROVED re-crawl of the same content is not
+    # blocked by a low-quality twin's hash. Rejections are recorded
+    # (doc_id, lang, verdict) under ``_rejects/epoch={id}`` — visible,
+    # not silent, same philosophy as the quarantine — and the filter is
+    # stateless, so replays converge by the epoch-overwrite contract.
+    quality_gate: bool = False
 
     def __post_init__(self) -> None:
         self._fs = HadoopFS(self.spark, self.out_dir)
@@ -112,6 +122,17 @@ class CorpusSink:
         clean = clean.filter(
             F.col("doc_id").isNotNull() & F.col("text").isNotNull()
         )
+        if self.quality_gate:
+            from ..llm.text import quality_verdict_expr
+
+            verdict = quality_verdict_expr()
+            graded = clean.withColumn("__verdict", verdict)
+            graded.filter(F.col("__verdict") != "keep").select(
+                "doc_id", "lang", F.col("__verdict").alias("verdict")
+            ).write.mode("overwrite").parquet(
+                url_join(self.out_dir, "_rejects", f"epoch={epoch_id}")
+            )
+            clean = graded.filter(F.col("__verdict") == "keep").drop("__verdict")
         index_dirs = self._index_dirs("_index", exclude_epoch=int(epoch_id))
         if index_dirs:
             index = self.spark.read.parquet(*index_dirs)
@@ -265,6 +286,7 @@ def run_corpus_pipeline(
     embed_planes: int = 6,
     ann_index_dir: str | None = None,
     input_format: str = "jsonl",
+    quality_gate: bool = False,
 ):
     """readStream over document shards → CorpusSink.
 
@@ -283,7 +305,7 @@ def run_corpus_pipeline(
         near_dup=near_dup, neardup_threshold=neardup_threshold,
         embed_dup=embed_dup, embed_threshold=embed_threshold,
         embed_dim=embed_dim, embed_planes=embed_planes,
-        ann_index_dir=ann_index_dir,
+        ann_index_dir=ann_index_dir, quality_gate=quality_gate,
     )
     sink._fs.mkdirs(out_dir)
     if input_format == "warc":

@@ -684,3 +684,53 @@ def test_winnowing_guarantee_on_shared_substring(spark):
     out = {r.doc_id: r for r in winnow_fingerprints(docs, k=k, w=w).collect()}
     text_len = len("prefix words here " + shared + " and unique tail one")
     assert out[1].n_fingerprints < (text_len - k + 1) / 2  # density win
+
+
+def test_corpus_quality_gate_rejects_before_index(spark, tmp_path):
+    """Quality stage 0: a gated doc is rejected WITH a reason under
+    _rejects/, never admitted, and — the load-bearing property — its hash
+    never enters the dedup index, so a later IMPROVED re-crawl of related
+    content is judged on its own merits. Good docs flow through all
+    stages untouched."""
+    import json as _json
+
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        corpus_docs,
+        run_corpus_pipeline,
+    )
+
+    in_dir, out_dir = tmp_path / "in", str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir.mkdir()
+
+    good = ("the quick brown fox jumps over the lazy dog while a calm "
+            "river flows past the old stone bridge and children play in "
+            "the warm afternoon sun near tall green trees")  # passes gate
+    short = "tiny doc"  # too_short
+
+    def doc(i, text):
+        return _json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "web",
+             "n_chars": len(text)}
+        )
+
+    (in_dir / "s0.jsonl").write_text(
+        "\n".join([doc(1, good), doc(2, short)]) + "\n"
+    )
+    q, _ = run_corpus_pipeline(spark, str(in_dir), out_dir, ckpt,
+                               quality_gate=True)
+    q.awaitTermination(120)
+    got = {r.doc_id for r in corpus_docs(spark, out_dir).collect()}
+    assert got == {1}
+    rejects = spark.read.parquet(str(tmp_path / "out" / "_rejects")).collect()
+    assert [(r.doc_id, r.verdict) for r in rejects] == [(2, "too_short")]
+    # the rejected doc's hash is NOT in the index: a later admissible doc
+    # with the SAME text must not be blocked by the rejected twin
+    idx = spark.read.parquet(str(tmp_path / "out" / "_index")).collect()
+    assert len(idx) == 1  # only the good doc's hash
+    # replay convergence: rerunning the same checkpointed input changes nothing
+    q, _ = run_corpus_pipeline(spark, str(in_dir), out_dir, ckpt,
+                               quality_gate=True)
+    q.awaitTermination(120)
+    assert {r.doc_id for r in corpus_docs(spark, out_dir).collect()} == {1}
+    assert spark.read.parquet(str(tmp_path / "out" / "_rejects")).count() == 1
