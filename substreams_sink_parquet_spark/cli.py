@@ -459,10 +459,9 @@ def cmd_retrieve(args: argparse.Namespace) -> int:
     llm/similarity.py rrf_fuse) — same plans, same determinism."""
     import json
 
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from .llm.text import bm25_scores
+    from .llm.similarity import bm25_rank, cosine_rank, rrf_fuse
 
     terms = [t for t in args.query.split() if t]
     if not terms:
@@ -470,36 +469,25 @@ def cmd_retrieve(args: argparse.Namespace) -> int:
         return 2
     spark = get_spark("retrieve")
     docs = spark.read.parquet(args.docs).select("doc_id", "text")
-    bm = bm25_scores(docs, terms)
-    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
-    bmrank = (
-        bm.select("doc_id", "bm25", F.row_number().over(w).alias("rank"))
-        .filter(F.col("rank") <= args.k)
-    )
+    bmrank = bm25_rank(docs, terms, args.k)
     if not args.embeddings:
         for r in bmrank.orderBy("rank").collect():
             print(json.dumps({"doc_id": r.doc_id, "bm25": r.bm25, "rank": r.rank}))
         return 0
-    from .llm.similarity import cosine, rrf_fuse
-
     emb = spark.read.parquet(args.embeddings)
     qv = emb.filter(F.col("vec_id") == args.query_vec_id).select(
         F.col("embedding").alias("q_vec")
     )
-    cs = (
-        emb.crossJoin(F.broadcast(qv))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.round(cosine("embedding", "q_vec"), 6).alias("cos6"),
+    if qv.count() != 1:
+        # an absent vec_id would silently degrade the "hybrid" output to
+        # pure BM25 (the cosine list would be empty) — fail loudly instead
+        print(
+            f"retrieve: --query-vec-id {args.query_vec_id} matched "
+            f"{qv.count()} rows in {args.embeddings} (need exactly 1)",
+            file=sys.stderr,
         )
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.col("cos6").desc(), F.col("doc_id")))
-            .alias("rank"),
-        )
-        .filter(F.col("rank") <= args.k)
-    )
+        return 2
+    cs = cosine_rank(emb, qv, args.k)
     fused = rrf_fuse([bmrank.select("doc_id", "rank"), cs])
     top = fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(args.k)
     for r in top.collect():

@@ -561,8 +561,11 @@ def dsir_select(docs: DataFrame, is_target: F.Column, k: int,
     )
     gumbel = -F.log(-F.log(u + F.lit(1e-12)))
     key = F.col("dsir_logw") / F.lit(temperature) + gumbel
+    # a NULL predicate (e.g. lang IS NULL under `lang == 'fr'`) marks a
+    # doc as NOT-target: `~NULL` is NULL and a bare filter would silently
+    # drop exactly the raw documents selection exists to consider
     return (
-        lw.filter(~F.col("is_target"))
+        lw.filter(~F.coalesce(F.col("is_target"), F.lit(False)))
         .select("doc_id", "dsir_logw", key.alias("gumbel_key"))
         .orderBy(F.col("gumbel_key").desc(), "doc_id")
         .limit(k)

@@ -1334,6 +1334,34 @@ def rrf_fuse(rankings: list[DataFrame], c: int = 60,
 _HYBRID_K = 20
 
 
+def bm25_rank(docs: DataFrame, terms: list[str], k: int) -> DataFrame:
+    """(doc_id, bm25, rank) top-``k`` BM25 list, TakeOrdered-shaped: the
+    corpus-wide cut is ``orderBy().limit()`` (per-partition heaps, never a
+    global sort/single-partition window of all scores); the rank column
+    is a window over the k surviving rows only. Shared by
+    q_retrieval_hybrid and the `retrieve` CLI so tie-breaks and cutoffs
+    cannot silently diverge from the hash-checked operator."""
+    from .text import bm25_scores
+
+    bm = bm25_scores(docs, terms)
+    top = bm.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return top.select("doc_id", "bm25", F.row_number().over(w).alias("rank"))
+
+
+def cosine_rank(emb: DataFrame, qv: DataFrame, k: int) -> DataFrame:
+    """(doc_id, rank) top-``k`` by rounded cosine against the (broadcast)
+    single-row query-vector frame ``qv`` (column ``q_vec``). Same
+    TakeOrdered-then-rank shape as :func:`bm25_rank`."""
+    scored = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine("embedding", "q_vec"), 6).alias("cos6"),
+    )
+    top = scored.orderBy(F.col("cos6").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("cos6").desc(), F.col("doc_id"))
+    return top.select("doc_id", F.row_number().over(w).alias("rank"))
+
+
 def _hybrid_oracle() -> str:
     from .text import _BM25_TERMS
 
@@ -1409,33 +1437,11 @@ def _hybrid_oracle() -> str:
         "of corpus size",
 )
 def q_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .text import _BM25_TERMS, bm25_scores
+    from .text import _BM25_TERMS
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    bm = bm25_scores(docs, list(_BM25_TERMS))
-    bmrank = (
-        bm.select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
-            .alias("rank"),
-        )
-        .filter(F.col("rank") <= _HYBRID_K)
-    )
+    bmrank = bm25_rank(docs, list(_BM25_TERMS), _HYBRID_K).select("doc_id", "rank")
     emb = load(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
-    csrank = (
-        emb.crossJoin(F.broadcast(qv))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.round(cosine("embedding", "q_vec"), 6).alias("cos6"),
-        )
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.col("cos6").desc(), F.col("doc_id")))
-            .alias("rank"),
-        )
-        .filter(F.col("rank") <= _HYBRID_K)
-    )
+    csrank = cosine_rank(emb, qv, _HYBRID_K)
     return rrf_fuse([bmrank, csrank])

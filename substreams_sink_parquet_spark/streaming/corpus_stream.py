@@ -122,17 +122,6 @@ class CorpusSink:
         clean = clean.filter(
             F.col("doc_id").isNotNull() & F.col("text").isNotNull()
         )
-        if self.quality_gate:
-            from ..llm.text import quality_verdict_expr
-
-            verdict = quality_verdict_expr()
-            graded = clean.withColumn("__verdict", verdict)
-            graded.filter(F.col("__verdict") != "keep").select(
-                "doc_id", "lang", F.col("__verdict").alias("verdict")
-            ).write.mode("overwrite").parquet(
-                url_join(self.out_dir, "_rejects", f"epoch={epoch_id}")
-            )
-            clean = graded.filter(F.col("__verdict") == "keep").drop("__verdict")
         index_dirs = self._index_dirs("_index", exclude_epoch=int(epoch_id))
         if index_dirs:
             index = self.spark.read.parquet(*index_dirs)
@@ -140,10 +129,30 @@ class CorpusSink:
             index = self.spark.createDataFrame([], "text_hash string")
         # clean feeds the dedup (scan 1) and the admitted-doc join (scan 2);
         # without a persist the JSONL parse of the batch runs twice more
-        # than needed across the write actions below
-        clean = clean.persist()
-        to_unpersist = [clean]
+        # than needed across the write actions below. With the quality
+        # gate on, the GRADED frame is what persists (parse + verdict
+        # computed once, cached with the verdict column); the rejects
+        # write and the keep-side filter are then cheap cache reads.
+        to_unpersist: list[DataFrame] = []
         try:
+            if self.quality_gate:
+                from ..llm.text import quality_verdict_expr
+
+                graded = clean.withColumn(
+                    "__verdict", quality_verdict_expr()
+                ).persist()
+                to_unpersist.append(graded)
+                graded.filter(F.col("__verdict") != "keep").select(
+                    "doc_id", "lang", F.col("__verdict").alias("verdict")
+                ).write.mode("overwrite").parquet(
+                    url_join(self.out_dir, "_rejects", f"epoch={epoch_id}")
+                )
+                clean = graded.filter(
+                    F.col("__verdict") == "keep"
+                ).drop("__verdict")
+            else:
+                clean = clean.persist()
+                to_unpersist.append(clean)
             # stage 1: exact content hash vs the persistent hash index
             admitted = incremental_dedup(clean, index)
             kept = clean.join(admitted.select("doc_id"), "doc_id")

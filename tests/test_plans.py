@@ -284,3 +284,12 @@ def test_dsir_scoring_is_joinless_map_fold(spark, sf_dir):
         and rep.hash_joins == 0, rep.text
     assert "InMemoryTableScan" in rep.text  # feature arrays computed once
     assert rep.shuffle_exchanges <= 2, rep.text  # spread + cached lineage
+
+
+def test_hybrid_rankers_are_takeordered(spark, sf_dir):
+    rep = plan_report(registry()["q_retrieval_hybrid"].fn(spark, sf_dir))
+    # both per-list cuts are orderBy().limit() — per-partition heaps, so
+    # no full scored corpus ever funnels through one partition; the only
+    # Window nodes rank the k surviving rows
+    assert rep.text.count("TakeOrderedAndProject") >= 2, rep.text
+    assert not rep.has_cartesian

@@ -189,3 +189,13 @@ def test_dsir_prefers_target_like_raw_docs_and_is_deterministic(spark):
     # select never returns target rows, k bounds the output
     sel = dsir_select(docs, is_t, k=10).collect()
     assert {r.doc_id for r in sel} <= {3, 4, 5}
+    # a NULL predicate (doc 6's grp is NULL) means NOT-target: the doc
+    # must stay in the candidate pool, not vanish under three-valued logic
+    with_null = docs.union(
+        spark.createDataFrame(
+            [(6, None, "patient clinical dose therapy trial entry")],
+            "doc_id long, grp string, text string",
+        )
+    )
+    sel2 = {r.doc_id for r in dsir_select(with_null, F.col("grp") == "t", k=10).collect()}
+    assert 6 in sel2 and sel2 <= {3, 4, 5, 6}

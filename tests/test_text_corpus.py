@@ -680,7 +680,7 @@ def test_winnowing_guarantee_on_shared_substring(spark):
         .collect()
     }
     assert sets[1] & sets[2], "shared substring must share a fingerprint"
-    assert not (sets[1] & sets[3] and sets[2] & sets[3])
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
     out = {r.doc_id: r for r in winnow_fingerprints(docs, k=k, w=w).collect()}
     text_len = len("prefix words here " + shared + " and unique tail one")
     assert out[1].n_fingerprints < (text_len - k + 1) / 2  # density win
