@@ -1445,3 +1445,94 @@ def q_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
     csrank = cosine_rank(emb, qv, _HYBRID_K)
     return rrf_fuse([bmrank, csrank])
+
+
+# -- planted-truth audits for the hash-specific embedding families ---------
+
+
+def _planted_dup_embeddings(emb: DataFrame, n_planted: int = 20,
+                            offset: int = 10000):
+    """(augmented corpus, truth pairs): plant an exact copy of vectors
+    0..n at vec_id+offset — derived identically in Spark and the oracle
+    SQL, same construction as dedup._planted_dup_corpus. Identical
+    vectors are the similarity-1.0 extreme every embedding-space
+    detector must catch REGARDLESS of its hash family: same hyperplane
+    signs ⇒ same LSH bucket; same distances ⇒ same k-means cell."""
+    base = emb.select("vec_id", "embedding")
+    seeds = base.filter(F.col("vec_id") < n_planted)
+    planted = seeds.select(
+        (F.col("vec_id") + offset).alias("vec_id"), "embedding"
+    )
+    truth = seeds.select(
+        F.col("vec_id").alias("vec_a"),
+        (F.col("vec_id") + offset).alias("vec_b"),
+    )
+    return base.unionByName(planted), truth
+
+
+@register(
+    "q_dedup_embedding_lsh_audit",
+    """
+    SELECT vec_id AS vec_a, vec_id + 10000 AS vec_b, TRUE AS detected
+    FROM embeddings WHERE vec_id < 20
+    """,
+    doc="HASHABLE detection audit for LSH-blocked embedding near-dup: 20 "
+        "planted exact vector copies must each surface as a pair "
+        "(identical vectors share every hyperplane sign, so they share a "
+        "bucket; rounded cosine 1.0 clears any threshold). The oracle "
+        "enumerates the planted pairs and claims detected=TRUE — a broken "
+        "plane projection, bucketing, or cosine stage hash-mismatches. "
+        "Max non-planted pairwise cosine in the fixtures is ~0.60, so the "
+        "0.99 threshold isolates exactly the planted pairs",
+)
+def q_dedup_embedding_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    aug, truth = _planted_dup_embeddings(emb)
+    found = embedding_neardup_pairs_lsh(
+        aug, threshold=0.99, dim=embedding_dim(spark, sf_dir), n_planes=6
+    ).select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"))
+    hits = found.withColumn("__hit", F.lit(1))
+    return truth.join(hits, ["vec_a", "vec_b"], "left").select(
+        "vec_a", "vec_b", F.col("__hit").isNotNull().alias("detected")
+    )
+
+
+@register(
+    "q_dedup_semantic_audit",
+    """
+    SELECT vec_id AS vec_a, vec_id + 10000 AS vec_b,
+           TRUE AS original_kept, TRUE AS copy_pruned
+    FROM embeddings WHERE vec_id < 20
+    """,
+    doc="HASHABLE behavior audit for SemDeDup: for each planted exact "
+        "vector copy, the ORIGINAL must survive and the COPY must be "
+        "pruned — identical vectors co-cluster under any centroid draw, "
+        "their rounded cosine 1.0 clears the 0.99 cut, equal centrality "
+        "ties break to the lower vec_id. The oracle enumerates the pairs "
+        "and claims both booleans TRUE, turning the k-means-dependent "
+        "operator's keep/prune CONTRACT into a driver-hashed check "
+        "(fixture max non-planted cosine ~0.60: no interference)",
+)
+def q_dedup_semantic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    aug, truth = _planted_dup_embeddings(emb)
+    res = semantic_dedup(aug, threshold=0.99, n_centroids=16)
+    keeps = res.select("vec_id", "keep")
+    return (
+        truth.join(
+            keeps.select(
+                F.col("vec_id").alias("vec_a"), F.col("keep").alias("original_kept")
+            ),
+            "vec_a",
+        )
+        .join(
+            keeps.select(
+                F.col("vec_id").alias("vec_b"), F.col("keep").alias("copy_kept")
+            ),
+            "vec_b",
+        )
+        .select(
+            "vec_a", "vec_b", "original_kept",
+            (~F.col("copy_kept")).alias("copy_pruned"),
+        )
+    )
