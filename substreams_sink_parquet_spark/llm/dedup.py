@@ -1620,3 +1620,37 @@ def q_dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
+
+
+@register(
+    "q_dedup_incremental_audit",
+    """
+    SELECT doc_id + 10000 AS doc_id, TRUE AS rejected
+    FROM documents
+    WHERE doc_id < 20 AND len(string_split(text, ' ')) >= 3
+    """,
+    doc="HASHABLE rejection audit for the streaming near-dup screen: a "
+        "batch of exact re-crawls (docs 0..19 at doc_id+10000) arrives "
+        "against a band index of the first 300 corpus docs. Identical "
+        "text means identical signatures, so every band collides and the "
+        "verify stage sees overlap 1.0 >= threshold — each re-crawl MUST "
+        "be rejected regardless of in-batch interactions (corpus "
+        "rejection precedes in-batch admission). The oracle enumerates "
+        "the planted ids and claims rejected=TRUE; a broken banding, "
+        "index join, or verify estimate hash-mismatches in the driver "
+        "gate — what was replay-semantics pytest coverage only",
+)
+def q_dedup_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    three_words = F.size(F.split("text", " ")) >= 3
+    corpus = docs.filter((F.col("doc_id") < 300) & three_words)
+    band_index = banded_minhash(corpus).select("band_id", "band_hash", "sig")
+    batch = docs.filter((F.col("doc_id") < 20) & three_words).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    admitted = incremental_neardup(batch, band_index)
+    return batch.select("doc_id").join(
+        admitted.select("doc_id").distinct().withColumn("__a", F.lit(1)),
+        "doc_id",
+        "left",
+    ).select("doc_id", F.col("__a").isNull().alias("rejected"))
