@@ -929,3 +929,54 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every core hashes (identity on a wide cluster scan)
     docs = spread_if_narrow(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return winnow_fingerprints(docs, k=12, w=4)
+
+
+@register(
+    "q_text_hashing_tf_delta",
+    """
+    WITH w AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS ws FROM documents
+    )
+    SELECT doc_id,
+           CAST(GREATEST(len(ws) - 1, 0) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(
+               list_transform(range(len(ws) - 1),
+                              i -> ws[i+1] || ' ' || ws[i+2])
+           )) AS BIGINT) AS n_distinct_bigrams,
+           TRUE AS tf_mass_ok,
+           TRUE AS nnz_bounded
+    FROM w
+    """,
+    doc="HASHABLE companion for the MLlib HashingTF pipeline (the "
+        "q_agg_approx_delta pattern): the hashed buckets are murmur3-"
+        "specific, but total term MASS is not — the sparse vector's L1 "
+        "must equal the exact bigram count (no tokens dropped or double-"
+        "counted by Tokenizer→NGram→HashingTF), and the bucket count "
+        "must sit in [1 if any grams else 0, min(distinct bigrams, "
+        "numFeatures)] (collisions only merge). The oracle computes both "
+        "exact counts in SQL and claims the booleans TRUE",
+)
+def q_text_hashing_tf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf_out = q_text_hashing_tf(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.lower("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(-1))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
+        ),
+    )
+    expected = docs.select(
+        "doc_id",
+        F.greatest(F.size(words) - 1, F.lit(0)).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("n_distinct_bigrams"),
+    )
+    lo = F.when(F.col("n_bigrams") == 0, 0).otherwise(1)
+    hi = F.least(F.col("n_distinct_bigrams"), F.lit(1 << 12))
+    return expected.join(tf_out, "doc_id").select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        (F.col("total_terms") == F.col("n_bigrams")).alias("tf_mass_ok"),
+        ((F.col("nnz") >= lo) & (F.col("nnz") <= hi)).alias("nnz_bounded"),
+    )
