@@ -285,3 +285,35 @@ def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": v, "status": "F", "floor": 100000.0},
     )
+
+
+@register(
+    "q_agg_hll_sketch_delta",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+    doc="HASHABLE companion for the DataSketches HLL rollup (the "
+        "approx-delta pattern): Spark compares its own sketch estimate "
+        "(lgK=12, ~1.6% standard error — 5%% is ~3 sigma) against its own "
+        "exact distinct count and emits the per-type verdict alongside "
+        "the exact count; the oracle recomputes the exact count in SQL "
+        "and claims TRUE, so a broken sketch agg/estimate path fails the "
+        "driver's hash gate, not just the mergeability pytest",
+)
+def q_agg_hll_sketch_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        WITH sk AS (
+            SELECT event_type,
+                   hll_sketch_estimate(hll_sketch_agg(user_id, 12)) AS approx,
+                   COUNT(DISTINCT user_id) AS exact_users
+            FROM {v} GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(exact_users AS BIGINT) AS exact_users,
+               ABS(approx - exact_users) / exact_users <= 0.05 AS within_5pct
+        FROM sk
+    """)
