@@ -259,3 +259,38 @@ def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.slice("tokens", 1, 5).alias("head_tokens"),
     )
+
+
+@register(
+    "q_text_bpe_delta",
+    r"""
+    SELECT doc_id,
+           CAST(len(str_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+               AS BIGINT) AS n_words,
+           TRUE AS word_count_match,
+           TRUE AS roundtrip_ok
+    FROM documents
+    """,
+    doc="HASHABLE companion for the learned-merge BPE tokenizer (the "
+        "approx-delta pattern): the merge table is a trained artifact, "
+        "but two invariants are not — detokenize(tokens) must reproduce "
+        "the whitespace-normalized text exactly (BPE merges are "
+        "lossless), and the tokenizer's word segmentation must equal the "
+        "SQL-expressible whitespace split. Spark emits both verdicts "
+        "with the exact word count; the oracle recomputes the count and "
+        "claims TRUE, putting the Pandas-UDF encode path under the "
+        "driver's hash gate",
+)
+def q_text_bpe_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=200)
+    toks = bpe_tokenize(docs, merges, keep_tokens=True)
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    joined = toks.join(docs.select("doc_id", "text"), "doc_id")
+    n_words_sql = F.size(F.split(norm, " ")).cast("long")
+    return joined.select(
+        "doc_id",
+        n_words_sql.alias("n_words"),
+        (F.col("n_words") == n_words_sql).alias("word_count_match"),
+        (detokenize_expr() == norm).alias("roundtrip_ok"),
+    )
