@@ -107,3 +107,59 @@ def q_text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality(model, docs).select(
         "doc_id", "keep_pred", F.round("p_keep", 3).alias("p_keep_3")
     )
+
+
+@register(
+    "q_text_quality_model_delta",
+    """
+    WITH s AS (
+        SELECT doc_id,
+               len(str_split(text, ' ')) AS n_words,
+               len(list_distinct(str_split(text, ' '))) AS n_distinct,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / len(str_split(text, ' ')) AS awl,
+               len(list_filter(str_split(text, ' '),
+                               w -> w IN ('the','a','of','and','to','in','is','it')))
+                   AS n_stop,
+               CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct_ratio
+        FROM documents
+    ),
+    lab AS (
+        SELECT CASE WHEN n_words < 30 OR n_words > 100000
+                         OR awl < 3 OR awl > 12 OR n_stop < 1
+                         OR punct_ratio > 0.1
+                         OR 1 - CAST(n_distinct AS DOUBLE) / n_words > 0.5
+                    THEN 0 ELSE 1 END AS weak_keep
+        FROM s
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(weak_keep) AS BIGINT) AS n_weak_keep,
+           TRUE AS acc_floor_met
+    FROM lab
+    """,
+    doc="HASHABLE companion for the trained quality classifier: the "
+        "learned coefficients are not SQL-expressible, but the WEAK "
+        "LABELS are (the same rule cascade the oracle mirrors for "
+        "q_text_filter_pipeline), and training is deterministic "
+        "(hash-sampled slice, fixed seed — pytest-pinned), so the "
+        "model's agreement with its own weak labels is a FIXED number "
+        "per fixture (measured 0.77-0.80 across SFs). Spark emits the "
+        "exact label counts plus an accuracy >= 0.65 verdict; the "
+        "oracle recomputes the counts and claims TRUE — a broken "
+        "featurize/train/score path now fails the driver's hash gate",
+)
+def q_text_quality_model_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    model = train_quality_model(docs)
+    scored = score_quality(model, docs).select("doc_id", "keep_pred")
+    weak = weak_quality_labels(docs).select("doc_id", F.col("label").alias("weak"))
+    j = scored.join(weak, "doc_id")
+    return j.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("weak").cast("long").alias("n_weak_keep"),
+        (
+            F.avg((F.col("keep_pred").cast("int") == F.col("weak")).cast("double"))
+            >= 0.65
+        ).alias("acc_floor_met"),
+    )
