@@ -441,3 +441,64 @@ def test_substring_spans_merge_and_multi_span(spark):
     assert clean[1].clean_text == "gapword1 gapword2"
     assert clean[2].clean_text == "" and clean[2].n_words_kept == 0
     assert clean[3].clean_text == "tailword"
+
+
+def _py_dup_spans(texts: dict[int, str], n: int):
+    """Pure-Python ExactSubstr reference: duplicated n-gram hit positions
+    merged into half-open spans per doc; returns (spans, clean_text)."""
+    grams: dict[str, set[int]] = {}
+    words = {d: t.split(" ") for d, t in texts.items()}
+    pos: dict[int, list[int]] = {d: [] for d in texts}
+    for d, w in words.items():
+        for i in range(len(w) - n + 1):
+            grams.setdefault(" ".join(w[i:i + n]), set()).add(d)
+    dup = {g for g, ds in grams.items() if len(ds) >= 2}
+    for d, w in words.items():
+        for i in range(len(w) - n + 1):
+            if " ".join(w[i:i + n]) in dup:
+                pos[d].append(i)
+    spans: dict[int, list[tuple[int, int]]] = {}
+    clean: dict[int, str] = {}
+    for d, ps in pos.items():
+        merged: list[list[int]] = []
+        for i in ps:
+            if merged and i <= merged[-1][1]:
+                merged[-1][1] = i + n
+            else:
+                merged.append([i, i + n])
+        spans[d] = [tuple(m) for m in merged]
+        covered = {j for s, e in spans[d] for j in range(s, e)}
+        clean[d] = " ".join(
+            w for j, w in enumerate(words[d]) if j not in covered
+        )
+    return spans, clean
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(DOC, min_size=2, max_size=10))
+def test_exactsubstr_matches_python_reference(spark, docs):
+    """duplicated_spans / remove_duplicated_spans must equal the plain-
+    Python ExactSubstr on arbitrary corpora (random short words make
+    cross-doc n-gram collisions common), and agree with each other:
+    words kept + words covered == total words, per document."""
+    from substreams_sink_parquet_spark.llm.dedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    n = 2  # short grams: dense collisions on the tiny alphabet
+    texts = {i: d for i, d in enumerate(docs)}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    ref_spans, ref_clean = _py_dup_spans(texts, n)
+    got_stats = {r.doc_id: r for r in duplicated_spans(df, n=n).collect()}
+    got_clean = {r.doc_id: r for r in remove_duplicated_spans(df, n=n).collect()}
+    assert set(got_clean) == set(texts)  # clean emits EVERY doc
+    for d, sp in ref_spans.items():
+        if sp:
+            assert got_stats[d].n_dup_spans == len(sp), (d, texts[d])
+            assert got_stats[d].dup_words == sum(e - s for s, e in sp)
+        else:
+            assert d not in got_stats  # span-free docs absent from stats
+        assert got_clean[d].clean_text == ref_clean[d], (d, texts[d])
+        total = len(texts[d].split(" "))
+        assert got_clean[d].n_words_kept == total - sum(e - s for s, e in sp)
