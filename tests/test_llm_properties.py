@@ -502,3 +502,85 @@ def test_exactsubstr_matches_python_reference(spark, docs):
         assert got_clean[d].clean_text == ref_clean[d], (d, texts[d])
         total = len(texts[d].split(" "))
         assert got_clean[d].n_words_kept == total - sum(e - s for s, e in sp)
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.data())
+def test_winnowing_guarantee_random_shared_substrings(spark, data):
+    """The winnowing GUARANTEE on random inputs: whenever two documents
+    share a substring of length >= k + w - 1, their selected fingerprint
+    sets must intersect. Construct the sharing explicitly (random prefix/
+    suffix around a random shared core) so the property is exercised on
+    every example, not only when collisions happen by chance."""
+    from pyspark.sql import functions as F
+
+    k, w = 6, 3
+    alpha = "abcdef "
+    core = data.draw(st.text(alphabet=alpha, min_size=k + w - 1, max_size=30))
+    pre1 = data.draw(st.text(alphabet=alpha, min_size=0, max_size=15))
+    suf1 = data.draw(st.text(alphabet=alpha, min_size=0, max_size=15))
+    pre2 = data.draw(st.text(alphabet=alpha, min_size=0, max_size=15))
+    suf2 = data.draw(st.text(alphabet=alpha, min_size=0, max_size=15))
+    docs = spark.createDataFrame(
+        [(1, pre1 + core + suf1), (2, pre2 + core + suf2)],
+        "doc_id long, text string",
+    )
+    n_grams = F.length("text") - k + 1
+    h = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.substring(F.md5(F.col("text").substr(i + 1, F.lit(k))), 1, 8),
+    )
+    from substreams_sink_parquet_spark.llm.text import _windowed_min
+
+    hs = F.col("h")
+    mins = F.slice(_windowed_min(hs, w), 1,
+                   F.greatest(F.size(hs) - w + 1, F.lit(0)))
+    sets = {
+        r.doc_id: set(r.fps)
+        for r in docs.select("doc_id", h.alias("h"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.when(F.size(hs) >= w, mins)
+                .when(F.size(hs) > 0, F.array(F.array_min(hs)))
+                .otherwise(F.array().cast("array<string>"))
+            ).alias("fps"),
+        )
+        .collect()
+    }
+    assert sets[1] & sets[2], (repr(core), repr(pre1), repr(pre2))
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(st.lists(st.text(alphabet="0123456789abcdef", min_size=1,
+                                 max_size=8),
+                         min_size=0, max_size=25),
+                min_size=1, max_size=8),
+       st.integers(min_value=1, max_value=7))
+def test_windowed_min_doubling_equals_naive_slices(spark, arrays, w):
+    """The sparse-table doubling window-min must equal the naive
+    per-position slice-and-min for EVERY window size (powers of two and
+    not) on arbitrary string arrays — the formulation it replaced."""
+    from pyspark.sql import functions as F
+
+    from substreams_sink_parquet_spark.llm.text import _windowed_min
+
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)], "i long, h array<string>"
+    )
+    hs = F.col("h")
+    fast = F.slice(_windowed_min(hs, w), 1,
+                   F.greatest(F.size(hs) - w + 1, F.lit(0)))
+    naive = F.transform(
+        F.sequence(F.lit(0), F.size(hs) - w),
+        lambda j: F.array_min(F.slice(hs, j + 1, w)),
+    )
+    rows = df.select(
+        "i",
+        fast.alias("fast"),
+        F.when(F.size(hs) >= w, naive)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("naive"),
+    ).collect()
+    for r in rows:
+        assert r.fast == r.naive, (r.i, arrays[r.i], w)
