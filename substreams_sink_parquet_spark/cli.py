@@ -463,7 +463,9 @@ def cmd_retrieve(args: argparse.Namespace) -> int:
 
     from .llm.similarity import bm25_rank, cosine_rank, rrf_fuse
 
-    terms = [t for t in args.query.split() if t]
+    # dict.fromkeys: dedupe repeated terms (bm25_scores builds one tf column
+    # per list entry, so 'spark spark' would double-count) preserving order
+    terms = list(dict.fromkeys(t for t in args.query.split() if t))
     if not terms:
         print("retrieve: --query must contain at least one term", file=sys.stderr)
         return 2
@@ -478,12 +480,13 @@ def cmd_retrieve(args: argparse.Namespace) -> int:
     qv = emb.filter(F.col("vec_id") == args.query_vec_id).select(
         F.col("embedding").alias("q_vec")
     )
-    if qv.count() != 1:
+    n_qv = qv.count()
+    if n_qv != 1:
         # an absent vec_id would silently degrade the "hybrid" output to
         # pure BM25 (the cosine list would be empty) — fail loudly instead
         print(
             f"retrieve: --query-vec-id {args.query_vec_id} matched "
-            f"{qv.count()} rows in {args.embeddings} (need exactly 1)",
+            f"{n_qv} rows in {args.embeddings} (need exactly 1)",
             file=sys.stderr,
         )
         return 2
@@ -513,6 +516,9 @@ def cmd_select(args: argparse.Namespace) -> int:
     sel = dsir_select(
         docs, F.col("lang") == args.target_lang, k=args.k,
         temperature=args.temperature, seed=args.seed,
+        # at crawl scale, stage the hashed feature arrays to the lake
+        # instead of pinning a corpus-sized executor cache
+        staging_dir=args.staging_dir,
     )
     if args.out:
         sel.select("doc_id").join(docs, "doc_id").write.mode(
@@ -787,6 +793,10 @@ def main(argv: list[str] | None = None) -> int:
     sel_p.add_argument("--k", type=int, default=100)
     sel_p.add_argument("--temperature", type=float, default=1.0)
     sel_p.add_argument("--seed", type=int, default=42)
+    sel_p.add_argument("--staging-dir", default=None,
+                       help="materialize the hashed feature arrays to this "
+                            "dir (lake path) instead of an executor cache — "
+                            "use on real crawls")
     sel_p.add_argument("--out", default=None,
                        help="write selected documents to this parquet dir "
                             "instead of printing ids")

@@ -202,7 +202,8 @@ def append_to_ann_index(new_vectors: DataFrame, index_dir: str,
 def append_epoch_to_ann_index(new_vectors: DataFrame, index_dir: str,
                               epoch_id: int, vec_col: str = "embedding",
                               id_col: str = "vec_id",
-                              validate: bool = True) -> None:
+                              validate: bool = True,
+                              meta: dict | None = None) -> None:
     """Replay-safe streaming append: the batch's codes are encoded with
     the frozen codebooks and OVERWRITE ``codes_epochs/epoch={id}/`` —
     the same epoch-keyed idempotence contract as the corpus builder's
@@ -210,9 +211,14 @@ def append_epoch_to_ann_index(new_vectors: DataFrame, index_dir: str,
     instead of duplicating codes. Cell partitioning (and so query-time
     pruning) is preserved inside each epoch directory. ``validate=False``
     is for callers that already filtered null/wrong-dim embeddings
-    (CorpusSink does) — it saves one Spark job per micro-batch."""
+    (CorpusSink does) — it saves one Spark job per micro-batch. Such
+    callers must pass the SAME ``meta`` their pre-filter used: re-reading
+    meta here could pick up a concurrent retrain with a different dim, and
+    with validation off the stale-filtered vectors would encode into
+    garbage codes silently."""
     spark = new_vectors.sparkSession
-    meta = read_ann_meta(spark, index_dir)
+    if meta is None:
+        meta = read_ann_meta(spark, index_dir)
     codes = _encode_frozen(new_vectors, meta, vec_col, id_col,
                            "append_epoch_to_ann_index", validate=validate)
     codes.write.mode("overwrite").partitionBy("cent_id").parquet(

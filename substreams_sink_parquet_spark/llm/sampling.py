@@ -453,7 +453,8 @@ def _bucket(tok) -> F.Column:
     )
 
 
-def dsir_logweights(docs: DataFrame, is_target: F.Column) -> DataFrame:
+def dsir_logweights(docs: DataFrame, is_target: F.Column,
+                    staging_dir: str | None = None) -> DataFrame:
     """Importance weights for data selection with importance resampling
     (the published DSIR recipe): fit bag-of-hashed-n-gram unigram models
     over a TARGET slice and the RAW corpus, and score every document with
@@ -485,18 +486,30 @@ def dsir_logweights(docs: DataFrame, is_target: F.Column) -> DataFrame:
     # now map-only — a narrow few-file scan would run it on as many cores
     # as there are files (identity at scale, where the scan is wide)
     docs = spread_if_narrow(docs)
-    # staged projection: the bucket array is computed once and PERSISTED —
-    # the model fit and the scoring fold both consume it, and the
-    # per-token md5 hashing is the dominant cost, so recomputing it per
-    # consumer doubles the query. The cache backs the returned frame's
-    # lineage (same contract as semantic_dedup's assignment cache); at
-    # 100 TB the equivalent move is materializing the feature arrays to
-    # the lake once and fitting/scoring from that table.
+    # staged projection: the bucket array is computed ONCE — the model fit
+    # and the scoring fold both consume it, and the per-token md5 hashing
+    # is the dominant cost, so recomputing it per consumer doubles the
+    # query. Two modes:
+    #   * staging_dir set (the 100 TB path): the feature arrays are
+    #     materialized to the lake once and both fit and score READ the
+    #     staged table — no corpus-sized executor cache, restartable, and
+    #     the staged features are reusable across selection runs.
+    #   * staging_dir None (in-catalog mode): an executor-storage persist.
+    #     The cache backs the returned frame's lineage, so it is NOT
+    #     unpersisted here; callers done with the result may
+    #     ``spark.catalog.clearCache()`` (bench.py does, between
+    #     measurements) — the same contract semantic_dedup documents for
+    #     its assignment cache.
     feats = docs.select(
         "doc_id",
         is_target.alias("is_t"),
         F.transform(toks, lambda t: _bucket(t)).alias("bs"),
-    ).persist()
+    )
+    if staging_dir is not None:
+        feats.write.mode("overwrite").parquet(staging_dir)
+        feats = docs.sparkSession.read.parquet(staging_dir)
+    else:
+        feats = feats.persist()
     model = (
         feats.select("is_t", F.explode("bs").alias("b"))
         .groupBy("b")
@@ -543,15 +556,19 @@ def dsir_logweights(docs: DataFrame, is_target: F.Column) -> DataFrame:
 
 
 def dsir_select(docs: DataFrame, is_target: F.Column, k: int,
-                temperature: float = 1.0, seed: int = 42) -> DataFrame:
+                temperature: float = 1.0, seed: int = 42,
+                staging_dir: str | None = None) -> DataFrame:
     """Gumbel top-k importance RESAMPLING over :func:`dsir_logweights`
     (sampling without replacement ∝ exp(logw / temperature)): adds a
     deterministic hash-derived Gumbel to each scaled log-weight and keeps
     the top ``k`` non-target documents. Hash randomness (md5 of
     doc_id:seed) makes the draw reproducible across engines, runs, and
     parallelism — the same property every other sampler in this module
-    guarantees. TakeOrdered top-k; no extra shuffles beyond the scorer."""
-    lw = dsir_logweights(docs, is_target)
+    guarantees. TakeOrdered top-k; no extra shuffles beyond the scorer.
+    ``staging_dir`` is forwarded to :func:`dsir_logweights` (materialize
+    the hashed feature arrays to the lake instead of an executor cache —
+    the right call on a real crawl)."""
+    lw = dsir_logweights(docs, is_target, staging_dir=staging_dir)
     u = (
         F.conv(
             F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.lit(seed))), 1, 8),

@@ -79,7 +79,12 @@ def l2_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
         "q_id", "vec_id",
         F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x).alias("d2"),
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("vec_id"))
+    # asc_nulls_last: a null or wrong-dimension embedding yields NULL d2
+    # (zip_with pads with nulls), and plain ascending would rank the
+    # corrupt vector as the NEAREST neighbor (Spark sorts NULLs first asc)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("d2").asc_nulls_last(), F.col("vec_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

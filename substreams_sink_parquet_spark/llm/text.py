@@ -814,6 +814,185 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(25)
 
 
+def bm25_scores_batch(docs: DataFrame, queries: DataFrame,
+                      k1: float = 1.2, b: float = 0.75,
+                      max_doc_freq: int | None = None) -> DataFrame:
+    """Okapi BM25 of every document against a TABLE of queries — the
+    thousand-query workloads :func:`bm25_scores` (one literal seed query)
+    cannot express: eval-set mining, retrieval-based decontamination,
+    batched seed-similarity curation. Input ``queries`` is
+    (query_id, query) with a whitespace-tokenized query string; repeated
+    terms within one query are deduplicated (standard qtf-free Okapi — and
+    the double-count hazard ADVICE r5 flagged in cmd_retrieve).
+
+    Returns (query_id, doc_id, bm25, n_terms_matched), one row per
+    (query, doc) pair with at least one matching term — the sparse
+    retrieval contract (a doc matching no term scores 0 and is omitted),
+    which is what makes the batch shape scale: output is |postings ∩
+    queries|, never |docs| × |queries|.
+
+    100 TB shape — the inverted-index formulation (VERDICT r5, Next #2),
+    NOT one tf column per term (column explosion) and NOT a corpus ×
+    queries crossJoin: the corpus is tokenized and exploded map-side, a
+    BROADCAST semi-filter on the distinct query-term set drops every
+    non-query word before any exchange, and the only corpus-scale shuffle
+    is the (term, doc_id) tf aggregate over MATCHED postings. Document
+    frequencies are a |terms|-row agg and corpus stats a 1-row agg, both
+    broadcast back; the per-(query, doc) score sum shuffles only the
+    matched-postings × query fan-out. ``max_doc_freq`` is the hot-term
+    guard (jaccard's pattern): a stopword-grade term that appears in
+    nearly every document would fan out |corpus| postings for a
+    near-zero idf contribution — when set, terms with df > max_doc_freq
+    are excluded from scoring (classic stop-term pruning; scores of the
+    surviving terms are unchanged). Per-term contributions are rounded
+    to 9 decimals and decimal-summed: accumulation-order independent,
+    hash-stable vs the oracle."""
+    words = F.split("text", " ")
+    toks = docs.select("doc_id", words.alias("w"), F.size(words).alias("dl"))
+    # corpus stats: 1-row agg, broadcast back onto scoring
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    qterms = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(F.split("query", " "))).alias("term"),
+    ).filter(F.length("term") > 0)
+    term_set = qterms.select("term").distinct()
+    # map-side semi filter: every non-query word dies before the exchange
+    postings = (
+        toks.select("doc_id", "dl", F.explode("w").alias("term"))
+        .join(F.broadcast(term_set), "term")
+        .groupBy("term", "doc_id", "dl")  # dl is functionally dependent
+        .agg(F.count("*").alias("tf"))
+    )
+    # document frequency as a window over the SAME postings, not a second
+    # groupBy branch: a separate dfs aggregate re-derives the whole
+    # corpus-explode subtree in the static plan (AQE ReuseExchange is
+    # runtime-only), doubling the most expensive stage — the window costs
+    # one matched-postings exchange on term instead
+    from pyspark.sql import Window
+
+    postings = postings.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    )
+    if max_doc_freq is not None:
+        # hot-term guard (jaccard's pattern): stop-term pruning, decided
+        # per term AFTER the df count — inherent, df must exist to test it
+        postings = postings.filter(F.col("df") <= max_doc_freq)
+    scored = postings.join(F.broadcast(stats)).join(F.broadcast(qterms), "term")
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    norm = F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / avgdl)
+    tfd = F.col("tf").cast("double")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = F.round(
+        idf * tfd * F.lit(k1 + 1.0) / (tfd + norm), 9
+    ).cast("decimal(20,9)")
+    return (
+        scored.select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum("c").cast("double"), 6).alias("bm25"),
+            F.count("*").cast("long").alias("n_terms_matched"),
+        )
+    )
+
+
+# fixed multi-query fixture for the batch oracle: repeated 'data' in query
+# 6 pins the per-query term dedup; query 5 mixes a stopword-grade term in
+_BM25_BATCH_QUERIES = (
+    (1, "spark merge join fast"),
+    (2, "hash join"),
+    (3, "vector scan batch"),
+    (4, "customer order line"),
+    (5, "slow window sort the"),
+    (6, "data data column"),
+)
+
+
+def _bm25_batch_oracle() -> str:
+    vals = ", ".join(f"({i}, '{q}')" for i, q in _BM25_BATCH_QUERIES)
+    return f"""
+    WITH q(query_id, query) AS (VALUES {vals}),
+    qt AS (
+        SELECT query_id, UNNEST(list_distinct(str_split(query, ' '))) AS term
+        FROM q
+    ),
+    toks AS (
+        SELECT doc_id, str_split(text, ' ') AS w,
+               len(str_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM toks),
+    terms AS (SELECT DISTINCT term FROM qt),
+    postings AS (
+        SELECT term, doc_id, dl, COUNT(*) AS tf
+        FROM (SELECT doc_id, dl, UNNEST(w) AS term FROM toks) x
+        JOIN terms USING (term)
+        GROUP BY term, doc_id, dl
+    ),
+    dfs AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+    contrib AS (
+        SELECT qt.query_id, p.doc_id,
+               CAST(ROUND(
+                   LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * CAST(tf AS DOUBLE) * 2.2
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * dl
+                               / (CAST(sum_dl AS DOUBLE) / n_docs))),
+                   9) AS DECIMAL(20,9)) AS c
+        FROM postings p
+        JOIN dfs USING (term)
+        JOIN qt USING (term)
+        CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT query_id, doc_id,
+               ROUND(CAST(SUM(c) AS DOUBLE), 6) AS bm25,
+               COUNT(*) AS n_terms_matched
+        FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, bm25,
+           CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY bm25 DESC, doc_id
+           ) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """
+
+
+@register(
+    "q_text_bm25_batch",
+    _bm25_batch_oracle(),
+    doc="Batch BM25 over a 6-query table via the inverted-index "
+        "formulation: corpus exploded map-side, broadcast semi-filter on "
+        "the distinct query-term set, (term, doc) tf aggregate over "
+        "matched postings only, broadcast df/stats/query-terms joins, "
+        "per-(query, doc) decimal score sum, top-10 per query. No "
+        "corpus x queries crossJoin anywhere in the plan",
+)
+def q_text_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(
+        list(_BM25_BATCH_QUERIES), "query_id int, query string"
+    )
+    scored = bm25_scores_batch(docs, queries)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "bm25", "n_terms_matched", "rank")
+    )
+
+
 # -- winnowing document fingerprints ---------------------------------------
 
 
@@ -858,6 +1037,18 @@ def winnow_fingerprints(docs: DataFrame, k: int = 12, w: int = 4) -> DataFrame:
     allocated a w-element copy per position and ran ~2.4x slower at
     sf0.1. At 100 TB this is a pure scan-side pass whose output is
     O(docs), the index a downstream overlap join buckets on."""
+    return _winnow_selected(docs, k, w).select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.md5(F.array_join("fps", ",")).alias("fp_digest"),
+    )
+
+
+def _winnow_selected(docs: DataFrame, k: int, w: int) -> DataFrame:
+    """(doc_id, fps): each document's SELECTED winnowing fingerprints as a
+    sorted-distinct array — the map-only selection pass shared by the
+    digest view (:func:`winnow_fingerprints`) and the overlap-pair join
+    (:func:`winnow_overlap_pairs`)."""
     n_grams = F.length("text") - k + 1
     h = F.transform(
         F.sequence(F.lit(0), n_grams - 1),
@@ -879,11 +1070,49 @@ def winnow_fingerprints(docs: DataFrame, k: int = 12, w: int = 4) -> DataFrame:
             F.when(n_grams > 0, h).otherwise(F.array().cast("array<string>")).alias("h"),
         )
         .select("doc_id", fps.alias("fps"))
-        .select(
-            "doc_id",
-            F.size("fps").cast("long").alias("n_fingerprints"),
-            F.md5(F.array_join("fps", ",")).alias("fp_digest"),
-        )
+    )
+
+
+def winnow_overlap_pairs(docs: DataFrame, k: int = 16, w: int = 6,
+                         min_shared: int = 2,
+                         max_fp_freq: int | None = 1000) -> DataFrame:
+    """Document pairs sharing winnowing fingerprints — the operator the
+    winnowing guarantee exists FOR (VERDICT r5, Next #3): any two
+    documents sharing a substring of length >= k + w − 1 are GUARANTEED
+    to share a selected fingerprint, so the selected set is a sound JOIN
+    key for plagiarism / boilerplate / near-dup detection — no pair with
+    a long shared substring can be missed, and the index is ~2/(w+1) the
+    size of the full k-gram set. Returns (doc_a, doc_b, n_shared_fps)
+    with doc_a < doc_b and n_shared_fps >= ``min_shared`` (raising
+    ``min_shared`` trades recall on short overlaps for precision against
+    hash-collision noise).
+
+    100 TB shape — exactly jaccard's inverted-index machinery over a far
+    sparser posting list: map-only selection (zero shuffles), one
+    groupBy(fingerprint) exchange whose collected doc lists carry the
+    ``max_fp_freq`` hot-key guard folded into the groupBy filter (a
+    boilerplate fingerprint shared by millions of docs would otherwise
+    make its join key quadratic), chunked anchored pair expansion
+    (:func:`~..dedup._anchored_pair_arrays` — per-row buffer bounded
+    linearly in the guard), one map-side-combined pair aggregation."""
+    from .dedup import _anchored_pair_arrays, spread_if_narrow
+
+    sel = _winnow_selected(
+        spread_if_narrow(docs.select("doc_id", "text")), k, w
+    )
+    groups = (
+        sel.select("doc_id", F.explode("fps").alias("fp"))
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+    )
+    if max_fp_freq is not None:
+        groups = groups.filter(F.size("ds") <= max_fp_freq)
+    return (
+        _anchored_pair_arrays(groups)
+        .select(F.explode("pair_arr").alias("p")).select("p.*")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
     )
 
 
@@ -929,6 +1158,55 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every core hashes (identity on a wide cluster scan)
     docs = spread_if_narrow(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return winnow_fingerprints(docs, k=12, w=4)
+
+
+@register(
+    "q_dedup_winnow_pairs",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN length(text) - 15 > 0
+                    THEN list_transform(
+                        range(length(text) - 15),
+                        i -> substr(md5(substr(text, i + 1, 16)), 1, 8))
+                    ELSE [] END AS h
+        FROM documents
+    ),
+    sel AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(h) >= 6
+                        THEN list_transform(
+                            range(len(h) - 5),
+                            j -> list_aggregate(h[j+1:j+6], 'min'))
+                        WHEN len(h) > 0
+                        THEN [list_aggregate(h, 'min')]
+                        ELSE [] END
+               ) AS fps
+        FROM g
+    ),
+    fp_all AS (SELECT doc_id, UNNEST(fps) AS fp FROM sel),
+    fp AS (
+        SELECT fp_all.doc_id, fp_all.fp FROM fp_all
+        JOIN (SELECT fp FROM fp_all GROUP BY fp
+              HAVING COUNT(*) <= 1000) ok USING (fp)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Winnowing overlap pairs (k=16, w=6): the guarantee (shared "
+        "substring >= 21 chars => shared selected fingerprint) makes the "
+        "fingerprints a sound near-dup/plagiarism JOIN key. Inverted-"
+        "index pair expansion with the max_fp_freq<=1000 hot-key guard "
+        "on BOTH engines; pairs kept at >= 2 shared fingerprints",
+)
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(docs, k=16, w=6, min_shared=2,
+                                max_fp_freq=1000)
 
 
 @register(

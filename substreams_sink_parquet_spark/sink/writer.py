@@ -245,8 +245,20 @@ def _ordered_range_parts(fs: HadoopFS, part_dir: str) -> list[tuple[str, int]]:
         for e in fs.listdir(part_dir)
         if e.startswith("__sub=")
     )
+    flat = _staged_part_files(fs, part_dir)
     if not subs:
-        return sorted(_staged_part_files(fs, part_dir).items())
+        return sorted(flat.items())
+    if flat:
+        # a partial retry under a changed write_tasks setting can leave BOTH
+        # __sub= dirs and flat part files; silently ignoring the flat files
+        # would drop their rows from finalize — raise like every other
+        # layout violation
+        raise RuntimeError(
+            f"{part_dir}: mixed staged layout — both __sub= dirs "
+            f"({len(subs)}) and flat part files ({sorted(flat)}); "
+            "the staging dir is corrupt (e.g. a retry under a changed "
+            "write_tasks setting) — clear it and rerun"
+        )
     out: list[tuple[str, int]] = []
     for _k, e in subs:
         sub_files = _staged_part_files(fs, url_join(part_dir, e))

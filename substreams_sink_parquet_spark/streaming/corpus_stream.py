@@ -249,8 +249,13 @@ class CorpusSink:
                     embeddable, self.ann_index_dir, int(epoch_id),
                     vec_col="embedding", id_col="doc_id",
                     # the filter above IS the validation; validate=True
-                    # would re-check it with an extra Spark job per batch
+                    # would re-check it with an extra Spark job per batch.
+                    # Pass the SAME construction-time meta the filter used:
+                    # a per-batch re-read could see a concurrent retrain
+                    # with a different dim, and filter and encoder would
+                    # silently disagree.
                     validate=False,
+                    meta=self._ann_meta,
                 )
         finally:
             for df in to_unpersist:

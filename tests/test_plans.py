@@ -293,3 +293,24 @@ def test_hybrid_rankers_are_takeordered(spark, sf_dir):
     # Window nodes rank the k surviving rows
     assert rep.text.count("TakeOrderedAndProject") >= 2, rep.text
     assert not rep.has_cartesian
+
+
+def test_bm25_batch_is_inverted_index_not_crossjoin(spark, sf_dir):
+    rep = plan_report(registry()["q_text_bm25_batch"].fn(spark, sf_dir))
+    # the batch formulation must never plan corpus x queries: scoring
+    # flows through broadcast joins of the tiny term/df/stats sides onto
+    # the matched postings, and the only sort-merge/hash joins are none
+    assert not rep.has_cartesian
+    assert rep.sortmerge_joins == 0, rep.text
+    assert rep.broadcast_joins >= 2, rep.text  # term-set, qterms
+    # the corpus-EXPLODE subtree must appear ONCE: df is a window over
+    # the matched postings, not a second aggregate branch re-deriving it.
+    # Two corpus scans total (numbered detail headers, one per node): the
+    # postings explode and the projection-only (no Generate) 1-row stats agg
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Scan parquet", rep.text)) == 2, rep.text
+    # exchanges: term-set distinct, postings tf agg, df window on term,
+    # (query, doc) score agg, per-query rank window, 1-row stats agg —
+    # all over matched postings or tiny sides, never the raw corpus
+    assert rep.shuffle_exchanges <= 6, rep.text

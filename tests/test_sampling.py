@@ -199,3 +199,43 @@ def test_dsir_prefers_target_like_raw_docs_and_is_deterministic(spark):
     )
     sel2 = {r.doc_id for r in dsir_select(with_null, F.col("grp") == "t", k=10).collect()}
     assert 6 in sel2 and sel2 <= {3, 4, 5, 6}
+
+
+def test_dsir_staging_dir_matches_persisted_and_reads_staged_table(
+    spark, tmp_path
+):
+    """The 100 TB mode: ``staging_dir=`` materializes the hashed feature
+    arrays to the lake and both fit and score read THAT table. Outputs
+    must be identical to in-catalog (persist) mode, the staged parquet
+    must actually exist, and the scoring plan must scan the staged table
+    — not recompute features from the raw corpus (VERDICT r5, Next #4)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from substreams_sink_parquet_spark.llm.sampling import dsir_logweights
+
+    docs = spark.createDataFrame(
+        [
+            (i, "t" if i % 3 == 0 else "r",
+             f"alpha beta gamma{i % 5} delta epsilon{i % 7} zeta")
+            for i in range(40)
+        ],
+        "doc_id long, grp string, text string",
+    )
+    is_t = F.col("grp") == "t"
+    staged_dir = str(tmp_path / "dsir_feats")
+    spark.catalog.clearCache()  # isolate: no cross-test cached features
+    staged = dsir_logweights(docs, is_t, staging_dir=staged_dir)
+    # scoring reads the staged table, not the raw corpus twice
+    assert all(staged_dir in f for f in staged.inputFiles()), staged.inputFiles()
+    assert any(f.endswith(".parquet") for f in os.listdir(staged_dir))
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan  # no executor cache pinned
+    got_staged = {r.doc_id: (r.is_target, r.n_features, r.dsir_logw)
+                  for r in staged.collect()}
+    got_persist = {r.doc_id: (r.is_target, r.n_features, r.dsir_logw)
+                   for r in dsir_logweights(docs, is_t).collect()}
+    spark.catalog.clearCache()  # release the persist-mode feature cache
+    assert got_staged == got_persist
+    assert len(got_staged) == 40

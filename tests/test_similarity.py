@@ -379,3 +379,27 @@ def test_rrf_fuse_matches_formula_and_rewards_agreement(spark):
     assert got[10][1] == 2 and got[12][1] == 1
     # both-list docs beat same-position single-list docs
     assert got[11][0] > got[13][0] and got[10][0] > got[12][0]
+
+
+def test_l2_topk_ranks_corrupt_embeddings_last_not_first(spark):
+    """A null or wrong-dimension embedding yields NULL d2 (zip_with null
+    padding); ascending sort without nulls-last would rank the corrupt
+    vector as the NEAREST neighbor (ADVICE r5). It must never outrank a
+    real neighbor."""
+    from substreams_sink_parquet_spark.llm.similarity import l2_topk
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [1.0, 0.0]),
+            (2, [0.0, 2.0]),
+            (3, None),          # corrupt: null vector
+            (4, [5.0]),         # corrupt: wrong dimension
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter("vec_id = 0").selectExpr(
+        "vec_id as q_id", "embedding as q_vec"
+    )
+    got = [r.neighbor_id for r in l2_topk(emb, q, k=2).orderBy("rank").collect()]
+    assert got == [1, 2]

@@ -217,3 +217,28 @@ def test_write_tasks_small_ranges_keep_plain_single_file(spark, tmp_path):
         "0000000010-0000000020.parquet",
         "0000000020-0000000030.parquet",
     ]
+
+
+def test_mixed_staged_layout_raises_instead_of_dropping_rows(spark, tmp_path):
+    """A staged range dir holding BOTH __sub= dirs and flat part files
+    (e.g. a partial retry under a changed write_tasks setting) must raise
+    like every other layout violation — silently ignoring the flat files
+    would drop their rows from finalize (ADVICE r5)."""
+    import pyarrow as pa
+
+    from substreams_sink_parquet_spark.fsio import HadoopFS
+    from substreams_sink_parquet_spark.sink.writer import _ordered_range_parts
+
+    part_dir = tmp_path / "staging" / "__range_start=0"
+    sub = part_dir / "__sub=0"
+    sub.mkdir(parents=True)
+    tbl = pa.table({"block_number": [1, 2]})
+    pq.write_table(tbl, str(sub / "part-00000.parquet"))
+    pq.write_table(tbl, str(part_dir / "part-00001.parquet"))  # flat leftover
+    fs = HadoopFS(spark, str(tmp_path))
+    with pytest.raises(RuntimeError, match="mixed staged layout"):
+        _ordered_range_parts(fs, str(part_dir))
+    # a clean sub layout still resolves
+    os.remove(str(part_dir / "part-00001.parquet"))
+    parts = _ordered_range_parts(fs, str(part_dir))
+    assert [p for p, _ in parts] == ["__sub=0/part-00000.parquet"]

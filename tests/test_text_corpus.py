@@ -734,3 +734,94 @@ def test_corpus_quality_gate_rejects_before_index(spark, tmp_path):
     q.awaitTermination(120)
     assert {r.doc_id for r in corpus_docs(spark, out_dir).collect()} == {1}
     assert spark.read.parquet(str(tmp_path / "out" / "_rejects")).count() == 1
+
+
+def test_bm25_batch_matches_single_query_and_guards_hot_terms(spark):
+    """bm25_scores_batch over a query table must agree with bm25_scores
+    per query (same formula, sparse output contract: zero-score docs are
+    omitted), dedupe repeated query terms, and drop terms whose document
+    frequency exceeds the hot-term guard."""
+    from substreams_sink_parquet_spark.llm.text import bm25_scores, bm25_scores_batch
+
+    corpus = {
+        1: "spark merge join fast spark merge join",
+        2: "spark alone among many other plain filler words here",
+        3: "nothing relevant in this document at all whatsoever",
+        4: "merge fast merge fast spark words here today",
+    }
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(10, "spark merge join fast"), (20, "words here"),
+         (30, "spark spark spark")],  # repeated terms dedupe to one
+        "query_id int, query string",
+    )
+    got = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in bm25_scores_batch(docs, queries).collect()
+    }
+    for qid, terms in ((10, ["spark", "merge", "join", "fast"]),
+                       (20, ["words", "here"]), (30, ["spark"])):
+        single = {r.doc_id: r.bm25 for r in bm25_scores(docs, terms).collect()}
+        for d, s in single.items():
+            if s != 0.0:
+                assert got[(qid, d)] == pytest.approx(s, abs=1e-6), (qid, d)
+            else:
+                assert (qid, d) not in got  # sparse contract
+    # n_terms_matched counts DISTINCT matched terms
+    n_match = {
+        (r.query_id, r.doc_id): r.n_terms_matched
+        for r in bm25_scores_batch(docs, queries).collect()
+    }
+    assert n_match[(10, 1)] == 4 and n_match[(10, 2)] == 1
+    assert n_match[(30, 1)] == 1
+    # hot-term guard: 'spark' appears in 3 of 4 docs; max_doc_freq=2 drops
+    # it everywhere, so query 30 vanishes and query 10 loses its spark
+    # contribution but keeps merge/join/fast
+    guarded = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in bm25_scores_batch(docs, queries, max_doc_freq=2).collect()
+    }
+    assert not any(q == 30 for q, _ in guarded)
+    assert guarded[(10, 1)] < got[(10, 1)]
+    assert (20, 2) in guarded  # df('words')=2 survives the guard
+
+
+def test_winnow_overlap_pairs_surface_shared_substrings_only(spark):
+    """The overlap-pair operator built on the winnowing guarantee: two
+    documents sharing a substring of length >= k + w - 1 MUST surface as
+    a pair; documents with no substantial overlap must not (min_shared=2
+    screens single-fingerprint hash noise). The hot-fingerprint guard
+    drops boilerplate shared by too many documents."""
+    from substreams_sink_parquet_spark.llm.text import winnow_overlap_pairs
+
+    k, w = 12, 4
+    shared = "the quick brown fox jumps over the lazy dog today and tomorrow"
+    boiler = "standard footer all rights reserved contact us legal terms apply"
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words here " + shared + " unique tail number one"),
+            (2, "different opening text " + shared + " other ending text"),
+            (3, "no overlap with anything else in this corpus entry line"),
+            (4, "completely distinct content about unrelated topics appears"),
+        ] + [(100 + i, f"doc body variant {i} " + boiler) for i in range(6)],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared_fps
+        for r in winnow_overlap_pairs(docs, k=k, w=w, min_shared=2,
+                                      max_fp_freq=None).collect()
+    }
+    assert (1, 2) in pairs  # guaranteed by the shared >= k+w-1 substring
+    assert not any(3 in p or 4 in p for p in pairs)  # disjoint docs: no pair
+    # the 6 boilerplate docs all pair with each other (15 pairs)
+    assert sum(1 for a, b in pairs if a >= 100 and b >= 100) == 15
+    # guard: the boilerplate fingerprints are shared by 6 docs; capping
+    # fingerprint frequency at 5 removes every boilerplate-only pair but
+    # keeps the organic (1, 2) overlap
+    guarded = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_overlap_pairs(docs, k=k, w=w, min_shared=2,
+                                      max_fp_freq=5).collect()
+    }
+    assert (1, 2) in guarded
+    assert not any(a >= 100 and b >= 100 for a, b in guarded)
