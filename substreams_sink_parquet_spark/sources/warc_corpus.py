@@ -17,8 +17,10 @@ Scalable parse, no Python in the loop:
   document is truncated at the marker and the tail, lacking headers,
   lands in quarantine (visible, not silent). In WET text extracts the
   sequence essentially only occurs in pages about the WARC format
-  itself; exact Content-Length framing would require a sequential byte
-  reader and give up split parallelism, the wrong trade at crawl scale.
+  itself; exact Content-Length framing requires a sequential byte
+  reader and gives up split parallelism, the wrong trade at crawl scale
+  — archives where that trade inverts opt into
+  :func:`read_warc_corpus_exact` (per-file sequential, spec framing).
 - **Header fields are JVM-side regexp_extract**, the body a substring
   after the blank line; everything stays inside whole-stage codegen.
   The CR-normalized copy of each record is computed ONCE in a prior
@@ -151,6 +153,98 @@ def read_warc_corpus(
     framing, not documents, and are dropped (they are well-formed, so
     they are NOT quarantine material)."""
     raw = spark.read.option("lineSep", WARC_MARKER).text(path)
+    return _parse_records(raw, record_types)
+
+
+def _frame_records_exact(data: bytes) -> list[bytes]:
+    """Sequential spec framing of one shard's bytes: records are delimited
+    by each record's own ``Content-Length`` header (counted in BYTES, per
+    the WARC spec), so a record BODY containing the literal ``WARC/1.``
+    marker stays intact instead of splitting there. Each returned chunk
+    runs from a record's marker to the next record's marker located AT OR
+    AFTER the declared body end — trailing CRLF record separators stay
+    attached to the previous chunk, exactly like the lineSep reader's
+    chunks, so one downstream parse serves both modes. A record whose
+    header block is unterminated or lacks Content-Length cannot be framed
+    exactly; it degrades to next-marker splitting for that record alone
+    (the tail then surfaces via the normal quarantine contract)."""
+    import re
+
+    marker = WARC_MARKER.encode()
+    recs: list[bytes] = []
+    pos = data.find(marker)
+    while pos != -1:
+        ends = [
+            (i, sep_len)
+            for i, sep_len in ((data.find(b"\r\n\r\n", pos), 4),
+                               (data.find(b"\n\n", pos), 2))
+            if i != -1
+        ]
+        nxt = -1
+        if ends:
+            hdr_end, sep_len = min(ends)
+            m = re.search(
+                rb"(?im)^Content-Length:[ \t]*(\d+)[ \t]*$",
+                data[pos:hdr_end],
+            )
+            if m is not None:
+                body_end = hdr_end + sep_len + int(m.group(1))
+                nxt = data.find(marker, max(body_end, pos + 1))
+            else:
+                nxt = data.find(marker, pos + 1)
+        recs.append(data[pos:nxt] if nxt != -1 else data[pos:])
+        pos = nxt
+    return recs
+
+
+def read_warc_corpus_exact(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("conversion",),
+) -> tuple[DataFrame, DataFrame]:
+    """Correctness-first twin of :func:`read_warc_corpus`: per-file
+    sequential framing that honors each record's ``Content-Length``, for
+    non-WET archives whose bodies may legitimately contain the
+    ``WARC/1.`` marker bytes (pages ABOUT the WARC format; binary HTTP
+    payloads in raw ``response`` crawls). The marker-split reader stays
+    the scale default — it parallelizes WITHIN multi-GB shards via
+    Hadoop's split-safe delimiter reader, while this mode reads each
+    shard as ONE task (``binaryFile`` row) and parallelizes across files
+    only: the right trade exactly when truncation is not acceptable.
+    Handles ``.gz`` shards (the Common Crawl packaging; gzip is
+    non-splittable anyway, so the sequential read costs nothing there).
+    Downstream parsing, quarantine contract, and doc ids are byte-for-
+    byte the lineSep reader's — chunks are re-shaped to the same
+    marker-stripped form and fed through the same projection."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n_strip = len(WARC_MARKER)
+
+    def split_files(batches):
+        import gzip
+
+        for pdf in batches:
+            vals: list[str] = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if str(p).endswith(".gz"):
+                    data = gzip.decompress(data)
+                vals.extend(
+                    # decode per-record (Content-Length counts bytes, so
+                    # framing must happen before any str conversion)
+                    chunk[n_strip:].decode("utf-8", errors="replace")
+                    for chunk in _frame_records_exact(data)
+                )
+            yield pd.DataFrame({"value": vals})
+
+    raw = (
+        spark.read.format("binaryFile").load(path)
+        .select("path", "content")
+        .mapInPandas(
+            split_files, T.StructType([T.StructField("value", T.StringType())])
+        )
+    )
     return _parse_records(raw, record_types)
 
 
