@@ -68,6 +68,7 @@ EXTENDED = [
     # round 6
     "q_text_bm25_batch",
     "q_dedup_winnow_pairs",
+    "q_dedup_lines",
 ]
 
 

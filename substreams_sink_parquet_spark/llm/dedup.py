@@ -1654,3 +1654,132 @@ def q_dedup_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "left",
     ).select("doc_id", F.col("__a").isNull().alias("rejected"))
+
+
+# -- cross-corpus line/paragraph dedup (CCNet-style) ------------------------
+
+
+def line_dedup(docs: DataFrame, min_dup_docs: int = 2,
+               sep: str = "\n") -> DataFrame:
+    """Remove LINES (paragraphs) that repeat across the corpus — the
+    CCNet-shaped boilerplate cut that runs BEFORE document-level dedup in
+    web-crawl curation: navigation menus, cookie banners, and footers
+    repeat across a site's every page, so the per-line duplicate count
+    across documents is the cheapest high-precision boilerplate signal.
+    A line (split on ``sep``, compared by md5 of its trimmed text) that
+    appears in >= ``min_dup_docs`` DISTINCT documents is cut from every
+    document; surviving lines are reassembled in original order.
+
+    Returns (doc_id, n_lines, n_removed, clean_text) — one row per input
+    document, including documents whose every line was cut (empty
+    clean_text), which the caller's length filter then drops.
+
+    100 TB shape: one explode of the corpus into lines; the duplicate
+    decision is a single map-side-combined count-distinct exchange on the
+    line hash; removal is a LEFT join tagging each line with its hotness
+    (no broadcast hint — the hot set is corpus-dependent: AQE picks
+    broadcast when it fits, a hash join keyed on the line hash when it
+    does not; the join-side line shuffle and the count's exchange share
+    the same key, so ReuseExchange serves both from one shuffle write);
+    totals, removal counts, AND reassembly then come from a SINGLE
+    groupBy(doc_id) over the tagged lines — collect_list skips the nulls
+    the hot-line CASE produces, so no second pass and no anti+outer join
+    pair. The collect_list is bounded by each document's own line count.
+    Whitespace-only lines are dropped before counting (they would be
+    universally "hot" and carry no content signal); documents consisting
+    only of whitespace lines have no rows here and are absent from the
+    output."""
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", sep)).alias("pos", "line")
+    ).filter(F.trim("line") != "")
+    lines = lines.withColumn("lh", F.md5(F.trim("line")))
+    hot = (
+        lines.groupBy("lh")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_dup_docs)
+        .select("lh", F.lit(True).alias("is_hot"))
+    )
+    tagged = lines.join(hot, "lh", "left").withColumn(
+        "is_hot", F.coalesce("is_hot", F.lit(False))
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("is_hot"), 1).otherwise(0))
+        .cast("long").alias("n_removed"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(  # collect_list drops the hot-line nulls
+                        F.when(~F.col("is_hot"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s.line,
+            ),
+        ).alias("clean_text"),
+    )
+
+
+@register(
+    "q_dedup_lines",
+    """
+    WITH relined AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_transform(
+                       range((len(str_split(text, ' ')) + 2) // 3),
+                       i -> array_to_string(
+                           str_split(text, ' ')[i*3+1 : i*3+3], ' ')
+                   ), chr(10)) AS text
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, i AS pos, str_split(text, chr(10))[i+1] AS line
+        FROM relined, UNNEST(range(len(str_split(text, chr(10))))) AS t(i)
+        WHERE trim(str_split(text, chr(10))[i+1]) <> ''
+    ),
+    hot AS (
+        SELECT md5(trim(line)) AS lh
+        FROM lines GROUP BY md5(trim(line))
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+        SELECT doc_id, pos, line FROM lines
+        WHERE md5(trim(line)) NOT IN (SELECT lh FROM hot)
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id),
+    rebuilt AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_lines AS BIGINT) AS n_lines,
+           CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="CCNet-style cross-corpus line dedup: the fixture's single-line "
+        "documents are re-lined into 3-word lines (same deterministic "
+        "transform on both engines), then every line appearing in >= 2 "
+        "distinct documents is cut and the survivors reassembled in "
+        "order. One explode, one count-distinct exchange on the line "
+        "hash, LEFT ANTI removal, one reassembly exchange",
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    relined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size(words) + 2) / 3).cast("int") - 1,
+                ),
+                lambda i: F.concat_ws(" ", F.slice(words, i * 3 + 1, 3)),
+            ),
+        ).alias("text"),
+    )
+    return line_dedup(spread_if_narrow(relined), min_dup_docs=2)

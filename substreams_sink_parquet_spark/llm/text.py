@@ -1048,15 +1048,41 @@ def _winnow_selected(docs: DataFrame, k: int, w: int) -> DataFrame:
     """(doc_id, fps): each document's SELECTED winnowing fingerprints as a
     sorted-distinct array — the map-only selection pass shared by the
     digest view (:func:`winnow_fingerprints`) and the overlap-pair join
-    (:func:`winnow_overlap_pairs`)."""
+    (:func:`winnow_overlap_pairs`).
+
+    Every doubling pass of the window-min is staged as its OWN projection
+    (the q_text_repetition staging rule: interpreted HOFs get no common-
+    subexpression elimination). Building the whole chain as one nested
+    expression lets the optimizer inline the per-k-gram md5 transform
+    into every one of its ~3^passes self-references — measured 63 copies
+    of the hash pass in the pre-explode plan of the pair query, 66 s at
+    sf0.1 for a stage that computes once per row in ~1 s. With one
+    projection per pass, each intermediate array is a materialized column
+    the next pass references by name."""
     n_grams = F.length("text") - k + 1
     h = F.transform(
         F.sequence(F.lit(0), n_grams - 1),
         lambda i: F.substring(F.md5(F.col("text").substr(i + 1, F.lit(k))), 1, 8),
     )
+    df = docs.select(
+        "doc_id",
+        F.when(n_grams > 0, h).otherwise(F.array().cast("array<string>")).alias("h"),
+    )
+
+    def shifted_least(col_name: str, shift: int) -> Column:
+        arr = F.col(col_name)
+        tail = F.slice(arr, shift + 1, F.greatest(F.size(arr) - shift, F.lit(0)))
+        return F.zip_with(arr, tail, lambda x, y: F.least(x, y))
+
+    cur, span, i = "h", 1, 0
+    while span * 2 <= w:
+        df = df.select("doc_id", "h", shifted_least(cur, span).alias(f"_m{i}"))
+        cur, span, i = f"_m{i}", span * 2, i + 1
+    if span < w:
+        df = df.select("doc_id", "h", shifted_least(cur, w - span).alias(f"_m{i}"))
+        cur = f"_m{i}"
     hs = F.col("h")
-    mins = F.slice(_windowed_min(hs, w), 1,
-                   F.greatest(F.size(hs) - w + 1, F.lit(0)))
+    mins = F.slice(F.col(cur), 1, F.greatest(F.size(hs) - w + 1, F.lit(0)))
     fps = F.array_sort(
         F.array_distinct(
             F.when(F.size(hs) >= w, mins)
@@ -1064,13 +1090,7 @@ def _winnow_selected(docs: DataFrame, k: int, w: int) -> DataFrame:
             .otherwise(F.array().cast("array<string>"))
         )
     )
-    return (
-        docs.select(
-            "doc_id",
-            F.when(n_grams > 0, h).otherwise(F.array().cast("array<string>")).alias("h"),
-        )
-        .select("doc_id", fps.alias("fps"))
-    )
+    return df.select("doc_id", fps.alias("fps"))
 
 
 def winnow_overlap_pairs(docs: DataFrame, k: int = 16, w: int = 6,
@@ -1101,7 +1121,15 @@ def winnow_overlap_pairs(docs: DataFrame, k: int = 16, w: int = 6,
         spread_if_narrow(docs.select("doc_id", "text")), k, w
     )
     groups = (
-        sel.select("doc_id", F.explode("fps").alias("fp"))
+        # explode_OUTER + a post-filter on the exploded column, NOT a plain
+        # explode: InferFiltersFromGenerate turns explode(fps) into a
+        # size(fps)>0 filter pushed BELOW the selection projections, which
+        # inlines the md5 k-gram pass into every self-reference of the
+        # window-min chain — measured 63 copies / 66 s at sf0.1 vs ~1 s.
+        # explode_outer infers nothing (it must keep empty rows); the null
+        # row an empty fps produces dies in the cheap exploded-side filter.
+        sel.select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
         .groupBy("fp")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
     )

@@ -314,3 +314,16 @@ def test_bm25_batch_is_inverted_index_not_crossjoin(spark, sf_dir):
     # (query, doc) score agg, per-query rank window, 1-row stats agg —
     # all over matched postings or tiny sides, never the raw corpus
     assert rep.shuffle_exchanges <= 6, rep.text
+
+
+def test_winnow_pairs_hash_pass_not_inlined_into_inferred_filter(spark, sf_dir):
+    """InferFiltersFromGenerate turned explode(fps) into a size(fps)>0
+    filter pushed below the selection projections, inlining the md5
+    k-gram pass into all ~3^passes self-references of the window-min
+    chain (63 copies, 66 s at sf0.1). The explode_outer + post-filter
+    formulation must keep exactly ONE md5 selection pass in the plan."""
+    df = registry()["q_dedup_winnow_pairs"].fn(spark, sf_dir)
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    assert p.count("md5") <= 2, f"md5 inlined {p.count('md5')}x"
+    rep = plan_report(df)
+    assert not rep.has_cartesian

@@ -825,3 +825,36 @@ def test_winnow_overlap_pairs_surface_shared_substrings_only(spark):
     }
     assert (1, 2) in guarded
     assert not any(a >= 100 and b >= 100 for a, b in guarded)
+
+
+def test_line_dedup_cuts_cross_doc_boilerplate_only(spark):
+    """CCNet-style line dedup: a boilerplate line repeated across
+    documents is cut from every document; lines unique to one document
+    survive IN ORDER — including a line repeated only WITHIN one doc
+    (the duplicate decision counts distinct documents, not occurrences);
+    a doc made entirely of boilerplate comes back empty, not absent."""
+    from substreams_sink_parquet_spark.llm.dedup import line_dedup
+
+    footer = "all rights reserved contact us"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha unique line\n{footer}\nbeta unique line"),
+            (2, f"gamma content here\n{footer}\ndelta content there"),
+            (3, "self repeated line\nself repeated line\nown text"),
+            (4, footer),
+            (5, f"  {footer} \nepsilon"),  # trimmed compare still matches
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in line_dedup(docs, min_dup_docs=2).collect()}
+    assert got[1].clean_text == "alpha unique line\nbeta unique line"
+    assert got[1].n_lines == 3 and got[1].n_removed == 1
+    assert got[2].clean_text == "gamma content here\ndelta content there"
+    # within-doc repetition is not cross-doc boilerplate: kept
+    assert got[3].clean_text == "self repeated line\nself repeated line\nown text"
+    assert got[3].n_removed == 0
+    # all-boilerplate doc: present, empty
+    assert got[4].clean_text == "" and got[4].n_removed == 1
+    # the padded footer variant trims to the same hash: cut
+    assert got[5].clean_text.strip() == "epsilon"
+    assert set(got) == {1, 2, 3, 4, 5}
