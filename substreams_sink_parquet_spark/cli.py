@@ -334,6 +334,7 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         ann_index_dir=args.ann_index,
         input_format=args.format,
         quality_gate=args.quality_gate,
+        line_dedup_min_docs=args.line_dedup_min_docs,
     )
     query.awaitTermination()
     n = corpus_docs(spark, args.store_url).count()
@@ -707,6 +708,8 @@ def main(argv: list[str] | None = None) -> int:
                                "serves the corpus without a rebuild")
     corpus_p.add_argument("--near-dup", action="store_true",
                           help="also reject MinHash near-duplicates of the corpus")
+    corpus_p.add_argument("--line-dedup-min-docs", type=int, default=None,
+                          help="cut lines appearing in >= N distinct docs across batch+corpus (CCNet boilerplate stage); emptied docs land in _line_rejects")
     corpus_p.add_argument("--quality-gate", action="store_true",
                           help="drop documents failing the Gopher-style rule "
                                "cascade BEFORE dedup; rejection reasons land "

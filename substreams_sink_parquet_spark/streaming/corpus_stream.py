@@ -66,6 +66,17 @@ class CorpusSink:
     # no rebuild. The index must already exist (`ann-build`): codebooks
     # are trained artifacts, not something a micro-batch should invent.
     ann_index_dir: str | None = None
+    # boilerplate stage (runs FIRST, before the quality gate and every
+    # dedup index): cut lines that appear in >= line_dedup_min_docs
+    # distinct documents across the batch PLUS the whole already-admitted
+    # corpus (CCNet's cross-document paragraph cut — menus, footers,
+    # cookie banners repeat across a site's every page). Per-epoch
+    # (lh, n_docs) counts persist under ``_line_index/epoch={id}`` with
+    # the same replay contract; documents left EMPTY by the cut are
+    # dropped and recorded under ``_line_rejects/epoch={id}`` — visible,
+    # never silent. Incremental trade, same as CCNet's shard-local cut:
+    # a line that becomes hot later does not retro-clean earlier epochs.
+    line_dedup_min_docs: int | None = None
     # quality stage 0: drop documents failing the Gopher-style rule
     # cascade (llm.text.quality_verdict_expr — the same single source of
     # truth q_text_filter_pipeline and the trained classifier's weak
@@ -135,6 +146,80 @@ class CorpusSink:
         # write and the keep-side filter are then cheap cache reads.
         to_unpersist: list[DataFrame] = []
         try:
+            if self.line_dedup_min_docs is not None:
+                clean = clean.persist()
+                to_unpersist.append(clean)
+                lines = clean.select(
+                    "doc_id",
+                    F.posexplode(F.split("text", "\n")).alias("pos", "line"),
+                ).filter(F.trim("line") != "").withColumn(
+                    "lh", F.md5(F.trim("line"))
+                )
+                batch_counts = lines.groupBy("lh").agg(
+                    F.countDistinct("doc_id").cast("long").alias("n_docs")
+                ).persist()
+                to_unpersist.append(batch_counts)
+                li_dirs = self._index_dirs(
+                    "_line_index", exclude_epoch=int(epoch_id)
+                )
+                prior = (
+                    self.spark.read.parquet(*li_dirs)
+                    if li_dirs
+                    else self.spark.createDataFrame(
+                        [], "lh string, n_docs long"
+                    )
+                )
+                # hotness = batch occurrences + every prior epoch's counts
+                # (admitted docs are deduped, so cross-epoch doc overlap
+                # cannot double-count a document)
+                hot = (
+                    batch_counts.unionByName(prior.select("lh", "n_docs"))
+                    .groupBy("lh")
+                    .agg(F.sum("n_docs").alias("n_docs"))
+                    .filter(F.col("n_docs") >= self.line_dedup_min_docs)
+                    .select("lh", F.lit(True).alias("is_hot"))
+                )
+                tagged = lines.join(hot, "lh", "left").withColumn(
+                    "is_hot", F.coalesce("is_hot", F.lit(False))
+                )
+                rebuilt = tagged.groupBy("doc_id").agg(
+                    F.concat_ws(
+                        "\n",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.when(
+                                        ~F.col("is_hot"),
+                                        F.struct("pos", "line"),
+                                    )
+                                )
+                            ),
+                            lambda s: s.line,
+                        ),
+                    ).alias("__clean_text"),
+                ).filter(F.col("__clean_text") != "").persist()
+                to_unpersist.append(rebuilt)
+                # whitespace-only and boilerplate-emptied docs: recorded,
+                # then dropped — the stage must never vanish a document
+                clean.join(
+                    rebuilt.select("doc_id"), "doc_id", "left_anti"
+                ).select("doc_id", "lang", "source").write.mode(
+                    "overwrite"
+                ).parquet(
+                    url_join(self.out_dir, "_line_rejects", f"epoch={epoch_id}")
+                )
+                clean = (
+                    clean.join(rebuilt, "doc_id")
+                    .withColumn("text", F.col("__clean_text"))
+                    .drop("__clean_text")
+                    .withColumn("n_chars", F.length("text").cast("long"))
+                )
+                # the increment is the BATCH's own counts (epoch-keyed
+                # overwrite => replay converges); hotness is derived, not
+                # stored, so late-hot lines need no index rewrite
+                batch_counts.write.mode("overwrite").parquet(
+                    url_join(self.out_dir, "_line_index", f"epoch={epoch_id}")
+                )
             if self.quality_gate:
                 from ..llm.text import quality_verdict_expr
 
@@ -301,6 +386,7 @@ def run_corpus_pipeline(
     ann_index_dir: str | None = None,
     input_format: str = "jsonl",
     quality_gate: bool = False,
+    line_dedup_min_docs: int | None = None,
 ):
     """readStream over document shards → CorpusSink.
 
@@ -320,6 +406,7 @@ def run_corpus_pipeline(
         embed_dup=embed_dup, embed_threshold=embed_threshold,
         embed_dim=embed_dim, embed_planes=embed_planes,
         ann_index_dir=ann_index_dir, quality_gate=quality_gate,
+        line_dedup_min_docs=line_dedup_min_docs,
     )
     sink._fs.mkdirs(out_dir)
     if input_format == "warc":
@@ -373,10 +460,15 @@ def _commit_index_compact(fs: HadoopFS, index_root: str, srcs: list[str]) -> Non
     commit_fold(fs, index_root, "_compact", srcs)
 
 
+#: (root dir, columns, merge mode). Membership indexes merge by DISTINCT
+#: (the anti/band joins only test membership); the line-count index must
+#: SUM its per-epoch counts per hash — distinct would collapse a line seen
+#: in 40 documents across 40 epochs down to one count.
 _INDEX_ROOTS = (
-    ("_index", ["text_hash"]),
-    ("_neardup_index", ["band_id", "band_hash", "sig"]),
-    ("_embed_index", ["bucket", "embedding"]),
+    ("_index", ["text_hash"], "distinct"),
+    ("_neardup_index", ["band_id", "band_hash", "sig"], "distinct"),
+    ("_embed_index", ["bucket", "embedding"], "distinct"),
+    ("_line_index", ["lh", "n_docs"], "sum_counts"),
 )
 
 
@@ -389,7 +481,7 @@ def recover_index_compact(fs: HadoopFS, out_dir: str) -> dict[str, str]:
     from ..foldswap import recover_fold
 
     actions: dict[str, str] = {}
-    for root_name, _cols in _INDEX_ROOTS:
+    for root_name, _cols, _mode in _INDEX_ROOTS:
         index_root = url_join(out_dir, root_name)
         if not fs.exists(index_root):
             continue
@@ -423,7 +515,7 @@ def compact_index(spark: SparkSession, out_dir: str, min_epochs: int = 2) -> boo
     fs = HadoopFS(spark, out_dir)
     recover_index_compact(fs, out_dir)
     did = False
-    for root_name, cols in _INDEX_ROOTS:
+    for root_name, cols, mode in _INDEX_ROOTS:
         index_root = url_join(out_dir, root_name)
         if not fs.exists(index_root):
             continue
@@ -436,11 +528,16 @@ def compact_index(spark: SparkSession, out_dir: str, min_epochs: int = 2) -> boo
             epochs = [e for e in epochs if e != trailing]
         if len(epochs) < min_epochs:
             continue
-        merged = (
-            spark.read.parquet(*[url_join(index_root, e) for e in epochs])
-            .select(*cols)
-            .distinct()
-        )
+        merged = spark.read.parquet(
+            *[url_join(index_root, e) for e in epochs]
+        ).select(*cols)
+        if mode == "sum_counts":
+            key = [c for c in cols if c != "n_docs"]
+            merged = merged.groupBy(*key).agg(
+                F.sum("n_docs").cast("long").alias("n_docs")
+            ).select(*cols)
+        else:
+            merged = merged.distinct()
         tmp = url_join(index_root, "_compact")
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         from ..foldswap import write_fold_manifest

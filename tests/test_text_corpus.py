@@ -858,3 +858,61 @@ def test_line_dedup_cuts_cross_doc_boilerplate_only(spark):
     # the padded footer variant trims to the same hash: cut
     assert got[5].clean_text.strip() == "epsilon"
     assert set(got) == {1, 2, 3, 4, 5}
+
+
+def test_corpus_line_dedup_stage_cuts_cumulative_boilerplate(spark, tmp_path):
+    """Streaming boilerplate stage: line hotness accumulates across the
+    persistent _line_index, so a footer that never co-occurs within one
+    batch still gets cut once enough admitted documents carried it; docs
+    emptied by the cut land in _line_rejects (never silently vanish);
+    replaying an epoch excludes its own counts and converges."""
+    from substreams_sink_parquet_spark.sources.text_corpus import CORRUPT_COL
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        CorpusSink,
+        compact_index,
+        corpus_docs,
+    )
+
+    ddl = (f"doc_id long, text string, lang string, source string, "
+           f"n_chars long, {CORRUPT_COL} string")
+    footer = "all rights reserved contact us"
+    out = str(tmp_path / "out")
+    sink = CorpusSink(spark=spark, out_dir=out, line_dedup_min_docs=3)
+
+    def batch(rows, epoch):
+        sink.process_batch(
+            spark.createDataFrame(
+                [(i, t, "en", "w", len(t), None) for i, t in rows], ddl
+            ),
+            epoch,
+        )
+
+    # epochs 0 and 1: footer seen in 1 doc each — below the threshold,
+    # admitted verbatim (hotness is cumulative, not per-batch)
+    batch([(1, f"alpha unique\n{footer}")], 0)
+    batch([(2, f"beta unique\n{footer}")], 1)
+    got = {r.doc_id: r.text for r in corpus_docs(spark, out).collect()}
+    assert got[1] == f"alpha unique\n{footer}"
+    assert got[2] == f"beta unique\n{footer}"
+    # epoch 2: cumulative footer count reaches 3 — cut from this batch's
+    # docs; the all-footer doc empties out and is recorded, not admitted
+    batch([(3, f"gamma unique\n{footer}"), (4, footer)], 2)
+    got = {r.doc_id: r.text for r in corpus_docs(spark, out).collect()}
+    assert got[3] == "gamma unique"
+    assert 4 not in got
+    rej = spark.read.parquet(out + "/_line_rejects").collect()
+    assert {r.doc_id for r in rej} == {4}
+    # n_chars tracks the CLEANED text
+    n4 = {r.doc_id: r.n_chars for r in corpus_docs(spark, out).collect()}
+    assert n4[3] == len("gamma unique")
+    # replay epoch 2: its own first-attempt counts are excluded, so the
+    # decision (and the admitted corpus) is identical
+    batch([(3, f"gamma unique\n{footer}"), (4, footer)], 2)
+    got2 = {r.doc_id: r.text for r in corpus_docs(spark, out).collect()}
+    assert got2 == got
+    # compaction SUMS the per-epoch counts (distinct would forget 2 of 3
+    # footer sightings) — post-compact, the footer stays hot for epoch 3
+    assert compact_index(spark, out) is True
+    batch([(5, f"delta unique\n{footer}")], 3)
+    got3 = {r.doc_id: r.text for r in corpus_docs(spark, out).collect()}
+    assert got3[5] == "delta unique"
