@@ -464,6 +464,41 @@ def cmd_retrieve(args: argparse.Namespace) -> int:
 
     from .llm.similarity import bm25_rank, cosine_rank, rrf_fuse
 
+    if (args.query is None) == (args.queries_table is None):
+        print("retrieve: pass exactly one of --query / --queries-table",
+              file=sys.stderr)
+        return 2
+    if args.queries_table is not None:
+        if args.embeddings:
+            print("retrieve: --queries-table is lexical-only (hybrid RRF "
+                  "needs one vector query per text query — not wired)",
+                  file=sys.stderr)
+            return 2
+        from pyspark.sql import Window
+
+        from .llm.text import bm25_scores_batch
+
+        spark = get_spark("retrieve")
+        docs = spark.read.parquet(args.docs).select("doc_id", "text")
+        queries = spark.read.parquet(args.queries_table).select(
+            "query_id", "query"
+        )
+        scored = bm25_scores_batch(
+            docs, queries, max_doc_freq=args.max_doc_freq
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("bm25").desc(), "doc_id"
+        )
+        top = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= args.k)
+        )
+        for r in top.orderBy("query_id", "rank").collect():
+            print(json.dumps({
+                "query_id": r.query_id, "doc_id": r.doc_id,
+                "bm25": r.bm25, "rank": r.rank,
+            }))
+        return 0
     # dict.fromkeys: dedupe repeated terms (bm25_scores builds one tf column
     # per list entry, so 'spark spark' would double-count) preserving order
     terms = list(dict.fromkeys(t for t in args.query.split() if t))
@@ -777,8 +812,16 @@ def main(argv: list[str] | None = None) -> int:
         "retrieve", help="BM25 (optionally hybrid RRF) retrieval over a corpus"
     )
     retr_p.add_argument("docs", help="parquet dir of (doc_id, text) rows")
-    retr_p.add_argument("--query", required=True,
+    retr_p.add_argument("--query", default=None,
                         help="whitespace-separated query terms")
+    retr_p.add_argument("--queries-table", default=None,
+                        help="parquet of (query_id, query) rows: batch "
+                             "BM25 via the inverted index (one exchange "
+                             "over matched postings; no corpus x queries "
+                             "crossJoin)")
+    retr_p.add_argument("--max-doc-freq", type=int, default=None,
+                        help="batch mode: drop terms whose document "
+                             "frequency exceeds this (hot-term guard)")
     retr_p.add_argument("--k", type=int, default=20)
     retr_p.add_argument("--embeddings", default=None,
                         help="parquet of (vec_id, embedding) rows: fuse "

@@ -395,3 +395,35 @@ def test_cli_retrieve_and_select(tmp_path, spark, capsys, sf_dir):
     assert {r.doc_id for r in got.select("doc_id").collect()} == \
         {x["doc_id"] for x in sel}  # --out writes the same deterministic draw
     assert got.filter("lang = 'fr'").count() == 0  # never target rows
+
+
+def test_cli_retrieve_batch_queries_table(tmp_path, spark, capsys, sf_dir):
+    import json
+
+    from substreams_sink_parquet_spark.cli import main
+
+    docs = f"{sf_dir}/documents.parquet"
+    qt = str(tmp_path / "queries")
+    spark.createDataFrame(
+        [(1, "spark merge join fast"), (2, "hash join")],
+        "query_id int, query string",
+    ).write.parquet(qt)
+
+    rc = main(["retrieve", docs, "--queries-table", qt, "--k", "3"])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 6  # 2 queries x top-3
+    by_q = {}
+    for x in lines:
+        by_q.setdefault(x["query_id"], []).append(x)
+    assert set(by_q) == {1, 2}
+    for rows in by_q.values():
+        assert [r["rank"] for r in rows] == [1, 2, 3]
+        assert rows[0]["bm25"] >= rows[-1]["bm25"]
+
+    # exactly one of --query / --queries-table; hybrid not wired for batch
+    assert main(["retrieve", docs]) == 2
+    assert main(["retrieve", docs, "--query", "x", "--queries-table", qt]) == 2
+    capsys.readouterr()
+    assert main(["retrieve", docs, "--queries-table", qt,
+                 "--embeddings", f"{sf_dir}/embeddings.parquet"]) == 2

@@ -327,3 +327,13 @@ def test_winnow_pairs_hash_pass_not_inlined_into_inferred_filter(spark, sf_dir):
     assert p.count("md5") <= 2, f"md5 inlined {p.count('md5')}x"
     rep = plan_report(df)
     assert not rep.has_cartesian
+
+
+def test_line_dedup_single_explode_shared_hash_shuffle(spark, sf_dir):
+    rep = plan_report(registry()["q_dedup_lines"].fn(spark, sf_dir))
+    assert not rep.has_cartesian
+    # hot-set derivation and the tagging join both shuffle the exploded
+    # lines on the line hash; reassembly is one groupBy(doc_id) — nothing
+    # ever shuffles document text by anything but these two keys
+    assert rep.shuffle_exchanges <= 6, rep.text
+    assert rep.sortmerge_joins + rep.hash_joins + rep.broadcast_joins <= 2, rep.text
