@@ -1688,11 +1688,20 @@ def line_dedup(docs: DataFrame, min_dup_docs: int = 2,
     Whitespace-only lines are dropped before counting (they would be
     universally "hot" and carry no content signal); documents consisting
     only of whitespace lines have no rows here and are absent from the
-    output."""
+    output. Lines compare by md5 of their full-whitespace-class-stripped
+    text (NOT space-only trim: a CRLF corpus leaves every line ending in
+    \\r, which would hash the CRLF and LF variants of one footer
+    differently and keep \\r-only "blank" lines); ``sep`` is
+    regex-escaped before the split so a metacharacter separator splits
+    literally, matching the literal ``concat_ws`` reassembly."""
+    import re as _re
+
     lines = docs.select(
-        "doc_id", F.posexplode(F.split("text", sep)).alias("pos", "line")
-    ).filter(F.trim("line") != "")
-    lines = lines.withColumn("lh", F.md5(F.trim("line")))
+        "doc_id",
+        F.posexplode(F.split("text", _re.escape(sep))).alias("pos", "line"),
+    )
+    stripped = F.regexp_replace("line", r"^\s+|\s+$", "")
+    lines = lines.filter(stripped != "").withColumn("lh", F.md5(stripped))
     hot = (
         lines.groupBy("lh")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -1736,16 +1745,17 @@ def line_dedup(docs: DataFrame, min_dup_docs: int = 2,
     lines AS (
         SELECT doc_id, i AS pos, str_split(text, chr(10))[i+1] AS line
         FROM relined, UNNEST(range(len(str_split(text, chr(10))))) AS t(i)
-        WHERE trim(str_split(text, chr(10))[i+1]) <> ''
+        WHERE regexp_replace(str_split(text, chr(10))[i+1], '^\s+|\s+$', '', 'g') <> ''
     ),
     hot AS (
-        SELECT md5(trim(line)) AS lh
-        FROM lines GROUP BY md5(trim(line))
+        SELECT md5(regexp_replace(line, '^\s+|\s+$', '', 'g')) AS lh
+        FROM lines GROUP BY 1
         HAVING COUNT(DISTINCT doc_id) >= 2
     ),
     kept AS (
         SELECT doc_id, pos, line FROM lines
-        WHERE md5(trim(line)) NOT IN (SELECT lh FROM hot)
+        WHERE md5(regexp_replace(line, '^\s+|\s+$', '', 'g'))
+              NOT IN (SELECT lh FROM hot)
     ),
     totals AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id),
     rebuilt AS (

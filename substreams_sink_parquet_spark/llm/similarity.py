@@ -58,7 +58,10 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFr
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        # NULL cosine = null / wrong-dimension embedding: excluded, never
+        # a "neighbor" (same contract as l2_topk)
+        scored.filter(F.col("cos").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank")
     )
@@ -79,14 +82,14 @@ def l2_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
         "q_id", "vec_id",
         F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x).alias("d2"),
     )
-    # asc_nulls_last: a null or wrong-dimension embedding yields NULL d2
-    # (zip_with pads with nulls), and plain ascending would rank the
-    # corrupt vector as the NEAREST neighbor (Spark sorts NULLs first asc)
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("d2").asc_nulls_last(), F.col("vec_id")
-    )
+    # a null or wrong-dimension embedding yields NULL d2 (zip_with pads
+    # with nulls) — excluded outright: nulls-last ordering alone would
+    # still return corrupt vectors as "neighbors" whenever a query's
+    # valid-candidate count falls short of k
+    w = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("d2").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank")
     )

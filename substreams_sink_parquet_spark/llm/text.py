@@ -978,7 +978,14 @@ def _bm25_batch_oracle() -> str:
 def q_text_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    from .dedup import spread_if_narrow
+
+    # the tokenize+explode+semi-filter pass is the corpus-scale cost:
+    # spread a narrow few-file scan across cores (identity at scale),
+    # same as the single-query q_text_bm25
+    docs = spread_if_narrow(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     queries = spark.createDataFrame(
         list(_BM25_BATCH_QUERIES), "query_id int, query string"
     )
@@ -996,26 +1003,44 @@ def q_text_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- winnowing document fingerprints ---------------------------------------
 
 
+def _shifted_least(arr: Column, shift: int) -> Column:
+    """One doubling pass of the sliding-min: element-wise ``least`` of the
+    array against its own ``shift``-shifted self (``least`` ignores the
+    null pad zip_with adds at the tail). THE shared core of both
+    window-min forms — the nested-expression fold (:func:`_windowed_min`,
+    the property-tested spec) and the staged-projection production path
+    (:func:`_winnow_selected`)."""
+    tail = F.slice(arr, shift + 1, F.greatest(F.size(arr) - shift, F.lit(0)))
+    return F.zip_with(arr, tail, lambda x, y: F.least(x, y))
+
+
+def _doubling_schedule(w: int) -> list[int]:
+    """Shift amounts whose composition yields a width-``w`` sliding min:
+    spans 1, 2, 4, … then one final overlapped shift for non-powers of 2
+    — O(log w) passes. Shared by spec and production (see
+    :func:`_shifted_least`) so the two cannot diverge."""
+    shifts, span = [], 1
+    while span * 2 <= w:
+        shifts.append(span)
+        span *= 2
+    if span < w:
+        shifts.append(w - span)
+    return shifts
+
+
 def _windowed_min(hs: Column, w: int) -> Column:
     """Element-wise sliding minimum: out[i] = min(hs[i .. i+w)) for every
     position (trailing entries are partial-window minima — callers slice).
 
-    Sparse-table doubling: build spans of 1, 2, 4, … via zip_with of the
-    array against its own shifted self (``least`` ignores the null pad
-    zip_with adds at the tail), then cover a non-power-of-2 ``w`` with
-    one final overlapped shift — O(log w) linear passes, no per-position
-    window copies."""
-
-    def shifted_least(arr: Column, shift: int) -> Column:
-        tail = F.slice(arr, shift + 1, F.greatest(F.size(arr) - shift, F.lit(0)))
-        return F.zip_with(arr, tail, lambda x, y: F.least(x, y))
-
-    arr, span = hs, 1
-    while span * 2 <= w:
-        arr = shifted_least(arr, span)
-        span *= 2
-    if span < w:
-        arr = shifted_least(arr, w - span)
+    Sparse-table doubling as ONE nested expression — the property-tested
+    specification form. Production (:func:`_winnow_selected`) runs the
+    SAME ``_doubling_schedule`` of ``_shifted_least`` passes but stages
+    each as its own projection: nesting lets the optimizer inline the
+    expensive hash-array child into every self-reference (3^passes
+    copies), which only the tiny test arrays can afford."""
+    arr = hs
+    for shift in _doubling_schedule(w):
+        arr = _shifted_least(arr, shift)
     return arr
 
 
@@ -1068,18 +1093,11 @@ def _winnow_selected(docs: DataFrame, k: int, w: int) -> DataFrame:
         "doc_id",
         F.when(n_grams > 0, h).otherwise(F.array().cast("array<string>")).alias("h"),
     )
-
-    def shifted_least(col_name: str, shift: int) -> Column:
-        arr = F.col(col_name)
-        tail = F.slice(arr, shift + 1, F.greatest(F.size(arr) - shift, F.lit(0)))
-        return F.zip_with(arr, tail, lambda x, y: F.least(x, y))
-
-    cur, span, i = "h", 1, 0
-    while span * 2 <= w:
-        df = df.select("doc_id", "h", shifted_least(cur, span).alias(f"_m{i}"))
-        cur, span, i = f"_m{i}", span * 2, i + 1
-    if span < w:
-        df = df.select("doc_id", "h", shifted_least(cur, w - span).alias(f"_m{i}"))
+    cur = "h"
+    for i, shift in enumerate(_doubling_schedule(w)):
+        df = df.select(
+            "doc_id", "h", _shifted_least(F.col(cur), shift).alias(f"_m{i}")
+        )
         cur = f"_m{i}"
     hs = F.col("h")
     mins = F.slice(F.col(cur), 1, F.greatest(F.size(hs) - w + 1, F.lit(0)))

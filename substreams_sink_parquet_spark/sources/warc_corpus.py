@@ -167,31 +167,50 @@ def _frame_records_exact(data: bytes) -> list[bytes]:
     chunks, so one downstream parse serves both modes. A record whose
     header block is unterminated or lacks Content-Length cannot be framed
     exactly; it degrades to next-marker splitting for that record alone
-    (the tail then surfaces via the normal quarantine contract)."""
+    (the tail then surfaces via the normal quarantine contract). Bytes
+    BEFORE the first marker (a truncated leading record, transfer
+    garbage) come back as their own chunk so they reach quarantine like
+    the lineSep reader's first chunk — never silently discarded; a
+    marker-less file is likewise one quarantine-bound chunk."""
     import re
 
     marker = WARC_MARKER.encode()
     recs: list[bytes] = []
     pos = data.find(marker)
+    # lineSep parity: the pre-marker prefix (or the whole marker-less
+    # file) parses as a headerless record and lands in quarantine;
+    # whitespace-only prefixes are the delimiter artifact the parse's
+    # emptiness filter drops either way
+    first = len(data) if pos == -1 else pos
+    if data[:first].strip():
+        recs.append(data[:first])
     while pos != -1:
+        # every search is BOUNDED by the next marker: an unterminated
+        # header block must degrade to next-marker splitting for THIS
+        # record alone, not swallow the following record by finding its
+        # header terminator / Content-Length instead
+        bound = data.find(marker, pos + 1)
+        search_end = len(data) if bound == -1 else bound
         ends = [
             (i, sep_len)
-            for i, sep_len in ((data.find(b"\r\n\r\n", pos), 4),
-                               (data.find(b"\n\n", pos), 2))
+            for i, sep_len in ((data.find(b"\r\n\r\n", pos, search_end), 4),
+                               (data.find(b"\n\n", pos, search_end), 2))
             if i != -1
         ]
-        nxt = -1
+        nxt = bound
         if ends:
             hdr_end, sep_len = min(ends)
+            # \r?$ — the spec mandates CRLF header lines, and Python's
+            # multiline $ matches before \n but NOT before \r\n, so a
+            # bare $ only ever matched when Content-Length happened to
+            # be the final header
             m = re.search(
-                rb"(?im)^Content-Length:[ \t]*(\d+)[ \t]*$",
+                rb"(?im)^Content-Length:[ \t]*(\d+)[ \t]*\r?$",
                 data[pos:hdr_end],
             )
             if m is not None:
                 body_end = hdr_end + sep_len + int(m.group(1))
                 nxt = data.find(marker, max(body_end, pos + 1))
-            else:
-                nxt = data.find(marker, pos + 1)
         recs.append(data[pos:nxt] if nxt != -1 else data[pos:])
         pos = nxt
     return recs
@@ -232,8 +251,12 @@ def read_warc_corpus_exact(
                     data = gzip.decompress(data)
                 vals.extend(
                     # decode per-record (Content-Length counts bytes, so
-                    # framing must happen before any str conversion)
-                    chunk[n_strip:].decode("utf-8", errors="replace")
+                    # framing must happen before any str conversion); the
+                    # marker prefix is stripped to mimic lineSep chunks —
+                    # a pre-marker garbage chunk has none to strip
+                    (chunk[n_strip:]
+                     if chunk.startswith(WARC_MARKER.encode())
+                     else chunk).decode("utf-8", errors="replace")
                     for chunk in _frame_records_exact(data)
                 )
             yield pd.DataFrame({"value": vals})

@@ -145,16 +145,23 @@ class CorpusSink:
         # computed once, cached with the verdict column); the rejects
         # write and the keep-side filter are then cheap cache reads.
         to_unpersist: list[DataFrame] = []
+        line_postings = None
         try:
             if self.line_dedup_min_docs is not None:
                 clean = clean.persist()
                 to_unpersist.append(clean)
+                # strip the full whitespace class, not F.trim (spaces
+                # only): a CRLF corpus leaves every line ending in \r, so
+                # space-trim would hash the CRLF and LF variants of one
+                # footer differently and keep \r-only "blank" lines
+                stripped = F.regexp_replace("line", r"^\s+|\s+$", "")
                 lines = clean.select(
                     "doc_id",
                     F.posexplode(F.split("text", "\n")).alias("pos", "line"),
-                ).filter(F.trim("line") != "").withColumn(
-                    "lh", F.md5(F.trim("line"))
+                ).filter(stripped != "").withColumn(
+                    "lh", F.md5(stripped)
                 )
+                line_postings = lines.select("doc_id", "lh")
                 batch_counts = lines.groupBy("lh").agg(
                     F.countDistinct("doc_id").cast("long").alias("n_docs")
                 ).persist()
@@ -214,12 +221,14 @@ class CorpusSink:
                     .drop("__clean_text")
                     .withColumn("n_chars", F.length("text").cast("long"))
                 )
-                # the increment is the BATCH's own counts (epoch-keyed
-                # overwrite => replay converges); hotness is derived, not
-                # stored, so late-hot lines need no index rewrite
-                batch_counts.write.mode("overwrite").parquet(
-                    url_join(self.out_dir, "_line_index", f"epoch={epoch_id}")
-                )
+                # NOTE: the durable _line_index increment is written at the
+                # bottom with the other indexes, filtered to FINALLY-kept
+                # docs — counting the raw batch here would let rejected
+                # re-crawl duplicates inflate cross-epoch hotness (every
+                # index records only finally-admitted docs). The in-batch
+                # HOT decision above deliberately uses the raw batch
+                # counts: within one shard, boilerplate is boilerplate
+                # regardless of which copies later dedup away.
             if self.quality_gate:
                 from ..llm.text import quality_verdict_expr
 
@@ -320,6 +329,17 @@ class CorpusSink:
             ).write.mode("overwrite").parquet(
                 url_join(self.out_dir, "_index", f"epoch={epoch_id}")
             )
+            if line_postings is not None:
+                # as-crawled line sightings of FINALLY-admitted docs only:
+                # a re-crawl the dedup stages reject must not inflate a
+                # line's cross-epoch hotness (one rejected duplicate per
+                # epoch would alone push any of its lines past the
+                # threshold)
+                line_postings.join(kept_ids, "doc_id").groupBy("lh").agg(
+                    F.countDistinct("doc_id").cast("long").alias("n_docs")
+                ).write.mode("overwrite").parquet(
+                    url_join(self.out_dir, "_line_index", f"epoch={epoch_id}")
+                )
             if self.ann_index_dir is not None:
                 from ..llm.ann_index import append_epoch_to_ann_index
 

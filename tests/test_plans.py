@@ -312,8 +312,11 @@ def test_bm25_batch_is_inverted_index_not_crossjoin(spark, sf_dir):
     assert len(_re.findall(r"\(\d+\) Scan parquet", rep.text)) == 2, rep.text
     # exchanges: term-set distinct, postings tf agg, df window on term,
     # (query, doc) score agg, per-query rank window, 1-row stats agg —
-    # all over matched postings or tiny sides, never the raw corpus
-    assert rep.shuffle_exchanges <= 6, rep.text
+    # all over matched postings or tiny sides, never the raw corpus —
+    # plus spread_if_narrow's round-robin repartition of the one-file
+    # test scan under each of the two corpus branches (identity on a
+    # wide cluster scan)
+    assert rep.shuffle_exchanges <= 8, rep.text
 
 
 def test_winnow_pairs_hash_pass_not_inlined_into_inferred_filter(spark, sf_dir):

@@ -403,3 +403,7 @@ def test_l2_topk_ranks_corrupt_embeddings_last_not_first(spark):
     )
     got = [r.neighbor_id for r in l2_topk(emb, q, k=2).orderBy("rank").collect()]
     assert got == [1, 2]
+    # k exceeding the valid-candidate count must NOT backfill with
+    # corrupt vectors — they are excluded, not merely ranked last
+    got4 = [r.neighbor_id for r in l2_topk(emb, q, k=4).orderBy("rank").collect()]
+    assert got4 == [1, 2]

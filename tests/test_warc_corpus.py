@@ -372,3 +372,53 @@ def test_warc_header_edge_space_property(spark, tmp_path):
         assert len({r.doc_id for r in rows}) == len(rows)  # distinct ids
 
     check()
+
+
+def test_warc_exact_framing_review_edges(spark, tmp_path):
+    """Review fixes: (1) Content-Length is honored when it is NOT the
+    final header (CRLF line endings — a bare $ never matched before
+    \\r\\n); (2) an unterminated header block degrades to next-marker
+    splitting for THAT record alone, never swallowing the following
+    record; (3) bytes before the first marker reach quarantine like the
+    lineSep reader's first chunk, not silently discarded."""
+    from substreams_sink_parquet_spark.sources.warc_corpus import (
+        read_warc_corpus_exact,
+    )
+
+    body = "page about WARC/1.0 markers\r\nwith a second line"
+    shard = (
+        "leading garbage bytes from a truncated earlier record\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"Content-Length: {len(body.encode())}\r\n"
+        "WARC-Record-ID: <urn:uuid:cl-not-last>\r\n"     # CL not last
+        "\r\n"
+        + body + "\r\n\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Record-ID: <urn:uuid:noblank>\r\n"
+        "this record never terminates its header block"   # no blank line
+        "\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Record-ID: <urn:uuid:after-noblank>\r\n"
+        "Content-Length: 9\r\n"
+        "\r\n"
+        "final doc\r\n\r\n"
+    )
+    d = tmp_path / "edges"
+    d.mkdir()
+    (d / "s.warc").write_text(shard)
+    clean, bad = read_warc_corpus_exact(spark, str(d))
+    docs = {r.text for r in clean.collect()}
+    # (1) the marker inside the body survives intact
+    assert body.replace("\r", "") in docs
+    # (2) the record AFTER the unterminated one is parsed, not swallowed
+    assert "final doc" in docs
+    # the noblank record itself is admitted with empty text (type+id are
+    # present; nothing is separable as a body) — same as split mode
+    ids = {r.doc_id for r in clean.collect()}
+    assert len(ids) == 3
+    # (3) the leading garbage is quarantined, not dropped
+    q = bad.collect()
+    assert len(q) == 1 and "leading garbage bytes" in q[0].corrupt_record
