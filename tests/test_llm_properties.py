@@ -584,3 +584,111 @@ def test_windowed_min_doubling_equals_naive_slices(spark, arrays, w):
     ).collect()
     for r in rows:
         assert r.fast == r.naive, (r.i, arrays[r.i], w)
+
+
+def test_bm25_batch_matches_plain_python_property(spark):
+    """Property: bm25_scores_batch equals a plain-Python Okapi BM25
+    (k1=1.2, b=0.75, +1-inside-log idf, per-query distinct terms, sparse
+    output) on random small corpora and query tables."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from substreams_sink_parquet_spark.llm.text import bm25_scores_batch
+
+    word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+    text = st.lists(word, min_size=1, max_size=12).map(" ".join)
+    query = st.lists(word, min_size=1, max_size=4).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(text, min_size=2, max_size=6),
+           st.lists(query, min_size=1, max_size=3))
+    def check(texts, qs):
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        queries = spark.createDataFrame(
+            list(enumerate(qs)), "query_id long, query string"
+        )
+        got = {
+            (r.query_id, r.doc_id): (r.bm25, r.n_terms_matched)
+            for r in bm25_scores_batch(docs, queries).collect()
+        }
+        toks = {d: t.split(" ") for d, t in enumerate(texts)}
+        n = len(toks)
+        avgdl = sum(len(w) for w in toks.values()) / n
+        want = {}
+        for qid, q in enumerate(qs):
+            terms = list(dict.fromkeys(q.split(" ")))
+            for d, w in toks.items():
+                s, matched = 0.0, 0
+                for t in terms:
+                    tf = w.count(t)
+                    if tf == 0:
+                        continue
+                    matched += 1
+                    df = sum(1 for ww in toks.values() if t in ww)
+                    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+                    s += round(
+                        idf * tf * 2.2
+                        / (tf + 1.2 * (0.25 + 0.75 * len(w) / avgdl)),
+                        9,
+                    )
+                if matched:
+                    want[(qid, d)] = (round(s, 6), matched)
+        assert set(got) == set(want)
+        for key, (score, m) in want.items():
+            assert got[key][1] == m, key
+            assert abs(got[key][0] - score) < 1e-6, key
+
+    check()
+
+
+def test_line_dedup_matches_plain_python_property(spark):
+    """Property: line_dedup equals a plain-Python reference (cut lines in
+    >= min_dup_docs distinct docs by stripped-text identity, reassemble
+    survivors in order) on random multi-line corpora, including padded
+    and tab/CR-decorated line variants."""
+    from hypothesis import given, settings, strategies as st
+
+    from substreams_sink_parquet_spark.llm.dedup import line_dedup
+
+    line = st.sampled_from(
+        ["the footer", "  the footer ", "\tthe footer\r", "unique one",
+         "unique two", "body text", " ", ""]
+    )
+    doc = st.lists(line, min_size=1, max_size=6).map("\n".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5), st.integers(2, 3))
+    def check(texts, k):
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_lines, r.n_removed, r.clean_text)
+            for r in line_dedup(docs, min_dup_docs=k).collect()
+        }
+        # plain-Python reference
+        import re
+
+        def strip(s):
+            return re.sub(r"^\s+|\s+$", "", s)
+
+        per_doc = {
+            d: [ln for ln in t.split("\n") if strip(ln) != ""]
+            for d, t in enumerate(texts)
+        }
+        counts = {}
+        for d, lns in per_doc.items():
+            for key in {strip(x) for x in lns}:
+                counts[key] = counts.get(key, 0) + 1
+        want = {}
+        for d, lns in per_doc.items():
+            if not lns:
+                continue
+            kept = [x for x in lns if counts[strip(x)] < k]
+            want[d] = (len(lns), len(lns) - len(kept), "\n".join(kept))
+        assert got == want
+
+    check()
