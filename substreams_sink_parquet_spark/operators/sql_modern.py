@@ -172,6 +172,92 @@ def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_topk_sketch",
+    None,  # sketch tie-order at the k boundary is implementation-specific
+    # → rows-only; exactness under a roomy maxItemsTracked is driver-hashed
+    # by q_agg_topk_sketch_delta
+    doc="Mergeable frequent-items sketches (approx_top_k_*, Spark 4.1): "
+        "per-(lang, shard) accumulate, per-lang combine, top-10 word "
+        "estimate — the two-level pre-aggregated-sketch rollup: at 100 TB, "
+        "sketch per range-file at ingest and answer top-k queries from "
+        "KB of merged state instead of re-scanning raw text",
+)
+def q_agg_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _view(spark, sf_dir, "documents")
+    return spark.sql(f"""
+        WITH w AS (
+            SELECT lang, pmod(doc_id, 8) AS shard, word
+            FROM {v} LATERAL VIEW explode(split(text, ' ')) AS word
+        ),
+        acc AS (
+            SELECT lang, shard, approx_top_k_accumulate(word, 4096) AS st
+            FROM w GROUP BY lang, shard
+        ),
+        comb AS (
+            SELECT lang, approx_top_k_combine(st, 4096) AS cst
+            FROM acc GROUP BY lang
+        )
+        SELECT lang, e.item AS word, e.count AS est_count
+        FROM comb LATERAL VIEW explode(approx_top_k_estimate(cst, 10)) AS e
+    """)
+
+
+@register(
+    "q_agg_topk_sketch_delta",
+    """
+    WITH w AS (
+        SELECT lang, UNNEST(str_split(text, ' ')) AS word FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_words,
+           TRUE AS all_counts_exact,
+           TRUE AS full_coverage
+    FROM w GROUP BY lang
+    """,
+    doc="HASHABLE companion for the frequent-items sketch rollup (the "
+        "approx-delta pattern): with maxItemsTracked (4096) >= the "
+        "distinct-word domain of every accumulate group, per-shard "
+        "sketches are EXACT counters and combine sums them exactly — so "
+        "Spark joins the fully-estimated sketch against its own exact "
+        "word counts and claims every count equal and every word "
+        "tracked; the oracle recomputes the distinct-word count and "
+        "claims both booleans, hash-gating the whole "
+        "accumulate/combine/estimate path",
+)
+def q_agg_topk_sketch_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _view(spark, sf_dir, "documents")
+    return spark.sql(f"""
+        WITH w AS (
+            SELECT lang, pmod(doc_id, 8) AS shard, word
+            FROM {v} LATERAL VIEW explode(split(text, ' ')) AS word
+        ),
+        acc AS (
+            SELECT lang, shard, approx_top_k_accumulate(word, 4096) AS st
+            FROM w GROUP BY lang, shard
+        ),
+        comb AS (
+            SELECT lang, approx_top_k_combine(st, 4096) AS cst
+            FROM acc GROUP BY lang
+        ),
+        flat AS (
+            SELECT lang, e.item AS word, e.count AS est
+            FROM comb LATERAL VIEW explode(approx_top_k_estimate(cst, 4096)) AS e
+        ),
+        exact AS (
+            SELECT lang, word, COUNT(*) AS c FROM w GROUP BY lang, word
+        )
+        SELECT exact.lang,
+               CAST(COUNT(DISTINCT exact.word) AS BIGINT) AS n_distinct_words,
+               BOOL_AND(flat.est IS NOT NULL AND flat.est = exact.c)
+                   AS all_counts_exact,
+               COUNT(flat.word) = COUNT(*) AS full_coverage
+        FROM exact LEFT JOIN flat
+          ON exact.lang = flat.lang AND exact.word = flat.word
+        GROUP BY exact.lang
+    """)
+
+
+@register(
     "q_composite_topk",
     """
     SELECT l_orderkey,
