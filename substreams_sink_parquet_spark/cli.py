@@ -469,34 +469,71 @@ def cmd_retrieve(args: argparse.Namespace) -> int:
               file=sys.stderr)
         return 2
     if args.queries_table is not None:
-        if args.embeddings:
-            print("retrieve: --queries-table is lexical-only (hybrid RRF "
-                  "needs one vector query per text query — not wired)",
-                  file=sys.stderr)
-            return 2
         from pyspark.sql import Window
 
         from .llm.text import bm25_scores_batch
 
         spark = get_spark("retrieve")
         docs = spark.read.parquet(args.docs).select("doc_id", "text")
-        queries = spark.read.parquet(args.queries_table).select(
-            "query_id", "query"
-        )
+        qtbl = spark.read.parquet(args.queries_table)
+        queries = qtbl.select("query_id", "query")
         scored = bm25_scores_batch(
             docs, queries, max_doc_freq=args.max_doc_freq
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("bm25").desc(), "doc_id"
         )
-        top = (
+        if not args.embeddings:
+            top = (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= args.k)
+            )
+            for r in top.orderBy("query_id", "rank").collect():
+                print(json.dumps({
+                    "query_id": r.query_id, "doc_id": r.doc_id,
+                    "bm25": r.bm25, "rank": r.rank,
+                }))
+            return 0
+        # hybrid batch: the table must map each query to its probe vector
+        if "vec_id" not in qtbl.columns:
+            print("retrieve: hybrid --queries-table needs a vec_id column "
+                  "(one probe embedding per query)", file=sys.stderr)
+            return 2
+        from .llm.similarity import cosine, rrf_fuse_batch
+
+        bmrank = (
             scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= args.k)
+            .select("query_id", "doc_id", "rank")
+        )
+        emb = spark.read.parquet(args.embeddings)
+        probes = qtbl.select("query_id", "vec_id").join(emb, "vec_id").select(
+            "query_id", F.col("embedding").alias("q_vec")
+        )
+        wc = Window.partitionBy("query_id").orderBy(
+            F.col("cos6").desc(), "vec_id"
+        )
+        csrank = (
+            emb.join(F.broadcast(probes))
+            .select("query_id", "vec_id",
+                    F.round(cosine("embedding", "q_vec"), 6).alias("cos6"))
+            .withColumn("rank", F.row_number().over(wc))
+            .filter(F.col("rank") <= args.k)
+            .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+        )
+        fused = rrf_fuse_batch([bmrank, csrank])
+        wr = Window.partitionBy("query_id").orderBy(
+            F.col("rrf_score").desc(), "doc_id"
+        )
+        top = (
+            fused.withColumn("rank", F.row_number().over(wr))
             .filter(F.col("rank") <= args.k)
         )
         for r in top.orderBy("query_id", "rank").collect():
             print(json.dumps({
                 "query_id": r.query_id, "doc_id": r.doc_id,
-                "bm25": r.bm25, "rank": r.rank,
+                "rrf_score": r.rrf_score, "n_lists": r.n_lists,
+                "rank": r.rank,
             }))
         return 0
     # dict.fromkeys: dedupe repeated terms (bm25_scores builds one tf column

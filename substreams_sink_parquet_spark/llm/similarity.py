@@ -1455,6 +1455,180 @@ def q_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bmrank, csrank])
 
 
+def rrf_fuse_batch(rankings: list[DataFrame], c: int = 60,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-query reciprocal-rank fusion: the batch twin of
+    :func:`rrf_fuse` for inputs shaped (query_id, id_col, rank). Same
+    rounding/decimal contract; the union is |queries| × top-k rows per
+    list, so the fuse exchange is eval-set-sized, never corpus-sized."""
+    parts = [
+        r.select(
+            "query_id",
+            F.col(id_col),
+            F.round(F.lit(1.0) / (F.lit(c) + F.col("rank")), 9)
+            .cast("decimal(20,9)")
+            .alias("contrib"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("query_id", id_col).agg(
+        F.round(F.sum("contrib").cast("double"), 6).alias("rrf_score"),
+        F.count("*").cast("long").alias("n_lists"),
+    )
+
+
+# hybrid-batch fixture: (query_id, bm25 seed terms, probe embedding vec_id)
+_HYBRID_BATCH = (
+    (1, "spark merge join fast", 0),
+    (2, "hash join", 1),
+    (3, "vector scan batch", 2),
+)
+
+
+def _hybrid_batch_oracle() -> str:
+    qvals = ", ".join(f"({i}, '{q}')" for i, q, _ in _HYBRID_BATCH)
+    vvals = ", ".join(f"({i}, {v})" for i, _, v in _HYBRID_BATCH)
+    return f"""
+    WITH q(query_id, query) AS (VALUES {qvals}),
+    qt AS (
+        SELECT query_id, UNNEST(list_distinct(str_split(query, ' '))) AS term
+        FROM q
+    ),
+    toks AS (
+        SELECT doc_id, str_split(text, ' ') AS w,
+               len(str_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM toks),
+    terms AS (SELECT DISTINCT term FROM qt),
+    postings AS (
+        SELECT term, doc_id, dl, COUNT(*) AS tf
+        FROM (SELECT doc_id, dl, UNNEST(w) AS term FROM toks) x
+        JOIN terms USING (term)
+        GROUP BY term, doc_id, dl
+    ),
+    dfs AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+    bmscore AS (
+        SELECT qt.query_id, p.doc_id,
+               ROUND(CAST(SUM(CAST(ROUND(
+                   LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * CAST(tf AS DOUBLE) * 2.2
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * dl
+                               / (CAST(sum_dl AS DOUBLE) / n_docs))),
+                   9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS bm25
+        FROM postings p JOIN dfs USING (term) JOIN qt USING (term)
+        CROSS JOIN stats
+        GROUP BY qt.query_id, p.doc_id
+    ),
+    bmrank AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY bm25 DESC, doc_id
+               ) AS rank
+        FROM bmscore QUALIFY rank <= {_HYBRID_K}
+    ),
+    pv(query_id, vec_id) AS (VALUES {vvals}),
+    qv AS (
+        SELECT pv.query_id, CAST(e.embedding AS DOUBLE[]) AS v
+        FROM pv JOIN embeddings e USING (vec_id)
+    ),
+    csrank AS (
+        SELECT qv.query_id, e.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qv.query_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), qv.v), 6) DESC,
+                   e.vec_id
+               ) AS rank
+        FROM embeddings e CROSS JOIN qv
+        QUALIFY rank <= {_HYBRID_K}
+    ),
+    fused AS (
+        SELECT query_id, doc_id,
+               CAST(ROUND(1.0 / (60 + rank), 9) AS DECIMAL(20,9)) AS contrib
+        FROM bmrank
+        UNION ALL
+        SELECT query_id, doc_id,
+               CAST(ROUND(1.0 / (60 + rank), 9) AS DECIMAL(20,9)) AS contrib
+        FROM csrank
+    ),
+    scored AS (
+        SELECT query_id, doc_id,
+               ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS rrf_score,
+               CAST(COUNT(*) AS BIGINT) AS n_lists
+        FROM fused GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, n_lists,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+           ) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """
+
+
+@register(
+    "q_retrieval_hybrid_batch",
+    _hybrid_batch_oracle(),
+    doc="Batch hybrid retrieval: per-query BM25 top-20 (inverted-index "
+        "batch scorer) fused with per-query brute-cosine top-20 "
+        "(broadcast probe table) via per-query reciprocal-rank fusion; "
+        "top-10 per query. The eval-set-mining shape: both retrievers "
+        "keep their batch-optimal plans and the fuse exchange is "
+        "|queries| x top-k rows",
+)
+def q_retrieval_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import bm25_scores_batch
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(
+        [(i, q) for i, q, _ in _HYBRID_BATCH], "query_id int, query string"
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), "doc_id"
+    )
+    bmrank = (
+        bm25_scores_batch(docs, queries)
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= _HYBRID_K)
+        .select("query_id", "doc_id", "rank")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    probe_map = spark.createDataFrame(
+        [(i, v) for i, _, v in _HYBRID_BATCH], "query_id int, vec_id bigint"
+    )
+    probes = probe_map.join(emb, "vec_id").select(
+        "query_id", F.col("embedding").alias("q_vec")
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("cos6").desc(), "vec_id"
+    )
+    csrank = (
+        emb.join(F.broadcast(probes))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine("embedding", "q_vec"), 6).alias("cos6"),
+        )
+        .withColumn("rank", F.row_number().over(wc))
+        .filter(F.col("rank") <= _HYBRID_K)
+        .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    )
+    fused = rrf_fuse_batch([bmrank, csrank])
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), "doc_id"
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rrf_score", "n_lists", "rank")
+    )
+
+
 # -- planted-truth audits for the hash-specific embedding families ---------
 
 

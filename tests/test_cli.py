@@ -421,9 +421,27 @@ def test_cli_retrieve_batch_queries_table(tmp_path, spark, capsys, sf_dir):
         assert [r["rank"] for r in rows] == [1, 2, 3]
         assert rows[0]["bm25"] >= rows[-1]["bm25"]
 
-    # exactly one of --query / --queries-table; hybrid not wired for batch
+    # exactly one of --query / --queries-table
     assert main(["retrieve", docs]) == 2
     assert main(["retrieve", docs, "--query", "x", "--queries-table", qt]) == 2
     capsys.readouterr()
+    # hybrid batch needs a vec_id column mapping each query to its probe
     assert main(["retrieve", docs, "--queries-table", qt,
                  "--embeddings", f"{sf_dir}/embeddings.parquet"]) == 2
+    capsys.readouterr()
+    qtv = str(tmp_path / "queries_v")
+    spark.createDataFrame(
+        [(1, "spark merge join fast", 0), (2, "hash join", 1)],
+        "query_id int, query string, vec_id long",
+    ).write.parquet(qtv)
+    rc = main(["retrieve", docs, "--queries-table", qtv, "--k", "4",
+               "--embeddings", f"{sf_dir}/embeddings.parquet"])
+    assert rc == 0
+    fused = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(fused) == 8  # 2 queries x top-4
+    assert all(set(x) == {"query_id", "doc_id", "rrf_score", "n_lists", "rank"}
+               for x in fused)
+    for qid in (1, 2):
+        rows = [x for x in fused if x["query_id"] == qid]
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4]
+        assert rows[0]["rrf_score"] >= rows[-1]["rrf_score"]
