@@ -1255,6 +1255,97 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 max_fp_freq=1000)
 
 
+def winnow_decontaminate(train: DataFrame, eval_set: DataFrame,
+                         k: int = 16, w: int = 6) -> DataFrame:
+    """Character-level benchmark decontamination with the winnowing
+    GUARANTEE: any training document sharing a substring of length >=
+    k + w − 1 characters with an eval document MUST surface (shared
+    substring ⇒ shared selected fingerprint), at ~2/(w+1) the index
+    density of full k-gram hashing. Complements the word-n-gram scan
+    (:func:`~.dedup.decontaminate`): n-grams miss contamination that
+    crosses tokenization (punctuation/casing/whitespace edits shift word
+    boundaries), fingerprints operate on raw characters.
+
+    Same asymmetric 100 TB shape as the n-gram scan: the eval side is
+    benchmark-suite-sized, so its fingerprint index BROADCASTS; the
+    train side is one map-only selection pass (explode_outer + post-
+    filter — see winnow_overlap_pairs for why a plain explode is a 63x
+    inlining trap) and the only shuffle is the final doc_id-keyed agg.
+    Returns (doc_id, n_fps_hit, n_eval_docs) per contaminated doc."""
+    from .dedup import spread_if_narrow
+
+    def fps_of(docs: DataFrame, id_alias: str) -> DataFrame:
+        return (
+            _winnow_selected(docs.select("doc_id", "text"), k, w)
+            .select(
+                F.col("doc_id").alias(id_alias),
+                F.explode_outer("fps").alias("fp"),
+            )
+            .filter(F.col("fp").isNotNull())
+        )
+
+    train_fp = fps_of(spread_if_narrow(train), "doc_id")
+    eval_fp = fps_of(eval_set, "eval_doc")
+    return (
+        train_fp.join(F.broadcast(eval_fp), "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("fp").cast("long").alias("n_fps_hit"),
+            F.countDistinct("eval_doc").cast("long").alias("n_eval_docs"),
+        )
+    )
+
+
+@register(
+    "q_decontaminate_winnow",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN length(text) - 15 > 0
+                    THEN list_transform(
+                        range(length(text) - 15),
+                        i -> substr(md5(substr(text, i + 1, 16)), 1, 8))
+                    ELSE [] END AS h
+        FROM documents
+    ),
+    sel AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(h) >= 6
+                        THEN list_transform(
+                            range(len(h) - 5),
+                            j -> list_aggregate(h[j+1:j+6], 'min'))
+                        WHEN len(h) > 0
+                        THEN [list_aggregate(h, 'min')]
+                        ELSE [] END
+               ) AS fps
+        FROM g
+    ),
+    fp AS (SELECT doc_id, UNNEST(fps) AS fp FROM sel),
+    eval_fp AS (SELECT doc_id AS eval_doc, fp FROM fp WHERE doc_id % 7 = 0),
+    train_fp AS (SELECT doc_id, fp FROM fp WHERE doc_id % 7 <> 0)
+    SELECT t.doc_id,
+           CAST(COUNT(DISTINCT t.fp) AS BIGINT) AS n_fps_hit,
+           CAST(COUNT(DISTINCT e.eval_doc) AS BIGINT) AS n_eval_docs
+    FROM train_fp t JOIN eval_fp e ON t.fp = e.fp
+    GROUP BY t.doc_id
+    """,
+    doc="Character-level decontamination via winnowing fingerprints "
+        "(k=16, w=6): a training doc sharing any >= 21-char substring "
+        "with the eval split (doc_id % 7 = 0) is GUARANTEED to surface — "
+        "catches contamination that word-n-gram scans miss across "
+        "tokenization edits. Broadcast eval fingerprint index, map-only "
+        "train selection, one doc_id-keyed agg shuffle",
+)
+def q_decontaminate_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_decontaminate(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        k=16, w=6,
+    )
+
+
 @register(
     "q_text_hashing_tf_delta",
     """

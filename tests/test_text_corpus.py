@@ -916,3 +916,54 @@ def test_corpus_line_dedup_stage_cuts_cumulative_boilerplate(spark, tmp_path):
     batch([(5, f"delta unique\n{footer}")], 3)
     got3 = {r.doc_id: r.text for r in corpus_docs(spark, out).collect()}
     assert got3[5] == "delta unique"
+
+
+def test_winnow_decontaminate_guarantee_and_tokenization_blindspot(spark):
+    """The winnowing guarantee applied to decontamination: a training doc
+    sharing a >= k+w-1 char substring with an eval doc MUST be flagged —
+    including when punctuation edits shift every word boundary (the
+    word-n-gram scan's blind spot); clean docs are not flagged."""
+    from substreams_sink_parquet_spark.llm.dedup import decontaminate
+    from substreams_sink_parquet_spark.llm.text import winnow_decontaminate
+
+    k, w = 12, 4
+    bench = "what is the capital city of france and when was it founded"
+    train = spark.createDataFrame(
+        [
+            (1, "some page quoting: " + bench + " verbatim in its body"),
+            # same chars, but punctuation glued to words shifts EVERY
+            # word 8-gram — the n-gram scan cannot see this one
+            (2, "quiz page: " + bench.replace(" founded", ", founded?")),
+            (3, "entirely unrelated content about parquet row groups"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, bench)], "doc_id long, text string"
+    )
+    flagged = {
+        r.doc_id: r.n_eval_docs
+        for r in winnow_decontaminate(train, eval_set, k=k, w=w).collect()
+    }
+    assert 1 in flagged and flagged[1] == 1
+    assert 2 in flagged          # char-level catches the punctuation edit
+    assert 3 not in flagged
+    # the word-8-gram scan misses doc 2's contamination prefix? doc 2
+    # still shares the long un-edited word prefix, so compare on a doc
+    # where EVERY 8-gram is broken: interleave punctuation throughout
+    # keep one >= k+w-1 char run ("capital city of", 15 chars) intact so
+    # the winnowing guarantee applies; every word boundary elsewhere is
+    # riddled, so no word 8-gram survives for the n-gram scan
+    riddled = bench.replace(" ", ", ").replace(
+        "capital, city, of,", "capital city of,"
+    )
+    train2 = spark.createDataFrame(
+        [(9, "prefix " + riddled + " suffix")], "doc_id long, text string"
+    )
+    ng = {r.doc_id for r in decontaminate(train2, eval_set, n=8).collect()}
+    assert 9 not in ng           # n-gram scan blind
+    wd = {
+        r.doc_id
+        for r in winnow_decontaminate(train2, eval_set, k=8, w=3).collect()
+    }
+    assert 9 in wd               # fingerprints still catch shared chars
