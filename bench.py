@@ -69,6 +69,8 @@ EXTENDED = [
     "q_text_bm25_batch",
     "q_dedup_winnow_pairs",
     "q_dedup_lines",
+    "q_retrieval_hybrid_batch",
+    "q_decontaminate_winnow",
 ]
 
 
