@@ -476,14 +476,14 @@ def cmd_retrieve(args: argparse.Namespace) -> int:
         spark = get_spark("retrieve")
         docs = spark.read.parquet(args.docs).select("doc_id", "text")
         qtbl = spark.read.parquet(args.queries_table)
-        queries = qtbl.select("query_id", "query")
-        scored = bm25_scores_batch(
-            docs, queries, max_doc_freq=args.max_doc_freq
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("bm25").desc(), "doc_id"
-        )
         if not args.embeddings:
+            scored = bm25_scores_batch(
+                docs, qtbl.select("query_id", "query"),
+                max_doc_freq=args.max_doc_freq,
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("bm25").desc(), "doc_id"
+            )
             top = (
                 scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= args.k)
@@ -499,35 +499,26 @@ def cmd_retrieve(args: argparse.Namespace) -> int:
             print("retrieve: hybrid --queries-table needs a vec_id column "
                   "(one probe embedding per query)", file=sys.stderr)
             return 2
-        from .llm.similarity import cosine, rrf_fuse_batch
+        from .llm.similarity import probe_map_issues, retrieve_hybrid_batch
 
-        bmrank = (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= args.k)
-            .select("query_id", "doc_id", "rank")
-        )
         emb = spark.read.parquet(args.embeddings)
-        probes = qtbl.select("query_id", "vec_id").join(emb, "vec_id").select(
-            "query_id", F.col("embedding").alias("q_vec")
-        )
-        wc = Window.partitionBy("query_id").orderBy(
-            F.col("cos6").desc(), "vec_id"
-        )
-        csrank = (
-            emb.join(F.broadcast(probes))
-            .select("query_id", "vec_id",
-                    F.round(cosine("embedding", "q_vec"), 6).alias("cos6"))
-            .withColumn("rank", F.row_number().over(wc))
-            .filter(F.col("rank") <= args.k)
-            .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
-        )
-        fused = rrf_fuse_batch([bmrank, csrank])
-        wr = Window.partitionBy("query_id").orderBy(
-            F.col("rrf_score").desc(), "doc_id"
-        )
-        top = (
-            fused.withColumn("rank", F.row_number().over(wr))
-            .filter(F.col("rank") <= args.k)
+        # a vec_id absent/duplicated in the embeddings table (or a null
+        # vector) would silently degrade that query to BM25-only output
+        # labeled hybrid — fail loudly, the single-query n_qv contract
+        issues = probe_map_issues(qtbl, emb)
+        if issues:
+            print(
+                "retrieve: bad probe mapping for query_ids "
+                + ", ".join(
+                    f"{q} ({n} probe rows, {nv} valid vectors)"
+                    for q, n, nv in issues
+                )
+                + f" in {args.embeddings} (need exactly 1 valid each)",
+                file=sys.stderr,
+            )
+            return 2
+        top = retrieve_hybrid_batch(
+            docs, qtbl, emb, k=args.k, max_doc_freq=args.max_doc_freq
         )
         for r in top.orderBy("query_id", "rank").collect():
             print(json.dumps({

@@ -1318,19 +1318,24 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rrf_fuse(rankings: list[DataFrame], c: int = 60,
-             id_col: str = "doc_id") -> DataFrame:
+             id_col: str = "doc_id",
+             keys: tuple[str, ...] = ()) -> DataFrame:
     """Reciprocal-rank fusion of ranked lists (the standard production
     recipe for combining lexical and vector retrieval): each list
     contributes 1/(c + rank) per document; fused score is the sum.
 
-    Inputs are (id_col, rank) frames. Contributions are rounded and
-    decimal-summed (order-independent, hash-stable); the union is
-    top-k-sized rows per list, so the fuse aggregates a few dozen rows
-    regardless of corpus size — all the heavy lifting happened in the
-    per-list retrievers."""
+    Inputs are (*keys, id_col, rank) frames — ``keys=()`` fuses single
+    global lists, ``keys=("query_id",)`` fuses per-query (the batch
+    twin, :func:`rrf_fuse_batch`, is this one implementation so the
+    rounding/decimal contract cannot diverge). Contributions are rounded
+    and decimal-summed (order-independent, hash-stable); the union is
+    top-k-sized rows per (keys, list), so the fuse aggregates eval-set-
+    sized rows regardless of corpus size — all the heavy lifting
+    happened in the per-list retrievers."""
+    key_cols = [*keys, id_col]
     parts = [
         r.select(
-            F.col(id_col),
+            *key_cols,
             F.round(F.lit(1.0) / (F.lit(c) + F.col("rank")), 9)
             .cast("decimal(20,9)")
             .alias("contrib"),
@@ -1340,7 +1345,7 @@ def rrf_fuse(rankings: list[DataFrame], c: int = 60,
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    return u.groupBy(id_col).agg(
+    return u.groupBy(*key_cols).agg(
         F.round(F.sum("contrib").cast("double"), 6).alias("rrf_score"),
         F.count("*").cast("long").alias("n_lists"),
     )
@@ -1464,27 +1469,98 @@ def q_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def rrf_fuse_batch(rankings: list[DataFrame], c: int = 60,
                    id_col: str = "doc_id") -> DataFrame:
-    """Per-query reciprocal-rank fusion: the batch twin of
-    :func:`rrf_fuse` for inputs shaped (query_id, id_col, rank). Same
-    rounding/decimal contract; the union is |queries| × top-k rows per
-    list, so the fuse exchange is eval-set-sized, never corpus-sized."""
-    parts = [
-        r.select(
-            "query_id",
-            F.col(id_col),
-            F.round(F.lit(1.0) / (F.lit(c) + F.col("rank")), 9)
-            .cast("decimal(20,9)")
-            .alias("contrib"),
-        )
-        for r in rankings
-    ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    return u.groupBy("query_id", id_col).agg(
-        F.round(F.sum("contrib").cast("double"), 6).alias("rrf_score"),
-        F.count("*").cast("long").alias("n_lists"),
+    """Per-query reciprocal-rank fusion: :func:`rrf_fuse` keyed by
+    query_id — one implementation, one rounding contract."""
+    return rrf_fuse(rankings, c=c, id_col=id_col, keys=("query_id",))
+
+
+def bm25_rank_batch(docs: DataFrame, queries: DataFrame, k: int,
+                    max_doc_freq: int | None = None) -> DataFrame:
+    """(query_id, doc_id, rank) per-query BM25 top-``k`` over the
+    inverted-index batch scorer. Shared by q_retrieval_hybrid_batch and
+    the `retrieve` CLI so tie-breaks and cutoffs cannot silently diverge
+    from the hash-checked operator (the bm25_rank/cosine_rank rule)."""
+    from .text import bm25_scores_batch
+
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        bm25_scores_batch(docs, queries, max_doc_freq=max_doc_freq)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank")
     )
+
+
+def cosine_rank_batch(emb: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """(query_id, doc_id, rank) per-query brute-cosine top-``k`` against a
+    broadcast (query_id, q_vec) probe table. NULL cosine (null or
+    wrong-dimension corpus embedding, or a null probe vector) is
+    EXCLUDED after the window — the cosine_topk contract: corrupt rows
+    never become neighbors, valid ranks are unchanged, and no pre-window
+    filter re-evaluates the fold."""
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("cos6").desc_nulls_last(), "vec_id"
+    )
+    return (
+        emb.join(F.broadcast(probes))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine("embedding", "q_vec"), 6).alias("cos6"),
+        )
+        .withColumn("rank", F.row_number().over(wc))
+        .filter((F.col("rank") <= k) & F.col("cos6").isNotNull())
+        .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    )
+
+
+def retrieve_hybrid_batch(docs: DataFrame, qtbl: DataFrame, emb: DataFrame,
+                          k: int, top: int | None = None,
+                          max_doc_freq: int | None = None) -> DataFrame:
+    """Per-query hybrid retrieval, end to end: batch BM25 top-``k`` fused
+    with probe-table cosine top-``k`` by per-query RRF, cut to ``top``
+    (default ``k``) rows per query. ``qtbl`` is (query_id, query,
+    vec_id); THE shared pipeline behind q_retrieval_hybrid_batch and the
+    `retrieve --queries-table --embeddings` CLI."""
+    bmrank = bm25_rank_batch(
+        docs, qtbl.select("query_id", "query"), k, max_doc_freq=max_doc_freq
+    )
+    probes = qtbl.select("query_id", "vec_id").join(emb, "vec_id").select(
+        "query_id", F.col("embedding").alias("q_vec")
+    )
+    csrank = cosine_rank_batch(emb, probes, k)
+    fused = rrf_fuse_batch([bmrank, csrank])
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), "doc_id"
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= (top if top is not None else k))
+        .select("query_id", "doc_id", "rrf_score", "n_lists", "rank")
+    )
+
+
+def probe_map_issues(qtbl: DataFrame, emb: DataFrame) -> list:
+    """Queries whose probe mapping would SILENTLY degrade hybrid output:
+    vec_id absent from the embeddings table (cosine list empty — output
+    would be BM25-only while claiming hybrid), vec_id duplicated
+    (garbage ranks), or a null probe vector (every cosine null). Returns
+    [(query_id, n_probe_rows, n_valid_vectors)] — callers fail loudly,
+    the single-query path's n_qv != 1 contract."""
+    stats = (
+        qtbl.select("query_id", "vec_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("embedding").alias("n_valid"),
+        )
+    )
+    return [
+        (r.query_id, r.n, r.n_valid)
+        for r in stats.collect()
+        if r.n != 1 or r.n_valid != 1
+    ]
 
 
 # hybrid-batch fixture: (query_id, bm25 seed terms, probe embedding vec_id)
@@ -1589,51 +1665,12 @@ def _hybrid_batch_oracle() -> str:
         "|queries| x top-k rows",
 )
 def q_retrieval_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .text import bm25_scores_batch
-
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    queries = spark.createDataFrame(
-        [(i, q) for i, q, _ in _HYBRID_BATCH], "query_id int, query string"
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("bm25").desc(), "doc_id"
-    )
-    bmrank = (
-        bm25_scores_batch(docs, queries)
-        .withColumn("rank", F.row_number().over(wq))
-        .filter(F.col("rank") <= _HYBRID_K)
-        .select("query_id", "doc_id", "rank")
-    )
     emb = load(spark, sf_dir, "embeddings")
-    probe_map = spark.createDataFrame(
-        [(i, v) for i, _, v in _HYBRID_BATCH], "query_id int, vec_id bigint"
+    qtbl = spark.createDataFrame(
+        list(_HYBRID_BATCH), "query_id int, query string, vec_id bigint"
     )
-    probes = probe_map.join(emb, "vec_id").select(
-        "query_id", F.col("embedding").alias("q_vec")
-    )
-    wc = Window.partitionBy("query_id").orderBy(
-        F.col("cos6").desc(), "vec_id"
-    )
-    csrank = (
-        emb.join(F.broadcast(probes))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine("embedding", "q_vec"), 6).alias("cos6"),
-        )
-        .withColumn("rank", F.row_number().over(wc))
-        .filter(F.col("rank") <= _HYBRID_K)
-        .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
-    )
-    fused = rrf_fuse_batch([bmrank, csrank])
-    wr = Window.partitionBy("query_id").orderBy(
-        F.col("rrf_score").desc(), "doc_id"
-    )
-    return (
-        fused.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "doc_id", "rrf_score", "n_lists", "rank")
-    )
+    return retrieve_hybrid_batch(docs, qtbl, emb, k=_HYBRID_K, top=10)
 
 
 # -- planted-truth audits for the hash-specific embedding families ---------

@@ -434,6 +434,16 @@ def test_cli_retrieve_batch_queries_table(tmp_path, spark, capsys, sf_dir):
         [(1, "spark merge join fast", 0), (2, "hash join", 1)],
         "query_id int, query string, vec_id long",
     ).write.parquet(qtv)
+    # a probe vec_id absent from the embeddings table must fail loudly,
+    # never silently degrade that query to BM25-only output labeled hybrid
+    qtbad = str(tmp_path / "queries_bad")
+    spark.createDataFrame(
+        [(1, "spark merge", 0), (2, "hash join", 999999999)],
+        "query_id int, query string, vec_id long",
+    ).write.parquet(qtbad)
+    assert main(["retrieve", docs, "--queries-table", qtbad,
+                 "--embeddings", f"{sf_dir}/embeddings.parquet"]) == 2
+    capsys.readouterr()
     rc = main(["retrieve", docs, "--queries-table", qtv, "--k", "4",
                "--embeddings", f"{sf_dir}/embeddings.parquet"])
     assert rc == 0
