@@ -694,6 +694,118 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_curation_report(docs: DataFrame, dup_rate_max: float = 0.5,
+                           keep_rate_min: float = 0.2) -> DataFrame:
+    """Domain-level curation report — the whole-source pruning pass
+    web-corpus pipelines run before any per-document screen: a domain
+    whose pages are mostly self-copies (scraper traps, mirror farms) or
+    mostly quality-filter rejects (spam, boilerplate-only sites) gets
+    dropped WHOLESALE, which is both cheaper and higher-precision than
+    judging its pages one by one. Per source: doc count, distinct-text
+    count, within-source exact-dup rate, quality keep rate (the shared
+    Gopher-cascade verdict — quality_verdict_expr), mean words, and a
+    ``flagged`` verdict when dup_rate > ``dup_rate_max`` or keep_rate <
+    ``keep_rate_min``.
+
+    100 TB shape: map-only verdict/hash projection, then ONE
+    map-side-combined groupBy(source) exchange (the distinct-text count
+    is a two-phase distinct agg on (source, md5) — 16-byte digests, not
+    text). Source cardinality is domain-count-sized, no hot keys."""
+    v = quality_verdict_expr()
+    per = docs.select(
+        "source",
+        F.md5("text").alias("th"),
+        (v == "keep").cast("int").alias("is_keep"),
+        F.size(_words()).alias("nw"),
+    )
+    n_unique = F.countDistinct("th").cast("long")
+    rep = per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        n_unique.alias("n_unique_texts"),
+        F.round(F.avg("is_keep"), 6).alias("keep_rate"),
+        F.round(F.avg(F.col("nw").cast("double")), 6).alias("mean_words"),
+    ).withColumn(
+        "dup_rate",
+        F.round(
+            F.lit(1.0) - F.col("n_unique_texts") / F.col("n_docs"), 6
+        ),
+    )
+    return rep.select(
+        "source", "n_docs", "n_unique_texts", "dup_rate", "keep_rate",
+        "mean_words",
+        (
+            (F.col("dup_rate") > dup_rate_max)
+            | (F.col("keep_rate") < keep_rate_min)
+        ).alias("flagged"),
+    )
+
+
+#: planted scraper-trap source for the curation oracle: 20 identical
+#: copies of one literal page — dup_rate 0.95, every copy 'repetitive'
+_TRAP_TEXT = ("spam page spam page spam page spam page spam page spam page "
+              "spam page spam page spam page spam page spam page spam page "
+              "spam page spam page spam page")
+
+
+@register(
+    "q_source_curation",
+    f"""
+    WITH aug AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT 90000 + i AS doc_id, '{_TRAP_TEXT}' AS text,
+               'src_trap' AS source
+        FROM range(20) t(i)
+    ),
+    s AS (
+        SELECT source,
+               md5(text) AS th,
+               len(str_split(text, ' ')) AS n_words,
+               CASE WHEN len(str_split(text, ' ')) < 30 THEN 0
+                    WHEN len(str_split(text, ' ')) > 100000 THEN 0
+                    WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                         / len(str_split(text, ' ')) < 3
+                      OR CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                         / len(str_split(text, ' ')) > 12 THEN 0
+                    WHEN len(list_filter(str_split(text, ' '),
+                             w -> w IN ('the','a','of','and','to','in','is','it')))
+                         < 1 THEN 0
+                    WHEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                         AS DOUBLE) / length(text) > 0.1 THEN 0
+                    WHEN 1 - CAST(len(list_distinct(str_split(text, ' ')))
+                         AS DOUBLE) / len(str_split(text, ' ')) > 0.5 THEN 0
+                    ELSE 1 END AS is_keep
+        FROM aug
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT th) AS BIGINT) AS n_unique_texts,
+           ROUND(1.0 - COUNT(DISTINCT th) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS dup_rate,
+           ROUND(AVG(CAST(is_keep AS DOUBLE)), 6) AS keep_rate,
+           ROUND(AVG(CAST(n_words AS DOUBLE)), 6) AS mean_words,
+           (1.0 - COUNT(DISTINCT th) / CAST(COUNT(*) AS DOUBLE)) > 0.5
+               OR AVG(CAST(is_keep AS DOUBLE)) < 0.2 AS flagged
+    FROM s GROUP BY source
+    """,
+    doc="Domain-level curation: per-source doc/unique-text counts, "
+        "within-source dup rate, Gopher-cascade keep rate, mean words, "
+        "and a whole-source flag (dup_rate > 0.5 or keep_rate < 0.2) — "
+        "the RefinedWeb/FineWeb-style domain pruning pass. A planted "
+        "scraper-trap source (20 identical literal pages, derived "
+        "identically on both engines) MUST flag; organic sources must "
+        "not. One map-side-combined groupBy(source) exchange",
+)
+def q_source_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    trap = spark.range(20).select(
+        (F.col("id") + 90000).alias("doc_id"),
+        F.lit(_TRAP_TEXT).alias("text"),
+        F.lit("src_trap").alias("source"),
+    )
+    return source_curation_report(docs.unionByName(trap))
+
+
 # -- lexical retrieval: Okapi BM25 -----------------------------------------
 
 

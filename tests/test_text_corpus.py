@@ -967,3 +967,26 @@ def test_winnow_decontaminate_guarantee_and_tokenization_blindspot(spark):
         for r in winnow_decontaminate(train2, eval_set, k=8, w=3).collect()
     }
     assert 9 in wd               # fingerprints still catch shared chars
+
+
+def test_source_curation_flags_trap_and_spam_domains_only(spark):
+    """Whole-source pruning semantics: a scraper-trap source (identical
+    pages) flags on dup_rate, an all-rejects source flags on keep_rate,
+    and a healthy source with organic docs does not flag."""
+    from substreams_sink_parquet_spark.llm.text import source_curation_report
+
+    healthy = ("the quick brown fox jumps over a lazy dog while the patient "
+               "cat watches from a warm sunny windowsill nearby today and "
+               "it is a fine day of calm weather in the garden")
+    rows = (
+        [(i, healthy + f" variant {i}", "good") for i in range(10)]
+        + [(100 + i, "copy of the same page body here", "trap")
+           for i in range(10)]
+        + [(200 + i, f"x{i}", "spam") for i in range(10)]  # all too_short
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    rep = {r.source: r for r in source_curation_report(docs).collect()}
+    assert not rep["good"].flagged and rep["good"].keep_rate == 1.0
+    assert rep["trap"].flagged and rep["trap"].dup_rate == 0.9
+    assert rep["spam"].flagged and rep["spam"].keep_rate == 0.0
+    assert rep["trap"].n_unique_texts == 1 and rep["good"].n_unique_texts == 10
