@@ -595,6 +595,73 @@ def cmd_select(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """One-command BATCH curation over a static document parquet — the
+    offline twin of the streaming corpus builder, composed from the same
+    catalog operators so every stage's semantics are the hash-checked
+    ones: (1) CCNet cross-corpus line dedup (optional), (2) Gopher-style
+    quality gate (optional), (3) exact dedup keeping the min doc_id per
+    content hash, (4) MinHash-LSH near-dup pruning keeping each
+    cluster's canonical (optional). Writes the curated corpus as parquet
+    and prints one JSON report line with per-stage survivor counts."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from .llm.dedup import dedup_clusters, line_dedup, minhash_lsh_pairs
+    from .llm.text import quality_verdict_expr
+
+    spark = get_spark("curate")
+    docs = spark.read.parquet(args.docs)
+    if "doc_id" not in docs.columns or "text" not in docs.columns:
+        print("curate: input needs doc_id and text columns", file=sys.stderr)
+        return 2
+    report: dict = {"input_docs": docs.count()}
+
+    if args.line_dedup_min_docs is not None:
+        cleaned = line_dedup(
+            docs.select("doc_id", "text"),
+            min_dup_docs=args.line_dedup_min_docs,
+        ).filter(F.col("clean_text") != "")
+        docs = (
+            docs.join(cleaned.select("doc_id", "clean_text"), "doc_id")
+            .withColumn("text", F.col("clean_text"))
+            .drop("clean_text")
+        )
+        docs = docs.persist()
+        report["after_line_dedup"] = docs.count()
+
+    if args.quality_gate:
+        docs = docs.filter(quality_verdict_expr() == "keep").persist()
+        report["after_quality_gate"] = docs.count()
+
+    # exact dedup: one shuffle on the content hash; min doc_id is the
+    # deterministic keeper
+    keepers = (
+        docs.groupBy(F.md5("text").alias("__th"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs = docs.join(keepers, "doc_id").persist()
+    report["after_exact_dedup"] = docs.count()
+
+    if args.near_dup:
+        pairs = minhash_lsh_pairs(
+            docs.select("doc_id", "text"), threshold=args.neardup_threshold
+        ).select("doc_a", "doc_b")
+        clusters = dedup_clusters(pairs)
+        losers = clusters.filter(
+            F.col("doc_id") != F.col("canonical")
+        ).select("doc_id")
+        docs = docs.join(losers, "doc_id", "left_anti").persist()
+        report["after_near_dup"] = docs.count()
+
+    docs.write.mode("overwrite").parquet(args.out)
+    report["written"] = args.out
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_setup(args: argparse.Namespace) -> int:
     """Probe round-trip (setup.go:31-66): write → read-back-compare → delete."""
     spark = get_spark("sink-setup")
@@ -835,6 +902,24 @@ def main(argv: list[str] | None = None) -> int:
     annc_p.add_argument("index_dir")
     annc_p.add_argument("--min-epochs", type=int, default=2)
     annc_p.set_defaults(fn=cmd_ann_compact)
+
+    cur_p = sub.add_parser(
+        "curate",
+        help="batch corpus curation: line dedup -> quality gate -> exact "
+             "dedup -> near-dup prune -> curated parquet + JSON report",
+    )
+    cur_p.add_argument("docs", help="parquet dir of (doc_id, text, ...) rows")
+    cur_p.add_argument("out", help="output parquet dir for the curated corpus")
+    cur_p.add_argument("--line-dedup-min-docs", type=int, default=None,
+                       help="cut lines appearing in >= N distinct docs "
+                            "(CCNet boilerplate stage)")
+    cur_p.add_argument("--quality-gate", action="store_true",
+                       help="drop docs failing the Gopher-style rule cascade")
+    cur_p.add_argument("--near-dup", action="store_true",
+                       help="prune MinHash-LSH near-dup clusters to their "
+                            "canonical (min doc_id) member")
+    cur_p.add_argument("--neardup-threshold", type=float, default=0.5)
+    cur_p.set_defaults(fn=cmd_curate)
 
     retr_p = sub.add_parser(
         "retrieve", help="BM25 (optionally hybrid RRF) retrieval over a corpus"

@@ -455,3 +455,42 @@ def test_cli_retrieve_batch_queries_table(tmp_path, spark, capsys, sf_dir):
         rows = [x for x in fused if x["query_id"] == qid]
         assert [r["rank"] for r in rows] == [1, 2, 3, 4]
         assert rows[0]["rrf_score"] >= rows[-1]["rrf_score"]
+
+
+def test_cli_curate_end_to_end(tmp_path, spark, capsys):
+    """Batch curation capstone: line dedup cuts cross-doc boilerplate,
+    the quality gate drops junk, exact dedup keeps min doc_id, near-dup
+    pruning keeps one member per cluster — per-stage counts reported."""
+    import json
+
+    from substreams_sink_parquet_spark.cli import main
+
+    good = ("the quick brown fox jumps over a lazy dog while the patient "
+            "cat watches from a warm sunny windowsill nearby today and it "
+            "is a fine day of calm weather in the garden this morning")
+    footer = "all rights reserved contact us legal terms apply here now"
+    rows = [
+        (1, good + " first variant\n" + footer, "en"),
+        (2, good + " second variant\n" + footer, "en"),
+        (3, good + " third variant\n" + footer, "en"),
+        (4, good + " first variant\n" + footer, "en"),   # exact dup of 1
+        (5, "x", "en"),                                   # quality reject
+        (6, footer, "en"),                                # boilerplate-only
+    ]
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "curated")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string")\
+        .write.parquet(src)
+    rc = main(["curate", src, out, "--line-dedup-min-docs", "3",
+               "--quality-gate", "--near-dup"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["input_docs"] == 6
+    assert rep["after_line_dedup"] == 5          # doc 6 emptied out
+    assert rep["after_quality_gate"] == 4        # doc 5 too short
+    assert rep["after_exact_dedup"] == 3         # doc 4 = doc 1 post-cut
+    assert rep["after_near_dup"] == 1            # variants cluster to doc 1
+    got = spark.read.parquet(out).collect()
+    assert [r.doc_id for r in got] == [1]
+    assert footer not in got[0].text and "first variant" in got[0].text
+    assert got[0].lang == "en"                   # passthrough columns kept
