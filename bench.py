@@ -71,6 +71,7 @@ EXTENDED = [
     "q_dedup_lines",
     "q_retrieval_hybrid_batch",
     "q_decontaminate_winnow",
+    "q_pipeline_curate",
 ]
 
 

@@ -806,6 +806,102 @@ def q_source_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_curation_report(docs.unionByName(trap))
 
 
+@register(
+    "q_pipeline_curate",
+    """
+    WITH relined AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_transform(
+                       range((len(str_split(text, ' ')) + 2) // 3),
+                       i -> array_to_string(
+                           str_split(text, ' ')[i*3+1 : i*3+3], ' ')
+                   ), chr(10)) AS text
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, i AS pos, str_split(text, chr(10))[i+1] AS line
+        FROM relined, UNNEST(range(len(str_split(text, chr(10))))) AS t(i)
+        WHERE regexp_replace(str_split(text, chr(10))[i+1],
+                             '^\\s+|\\s+$', '', 'g') <> ''
+    ),
+    hot AS (
+        SELECT md5(regexp_replace(line, '^\\s+|\\s+$', '', 'g')) AS lh
+        FROM lines GROUP BY 1
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text
+        FROM lines
+        WHERE md5(regexp_replace(line, '^\\s+|\\s+$', '', 'g'))
+              NOT IN (SELECT lh FROM hot)
+        GROUP BY doc_id
+    ),
+    gated AS (
+        SELECT doc_id, text,
+               len(str_split(text, ' ')) AS n_words
+        FROM rebuilt
+        WHERE len(str_split(text, ' ')) >= 30
+          AND len(str_split(text, ' ')) <= 100000
+          AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+              / len(str_split(text, ' ')) BETWEEN 3 AND 12
+          AND len(list_filter(str_split(text, ' '),
+                  w -> w IN ('the','a','of','and','to','in','is','it'))) >= 1
+          AND CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+              AS DOUBLE) / length(text) <= 0.1
+          AND 1 - CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+              / len(str_split(text, ' ')) <= 0.5
+    )
+    SELECT md5(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(ANY_VALUE(n_words) AS BIGINT) AS n_words
+    FROM gated
+    GROUP BY md5(text)
+    """,
+    doc="The batch `curate` COMPOSITION, hash-gated end to end: reline "
+        "into 3-word lines -> CCNet line dedup (>= 2 distinct docs) -> "
+        "rejoin as space-separated text -> Gopher quality gate on the "
+        "CLEANED text -> exact dedup keeping min doc_id. Pins the stage "
+        "ORDER semantics (gate sees post-boilerplate text; exact hash is "
+        "of the cleaned text), not just each stage alone",
+)
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import line_dedup, spread_if_narrow
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    relined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size(words) + 2) / 3).cast("int") - 1,
+                ),
+                lambda i: F.concat_ws(" ", F.slice(words, i * 3 + 1, 3)),
+            ),
+        ).alias("text"),
+    )
+    cleaned = (
+        line_dedup(spread_if_narrow(relined), min_dup_docs=2)
+        .filter(F.col("clean_text") != "")
+        # rejoin as one space-separated line: the gate's word split and
+        # the content hash must see words, not line breaks
+        .select(
+            "doc_id",
+            F.replace(F.col("clean_text"), F.lit("\n"), F.lit(" ")).alias("text"),
+        )
+    )
+    gated = cleaned.filter(quality_verdict_expr() == "keep")
+    return gated.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count("*").cast("long").alias("n_copies"),
+        F.any_value(F.size(_words())).cast("long").alias("n_words"),
+    )
+
+
 # -- lexical retrieval: Okapi BM25 -----------------------------------------
 
 
