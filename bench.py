@@ -312,6 +312,25 @@ def main() -> None:
 
     run("q_agg_basic")  # JVM / codegen warm-up, untimed
 
+    # machine-state calibration: a fixed, code-independent JVM workload
+    # (sum of 50M xxhash64 over a range — no IO, no Python, no shuffle).
+    # Shared-host background load scales EVERY query by the same factor
+    # (measured one afternoon: a uniform 1.3x across all 16 headline
+    # queries, zero stalled passes); dividing headline by calibration
+    # separates code regressions from a busy box when comparing rounds.
+    from pyspark.sql import functions as F
+
+    def _calibrate() -> float:
+        t0 = time.time()
+        # bit_xor, not sum: 50M hash longs overflow a SUM under ANSI mode
+        spark.range(50_000_000).select(
+            F.xxhash64("id").alias("h")
+        ).agg(F.expr("bit_xor(h)")).collect()
+        return time.time() - t0
+
+    _calibrate()  # warm-up
+    calibration = round(min(_calibrate() for _ in range(3)), 3)
+
     # Sink bench runs FIRST (after only the one-query warm-up) so the
     # headline ingest number is measured in a known JVM state; a second
     # pass after the sweep exposes drift/contention (r4's "collapse" never
@@ -371,6 +390,7 @@ def main() -> None:
         "sink_decode_stage_sec": sink_pre["decode_stage_sec"],
         "catchup_write_rows_per_sec": catchup,
         "stalled_passes": stalled,
+        "calibration_sec": calibration,
         "sf": sf,
     }))
     # The driver keeps only the last 2,000 chars of stdout; the enriched
@@ -386,6 +406,7 @@ def main() -> None:
         "sink_blocks_per_sec": max(pre["plain"]),
         "sink_blocks_per_sec_exploded": max(pre["exploded"]),
         "n_stalled_passes": sum(len(v) for v in stalled.values()),
+        "calibration_sec": calibration,
         "sf": sf,
         "compact": True,
     }))
