@@ -422,3 +422,49 @@ def test_warc_exact_framing_review_edges(spark, tmp_path):
     # (3) the leading garbage is quarantined, not dropped
     q = bad.collect()
     assert len(q) == 1 and "leading garbage bytes" in q[0].corrupt_record
+
+
+def test_warc_exact_framing_roundtrip_property(spark, tmp_path):
+    """Property: arbitrary document texts — INCLUDING texts containing the
+    record marker and CRLF line breaks — serialize into a Content-Length-
+    framed shard and round-trip exactly through exact mode, regardless of
+    header order. The split-mode alphabet restriction (no marker in
+    bodies) does not apply here: exact framing exists to lift it."""
+    from hypothesis import given, settings, strategies as st
+
+    from substreams_sink_parquet_spark.sources.warc_corpus import (
+        read_warc_corpus_exact,
+    )
+
+    piece = st.sampled_from(
+        ["plain words", "WARC/1.0", "WARC/1.1\r\nWARC-Type: fake",
+         "line one\r\nline two", "trailing dot.", "unicode snippet é"]
+    )
+    body = st.lists(piece, min_size=1, max_size=4).map(" ".join)
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(body, min_size=1, max_size=6), st.booleans())
+    def check(texts, cl_first):
+        shard = ""
+        for i, t in enumerate(texts):
+            cl = f"Content-Length: {len(t.encode())}\r\n"
+            rid = f"WARC-Record-ID: <urn:uuid:rt-{i}>\r\n"
+            hdrs = (cl + rid) if cl_first else (rid + cl)
+            shard += (
+                "WARC/1.0\r\n"
+                "WARC-Type: conversion\r\n"
+                + hdrs + "\r\n"
+                + t + "\r\n\r\n"
+            )
+        d = tmp_path / "rt"
+        d.mkdir(exist_ok=True)
+        (d / "p.warc").write_text(shard)
+        clean, bad = read_warc_corpus_exact(spark, str(d))
+        rows = clean.collect()
+        got = sorted(r.text for r in rows)
+        want = sorted(t.replace("\r", "") for t in texts)
+        assert got == want
+        assert len({r.doc_id for r in rows}) == len(texts)
+        assert bad.count() == 0
+
+    check()
