@@ -312,25 +312,6 @@ def main() -> None:
 
     run("q_agg_basic")  # JVM / codegen warm-up, untimed
 
-    # machine-state calibration: a fixed, code-independent JVM workload
-    # (sum of 50M xxhash64 over a range — no IO, no Python, no shuffle).
-    # Shared-host background load scales EVERY query by the same factor
-    # (measured one afternoon: a uniform 1.3x across all 16 headline
-    # queries, zero stalled passes); dividing headline by calibration
-    # separates code regressions from a busy box when comparing rounds.
-    from pyspark.sql import functions as F
-
-    def _calibrate() -> float:
-        t0 = time.time()
-        # bit_xor, not sum: 50M hash longs overflow a SUM under ANSI mode
-        spark.range(50_000_000).select(
-            F.xxhash64("id").alias("h")
-        ).agg(F.expr("bit_xor(h)")).collect()
-        return time.time() - t0
-
-    _calibrate()  # warm-up
-    calibration = round(min(_calibrate() for _ in range(3)), 3)
-
     # Sink bench runs FIRST (after only the one-query warm-up) so the
     # headline ingest number is measured in a known JVM state; a second
     # pass after the sweep exposes drift/contention (r4's "collapse" never
@@ -370,6 +351,28 @@ def main() -> None:
     # pre-sweep samples, the session degraded mid-bench — the round's
     # verdict should read the samples, not guess
     sink_post = bench_sink(spark, plain_only=True)
+
+    # machine-state calibration LAST — a fixed, code-independent JVM
+    # workload (bit_xor of 50M xxhash64 over a range: no IO, no Python,
+    # no shuffle) measured after every other number so it perturbs none
+    # of them (the sink in particular must stay "after only the
+    # one-query warm-up" for round-over-round comparability).
+    # Shared-host background load scales EVERY query by the same factor
+    # (measured one afternoon: a uniform 1.3x across all 16 headline
+    # queries, zero stalled passes); dividing headline by calibration
+    # separates code regressions from a busy box when comparing rounds.
+    from pyspark.sql import functions as F
+
+    def _calibrate() -> float:
+        t0 = time.time()
+        # bit_xor, not sum: 50M hash longs overflow a SUM under ANSI mode
+        spark.range(50_000_000).select(
+            F.xxhash64("id").alias("h")
+        ).agg(F.expr("bit_xor(h)")).collect()
+        return time.time() - t0
+
+    _calibrate()  # warm-up
+    calibration = round(min(_calibrate() for _ in range(3)), 3)
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
     pre = sink_pre["samples"]

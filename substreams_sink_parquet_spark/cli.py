@@ -603,7 +603,13 @@ def cmd_curate(args: argparse.Namespace) -> int:
     quality gate (optional), (3) exact dedup keeping the min doc_id per
     content hash, (4) MinHash-LSH near-dup pruning keeping each
     cluster's canonical (optional). Writes the curated corpus as parquet
-    and prints one JSON report line with per-stage survivor counts."""
+    and prints one JSON report line with per-stage survivor counts.
+
+    The quality gate, exact-dedup hash, and MinHash shingles all run on
+    a NEWLINE-FLATTENED view of the text (the hash-gated
+    q_pipeline_curate semantics: the gate's word split must see words,
+    not line breaks) while the written documents keep their line
+    structure."""
     import json
 
     from pyspark.sql import functions as F
@@ -631,14 +637,22 @@ def cmd_curate(args: argparse.Namespace) -> int:
         docs = docs.persist()
         report["after_line_dedup"] = docs.count()
 
+    # the flattened view every downstream decision uses (the documents
+    # themselves keep their newlines)
+    docs = docs.withColumn(
+        "__flat", F.replace(F.col("text"), F.lit("\n"), F.lit(" "))
+    )
+
     if args.quality_gate:
-        docs = docs.filter(quality_verdict_expr() == "keep").persist()
+        docs = docs.filter(
+            quality_verdict_expr("__flat") == "keep"
+        ).persist()
         report["after_quality_gate"] = docs.count()
 
     # exact dedup: one shuffle on the content hash; min doc_id is the
     # deterministic keeper
     keepers = (
-        docs.groupBy(F.md5("text").alias("__th"))
+        docs.groupBy(F.md5("__flat").alias("__th"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
@@ -647,7 +661,8 @@ def cmd_curate(args: argparse.Namespace) -> int:
 
     if args.near_dup:
         pairs = minhash_lsh_pairs(
-            docs.select("doc_id", "text"), threshold=args.neardup_threshold
+            docs.select("doc_id", F.col("__flat").alias("text")),
+            threshold=args.neardup_threshold,
         ).select("doc_a", "doc_b")
         clusters = dedup_clusters(pairs)
         losers = clusters.filter(
@@ -656,7 +671,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
         docs = docs.join(losers, "doc_id", "left_anti").persist()
         report["after_near_dup"] = docs.count()
 
-    docs.write.mode("overwrite").parquet(args.out)
+    docs.drop("__flat").write.mode("overwrite").parquet(args.out)
     report["written"] = args.out
     print(json.dumps(report))
     return 0

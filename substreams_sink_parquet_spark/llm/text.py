@@ -722,26 +722,28 @@ def source_curation_report(docs: DataFrame, dup_rate_max: float = 0.5,
     rep = per.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         n_unique.alias("n_unique_texts"),
-        F.round(F.avg("is_keep"), 6).alias("keep_rate"),
-        F.round(F.avg(F.col("nw").cast("double")), 6).alias("mean_words"),
-    ).withColumn(
-        "dup_rate",
-        F.round(
-            F.lit(1.0) - F.col("n_unique_texts") / F.col("n_docs"), 6
-        ),
+        F.avg("is_keep").alias("__kr"),
+        F.avg(F.col("nw").cast("double")).alias("__mw"),
     )
+    # flag on the UNROUNDED rates (the oracle does too): flagging on the
+    # 6 dp display columns would diverge from DuckDB for a rate within
+    # 5e-7 of a threshold
+    dr_raw = F.lit(1.0) - F.col("n_unique_texts") / F.col("n_docs")
     return rep.select(
-        "source", "n_docs", "n_unique_texts", "dup_rate", "keep_rate",
-        "mean_words",
-        (
-            (F.col("dup_rate") > dup_rate_max)
-            | (F.col("keep_rate") < keep_rate_min)
-        ).alias("flagged"),
+        "source", "n_docs", "n_unique_texts",
+        F.round(dr_raw, 6).alias("dup_rate"),
+        F.round("__kr", 6).alias("keep_rate"),
+        F.round("__mw", 6).alias("mean_words"),
+        ((dr_raw > dup_rate_max) | (F.col("__kr") < keep_rate_min))
+        .alias("flagged"),
     )
 
 
 #: planted scraper-trap source for the curation oracle: 20 identical
-#: copies of one literal page — dup_rate 0.95, every copy 'repetitive'
+#: copies of one literal page — dup_rate 0.95; every copy also fails the
+#: gate (exactly 30 words, none a stopword -> verdict 'no_stopwords'),
+#: so keep_rate pins the STOPWORD rule, and the flag fires on dup_rate
+#: regardless
 _TRAP_TEXT = ("spam page spam page spam page spam page spam page spam page "
               "spam page spam page spam page spam page spam page spam page "
               "spam page spam page spam page")

@@ -458,7 +458,10 @@ def test_warc_exact_framing_roundtrip_property(spark, tmp_path):
             )
         d = tmp_path / "rt"
         d.mkdir(exist_ok=True)
-        (d / "p.warc").write_text(shard)
+        # encoding pinned: Content-Length counts UTF-8 bytes and the
+        # reader decodes utf-8 unconditionally — a non-UTF-8 locale
+        # default would mis-frame the non-ASCII bodies
+        (d / "p.warc").write_text(shard, encoding="utf-8")
         clean, bad = read_warc_corpus_exact(spark, str(d))
         rows = clean.collect()
         got = sorted(r.text for r in rows)
