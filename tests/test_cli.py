@@ -494,3 +494,33 @@ def test_cli_curate_end_to_end(tmp_path, spark, capsys):
     assert [r.doc_id for r in got] == [1]
     assert footer not in got[0].text and "first variant" in got[0].text
     assert got[0].lang == "en"                   # passthrough columns kept
+
+
+def test_cli_curate_flattened_semantics_and_preserved_newlines(
+    tmp_path, spark, capsys
+):
+    """The q_pipeline_curate contract in the CLI: dedup and gating run on
+    a newline-FLATTENED view (two docs equal modulo line breaks are exact
+    duplicates), while the written documents keep their line structure."""
+    import json
+
+    from substreams_sink_parquet_spark.cli import main
+
+    body = ("the quick brown fox jumps over a lazy dog while still waiting "
+            "and the patient cat watches from a warm sunny windowsill nearby")
+    # word-identical texts, line break in different places
+    words = body.split(" ")
+    rows = [
+        (1, " ".join(words[:8]) + "\n" + " ".join(words[8:])),
+        (2, " ".join(words[:13]) + "\n" + " ".join(words[13:])),
+    ]
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "curated")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    rc = main(["curate", src, out])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["after_exact_dedup"] == 1     # line breaks don't block dedup
+    kept = spark.read.parquet(out).collect()
+    assert kept[0].doc_id == 1
+    assert "\n" in kept[0].text              # line structure preserved
