@@ -72,6 +72,8 @@ EXTENDED = [
     "q_retrieval_hybrid_batch",
     "q_decontaminate_winnow",
     "q_pipeline_curate",
+    # round 7
+    "q_text_bm25_indexed",
 ]
 
 
@@ -352,15 +354,22 @@ def main() -> None:
     # verdict should read the samples, not guess
     sink_post = bench_sink(spark, plain_only=True)
 
-    # machine-state calibration LAST — a fixed, code-independent JVM
-    # workload (bit_xor of 50M xxhash64 over a range: no IO, no Python,
-    # no shuffle) measured after every other number so it perturbs none
-    # of them (the sink in particular must stay "after only the
-    # one-query warm-up" for round-over-round comparability).
+    # machine-state calibration LAST — fixed, code-independent workloads
+    # measured after every other number so they perturb none of them (the
+    # sink in particular must stay "after only the one-query warm-up" for
+    # round-over-round comparability).
     # Shared-host background load scales EVERY query by the same factor
     # (measured one afternoon: a uniform 1.3x across all 16 headline
     # queries, zero stalled passes); dividing headline by calibration
     # separates code regressions from a busy box when comparing rounds.
+    #
+    # TWO probes, because r6 proved one is not enough (VERDICT r6,
+    # Wrong #1): BENCH_r06 ran with the sink -40% and the mapInPandas
+    # decode stage 1.5x slow, yet the JVM-only probe read "clean box" —
+    # co-running Spark degrades the Python-worker pool (fork/IPC/Arrow)
+    # long before it degrades a pure-JVM codegen scan. The companion
+    # probe routes a fixed 5M-row workload through mapInPandas so
+    # Python-worker contention shows up in a calibration number.
     from pyspark.sql import functions as F
 
     def _calibrate() -> float:
@@ -371,8 +380,51 @@ def main() -> None:
         ).agg(F.expr("bit_xor(h)")).collect()
         return time.time() - t0
 
+    def _calibrate_py() -> float:
+        import pandas as pd
+
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+        def _batch_sum(it):
+            for pdf in it:
+                yield pd.DataFrame({"s": [int(pdf["id"].sum())]})
+
+        t0 = time.time()
+        spark.range(5_000_000).repartition(cpus).mapInPandas(
+            _batch_sum, "s long"
+        ).agg(F.sum("s")).collect()
+        return time.time() - t0
+
     _calibrate()  # warm-up
     calibration = round(min(_calibrate() for _ in range(3)), 3)
+    _calibrate_py()  # warm-up (Arrow serializer + worker reuse paths)
+    calibration_py = round(min(_calibrate_py() for _ in range(3)), 3)
+
+    # Recorded-solo references for the contended flag, measured on an idle
+    # round-7 dev box (local[32], min of 3 timed passes after warm-up, no
+    # co-running Spark). The flag trips at 1.3x because the uniform
+    # contention factor measured on this host was exactly ~1.3-1.4x; a
+    # different host baseline shows up as BOTH probes off by the same
+    # stable factor round over round, which the verdict can re-baseline.
+    CAL_JVM_SOLO_REF = 0.176
+    CAL_PY_SOLO_REF = 0.90
+    # sink spread: all plain-mode samples (pre- and post-sweep) come from
+    # identical code on identical input — a >2x max/min ratio within one
+    # bench run is contention by construction (r6's driver run showed
+    # 4,874-19,335 blocks/s inside a single artifact)
+    plain_all = sink_pre["samples"]["plain"] + sink_post["samples"]["plain"]
+    sink_spread_ratio = round(max(plain_all) / max(min(plain_all), 1e-9), 2)
+    contended_reasons = []
+    if calibration > 1.3 * CAL_JVM_SOLO_REF:
+        contended_reasons.append(
+            f"jvm_calibration {calibration} > 1.3x solo {CAL_JVM_SOLO_REF}")
+    if calibration_py > 1.3 * CAL_PY_SOLO_REF:
+        contended_reasons.append(
+            f"py_calibration {calibration_py} > 1.3x solo {CAL_PY_SOLO_REF}")
+    if sink_spread_ratio > 2.0:
+        contended_reasons.append(
+            f"sink plain-sample spread {sink_spread_ratio}x > 2x")
+    contended = bool(contended_reasons)
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
     pre = sink_pre["samples"]
@@ -383,6 +435,11 @@ def main() -> None:
         "queries": timings,
         "queries_median": medians,
         "queries_spread": spreads,
+        # raw per-pass timings (pass order preserved): lets a verdict
+        # attribute a large spread to one stalled pass vs genuine
+        # pass-to-pass instability (VERDICT r6, Wrong #2 on
+        # q_dedup_minhash) without a rerun
+        "queries_passes": raw,
         "value_covers": HEADLINE,
         "extended_total_sec": round(sum(timings[n] for n in EXTENDED), 3),
         "sink_blocks_per_sec": max(pre["plain"]),
@@ -394,6 +451,10 @@ def main() -> None:
         "catchup_write_rows_per_sec": catchup,
         "stalled_passes": stalled,
         "calibration_sec": calibration,
+        "calibration_py_sec": calibration_py,
+        "sink_plain_spread_ratio": sink_spread_ratio,
+        "contended": contended,
+        "contended_reasons": contended_reasons,
         "sf": sf,
     }))
     # The driver keeps only the last 2,000 chars of stdout; the enriched
@@ -410,6 +471,8 @@ def main() -> None:
         "sink_blocks_per_sec_exploded": max(pre["exploded"]),
         "n_stalled_passes": sum(len(v) for v in stalled.values()),
         "calibration_sec": calibration,
+        "calibration_py_sec": calibration_py,
+        "contended": contended,
         "sf": sf,
         "compact": True,
     }))

@@ -1731,7 +1731,7 @@ def line_dedup(docs: DataFrame, min_dup_docs: int = 2,
 
 @register(
     "q_dedup_lines",
-    """
+    r"""
     WITH relined AS (
         SELECT doc_id,
                array_to_string(
