@@ -332,6 +332,7 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         embed_threshold=args.embed_threshold,
         embed_dim=args.embed_dim,
         ann_index_dir=args.ann_index,
+        lexical_index_dir=args.lexical_index,
         input_format=args.format,
         quality_gate=args.quality_gate,
         line_dedup_min_docs=args.line_dedup_min_docs,
@@ -449,6 +450,78 @@ def cmd_ann_query(args: argparse.Namespace) -> int:
         out.setdefault(r.q_id, []).append(r.neighbor_id)
     for q_id in sorted(out):
         print(json.dumps({"q_id": q_id, "neighbors": out[q_id]}))
+    return 0
+
+
+def cmd_lex_build(args: argparse.Namespace) -> int:
+    """Build (or rebuild) the persisted BM25 postings index from a parquet
+    table of (doc_id, text) rows: postings partitioned by term-hash
+    bucket + a 2-number meta (llm/lexical_index.py). Query it with
+    ``retrieve-index``; a corpus stream grows it via epoch appends
+    (``corpus --lexical-index``)."""
+    from .llm.lexical_index import write_lexical_index
+
+    spark = get_spark("lex-build")
+    docs = spark.read.parquet(args.docs).select("doc_id", "text")
+    meta = write_lexical_index(docs, args.index_dir, n_buckets=args.buckets)
+    print(f"lex-build OK: {args.index_dir} buckets={meta['n_buckets']} "
+          f"n_docs={meta['n_docs']} sum_dl={meta['sum_dl']}")
+    return 0
+
+
+def cmd_lex_compact(args: argparse.Namespace) -> int:
+    """Fold a corpus stream's per-batch postings appends
+    (``postings_epochs/epoch=N``) into one ``epoch=-1`` dir — crash-safe
+    manifest swap, trailing epoch excluded; run against a STOPPED corpus
+    stream (single-writer discipline, same as ann-compact)."""
+    from .llm.lexical_index import compact_lexical_epochs
+
+    spark = get_spark("lex-compact")
+    did = compact_lexical_epochs(spark, args.index_dir,
+                                 min_epochs=args.min_epochs)
+    print(f"lex-compact OK: {'merged' if did else 'nothing to do'} "
+          f"in {args.index_dir}")
+    return 0
+
+
+def cmd_retrieve_index(args: argparse.Namespace) -> int:
+    """BM25 retrieval served from a persisted postings index — the
+    ``retrieve`` command without its per-call corpus re-tokenize: the
+    plan scans only the postings buckets the query terms hash into.
+    Scores are identical to ``retrieve`` over the corpus the index was
+    built from (+ streamed appends). Prints one JSON line per hit."""
+    import json
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .llm.lexical_index import bm25_scores_indexed
+
+    if (args.query is None) == (args.queries_table is None):
+        print("retrieve-index: pass exactly one of --query / --queries-table",
+              file=sys.stderr)
+        return 2
+    spark = get_spark("retrieve-index")
+    if args.queries_table is not None:
+        qtbl = spark.read.parquet(args.queries_table).select(
+            "query_id", "query")
+    else:
+        if not args.query.split():
+            print("retrieve-index: --query must contain at least one term",
+                  file=sys.stderr)
+            return 2
+        qtbl = spark.createDataFrame(
+            [(0, args.query)], "query_id int, query string")
+    scored = bm25_scores_indexed(
+        spark, args.index_dir, qtbl, max_doc_freq=args.max_doc_freq)
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")
+    top = (scored.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= args.k))
+    for r in top.orderBy("query_id", "rank").collect():
+        rec = {"doc_id": r.doc_id, "bm25": r.bm25, "rank": r.rank}
+        if args.queries_table is not None:
+            rec = {"query_id": r.query_id, **rec}
+        print(json.dumps(rec))
     return 0
 
 
@@ -851,6 +924,12 @@ def main(argv: list[str] | None = None) -> int:
                                "inline embeddings are appended per batch "
                                "(frozen codebooks, replay-safe) so ann-query "
                                "serves the corpus without a rebuild")
+    corpus_p.add_argument("--lexical-index", default=None,
+                          help="existing lex-build index dir: admitted docs' "
+                               "text is tokenized into postings per batch "
+                               "(epoch stats delta, replay-safe) so "
+                               "retrieve-index serves the corpus without a "
+                               "rebuild or re-tokenize")
     corpus_p.add_argument("--near-dup", action="store_true",
                           help="also reject MinHash near-duplicates of the corpus")
     corpus_p.add_argument("--line-dedup-min-docs", type=int, default=None,
@@ -917,6 +996,42 @@ def main(argv: list[str] | None = None) -> int:
     annc_p.add_argument("index_dir")
     annc_p.add_argument("--min-epochs", type=int, default=2)
     annc_p.set_defaults(fn=cmd_ann_compact)
+
+    lexb_p = sub.add_parser(
+        "lex-build", help="build a persisted BM25 postings index"
+    )
+    lexb_p.add_argument("index_dir",
+                        help="index root (postings/ + _LEX_META.json)")
+    lexb_p.add_argument("--docs", required=True,
+                        help="parquet of (doc_id, text) rows")
+    lexb_p.add_argument("--buckets", type=int, default=64,
+                        help="term-hash partition buckets (default 64)")
+    lexb_p.set_defaults(fn=cmd_lex_build)
+
+    lexq_p = sub.add_parser(
+        "retrieve-index",
+        help="BM25 retrieval from a persisted postings index (no corpus "
+             "re-tokenize; scans only the query terms' buckets)",
+    )
+    lexq_p.add_argument("index_dir")
+    lexq_p.add_argument("--query", default=None,
+                        help="whitespace-separated query terms")
+    lexq_p.add_argument("--queries-table", default=None,
+                        help="parquet of (query_id, query) rows")
+    lexq_p.add_argument("--max-doc-freq", type=int, default=None,
+                        help="drop terms whose document frequency exceeds "
+                             "this (hot-term guard)")
+    lexq_p.add_argument("--k", type=int, default=20)
+    lexq_p.set_defaults(fn=cmd_retrieve_index)
+
+    lexc_p = sub.add_parser(
+        "lex-compact",
+        help="fold a corpus stream's per-batch postings appends into one "
+             "epoch dir (stopped stream only)",
+    )
+    lexc_p.add_argument("index_dir")
+    lexc_p.add_argument("--min-epochs", type=int, default=2)
+    lexc_p.set_defaults(fn=cmd_lex_compact)
 
     cur_p = sub.add_parser(
         "curate",

@@ -1,0 +1,392 @@
+"""Persisted BM25 postings index: lexical retrieval as a LAKE ARTIFACT.
+
+The in-memory formulations (``text.bm25_scores`` / ``text.bm25_scores_batch``)
+re-tokenize and re-explode the corpus on every call — right for a one-shot
+query, wrong for a serving corpus (VERDICT r6, Next #2: the ANN side has a
+persisted index, llm/ann_index.py; this is its lexical counterpart). The
+corpus is tokenized ONCE into a postings table and every later query is a
+partition-pruned scan of only the buckets its terms hash into:
+
+  ``{index_dir}/postings/term_bucket={b}/``  (term, doc_id, tf, dl) rows,
+                                             PARTITIONED BY TERM-HASH BUCKET
+  ``{index_dir}/_LEX_META.json``             corpus stats (n_docs, sum_dl)
+                                             + n_buckets; the COMMIT MARKER
+
+- ``term_bucket = crc32(term) % n_buckets``: CRC-32 because the standard
+  polynomial is computable identically driver-side (``zlib.crc32``) and
+  executor-side (``F.crc32``), so the probed buckets resolve from the (tiny)
+  query term set WITHOUT a Spark job and the pruning filter is a STATIC
+  ``isin`` the parquet source sees at planning time — the ann_index pattern.
+  A query touches |query-term buckets| / n_buckets of the index, physically;
+  the exact-term ``isin`` on top pushes into row-group stats.
+- tf/dl/df all live in (or derive from) the scanned postings: df is a
+  window over the matched postings — per-term counts are exact because a
+  term's postings live entirely inside its own bucket. Only the corpus-wide
+  normalizers (n_docs, sum_dl → avgdl) need global state, and those are two
+  numbers in the meta JSON.
+- scoring parameters (k1, b, max_doc_freq) stay QUERY-TIME arguments — the
+  index stores raw counts, so retuning costs nothing (the reason FAISS-style
+  frozen-codebook drift does not apply here: there is no trained artifact).
+
+Streaming growth: ``append_epoch_to_lexical_index`` lands each batch's
+postings in ``postings_epochs/epoch={id}/term_bucket={b}/`` and OVERWRITES
+per epoch — the same replay-safe idempotence contract as every other corpus
+index (an at-least-once foreachBatch replay converges instead of
+double-inserting). Unlike the ANN index's frozen codebooks, appends here keep
+scores EXACT: each epoch carries its own ``_EPOCH_STATS.json`` (n_docs,
+sum_dl delta — bytes), the read path sums base + epoch stats driver-side, and
+df is computed from the scanned postings — so ``bm25_scores_indexed`` over
+base+appends equals ``bm25_scores_batch`` over the full corpus to the digit
+(pinned by pytest). The caller owns doc_id dedup across batches (compose
+with the corpus builder's screens upstream), exactly as with the ANN index.
+
+Crash-safety: ``_LEX_META.json`` is the commit marker — a rebuild deletes it
+BEFORE overwriting ``postings/`` and every read path refuses postings
+without meta loudly. An epoch dir whose stats JSON is missing (crash between
+the postings write and the stats write) is likewise refused BY NAME: its
+replay overwrites both, restoring consistency.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..fsio import HadoopFS, url_join
+from ..tables import load
+
+_META = "_LEX_META.json"
+_EPOCH_STATS = "_EPOCH_STATS.json"
+
+_POSTINGS_SCHEMA = (
+    "term string, doc_id long, dl int, tf long, term_bucket int"
+)
+
+
+def _postings(docs: DataFrame, n_buckets: int,
+              text_col: str, id_col: str) -> DataFrame:
+    """(term, doc_id, dl, tf, term_bucket) — the SAME tokenization as the
+    direct path (text.bm25_scores_batch: whitespace split, dl counts every
+    token incl. empties) so indexed and direct scores agree to the digit.
+    Empty-string tokens are dropped from the postings (a query term is
+    never empty — the direct path's broadcast term-set join drops them the
+    same way) but still count toward dl."""
+    words = F.split(F.col(text_col), " ")
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            words.alias("w"),
+            F.size(words).alias("dl"),
+        )
+        .select("doc_id", "dl", F.explode("w").alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+        .withColumn(
+            "term_bucket",
+            (F.crc32(F.encode("term", "UTF-8")) % n_buckets).cast("int"),
+        )
+    )
+
+
+def _doc_stats(docs: DataFrame, text_col: str) -> dict:
+    row = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.size(F.split(F.col(text_col), " "))), F.lit(0)
+        ).alias("sum_dl"),
+    ).collect()[0]
+    return {"n_docs": int(row.n_docs), "sum_dl": int(row.sum_dl)}
+
+
+def write_lexical_index(docs: DataFrame, index_dir: str,
+                        n_buckets: int = 64,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> dict:
+    """Tokenize the corpus once and lay the postings down partitioned by
+    term bucket. Returns the metadata dict it persisted.
+
+    Commit-marker protocol (ann_index.write_ann_index): meta is deleted
+    only AFTER the stats aggregate succeeds and immediately BEFORE the
+    postings overwrite, so a run that merely fails leaves the old index
+    serving, while a crash mid-overwrite leaves postings without meta —
+    which every read path refuses loudly. A successful rebuild clears
+    any ``postings_epochs`` appends: they are superseded by the
+    full-corpus rebuild (the caller rebuilds FROM the grown corpus)."""
+    spark = docs.sparkSession
+    fs = HadoopFS(spark, index_dir)
+    stats = _doc_stats(docs, text_col)
+    post = _postings(docs, n_buckets, text_col, id_col)
+    meta_path = url_join(index_dir, _META)
+    if fs.exists(meta_path):
+        fs.delete(meta_path, recursive=False)
+    ep_root = url_join(index_dir, "postings_epochs")
+    if fs.exists(ep_root):
+        fs.delete(ep_root, recursive=True)
+    post.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        url_join(index_dir, "postings")
+    )
+    meta = {"n_buckets": int(n_buckets), **stats}
+    fs.write_bytes(meta_path, json.dumps(meta).encode())
+    return meta
+
+
+def read_lexical_meta(spark: SparkSession, index_dir: str) -> dict:
+    fs = HadoopFS(spark, index_dir)
+    meta_path = url_join(index_dir, _META)
+    if not fs.exists(meta_path):
+        raise FileNotFoundError(
+            f"lexical index at {index_dir!r} has no {_META} — either it was "
+            "never built (write_lexical_index / `lex-build`) or a rebuild "
+            "crashed mid-overwrite; rebuild before querying"
+        )
+    return json.loads(fs.read_bytes(meta_path))
+
+
+def append_epoch_to_lexical_index(new_docs: DataFrame, index_dir: str,
+                                  epoch_id: int,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id") -> None:
+    """Replay-safe streaming append: the batch's postings OVERWRITE
+    ``postings_epochs/epoch={id}/`` (bucket partitioning preserved inside
+    the epoch dir, so query-time pruning is unchanged) and the batch's
+    (n_docs, sum_dl) delta lands as ``_EPOCH_STATS.json`` beside them —
+    written LAST, so an epoch with postings but no stats file is a
+    detectable crash the replay repairs. Costs one extra tiny aggregate
+    job per micro-batch (the two delta numbers). The caller owns doc_id
+    dedup vs the base build and other epochs (the corpus builder's
+    screens do exactly that upstream)."""
+    spark = new_docs.sparkSession
+    meta = read_lexical_meta(spark, index_dir)
+    fs = HadoopFS(spark, index_dir)
+    stats = _doc_stats(new_docs, text_col)
+    ep_dir = url_join(index_dir, "postings_epochs", f"epoch={int(epoch_id)}")
+    # clear a previous attempt's stats first: a replay that crashes before
+    # its own stats write must not leave the OLD attempt's stats beside
+    # the NEW attempt's postings
+    stats_path = url_join(ep_dir, _EPOCH_STATS)
+    if fs.exists(stats_path):
+        fs.delete(stats_path, recursive=False)
+    _postings(new_docs, meta["n_buckets"], text_col, id_col).write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket").parquet(ep_dir)
+    fs.write_bytes(stats_path, json.dumps(stats).encode())
+
+
+def compact_lexical_epochs(spark: SparkSession, index_dir: str,
+                           min_epochs: int = 2) -> bool:
+    """Fold per-batch postings appends into one ``epoch=-1`` dir (still
+    bucket-partitioned; its stats JSON is the SUM of the folded deltas) —
+    bounds the O(epochs) listing a long-running corpus stream
+    accumulates. Same write-ahead manifest-swap protocol and rules as
+    compact_ann_epochs: run only against a stopped stream; the
+    HIGHEST-numbered epoch is never folded (a crashed batch's replay
+    relies on overwriting its own epoch dir by name). A (term, doc)
+    pair appears in at most one epoch (caller-owned doc dedup), so the
+    fold is a concatenation, not a merge."""
+    from ..foldswap import commit_fold, recover_fold, write_fold_manifest
+
+    fs = HadoopFS(spark, index_dir)
+    ep_root = url_join(index_dir, "postings_epochs")
+    if fs.exists(ep_root):
+        recover_fold(fs, ep_root, "_compact")
+    if not fs.exists(ep_root):
+        return False
+    epochs = sorted(e for e in fs.listdir(ep_root) if e.startswith("epoch="))
+    numbered = [e for e in epochs if int(e.split("=", 1)[1]) >= 0]
+    if numbered:
+        trailing = max(numbered, key=lambda e: int(e.split("=", 1)[1]))
+        epochs = [e for e in epochs if e != trailing]
+    if len(epochs) < min_epochs:
+        return False
+    stats = {"n_docs": 0, "sum_dl": 0}
+    with_data = []
+    for e in epochs:
+        ep_dir = url_join(ep_root, e)
+        s = _read_epoch_stats(fs, ep_dir, e)
+        stats["n_docs"] += s["n_docs"]
+        stats["sum_dl"] += s["sum_dl"]
+        if any(c.startswith("term_bucket=") for c in fs.listdir(ep_dir)):
+            with_data.append(e)
+    tmp = url_join(ep_root, "_compact")
+    if with_data:
+        merged = spark.read.option("basePath", ep_root).parquet(
+            *[url_join(ep_root, e) for e in with_data]
+        ).drop("epoch")
+        merged.write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
+    else:
+        fs.mkdirs(tmp)
+    fs.write_bytes(url_join(tmp, _EPOCH_STATS), json.dumps(stats).encode())
+    write_fold_manifest(fs, tmp, epochs)
+    commit_fold(fs, ep_root, "_compact", epochs)
+    return True
+
+
+def _read_epoch_stats(fs: HadoopFS, ep_dir: str, name: str) -> dict:
+    stats_path = url_join(ep_dir, _EPOCH_STATS)
+    if not fs.exists(stats_path):
+        raise FileNotFoundError(
+            f"lexical index epoch {name} has postings but no {_EPOCH_STATS} "
+            "— its append crashed between the postings write and the stats "
+            "write; replay the batch (the epoch overwrite repairs both)"
+        )
+    return json.loads(fs.read_bytes(stats_path))
+
+
+def _collect_query_terms(queries: DataFrame) -> list[str]:
+    """Distinct non-empty terms across the query table — driver-side, the
+    same query-table-sized bounded collect as ann_topk's probed-cell
+    resolution, and the reason the bucket pruning can be a STATIC isin."""
+    rows = queries.select(
+        F.explode(
+            F.array_distinct(F.split("query", " "))
+        ).alias("term")
+    ).filter(F.length("term") > 0).distinct().collect()
+    return sorted(r.term for r in rows)
+
+
+def bm25_scores_indexed(spark: SparkSession, index_dir: str,
+                        queries: DataFrame,
+                        k1: float = 1.2, b: float = 0.75,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """``text.bm25_scores_batch`` served from the persisted index: same
+    output contract (query_id, doc_id, bm25, n_terms_matched — one row
+    per pair with >=1 matching term), same scores to the digit, but the
+    corpus-scale tokenize+explode is GONE — the plan opens only the
+    postings partitions the query terms hash into (static bucket isin →
+    partition pruning; exact-term isin → row-group pruning) plus any
+    epoch appends, never ``documents.text``.
+
+    df is a window over the scanned postings (exact: a term's postings
+    live entirely inside its bucket, base and epochs unioned first);
+    n_docs/avgdl come from meta + per-epoch deltas, summed driver-side
+    from kilobytes of JSON. The scoring tail — broadcast query-terms
+    join, per-term decimal contribution, per-(query, doc) sum — is the
+    direct formulation's, unchanged."""
+    meta = read_lexical_meta(spark, index_dir)
+    fs = HadoopFS(spark, index_dir)
+    terms = _collect_query_terms(queries)
+    if not terms:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, bm25 double, n_terms_matched long"
+        )
+    buckets = sorted({
+        zlib.crc32(t.encode("utf-8")) % meta["n_buckets"] for t in terms
+    })
+
+    def _pruned(df: DataFrame) -> DataFrame:
+        return df.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        ).select("term", "doc_id", "dl", "tf")
+
+    frames = []
+    post_dir = url_join(index_dir, "postings")
+    if fs.exists(post_dir):
+        # explicit schema: an index built over an empty seed corpus (the
+        # corpus-stream bootstrap) has a postings dir with no files to
+        # infer from
+        frames.append(_pruned(
+            spark.read.schema(_POSTINGS_SCHEMA).parquet(post_dir)
+        ))
+    n_docs, sum_dl = meta["n_docs"], meta["sum_dl"]
+    ep_root = url_join(index_dir, "postings_epochs")
+    if fs.exists(ep_root):
+        for e in sorted(fs.listdir(ep_root)):
+            if not e.startswith("epoch="):
+                continue  # an in-flight _compact tmp is not yet committed
+            ep_dir = url_join(ep_root, e)
+            s = _read_epoch_stats(fs, ep_dir, e)
+            n_docs += s["n_docs"]
+            sum_dl += s["sum_dl"]
+            if any(c.startswith("term_bucket=")
+                   for c in fs.listdir(ep_dir)):
+                frames.append(_pruned(spark.read.parquet(ep_dir)))
+    if not frames or n_docs == 0:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, bm25 double, n_terms_matched long"
+        )
+    postings = frames[0]
+    for f in frames[1:]:
+        postings = postings.unionByName(f)
+    postings = postings.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    )
+    if max_doc_freq is not None:
+        postings = postings.filter(F.col("df") <= max_doc_freq)
+    qterms = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(F.split("query", " "))).alias("term"),
+    ).filter(F.length("term") > 0)
+    scored = postings.join(F.broadcast(qterms), "term")
+    avgdl = F.lit(float(sum_dl)) / F.lit(float(n_docs))
+    norm = F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / avgdl)
+    tfd = F.col("tf").cast("double")
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = F.round(
+        idf * tfd * F.lit(k1 + 1.0) / (tfd + norm), 9
+    ).cast("decimal(20,9)")
+    return (
+        scored.select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum("c").cast("double"), 6).alias("bm25"),
+            F.count("*").cast("long").alias("n_terms_matched"),
+        )
+    )
+
+
+# -- catalog entry: indexed batch retrieval, driver-hash-checked -----------
+#
+# Same 6-query fixture and same DuckDB oracle SHAPE as q_text_bm25_batch
+# (text.py), so the driver hash-checks that scores served FROM the index
+# equal first-principles BM25 computed by a different engine — the
+# indexed==direct pin at the correctness gate, not just in pytest.
+
+
+def _indexed_oracle() -> str:
+    from .text import _bm25_batch_oracle
+
+    return _bm25_batch_oracle()
+
+
+@register(
+    "q_text_bm25_indexed",
+    _indexed_oracle(),
+    doc="Batch BM25 served from the persisted postings index: builds the "
+        "index (one corpus tokenize into bucket-partitioned postings + a "
+        "2-number meta), then scores the same 6-query fixture as "
+        "q_text_bm25_batch by scanning ONLY the buckets the query terms "
+        "hash into — documents.text never appears in the query plan. "
+        "Hash-checked against the same first-principles DuckDB oracle, "
+        "so indexed == direct is pinned at the gate",
+)
+def q_text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .text import _BM25_BATCH_QUERIES
+
+    index_dir = tempfile.mkdtemp(prefix="lexidx_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    write_lexical_index(docs, index_dir, n_buckets=64)
+    queries = spark.createDataFrame(
+        list(_BM25_BATCH_QUERIES), "query_id int, query string"
+    )
+    scored = bm25_scores_indexed(spark, index_dir, queries)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "bm25",
+                F.col("n_terms_matched").cast("long").alias("n_terms_matched"),
+                F.col("rank").cast("long").alias("rank"))
+    )

@@ -220,6 +220,7 @@ def read_warc_corpus_exact(
     spark: SparkSession,
     path: str,
     record_types: tuple[str, ...] = ("conversion",),
+    max_shard_bytes: int = 4 << 30,
 ) -> tuple[DataFrame, DataFrame]:
     """Correctness-first twin of :func:`read_warc_corpus`: per-file
     sequential framing that honors each record's ``Content-Length``, for
@@ -234,7 +235,19 @@ def read_warc_corpus_exact(
     non-splittable anyway, so the sequential read costs nothing there).
     Downstream parsing, quarantine contract, and doc ids are byte-for-
     byte the lineSep reader's — chunks are re-shaped to the same
-    marker-stripped form and fed through the same projection."""
+    marker-stripped form and fed through the same projection.
+
+    ``max_shard_bytes`` (default 4 GiB) is the executor-memory guard this
+    mode needs BECAUSE it is per-shard sequential: each shard
+    materializes whole (post-gunzip) in one task, so an unbounded
+    archive — one pathological multi-hundred-GiB shard — would OOM the
+    executor mid-stage. Oversized shards are QUARANTINED LOUDLY instead:
+    one corrupt-record row naming the path, the observed size, and the
+    limit (checked on the raw bytes first, then again after gunzip, so a
+    gzip bomb is caught before its framed copies exist). Common Crawl's
+    ~1 GiB shards pass the default untouched; raise the limit alongside
+    executor memory for bigger archives, or use the marker-split default
+    reader, which never holds a whole shard."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -243,12 +256,27 @@ def read_warc_corpus_exact(
     def split_files(batches):
         import gzip
 
+        def oversized(p, n_bytes: int, stage: str) -> str:
+            # a headerless chunk: parses as a corrupt record and takes
+            # the normal quarantine path, so the skip is VISIBLE in the
+            # same place every other unreadable input lands
+            return (f"[oversized shard skipped] path={p} {stage}_bytes="
+                    f"{n_bytes} exceeds max_shard_bytes={max_shard_bytes}"
+                    " — raise the limit (with executor memory) or use the"
+                    " marker-split reader")
+
         for pdf in batches:
             vals: list[str] = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 data = bytes(content)
+                if len(data) > max_shard_bytes:
+                    vals.append(oversized(p, len(data), "raw"))
+                    continue
                 if str(p).endswith(".gz"):
                     data = gzip.decompress(data)
+                    if len(data) > max_shard_bytes:
+                        vals.append(oversized(p, len(data), "gunzipped"))
+                        continue
                 vals.extend(
                     # decode per-record (Content-Length counts bytes, so
                     # framing must happen before any str conversion); the

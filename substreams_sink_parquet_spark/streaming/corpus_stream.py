@@ -66,6 +66,20 @@ class CorpusSink:
     # no rebuild. The index must already exist (`ann-build`): codebooks
     # are trained artifacts, not something a micro-batch should invent.
     ann_index_dir: str | None = None
+    # lexical serving-index composition (the BM25 counterpart of
+    # ann_index_dir): when set, each batch's FINALLY-admitted docs are
+    # ALSO tokenized into the persisted postings index at this path
+    # (epoch-keyed replay-safe append + per-epoch stats delta —
+    # llm.lexical_index.append_epoch_to_lexical_index), so
+    # `retrieve-index` serves the corpus as of the last committed batch
+    # with no rebuild AND no re-tokenize — scores stay exactly equal to
+    # direct BM25 over the admitted corpus (epoch stats keep n_docs/avgdl
+    # fresh; there is no frozen trained artifact on the lexical side).
+    # The index must already exist (`lex-build`, possibly over an empty
+    # seed corpus): its bucket count is layout metadata the appends must
+    # agree with. Admission screens upstream guarantee the doc_id dedup
+    # the append contract requires.
+    lexical_index_dir: str | None = None
     # boilerplate stage (runs FIRST, before the quality gate and every
     # dedup index): cut lines that appear in >= line_dedup_min_docs
     # distinct documents across the batch PLUS the whole already-admitted
@@ -108,6 +122,20 @@ class CorpusSink:
                     f"ann_index_dir={self.ann_index_dir!r} holds no readable "
                     "_ANN_META.json — build the index first (`ann-build` / "
                     "write_ann_index), then point the corpus stream at it"
+                ) from e
+        if self.lexical_index_dir is not None:
+            from ..llm.lexical_index import read_lexical_meta
+
+            # same fail-at-construction contract as the ANN index: the
+            # append path needs the build's bucket count
+            try:
+                read_lexical_meta(self.spark, self.lexical_index_dir)
+            except Exception as e:
+                raise ValueError(
+                    f"lexical_index_dir={self.lexical_index_dir!r} holds no "
+                    "readable _LEX_META.json — build the index first "
+                    "(`lex-build` / write_lexical_index, an empty seed "
+                    "corpus is fine), then point the corpus stream at it"
                 ) from e
 
     def _index_dirs(self, root_name: str, exclude_epoch: int) -> list[str]:
@@ -362,6 +390,16 @@ class CorpusSink:
                     validate=False,
                     meta=self._ann_meta,
                 )
+            if self.lexical_index_dir is not None:
+                from ..llm.lexical_index import append_epoch_to_lexical_index
+
+                # index the text AS ADMITTED (post line-dedup cleaning) —
+                # retrieval must rank what the corpus serves, and the
+                # epoch-keyed overwrite makes a replayed batch converge
+                append_epoch_to_lexical_index(
+                    kept.select("doc_id", "text"),
+                    self.lexical_index_dir, int(epoch_id),
+                )
         finally:
             for df in to_unpersist:
                 df.unpersist()
@@ -404,6 +442,7 @@ def run_corpus_pipeline(
     embed_dim: int | None = None,
     embed_planes: int = 6,
     ann_index_dir: str | None = None,
+    lexical_index_dir: str | None = None,
     input_format: str = "jsonl",
     quality_gate: bool = False,
     line_dedup_min_docs: int | None = None,
@@ -425,7 +464,8 @@ def run_corpus_pipeline(
         near_dup=near_dup, neardup_threshold=neardup_threshold,
         embed_dup=embed_dup, embed_threshold=embed_threshold,
         embed_dim=embed_dim, embed_planes=embed_planes,
-        ann_index_dir=ann_index_dir, quality_gate=quality_gate,
+        ann_index_dir=ann_index_dir, lexical_index_dir=lexical_index_dir,
+        quality_gate=quality_gate,
         line_dedup_min_docs=line_dedup_min_docs,
     )
     sink._fs.mkdirs(out_dir)

@@ -524,3 +524,48 @@ def test_cli_curate_flattened_semantics_and_preserved_newlines(
     kept = spark.read.parquet(out).collect()
     assert kept[0].doc_id == 1
     assert "\n" in kept[0].text              # line structure preserved
+
+
+def test_cli_lex_build_and_retrieve_index(tmp_path, spark, capsys, sf_dir):
+    """lex-build → retrieve-index end-to-end: the indexed CLI serves the
+    SAME ranked hits as the direct `retrieve` CLI over the same corpus
+    (indexed == direct at the command layer), for both the single-query
+    and the queries-table form; usage errors exit 2, not tracebacks."""
+    import json
+
+    from substreams_sink_parquet_spark.cli import main
+
+    docs = f"{sf_dir}/documents.parquet"
+    idx = str(tmp_path / "lexidx")
+
+    rc = main(["lex-build", idx, "--docs", docs, "--buckets", "8"])
+    assert rc == 0
+    assert "lex-build OK" in capsys.readouterr().out
+
+    rc = main(["retrieve", docs, "--query", "spark merge join fast", "--k", "5"])
+    assert rc == 0
+    direct = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    rc = main(["retrieve-index", idx, "--query", "spark merge join fast",
+               "--k", "5"])
+    assert rc == 0
+    indexed = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert indexed == direct  # same docs, same scores, same order
+
+    qt = str(tmp_path / "queries")
+    spark.createDataFrame(
+        [(1, "spark merge join fast"), (2, "hash join")],
+        "query_id int, query string",
+    ).write.parquet(qt)
+    rc = main(["retrieve", docs, "--queries-table", qt, "--k", "3"])
+    assert rc == 0
+    direct_b = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    rc = main(["retrieve-index", idx, "--queries-table", qt, "--k", "3"])
+    assert rc == 0
+    indexed_b = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert indexed_b == direct_b
+
+    assert main(["retrieve-index", idx]) == 2
+    assert main(["retrieve-index", idx, "--query", "x",
+                 "--queries-table", qt]) == 2
+    assert main(["retrieve-index", idx, "--query", "   "]) == 2
+    capsys.readouterr()

@@ -1,0 +1,219 @@
+"""Persisted BM25 postings index (llm/lexical_index.py): indexed ==
+direct scores to the digit (build, appends, compaction), partition-pruned
+query plans that never touch documents.text, and the crash-safety
+contracts (meta commit marker, epoch stats marker)."""
+
+import json
+import re
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from substreams_sink_parquet_spark.llm import lexical_index as L
+from substreams_sink_parquet_spark.llm.text import (
+    _BM25_BATCH_QUERIES,
+    bm25_scores_batch,
+)
+from substreams_sink_parquet_spark.tables import load
+
+
+def _docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _queries(spark):
+    return spark.createDataFrame(
+        list(_BM25_BATCH_QUERIES), "query_id int, query string"
+    )
+
+
+def _collect(df):
+    return sorted(
+        (r.query_id, r.doc_id, r.bm25, r.n_terms_matched)
+        for r in df.collect()
+    )
+
+
+def test_indexed_equals_direct_exactly(spark, sf_dir, tmp_path):
+    """The headline contract: scores served from the index equal the
+    direct (re-tokenize every call) formulation to the digit, including
+    the max_doc_freq hot-term guard."""
+    docs = _docs(spark, sf_dir)
+    qs = _queries(spark)
+    idx = str(tmp_path / "lex")
+    L.write_lexical_index(docs, idx, n_buckets=16)
+    assert _collect(L.bm25_scores_indexed(spark, idx, qs)) == _collect(
+        bm25_scores_batch(docs, qs)
+    )
+    assert _collect(
+        L.bm25_scores_indexed(spark, idx, qs, max_doc_freq=400)
+    ) == _collect(bm25_scores_batch(docs, qs, max_doc_freq=400))
+
+
+def test_query_scans_only_matched_buckets_never_documents(spark, sf_dir,
+                                                          tmp_path):
+    """The point of the layout: the postings scan carries a STATIC
+    partition filter of exactly the buckets the query terms hash into
+    (crc32 % n_buckets, computed driver-side with zlib), the exact-term
+    filter is pushed to the parquet source, and documents.text appears
+    nowhere in the plan."""
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "lex")
+    L.write_lexical_index(docs, idx, n_buckets=16)
+    qs = _queries(spark)
+    res = L.bm25_scores_indexed(spark, idx, qs)
+    fmt = res._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    m = re.search(r"PartitionFilters: \[term_bucket#\d+ IN \(([^)]+)\)", fmt)
+    assert m, fmt
+    terms = {t for _, q in _BM25_BATCH_QUERIES for t in q.split()}
+    expected = {zlib.crc32(t.encode()) % 16 for t in terms}
+    assert {int(b) for b in m.group(1).split(",")} == expected
+    assert re.search(r"PushedFilters: \[.*In\(term", fmt), fmt
+    assert sf_dir not in fmt  # the corpus table is not in the plan
+
+
+def test_epoch_append_keeps_scores_exact(spark, sf_dir, tmp_path):
+    """Appends are NOT approximate (no frozen-stats drift, unlike the ANN
+    index's frozen codebooks): per-epoch stats deltas keep n_docs/avgdl
+    current and df derives from the scanned postings, so base+appends ==
+    a direct pass over the full corpus. A replayed epoch overwrites
+    itself and converges (at-least-once safety)."""
+    docs = _docs(spark, sf_dir)
+    qs = _queries(spark)
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter((F.col("doc_id") % 4) == 1)
+    half_c = docs.filter((F.col("doc_id") % 4) == 3)
+    idx = str(tmp_path / "lex")
+    L.write_lexical_index(half_a, idx, n_buckets=16)
+    L.append_epoch_to_lexical_index(half_b, idx, epoch_id=0)
+    L.append_epoch_to_lexical_index(half_c, idx, epoch_id=1)
+    direct = _collect(bm25_scores_batch(docs, qs))
+    assert _collect(L.bm25_scores_indexed(spark, idx, qs)) == direct
+    # at-least-once replay of epoch 1: overwrite, not double-insert
+    L.append_epoch_to_lexical_index(half_c, idx, epoch_id=1)
+    assert _collect(L.bm25_scores_indexed(spark, idx, qs)) == direct
+
+
+def test_compaction_preserves_scores_and_trailing_epoch(spark, sf_dir,
+                                                        tmp_path):
+    """Folding epochs into epoch=-1 (postings concatenated, stats deltas
+    summed) changes no score; the highest-numbered epoch survives by
+    name (its crashed replay relies on overwriting it)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 600)
+    qs = _queries(spark)
+    parts = [docs.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+    idx = str(tmp_path / "lex")
+    L.write_lexical_index(parts[0], idx, n_buckets=16)
+    for i, p in enumerate(parts[1:]):
+        L.append_epoch_to_lexical_index(p, idx, epoch_id=i)
+    before = _collect(L.bm25_scores_indexed(spark, idx, qs))
+    assert before == _collect(bm25_scores_batch(docs, qs))
+    assert L.compact_lexical_epochs(spark, idx, min_epochs=2)
+    ep_root = tmp_path / "lex" / "postings_epochs"
+    names = {p.name for p in ep_root.iterdir()}
+    assert names == {"epoch=-1", "epoch=2"}  # trailing epoch kept by name
+    assert _collect(L.bm25_scores_indexed(spark, idx, qs)) == before
+    # folded stats JSON is the sum of the folded deltas
+    folded = json.loads((ep_root / "epoch=-1" / "_EPOCH_STATS.json").read_text())
+    n1 = parts[1].count()
+    n2 = parts[2].count()
+    assert folded["n_docs"] == n1 + n2
+
+
+def test_missing_meta_and_missing_epoch_stats_fail_loudly(spark, sf_dir,
+                                                          tmp_path):
+    """Crash-safety loudness: postings without the meta commit marker are
+    refused (rebuild crashed mid-overwrite), and an epoch dir whose stats
+    JSON is missing (append crashed between postings and stats writes) is
+    refused BY NAME so the operator knows which batch to replay."""
+    docs = _docs(spark, sf_dir).limit(50)
+    qs = _queries(spark)
+    idx = str(tmp_path / "lex")
+    L.write_lexical_index(docs, idx, n_buckets=4)
+    L.append_epoch_to_lexical_index(docs.limit(10), idx, epoch_id=7)
+    (tmp_path / "lex" / "postings_epochs" / "epoch=7"
+     / "_EPOCH_STATS.json").unlink()
+    with pytest.raises(FileNotFoundError, match="epoch=7"):
+        L.bm25_scores_indexed(spark, idx, qs).collect()
+    (tmp_path / "lex" / "_LEX_META.json").unlink()
+    with pytest.raises(FileNotFoundError, match="_LEX_META"):
+        L.bm25_scores_indexed(spark, idx, qs)
+
+
+def test_empty_build_then_appends_only(spark, sf_dir, tmp_path):
+    """The corpus-stream bootstrap shape: an index built over an EMPTY
+    seed corpus (meta n_docs=0, no postings files) serves appends alone,
+    still equal to direct scores over exactly the appended docs."""
+    docs = _docs(spark, sf_dir)
+    qs = _queries(spark)
+    empty = docs.filter(F.lit(False))
+    idx = str(tmp_path / "lex")
+    L.write_lexical_index(empty, idx, n_buckets=8)
+    assert L.bm25_scores_indexed(spark, idx, qs).count() == 0
+    sub = docs.filter(F.col("doc_id") < 300)
+    L.append_epoch_to_lexical_index(sub, idx, epoch_id=0)
+    assert _collect(L.bm25_scores_indexed(spark, idx, qs)) == _collect(
+        bm25_scores_batch(sub, qs)
+    )
+
+
+def test_empty_query_terms_returns_empty(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir).limit(20)
+    idx = str(tmp_path / "lex")
+    L.write_lexical_index(docs, idx, n_buckets=4)
+    qs = spark.createDataFrame([(1, " ")], "query_id int, query string")
+    assert L.bm25_scores_indexed(spark, idx, qs).count() == 0
+
+
+def test_corpus_stream_lexical_appends_track_admissions(spark, tmp_path):
+    """CorpusSink composition: admitted docs (and ONLY admitted docs —
+    rejects leave no postings) become retrievable per batch; a replayed
+    epoch converges; scores equal direct BM25 over the admitted corpus."""
+    from substreams_sink_parquet_spark.sources.text_corpus import DOC_SCHEMA
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        CorpusSink,
+        corpus_docs,
+    )
+
+    idx = str(tmp_path / "lex")
+    out = str(tmp_path / "corpus")
+    L.write_lexical_index(
+        spark.createDataFrame([], "doc_id long, text string"), idx,
+        n_buckets=8,
+    )
+    sink = CorpusSink(spark=spark, out_dir=out, lexical_index_dir=idx)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, DOC_SCHEMA)
+
+    def doc(i, text):
+        return (i, text, "en", "web", len(text), None, None)
+
+    b0 = batch([doc(1, "alpha beta gamma"), doc(2, "delta epsilon zeta")])
+    sink.process_batch(b0, 0)
+    # batch 1 re-crawls doc 1's text (rejected by the exact index) and
+    # adds one new doc
+    b1 = batch([doc(3, "alpha beta gamma"), doc(4, "eta theta iota")])
+    sink.process_batch(b1, 1)
+    sink.process_batch(b1, 1)  # crash replay of the same epoch
+    qs = spark.createDataFrame(
+        [(1, "alpha iota"), (2, "zeta")], "query_id int, query string"
+    )
+    admitted = corpus_docs(spark, out).select("doc_id", "text")
+    assert sorted(r.doc_id for r in admitted.collect()) == [1, 2, 4]
+    assert _collect(L.bm25_scores_indexed(spark, idx, qs)) == _collect(
+        bm25_scores_batch(admitted, qs)
+    )
+
+
+def test_corpus_stream_requires_prebuilt_lexical_index(spark, tmp_path):
+    from substreams_sink_parquet_spark.streaming.corpus_stream import CorpusSink
+
+    with pytest.raises(ValueError, match="lex-build"):
+        CorpusSink(spark=spark, out_dir=str(tmp_path / "c"),
+                   lexical_index_dir=str(tmp_path / "nowhere"))
