@@ -428,6 +428,58 @@ def corpus_docs(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def line_retro_stale(spark: SparkSession, out_dir: str,
+                     min_dup_docs: int) -> DataFrame:
+    """QUANTIFY the boilerplate stage's documented shard-local trade
+    (VERDICT r6, Next #4): a line that becomes hot only after some docs
+    were already admitted never retro-cleans those earlier epochs —
+    CCNet's own trade. This audit measures it instead of just documenting
+    it: (doc_id, n_stale_lines) for every ADMITTED doc still carrying a
+    line whose CUMULATIVE ``_line_index`` hotness has reached
+    ``min_dup_docs`` (pass the sink's ``line_dedup_min_docs``). Pytest
+    pins the audit set to exactly the diff between the streamed corpus
+    and a batch :func:`llm.dedup.line_dedup` pass over the same input —
+    so the incremental-vs-batch gap is a measured count, and running the
+    audit after a re-clean (re-admit the flagged docs through a fresh
+    batch pass) returning empty is the "caught up" signal.
+
+    100 TB shape: the hotness fold is one sum exchange over the
+    kilobyte-per-line index digests; admitted docs explode into lines
+    map-side and join the hot set on the line hash (AQE broadcasts it
+    when small); one groupBy(doc_id) for the counts. Same strip+md5 line
+    identity as the stage itself, so audit and cut can never disagree on
+    what a "line" is."""
+    docs = corpus_docs(spark, out_dir).select("doc_id", "text")
+    fs = HadoopFS(spark, out_dir)
+    empty = spark.createDataFrame([], "doc_id long, n_stale_lines long")
+    li_root = url_join(out_dir, "_line_index")
+    if not fs.exists(li_root):
+        return empty
+    dirs = [
+        url_join(li_root, e)
+        for e in fs.listdir(li_root)
+        if e.startswith("epoch=")
+    ]
+    if not dirs:
+        return empty
+    hot = (
+        spark.read.parquet(*dirs)
+        .groupBy("lh")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_dup_docs)
+        .select("lh")
+    )
+    stripped = F.regexp_replace("line", r"^\s+|\s+$", "")
+    lines = (
+        docs.select("doc_id", F.explode(F.split("text", "\n")).alias("line"))
+        .filter(stripped != "")
+        .select("doc_id", F.md5(stripped).alias("lh"))
+    )
+    return lines.join(hot, "lh").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_stale_lines")
+    )
+
+
 def run_corpus_pipeline(
     spark: SparkSession,
     input_dir: str,
