@@ -501,7 +501,48 @@ def cmd_retrieve_index(args: argparse.Namespace) -> int:
         print("retrieve-index: pass exactly one of --query / --queries-table",
               file=sys.stderr)
         return 2
+    if args.embeddings is not None and args.queries_table is None:
+        print("retrieve-index: --embeddings (hybrid) needs --queries-table "
+              "with a vec_id column", file=sys.stderr)
+        return 2
+    if args.ann_index is not None and args.embeddings is None:
+        print("retrieve-index: --ann-index needs --embeddings (the probe "
+              "vectors still resolve by vec_id)", file=sys.stderr)
+        return 2
     spark = get_spark("retrieve-index")
+    if args.embeddings is not None:
+        from .llm.similarity import probe_map_issues, retrieve_hybrid_indexed
+
+        qtbl = spark.read.parquet(args.queries_table)
+        if "vec_id" not in qtbl.columns:
+            print("retrieve-index: hybrid --queries-table needs a vec_id "
+                  "column (one probe embedding per query)", file=sys.stderr)
+            return 2
+        emb = spark.read.parquet(args.embeddings)
+        issues = probe_map_issues(qtbl, emb)
+        if issues:
+            print(
+                "retrieve-index: bad probe mapping for query_ids "
+                + ", ".join(
+                    f"{q} ({n} probe rows, {nv} valid vectors)"
+                    for q, n, nv in issues
+                )
+                + f" in {args.embeddings} (need exactly 1 valid each)",
+                file=sys.stderr,
+            )
+            return 2
+        top = retrieve_hybrid_indexed(
+            spark, args.index_dir, qtbl, emb, k=args.k,
+            max_doc_freq=args.max_doc_freq,
+            ann_index_dir=args.ann_index, nprobe=args.nprobe,
+        )
+        for r in top.orderBy("query_id", "rank").collect():
+            print(json.dumps({
+                "query_id": r.query_id, "doc_id": r.doc_id,
+                "rrf_score": r.rrf_score, "n_lists": r.n_lists,
+                "rank": r.rank,
+            }))
+        return 0
     if args.queries_table is not None:
         qtbl = spark.read.parquet(args.queries_table).select(
             "query_id", "query")
@@ -1022,6 +1063,17 @@ def main(argv: list[str] | None = None) -> int:
                         help="drop terms whose document frequency exceeds "
                              "this (hot-term guard)")
     lexq_p.add_argument("--k", type=int, default=20)
+    lexq_p.add_argument("--embeddings", default=None,
+                        help="with --queries-table (vec_id column): fuse "
+                             "index-served BM25 with per-query cosine via "
+                             "RRF (hybrid, rows identical to `retrieve "
+                             "--embeddings`)")
+    lexq_p.add_argument("--ann-index", default=None,
+                        help="with --embeddings: serve the vector list "
+                             "from this persisted IVF-PQ index (ADC ranks, "
+                             "recall set by --nprobe) instead of brute "
+                             "cosine — no corpus-scale scan anywhere")
+    lexq_p.add_argument("--nprobe", type=int, default=4)
     lexq_p.set_defaults(fn=cmd_retrieve_index)
 
     lexc_p = sub.add_parser(

@@ -278,11 +278,18 @@ def compact_ann_epochs(spark: SparkSession, index_dir: str,
 
 
 def ann_topk(spark: SparkSession, index_dir: str, queries: DataFrame,
-             k: int = 5, nprobe: int = 4) -> DataFrame:
+             k: int = 5, nprobe: int = 4,
+             exclude_self: bool = True) -> DataFrame:
     """Approximate top-k against the persisted index: resolve the probed
     cells driver-side from the (tiny) query set, scan ONLY those cells'
     partitions, ADC-score, rank per query. Output matches the in-memory
-    ANN operators: (q_id, neighbor_id, rank)."""
+    ANN operators: (q_id, neighbor_id, rank).
+
+    ``exclude_self`` (default True, the neighbor-search contract) drops
+    candidates whose vec_id equals the probe's q_id. RETRIEVAL callers
+    pass False: there a q_id is a query-table key, not a corpus member,
+    and an accidental id collision must not silently suppress a hit
+    (similarity.retrieve_hybrid_indexed's ANN list)."""
     from pyspark.sql.window import Window
 
     meta = read_ann_meta(spark, index_dir)
@@ -375,10 +382,10 @@ def ann_topk(spark: SparkSession, index_dir: str, queries: DataFrame,
             ]),
         )
     codes = codes.where(F.col("cent_id").isin(cells))
-    joined = codes.join(
-        F.broadcast(probes),
-        (codes.cent_id == probes.p_cent) & (codes.vec_id != probes.q_id),
-    )
+    cond = codes.cent_id == probes.p_cent
+    if exclude_self:
+        cond = cond & (codes.vec_id != probes.q_id)
+    joined = codes.join(F.broadcast(probes), cond)
     scored = (
         joined.select("q_id", "vec_id", _adc_score(m).alias("adc"))
         .dropDuplicates(["q_id", "vec_id"])

@@ -343,6 +343,24 @@ def bm25_scores_indexed(spark: SparkSession, index_dir: str,
     )
 
 
+def bm25_rank_indexed(spark: SparkSession, index_dir: str,
+                      queries: DataFrame, k: int,
+                      max_doc_freq: int | None = None) -> DataFrame:
+    """(query_id, doc_id, rank) per-query BM25 top-``k`` served from the
+    persisted index — the ranking tail of similarity.bm25_rank_batch over
+    :func:`bm25_scores_indexed`, so cutoffs and tie-breaks (score desc,
+    doc_id asc) cannot diverge between the corpus-scan and index-served
+    retrieval paths."""
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        bm25_scores_indexed(spark, index_dir, queries,
+                            max_doc_freq=max_doc_freq)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank")
+    )
+
+
 # -- catalog entry: indexed batch retrieval, driver-hash-checked -----------
 #
 # Same 6-query fixture and same DuckDB oracle SHAPE as q_text_bm25_batch

@@ -1529,7 +1529,16 @@ def retrieve_hybrid_batch(docs: DataFrame, qtbl: DataFrame, emb: DataFrame,
         "query_id", F.col("embedding").alias("q_vec")
     )
     csrank = cosine_rank_batch(emb, probes, k)
-    fused = rrf_fuse_batch([bmrank, csrank])
+    return _fuse_rank_batch([bmrank, csrank], k, top)
+
+
+def _fuse_rank_batch(rankings: list[DataFrame], k: int,
+                     top: int | None) -> DataFrame:
+    """The shared hybrid tail: per-query RRF fuse, rank by (rrf_score
+    desc, doc_id), cut to ``top`` (default ``k``) rows per query — one
+    implementation so the corpus-scan and index-served hybrids cannot
+    diverge on fusion or tie-breaks."""
+    fused = rrf_fuse_batch(rankings)
     wr = Window.partitionBy("query_id").orderBy(
         F.col("rrf_score").desc(), "doc_id"
     )
@@ -1538,6 +1547,55 @@ def retrieve_hybrid_batch(docs: DataFrame, qtbl: DataFrame, emb: DataFrame,
         .filter(F.col("rank") <= (top if top is not None else k))
         .select("query_id", "doc_id", "rrf_score", "n_lists", "rank")
     )
+
+
+def retrieve_hybrid_indexed(spark: SparkSession, lex_index_dir: str,
+                            qtbl: DataFrame, emb: DataFrame, k: int,
+                            top: int | None = None,
+                            max_doc_freq: int | None = None,
+                            ann_index_dir: str | None = None,
+                            nprobe: int = 4) -> DataFrame:
+    """:func:`retrieve_hybrid_batch` served from persisted lake artifacts
+    instead of per-call corpus scans. The BM25 list comes from the
+    postings index (llm/lexical_index.py) — ``documents.text`` is nowhere
+    in the plan, and because indexed scores equal the direct formulation
+    to the digit, output is ROW-IDENTICAL to the corpus-scan hybrid
+    (pinned by pytest AND by q_retrieval_hybrid_indexed's driver hash
+    against the same first-principles DuckDB oracle).
+
+    The vector list is exact brute cosine over ``emb`` by default; pass
+    ``ann_index_dir`` to serve it from the persisted IVF-PQ index instead
+    (ann_topk with ``exclude_self=False`` — retrieval q_ids are query
+    keys, not corpus members), making the whole retrieval a
+    pruned-scan-only path: postings buckets + probed PQ cells, never the
+    corpus text or the full embeddings table. That variant trades exact
+    cosine ranks for ADC ranks (recall governed by nprobe), so it is
+    pytest-audited rather than oracle-hashed — the RRF tail is shared
+    either way. ``emb`` is still consulted for the |queries| probe
+    vectors (a vec_id-pushdown lookup, not a scan)."""
+    from .lexical_index import bm25_rank_indexed
+
+    bmrank = bm25_rank_indexed(spark, lex_index_dir,
+                               qtbl.select("query_id", "query"), k,
+                               max_doc_freq=max_doc_freq)
+    probes = qtbl.select("query_id", "vec_id").join(emb, "vec_id").select(
+        "query_id", F.col("embedding").alias("q_vec")
+    )
+    if ann_index_dir is None:
+        csrank = cosine_rank_batch(emb, probes, k)
+    else:
+        from .ann_index import ann_topk
+
+        csrank = ann_topk(
+            spark, ann_index_dir,
+            probes.select(F.col("query_id").alias("q_id"), "q_vec"),
+            k=k, nprobe=nprobe, exclude_self=False,
+        ).select(
+            F.col("q_id").alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            "rank",
+        )
+    return _fuse_rank_batch([bmrank, csrank], k, top)
 
 
 def probe_map_issues(qtbl: DataFrame, emb: DataFrame) -> list:
@@ -1671,6 +1729,33 @@ def q_retrieval_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_HYBRID_BATCH), "query_id int, query string, vec_id bigint"
     )
     return retrieve_hybrid_batch(docs, qtbl, emb, k=_HYBRID_K, top=10)
+
+
+@register(
+    "q_retrieval_hybrid_indexed",
+    _hybrid_batch_oracle(),
+    doc="Batch hybrid retrieval SERVED FROM THE PERSISTED POSTINGS INDEX: "
+        "builds the lexical index once, then fuses index-served BM25 "
+        "top-20 with brute-cosine top-20 per query — documents.text is "
+        "absent from the retrieval plan. Hash-checked against the SAME "
+        "first-principles DuckDB oracle as q_retrieval_hybrid_batch, so "
+        "indexed hybrid == corpus-scan hybrid is pinned at the gate, not "
+        "just in pytest",
+)
+def q_retrieval_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lexical_index import write_lexical_index
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load(spark, sf_dir, "embeddings")
+    lex_dir = tempfile.mkdtemp(prefix="lexidx_hyb_")
+    write_lexical_index(docs, lex_dir, n_buckets=64)
+    qtbl = spark.createDataFrame(
+        list(_HYBRID_BATCH), "query_id int, query string, vec_id bigint"
+    )
+    return retrieve_hybrid_indexed(spark, lex_dir, qtbl, emb,
+                                   k=_HYBRID_K, top=10)
 
 
 # -- planted-truth audits for the hash-specific embedding families ---------

@@ -217,3 +217,149 @@ def test_corpus_stream_requires_prebuilt_lexical_index(spark, tmp_path):
     with pytest.raises(ValueError, match="lex-build"):
         CorpusSink(spark=spark, out_dir=str(tmp_path / "c"),
                    lexical_index_dir=str(tmp_path / "nowhere"))
+
+
+# -- hybrid retrieval served from the persisted indexes --------------------
+
+
+def _hybrid_qtbl(spark):
+    from substreams_sink_parquet_spark.llm.similarity import _HYBRID_BATCH
+
+    return spark.createDataFrame(
+        list(_HYBRID_BATCH), "query_id int, query string, vec_id bigint"
+    )
+
+
+def _hybrid_rows(df):
+    return sorted(
+        (r.query_id, r.doc_id, r.rrf_score, r.n_lists, r.rank)
+        for r in df.collect()
+    )
+
+
+def test_hybrid_indexed_identical_to_corpus_scan_hybrid(spark, sf_dir,
+                                                        tmp_path):
+    """The serving contract: because indexed BM25 equals the direct
+    formulation to the digit and the RRF tail is shared code, hybrid
+    retrieval served from the postings index is ROW-IDENTICAL to the
+    corpus-scan hybrid — scores, list counts, ranks, cutoffs."""
+    from substreams_sink_parquet_spark.llm.similarity import (
+        _HYBRID_K,
+        retrieve_hybrid_batch,
+        retrieve_hybrid_indexed,
+    )
+
+    docs = _docs(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    qtbl = _hybrid_qtbl(spark)
+    idx = str(tmp_path / "lex")
+    L.write_lexical_index(docs, idx, n_buckets=16)
+    assert _hybrid_rows(
+        retrieve_hybrid_indexed(spark, idx, qtbl, emb, k=_HYBRID_K, top=10)
+    ) == _hybrid_rows(
+        retrieve_hybrid_batch(docs, qtbl, emb, k=_HYBRID_K, top=10)
+    )
+
+
+def test_hybrid_indexed_plan_has_no_documents_scan(spark, sf_dir, tmp_path):
+    """The point of serving from the index: documents.text is nowhere in
+    the hybrid retrieval plan — the lexical side reads pruned postings
+    buckets, the vector side reads the embeddings table."""
+    from substreams_sink_parquet_spark.llm.similarity import (
+        _HYBRID_K,
+        retrieve_hybrid_indexed,
+    )
+
+    idx = str(tmp_path / "lex")
+    L.write_lexical_index(_docs(spark, sf_dir), idx, n_buckets=16)
+    res = retrieve_hybrid_indexed(
+        spark, idx, _hybrid_qtbl(spark), load(spark, sf_dir, "embeddings"),
+        k=_HYBRID_K, top=10,
+    )
+    fmt = res._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "documents" not in fmt
+    assert re.search(r"PartitionFilters: \[term_bucket#\d+ IN", fmt), fmt
+
+
+def test_hybrid_fully_indexed_ann_variant_wiring(spark, sf_dir, tmp_path):
+    """The scale path (postings index + IVF-PQ index): output equals the
+    deterministic composition of its two served lists through the shared
+    RRF tail, and ``exclude_self=False`` means a query_id colliding with
+    a corpus vec_id cannot suppress that document."""
+    from substreams_sink_parquet_spark.llm import ann_index as A
+    from substreams_sink_parquet_spark.llm import similarity as S
+    from substreams_sink_parquet_spark.llm.similarity import (
+        _fuse_rank_batch,
+        retrieve_hybrid_indexed,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = S.embedding_dim(spark, sf_dir)
+    lex = str(tmp_path / "lex")
+    ann = str(tmp_path / "ann")
+    L.write_lexical_index(_docs(spark, sf_dir), lex, n_buckets=16)
+    A.write_ann_index(emb, ann, dim=dim)
+    qtbl = _hybrid_qtbl(spark)
+
+    got = retrieve_hybrid_indexed(
+        spark, lex, qtbl, emb, k=10, top=5, ann_index_dir=ann, nprobe=4
+    )
+    bm = L.bm25_rank_indexed(spark, lex, qtbl.select("query_id", "query"), 10)
+    probes = qtbl.selectExpr("query_id as q_id", "vec_id").join(
+        emb.selectExpr("vec_id", "embedding as q_vec"), "vec_id"
+    ).select("q_id", "q_vec")
+    cs = A.ann_topk(spark, ann, probes, k=10, nprobe=4,
+                    exclude_self=False).selectExpr(
+        "q_id as query_id", "neighbor_id as doc_id", "rank"
+    )
+    assert _hybrid_rows(got) == _hybrid_rows(_fuse_rank_batch([bm, cs], 10, 5))
+
+    # exclude_self=False: probe q_id == corpus vec_id must still surface
+    # its own (ADC-nearest) vector; the default neighbor contract drops it
+    self_q = emb.filter(F.col("vec_id") == 3).selectExpr(
+        "vec_id as q_id", "embedding as q_vec"
+    )
+    with_self = A.ann_topk(spark, ann, self_q, k=10, nprobe=99,
+                           exclude_self=False)
+    assert 3 in {r.neighbor_id for r in with_self.collect()}
+    without = A.ann_topk(spark, ann, self_q, k=10, nprobe=99)
+    assert 3 not in {r.neighbor_id for r in without.collect()}
+
+
+def test_cli_retrieve_index_hybrid(spark, sf_dir, tmp_path, capsys):
+    """`retrieve-index --embeddings`: hybrid rows identical to the
+    corpus-scan `retrieve --embeddings` CLI, plus the loud usage errors
+    (missing vec_id column, --ann-index without --embeddings)."""
+    from substreams_sink_parquet_spark.cli import main
+
+    idx = str(tmp_path / "lex")
+    L.write_lexical_index(_docs(spark, sf_dir), idx, n_buckets=16)
+    qt = str(tmp_path / "qt")
+    _hybrid_qtbl(spark).write.parquet(qt)
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    docs_path = f"{sf_dir}/documents.parquet"
+
+    assert main(["retrieve-index", idx, "--queries-table", qt,
+                 "--embeddings", emb_path, "--k", "5"]) == 0
+    indexed = [json.loads(x)
+               for x in capsys.readouterr().out.strip().splitlines()]
+    assert main(["retrieve", docs_path, "--queries-table", qt,
+                 "--embeddings", emb_path, "--k", "5"]) == 0
+    direct = [json.loads(x)
+              for x in capsys.readouterr().out.strip().splitlines()]
+    assert indexed == direct
+    assert {x["rank"] for x in indexed if x["query_id"] == 1} == {1, 2, 3, 4, 5}
+
+    # usage errors, not tracebacks
+    qt_novec = str(tmp_path / "qt_novec")
+    _hybrid_qtbl(spark).drop("vec_id").write.parquet(qt_novec)
+    assert main(["retrieve-index", idx, "--queries-table", qt_novec,
+                 "--embeddings", emb_path]) == 2
+    assert main(["retrieve-index", idx, "--query", "alpha",
+                 "--embeddings", emb_path]) == 2
+    assert main(["retrieve-index", idx, "--queries-table", qt,
+                 "--ann-index", str(tmp_path / "ann")]) == 2
