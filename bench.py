@@ -74,6 +74,7 @@ EXTENDED = [
     "q_pipeline_curate",
     # round 7
     "q_text_bm25_indexed",
+    "q_retrieval_hybrid_indexed",
 ]
 
 
@@ -402,12 +403,19 @@ def main() -> None:
 
     # Recorded-solo references for the contended flag, measured on an idle
     # round-7 dev box (local[32], min of 3 timed passes after warm-up, no
-    # co-running Spark). The flag trips at 1.3x because the uniform
-    # contention factor measured on this host was exactly ~1.3-1.4x; a
-    # different host baseline shows up as BOTH probes off by the same
-    # stable factor round over round, which the verdict can re-baseline.
+    # co-running Spark) AT THIS POSITION — after the full catalog + sink
+    # sweep, in the same long-lived session. Position matters: the first
+    # cut of the Python reference (0.90) was measured in a fresh dev
+    # session and the probe then read a stable 1.31-1.35 at the bench
+    # tail on the same idle box (two consecutive solo runs), tripping the
+    # flag on every clean run — a Python-worker pool that has served 160+
+    # queries is simply slower to feed than a fresh one. The flag trips
+    # at 1.3x because the uniform contention factor measured on this host
+    # was exactly ~1.3-1.4x; a different host baseline shows up as BOTH
+    # probes off by the same stable factor round over round, which the
+    # verdict can re-baseline.
     CAL_JVM_SOLO_REF = 0.176
-    CAL_PY_SOLO_REF = 0.90
+    CAL_PY_SOLO_REF = 1.35
     # sink spread: all plain-mode samples (pre- and post-sweep) come from
     # identical code on identical input — a >2x max/min ratio within one
     # bench run is contention by construction (r6's driver run showed
