@@ -288,48 +288,60 @@ def _nearest_centroid(vecs: DataFrame, cent_rows: list[tuple[int, list[float]]],
     ).select(*keep, *out)
 
 
+def _safe_norms(X):
+    """Column of row L2 norms with zeros mapped to 1 (a zero vector then
+    normalizes to itself and scores cosine 0 against everything, instead
+    of poisoning the assignment with NaN)."""
+    import numpy as np
+
+    n = np.linalg.norm(X, axis=1)[:, None]
+    return np.where(n == 0.0, 1.0, n)
+
+
 def ivf_centroids(embeddings: DataFrame, vec_col: str = "embedding",
-                  n_centroids: int = 16,
-                  refine_iters: int = 1) -> list[tuple[int, list[float]]]:
+                  n_centroids: int = 16, refine_iters: int = 1,
+                  train_cap: int | None = None) -> list[tuple[int, list[float]]]:
     """[(cent_id, cent_vec)] coarse-quantizer centroids (driver-side list —
     n_centroids x dim floats, the part of an IVF index that is *supposed* to
     be small and resident everywhere).
 
     Seeds are a deterministic hash-ordered sample (``_seed_rows`` — a
     TakeOrderedAndProject per-partition heap, no global sort, no
-    adjacent-id correlation); each Lloyd iteration reassigns the corpus
-    map-only and recomputes means by exploding (dimension, value) pairs —
-    the per-(centroid, dim) average combines map-side, so its exchange is
-    n_centroids x dim rows, independent of corpus size. (A dim-parallel
-    avg-column formulation — the shape pq_codebooks uses at dsub=8 — was
-    A/B'd here and LOST at dim=64: 64 aggregate expressions cost more in
-    analysis and buffer bookkeeping than the row fan-out saves.)"""
-    seeds = _seed_rows(embeddings, vec_col, n_centroids)
-    cents = [(i + 1, list(r.v)) for i, r in enumerate(seeds)]
+    adjacent-id correlation). Lloyd refinement runs DRIVER-SIDE over a
+    bounded sample of the same hash order (``train_cap``, default 256
+    vectors per centroid — FAISS's max_points_per_centroid default): the
+    quantizer is n_centroids x dim floats, so fitting it never needs to
+    touch the corpus beyond the sample. The previous formulation ran each
+    iteration as a full-corpus map-only reassignment + a (centroid, dim)
+    exploded mean — a bounded EXCHANGE, but still one full interpreted-HOF
+    SCAN of the corpus per iteration, which at 100 TB is exactly the pass
+    k-means-on-a-sample exists to avoid. Assignment order and the
+    (best cosine, lowest cent_id) tie-break match ``_nearest_centroid``;
+    a cell that loses all members keeps its previous centroid (the same
+    rule the distributed pass applied). Same-input determinism is exact:
+    the sample is hash-ordered with an id tie-break and NumPy reductions
+    are order-fixed."""
+    import numpy as np
+
+    if refine_iters <= 0:
+        seeds = _seed_rows(embeddings, vec_col, n_centroids)
+        return [(i + 1, list(r.v)) for i, r in enumerate(seeds)]
+    cap = train_cap if train_cap is not None else 256 * n_centroids
+    rows = _seed_rows(embeddings, vec_col, max(n_centroids, cap))
+    X = np.asarray([r.v for r in rows], dtype=np.float64)
+    # first n_centroids sample rows == the seeds the k-row collect returns
+    C = X[:n_centroids].copy()
+    Xn = X / _safe_norms(X)
     for _ in range(refine_iters):
-        # keep carries the vector through the map-only assignment — a
-        # keep=["vec_id"] + re-join formulation here was a needless
-        # full-corpus shuffle just to re-attach the embedding column
-        assigned = _nearest_centroid(
-            embeddings.select(vec_col), cents, vec_col, keep=[vec_col]
-        )
-        by_dim = assigned.select(
-            "cent_id", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
-        )
-        rows = (
-            by_dim.groupBy("cent_id", "pos")
-            .agg(F.avg("v").alias("m"))
-            .groupBy("cent_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("cent_vec")
-            )
-            .collect()
-        )
-        cents = sorted((r.cent_id, list(r.cent_vec)) for r in rows)
-    return cents
+        Cn = C / _safe_norms(C)
+        # argmax takes the FIRST max -> lowest cent_id on ties, matching
+        # _nearest_centroid's array_min struct tie-break
+        a = np.argmax(Xn @ Cn.T, axis=1)
+        for j in range(n_centroids):
+            members = X[a == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return [(i + 1, [float(x) for x in C[i]]) for i in range(n_centroids)]
 
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
@@ -761,7 +773,7 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.7,
     seeded) centroids.
 
     Scale shape: centroid fit is ``ivf_centroids`` (tiny driver-resident
-    quantizer, map-side-combined means); assignment is map-only with the
+    quantizer, Lloyd-fit on a bounded sample); assignment is map-only with the
     quantizer shipped as literals; the pair join shuffles on cent_id only —
     clustering is what bounds the quadratic, exactly the blocking role the
     LSH bucket plays in ``embedding_neardup_pairs_lsh`` but with
@@ -866,56 +878,52 @@ def _nearest_code(sub: Column, lit3: Column, s: Column | int, k: int) -> Column:
 
 
 def pq_codebooks(embeddings: DataFrame, dim: int, m: int = 8, k: int = 16,
-                 vec_col: str = "embedding",
-                 refine_iters: int = 1) -> list[list[list[float]]]:
+                 vec_col: str = "embedding", refine_iters: int = 1,
+                 train_cap: int | None = None) -> list[list[list[float]]]:
     """``codebooks[s][j]`` = centroid j of subspace s — the PQ "model",
     m x k x (dim/m) = k x dim floats, driver-resident like the IVF
     quantizer (the part of a PQ index that is supposed to be tiny and
     live everywhere).
 
     Seeds are the sub-vectors of k deterministic hash-ordered sample rows
-    (``_seed_rows`` — TakeOrderedAndProject, no global sort); each Lloyd
-    iteration refines ALL subspaces in ONE exploded pass: (s, subvec) rows
-    → map-only nearest-code assignment against the 3-D codebook literal
-    (``_nearest_code`` — array_min, no per-row sorted copy) → per-(s,
-    code) means as dsub parallel avg aggregates, whose exchange is m*k
-    partial rows, independent of corpus size (A/B'd against the previous
-    posexplode-per-element means: modestly faster at dsub=8, and no
-    N×dim row fan-out). The scan is spread wide first so the
-    interpreted-HOF assignment uses every core on a few-file input
-    (identity at scale).
+    (``_seed_rows`` — TakeOrderedAndProject, no global sort). Lloyd
+    refinement runs DRIVER-SIDE over a bounded sample of the same hash
+    order (``train_cap``, default 256 vectors per code — FAISS's
+    max_points_per_centroid default, same rationale as ``ivf_centroids``):
+    the model is k x dim floats, and fitting it must not cost a full
+    interpreted-HOF corpus pass per iteration, which is what the previous
+    one-exploded-pass-per-iteration formulation paid (bounded exchange,
+    unbounded scan). Assignment matches ``_nearest_code``'s (min L2²,
+    lowest j) tie-break via argmin-takes-first; a code that loses all
+    members keeps its previous vector (the rule the distributed pass
+    applied). The encode pass (``pq_encode``) is unchanged — map-only over
+    the full corpus, which is the part that HAS to see every row.
     """
-    from .dedup import spread_if_narrow
+    import numpy as np
 
     dsub = dim // m
-    seed_rows = _seed_rows(embeddings, vec_col, k)
-    cbs = [
-        [list(r.v[s * dsub:(s + 1) * dsub]) for r in seed_rows]
-        for s in range(m)
-    ]
-    subs = spread_if_narrow(embeddings.select(vec_col)).select(
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.slice(F.col(vec_col).cast("array<double>"),
-                                  s * dsub + 1, dsub),
-            )
-        ).alias("s", "sub")
-    )
-    for _ in range(refine_iters):
-        lit3 = F.lit(cbs)
-        assigned = subs.select(
-            "s",
-            _nearest_code(F.col("sub"), lit3, F.col("s"), k).alias("code"),
-            *[F.element_at("sub", p + 1).alias(f"v{p}") for p in range(dsub)],
-        )
-        rows = (
-            assigned.groupBy("s", "code")
-            .agg(*[F.avg(f"v{p}").alias(f"m{p}") for p in range(dsub)])
-            .collect()
-        )
-        for r in rows:  # codes with no members keep their seed
-            cbs[r.s][r.code] = [float(r[f"m{p}"]) for p in range(dsub)]
+    if refine_iters <= 0:
+        seed_rows = _seed_rows(embeddings, vec_col, k)
+        return [
+            [list(r.v[s * dsub:(s + 1) * dsub]) for r in seed_rows]
+            for s in range(m)
+        ]
+    cap = train_cap if train_cap is not None else 256 * k
+    rows = _seed_rows(embeddings, vec_col, max(k, cap))
+    X = np.asarray([r.v for r in rows], dtype=np.float64)
+    cbs = []
+    for s in range(m):
+        sub = X[:, s * dsub:(s + 1) * dsub]
+        # first k sample rows' subvectors == the k-row seed collect
+        C = sub[:k].copy()
+        for _ in range(refine_iters):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for j in range(k):
+                members = sub[a == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        cbs.append([[float(x) for x in row] for row in C])
     return cbs
 
 

@@ -75,6 +75,32 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir, clustered):
     assert len(civf & cexact) / len(cexact) >= 0.9  # measured: 1.0
 
 
+def test_quantizer_training_reads_a_bounded_sample(spark, sf_dir):
+    """Lloyd refinement fits the (tiny, driver-resident) quantizer on a
+    hash-ordered sample capped at train_cap — never a full-corpus pass
+    per iteration. The cap changes WHICH vectors train the model, not the
+    contract: deterministic, one row per centroid, empty cells keep their
+    seed; and because the sample shares the seed ordering, its first k
+    rows ARE the refine_iters=0 seeds."""
+    emb = load(spark, sf_dir, "embeddings")
+    small = S.ivf_centroids(emb, n_centroids=8, refine_iters=1, train_cap=32)
+    assert small == S.ivf_centroids(emb, n_centroids=8, refine_iters=1,
+                                    train_cap=32)
+    assert len(small) == 8 and small != S.ivf_centroids(
+        emb, n_centroids=8, refine_iters=0)
+    # a cap of exactly n_centroids: every sample row seeds its own
+    # nearest-centroid singleton... unless two collapse; either way the
+    # call must return n_centroids rows and stay deterministic
+    tiny = S.ivf_centroids(emb, n_centroids=8, refine_iters=2, train_cap=8)
+    assert len(tiny) == 8
+    dim = S.embedding_dim(spark, sf_dir)
+    cbs = S.pq_codebooks(emb, dim=dim, m=8, k=16, refine_iters=1,
+                         train_cap=64)
+    assert cbs == S.pq_codebooks(emb, dim=dim, m=8, k=16, refine_iters=1,
+                                 train_cap=64)
+    assert len(cbs) == 8 and all(len(c) == 16 for c in cbs)
+
+
 def test_seeding_is_deterministic_and_never_a_global_sort(spark, sf_dir):
     """Centroid/codebook seeds are a hash-ordered deterministic sample:
     identical across runs, and physically a TakeOrderedAndProject
