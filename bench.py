@@ -72,7 +72,8 @@ EXTENDED = [
     "q_retrieval_hybrid_batch",
     "q_decontaminate_winnow",
     "q_pipeline_curate",
-    # round 7
+    # round 7 — benched SERVE-ONLY from a once-per-run prebuilt index
+    # (build timed separately as lex_index_build_sec; see main())
     "q_text_bm25_indexed",
     "q_retrieval_hybrid_indexed",
 ]
@@ -323,6 +324,64 @@ def main() -> None:
     sink_pre = bench_sink(spark)
     catchup = bench_catchup_write(spark)
 
+    # Indexed-retrieval entries: the CATALOG callables rebuild the postings
+    # index inside every call — the right contract for the oracle gate
+    # (self-contained, hash-checked end to end) but the wrong thing to time
+    # three passes of: a lake deployment builds the index once per corpus
+    # version and serves many queries from it. Build ONCE here (timed →
+    # lex_index_build_sec) and override the two entries with serve-only
+    # closures, so their per-pass numbers measure what the index exists
+    # for: retrieval that never re-tokenizes the corpus.
+    import tempfile
+
+    from substreams_sink_parquet_spark.llm.lexical_index import (
+        write_lexical_index)
+    from substreams_sink_parquet_spark.llm.similarity import (
+        _HYBRID_BATCH, _HYBRID_K, retrieve_hybrid_indexed)
+    from substreams_sink_parquet_spark.llm.text import _BM25_BATCH_QUERIES
+    from substreams_sink_parquet_spark.tables import load
+
+    lex_dir = tempfile.mkdtemp(prefix="bench_lexidx_")
+    t0 = time.time()
+    write_lexical_index(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        lex_dir, n_buckets=64,
+    )
+    lex_build_sec = round(time.time() - t0, 3)
+
+    def _serve_bm25_indexed(spark, sf_dir):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from substreams_sink_parquet_spark.llm.lexical_index import (
+            bm25_scores_indexed)
+
+        queries_df = spark.createDataFrame(
+            list(_BM25_BATCH_QUERIES), "query_id int, query string"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("bm25").desc(), "doc_id")
+        return (
+            bm25_scores_indexed(spark, lex_dir, queries_df)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+        )
+
+    def _serve_hybrid_indexed(spark, sf_dir):
+        qtbl = spark.createDataFrame(
+            list(_HYBRID_BATCH), "query_id int, query string, vec_id bigint"
+        )
+        return retrieve_hybrid_indexed(
+            spark, lex_dir, qtbl, load(spark, sf_dir, "embeddings"),
+            k=_HYBRID_K, top=10,
+        )
+
+    serve_overrides = {
+        "q_text_bm25_indexed": _serve_bm25_indexed,
+        "q_retrieval_hybrid_indexed": _serve_hybrid_indexed,
+    }
+    qs = dict(qs, **serve_overrides)
+
     # three passes per query; the comparable per-query number stays the
     # MINIMUM (steady-state cost), with median + spread (max−min) reported
     # alongside so sub-noise-floor round-over-round deltas are identifiable
@@ -457,6 +516,9 @@ def main() -> None:
         "sink_samples_post_sweep": sink_post["samples"],
         "sink_decode_stage_sec": sink_pre["decode_stage_sec"],
         "catchup_write_rows_per_sec": catchup,
+        # one-time postings-index build at this SF; the two *_indexed
+        # query timings are serve-only passes against this artifact
+        "lex_index_build_sec": lex_build_sec,
         "stalled_passes": stalled,
         "calibration_sec": calibration,
         "calibration_py_sec": calibration_py,

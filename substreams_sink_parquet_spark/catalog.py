@@ -55,7 +55,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 def registry() -> dict[str, QuerySpec]:
     """All registered queries (imports the operator modules on first use)."""
     # Import for side effect of registration.
-    from .operators import relational, joins, windows, setops, scalar_fns, skew, sql_modern, sql_surface, streaming_equiv, udfs  # noqa: F401
+    from .operators import relational, joins, windows, setops, scalar_fns, skew, sql_modern, sql_surface, streaming_equiv, udfs, profiling  # noqa: F401
     from .llm import bpe, dedup, sampling, similarity, text  # noqa: F401
     from .llm import lexical_index, multimodal, quality_model  # noqa: F401
     return dict(_REGISTRY)

@@ -1,0 +1,201 @@
+"""Table profiling: per-column stats and fixed-bound numeric histograms.
+
+The data-quality gate every ingest pipeline wants in front of a 100 TB lake:
+one pass over the table answering "how null, how distinct, what range" per
+column, plus a distribution sketch for numeric columns. The reference sink
+exposes only file-level stats (`stats` CLI; reference parquet/stats.go is
+row-count accounting) — column-level profiling is part of the downstream
+tooling it delegates, same bucket as the rest of the query surface.
+
+Scale shape:
+
+- ``profile_table`` is ONE aggregate over the table. With the default
+  ``exact_distinct=False`` the distinct counts are HyperLogLog++ sketches
+  (``approx_count_distinct``), so every per-column stat combines map-side
+  and the exchange carries one small sketch buffer per column — total
+  shuffled bytes independent of row count. ``exact_distinct=True`` switches
+  to real COUNT(DISTINCT): Spark plans multi-column distinct aggregates via
+  an Expand (each row replicated once per profiled column, map-side) and the
+  exchange then carries each column's distinct values — exact answers at the
+  cost of a distinct-values-sized shuffle. That trade is the caller's: exact
+  for oracle-checked correctness and modest-cardinality columns, approx for
+  crawl-scale profiling runs.
+- ``numeric_histogram`` takes EXPLICIT [lo, hi) bounds, so binning is a
+  map-only projection (no pre-pass to find the range) into a groupBy whose
+  exchange is at most ``n_bins`` partial rows per task. A data-dependent
+  range would need min/max first — callers who want that can read them off
+  ``profile_table`` and still pay only one extra tiny job.
+
+The min/max representations are STRINGS by design: one output schema for any
+column mix, and each type pins its cross-engine formatting explicitly
+(doubles through DECIMAL, timestamps through date_format) per the
+hash-stability rules in catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..tables import load
+
+__all__ = ["profile_table", "numeric_histogram"]
+
+
+def _repr_expr(dtype: str, c: Column) -> Column:
+    """Hash-stable string projection of an already-aggregated min/max value
+    (aggregation happens on the NATIVE type — a string-typed min would
+    order '10' before '9').
+
+    Doubles route through DECIMAL(18,2) (binary-float formatting differs
+    across engines), timestamps through a fixed date_format (unit and
+    zone-suffix conventions differ); everything else is a plain string
+    cast, which integers and strings render identically everywhere.
+    """
+    if dtype in ("double", "float"):
+        return c.cast("decimal(18,2)").cast("string")
+    if dtype.startswith("timestamp"):
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    return c.cast("string")
+
+
+def profile_table(df: DataFrame, cols: list[str],
+                  exact_distinct: bool = False,
+                  rsd: float = 0.05) -> DataFrame:
+    """One-pass per-column profile → (column, n_rows, n_nulls, n_distinct,
+    min_repr, max_repr), one row per requested column.
+
+    ``n_distinct`` ignores NULLs (both engines' COUNT(DISTINCT) contract);
+    ``exact_distinct`` picks COUNT(DISTINCT) vs the HLL sketch default —
+    see the module docstring for the shuffle trade. The wide single-row
+    aggregate is unpivoted driver-free: a literal-array inline on the
+    1-row result, so the plan is Aggregate → tiny Generate, never a
+    per-column job or a driver collect-and-reshape.
+    """
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        nd = (F.count_distinct(F.col(c)) if exact_distinct
+              else F.approx_count_distinct(c, rsd))
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            nd.alias(f"__nd_{c}"),
+            F.min(F.col(c)).alias(f"__mn_{c}"),
+            F.max(F.col(c)).alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    entries = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+            F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+            _repr_expr(dtypes[c], F.col(f"__mn_{c}")).alias("min_repr"),
+            _repr_expr(dtypes[c], F.col(f"__mx_{c}")).alias("max_repr"),
+        )
+        for c in cols
+    ])
+    return wide.select(F.inline(entries))
+
+
+def numeric_histogram(df: DataFrame, col: str, lo: float, hi: float,
+                      n_bins: int) -> DataFrame:
+    """Fixed-width histogram of ``col`` over explicit [lo, hi) →
+    (bin, bin_lo, bin_hi, cnt), empty bins omitted. Rows outside the
+    bounds clamp into the edge bins (bin 0 / n_bins-1) rather than
+    vanishing — a profiler that silently drops outliers would hide
+    exactly the rows worth seeing; NULLs are excluded. Map-only binning
+    (bounds are literals) into a ≤``n_bins``-group aggregate."""
+    if not (hi > lo and n_bins > 0):
+        raise ValueError(f"need hi > lo and n_bins > 0, got [{lo}, {hi}) x {n_bins}")
+    w = (hi - lo) / n_bins
+    b = F.floor((F.col(col) - F.lit(lo)) / F.lit(w))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1)).cast("long")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(w)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("bin_hi"),
+            "cnt",
+        )
+    )
+
+
+# -- catalog entries -------------------------------------------------------
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderpriority"]
+
+# min/max aggregate on the NATIVE type and only the RESULT is cast to the
+# repr, mirroring profile_table exactly (aggregating pre-cast values could
+# diverge if the repr rounding reordered elements)
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column",
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST({rep.format(v=f'MIN({c})')} AS VARCHAR) AS min_repr,
+       CAST({rep.format(v=f'MAX({c})')} AS VARCHAR) AS max_repr
+FROM orders"""
+    for c, rep in [
+        ("o_orderkey", "{v}"),
+        ("o_custkey", "{v}"),
+        ("o_orderstatus", "{v}"),
+        ("o_totalprice", "CAST({v} AS DECIMAL(18,2))"),
+        ("o_orderpriority", "{v}"),
+    ]
+)
+
+
+@register(
+    "q_profile_columns",
+    _PROFILE_ORACLE,
+    doc="Per-column table profile (null count, exact distinct count, "
+        "min/max repr) over five orders columns in ONE aggregate pass, "
+        "unpivoted via a 1-row inline — the data-quality gate in front "
+        "of an ingest lake. exact_distinct=True here because the oracle "
+        "hash demands exact answers; the scale default is the HLL-sketch "
+        "variant whose exchange is column-count-sized (pytest pins the "
+        "approx mode against the exact counts)",
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return profile_table(orders, _PROFILE_COLS, exact_distinct=True)
+
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 400000.0, 16
+
+
+def _hist_oracle() -> str:
+    w = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    return f"""
+    SELECT bin,
+           {_HIST_LO} + bin * {w} AS bin_lo,
+           {_HIST_LO} + (bin + 1) * {w} AS bin_hi,
+           COUNT(*) AS cnt
+    FROM (
+        SELECT CAST(LEAST(GREATEST(
+                   FLOOR((o_totalprice - {_HIST_LO}) / {w}), 0),
+               {_HIST_BINS - 1}) AS BIGINT) AS bin
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ) b
+    GROUP BY bin
+    """
+
+
+@register(
+    "q_profile_histogram",
+    _hist_oracle(),
+    doc="Fixed-bound 16-bin histogram of orders.o_totalprice: explicit "
+        "[lo, hi) bounds make binning a map-only literal projection (no "
+        "range pre-pass) into a <=16-group aggregate; out-of-range rows "
+        "clamp into the edge bins instead of silently dropping",
+)
+def q_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return numeric_histogram(orders, "o_totalprice",
+                             _HIST_LO, _HIST_HI, _HIST_BINS)

@@ -1,0 +1,76 @@
+"""Table profiler + fixed-bound histogram (operators/profiling.py).
+
+The oracle gate pins q_profile_columns / q_profile_histogram against DuckDB;
+these tests pin the parts the gate can't see: the approx-distinct scale mode
+(sketch exchange, no Expand) against the exact answers, native-type min/max
+ordering, and the histogram's clamp-don't-drop contract.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from substreams_sink_parquet_spark.operators import profiling as P
+from substreams_sink_parquet_spark.tables import load
+
+
+def test_approx_profile_tracks_exact_and_skips_expand(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    exact = {r.column: r for r in
+             P.profile_table(orders, cols, exact_distinct=True).collect()}
+    approx_df = P.profile_table(orders, cols)
+    approx = {r.column: r for r in approx_df.collect()}
+    for c in cols:
+        e, a = exact[c], approx[c]
+        # everything but n_distinct is computed identically in both modes
+        assert (a.n_rows, a.n_nulls, a.min_repr, a.max_repr) == \
+               (e.n_rows, e.n_nulls, e.min_repr, e.max_repr)
+        # HLL++ at rsd=0.05: generous 3-sigma-ish envelope
+        assert abs(a.n_distinct - e.n_distinct) <= max(3, 0.15 * e.n_distinct)
+    # the scale mode's plan must be a plain sketch aggregate: the Expand
+    # (row x n_cols replication) only multi-column COUNT(DISTINCT) needs
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+
+def test_min_max_are_native_order_not_lexicographic(spark):
+    df = spark.createDataFrame(
+        [(9, 9.5), (10, 10.25), (2, 2.0)], "k long, v double"
+    )
+    rows = {r.column: r for r in
+            P.profile_table(df, ["k", "v"], exact_distinct=True).collect()}
+    # a string-typed min would say '10' < '2' < '9'
+    assert (rows["k"].min_repr, rows["k"].max_repr) == ("2", "10")
+    assert (rows["v"].min_repr, rows["v"].max_repr) == ("2.00", "10.25")
+
+
+def test_profile_counts_nulls_and_ignores_them_in_distinct(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], "s string"
+    )
+    r = P.profile_table(df, ["s"], exact_distinct=True).collect()[0]
+    assert (r.n_rows, r.n_nulls, r.n_distinct) == (4, 1, 2)
+    assert (r.min_repr, r.max_repr) == ("a", "b")
+
+
+def test_histogram_clamps_outliers_and_excludes_nulls(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.9,), (55.0,), (None,)], "v double"
+    )
+    rows = {r.bin: r for r in
+            P.numeric_histogram(df, "v", 0.0, 10.0, 4).collect()}
+    # -5 clamps into bin 0; 55 clamps into bin 3; null vanishes
+    assert rows[0].cnt == 2 and rows[3].cnt == 2
+    assert sum(r.cnt for r in rows.values()) == 4
+    assert rows[0].bin_lo == 0.0 and rows[3].bin_hi == 10.0
+    with pytest.raises(ValueError):
+        P.numeric_histogram(df, "v", 10.0, 0.0, 4)
+    with pytest.raises(ValueError):
+        P.numeric_histogram(df, "v", 0.0, 10.0, 0)
+
+
+def test_histogram_total_matches_nonnull_rows(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    hist = P.numeric_histogram(orders, "o_totalprice", 0.0, 400000.0, 16)
+    total = hist.agg(F.sum("cnt")).collect()[0][0]
+    assert total == orders.filter(F.col("o_totalprice").isNotNull()).count()
