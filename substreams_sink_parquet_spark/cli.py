@@ -217,6 +217,41 @@ def cmd_stats(args: argparse.Namespace) -> int:
     return 0 if report["contiguous"] else 1
 
 
+def cmd_profile(args: argparse.Namespace) -> int:
+    """Per-column profile of any parquet directory (a lake table dir or a
+    plain dataset): nulls / distinct / min-max repr per column in ONE
+    aggregate pass (operators/profiling.py), printed as a JSON report.
+    Distinct counts are HLL sketches by default (the exchange stays
+    column-count-sized at any corpus size); ``--exact`` switches to real
+    COUNT(DISTINCT). ``--hist col:lo:hi:bins`` appends fixed-bound
+    histograms, map-only binning with outliers clamped into edge bins."""
+    import json
+
+    from .operators.profiling import numeric_histogram, profile_table
+
+    spark = get_spark("profile")
+    df = spark.read.parquet(args.path)
+    if args.columns:
+        cols = args.columns.split(",")
+    else:
+        # maps aren't orderable (no min/max); everything else profiles
+        cols = [c for c, t in df.dtypes if not t.startswith("map")]
+    prof = profile_table(df, cols, exact_distinct=args.exact)
+    out = {"table": args.path, "exact_distinct": bool(args.exact),
+           "columns": [r.asDict() for r in prof.collect()]}
+    for spec_ in args.hist or []:
+        try:
+            col, lo, hi, bins = spec_.rsplit(":", 3)
+            hist = numeric_histogram(df, col, float(lo), float(hi), int(bins))
+        except ValueError as e:
+            raise SystemExit(f"--hist expects col:lo:hi:bins, got {spec_!r}: {e}")
+        out.setdefault("histograms", {})[col] = [
+            r.asDict() for r in hist.orderBy("bin").collect()
+        ]
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_undo(args: argparse.Namespace) -> int:
     """Deep-reorg escape hatch: retract every block above the fork point
     from a STOPPED sink lake — live staging AND finalized range files, main
@@ -898,6 +933,22 @@ def main(argv: list[str] | None = None) -> int:
     stats_p = sub.add_parser("stats", help="lake health report (metadata-only)")
     stats_p.add_argument("store_url")
     stats_p.set_defaults(fn=cmd_stats)
+
+    prof_p = sub.add_parser(
+        "profile",
+        help="per-column profile of a parquet dir (one aggregate pass)",
+    )
+    prof_p.add_argument("path")
+    prof_p.add_argument(
+        "--columns", default=None,
+        help="comma-separated columns (default: all non-map columns)")
+    prof_p.add_argument(
+        "--exact", action="store_true",
+        help="exact COUNT(DISTINCT) instead of HLL sketches")
+    prof_p.add_argument(
+        "--hist", action="append", metavar="COL:LO:HI:BINS",
+        help="append a fixed-bound numeric histogram (repeatable)")
+    prof_p.set_defaults(fn=cmd_profile)
 
     undo_p = sub.add_parser(
         "undo", help="retract blocks above a reorg fork point (stopped lake)"

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from ..catalog import register
 from ..tables import load
 
-__all__ = ["profile_table", "numeric_histogram"]
+__all__ = ["profile_table", "numeric_histogram", "profile_drift"]
 
 
 def _repr_expr(dtype: str, c: Column) -> Column:
@@ -73,7 +73,12 @@ def profile_table(df: DataFrame, cols: list[str],
     1-row result, so the plan is Aggregate → tiny Generate, never a
     per-column job or a driver collect-and-reshape.
     """
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
     dtypes = dict(df.dtypes)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"columns not in table: {missing}")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         nd = (F.count_distinct(F.col(c)) if exact_distinct
@@ -125,6 +130,53 @@ def numeric_histogram(df: DataFrame, col: str, lo: float, hi: float,
     )
 
 
+def profile_drift(old: DataFrame, new: DataFrame,
+                  null_rate_tol: float = 0.05,
+                  distinct_ratio_tol: float = 0.5) -> DataFrame:
+    """Column-level drift between two :func:`profile_table` outputs →
+    (column, null_rate_old, null_rate_new, n_distinct_old, n_distinct_new,
+    range_changed, drifted) — the check a pipeline runs between corpus
+    versions or ingest epochs before pointing training at the new data.
+
+    ``drifted`` flags: a null-rate move beyond ``null_rate_tol`` (absolute),
+    a distinct-count ratio outside [1-tol, 1+tol] (relative — raw deltas
+    would flag every growing table), a min/max repr change, or a column
+    present on only one side (appearing/disappearing columns are the
+    loudest drift there is; a FULL OUTER join keeps them). Inputs are
+    column-count-sized, so the join is trivially broadcast; rates round
+    through DECIMAL at 6dp for cross-engine hash stability."""
+    def side(p: DataFrame, tag: str) -> DataFrame:
+        return p.select(
+            "column",
+            F.round(
+                (F.col("n_nulls") / F.col("n_rows")).cast("decimal(18,6)"), 6
+            ).cast("double").alias(f"null_rate_{tag}"),
+            F.col("n_distinct").alias(f"n_distinct_{tag}"),
+            F.col("min_repr").alias(f"min_{tag}"),
+            F.col("max_repr").alias(f"max_{tag}"),
+        )
+    j = side(old, "old").join(side(new, "new"), "column", "full_outer")
+    one_sided = F.col("null_rate_old").isNull() | F.col("null_rate_new").isNull()
+    range_changed = one_sided | (
+        (F.col("min_old") != F.col("min_new"))
+        | (F.col("max_old") != F.col("max_new"))
+    )
+    ratio = F.col("n_distinct_new") / F.greatest(F.col("n_distinct_old"), F.lit(1))
+    drifted = (
+        one_sided
+        | (F.abs(F.col("null_rate_new") - F.col("null_rate_old")) > null_rate_tol)
+        | (ratio < 1 - distinct_ratio_tol)
+        | (ratio > 1 + distinct_ratio_tol)
+        | range_changed
+    )
+    return j.select(
+        "column", "null_rate_old", "null_rate_new",
+        "n_distinct_old", "n_distinct_new",
+        range_changed.alias("range_changed"),
+        drifted.alias("drifted"),
+    )
+
+
 # -- catalog entries -------------------------------------------------------
 
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
@@ -165,6 +217,87 @@ FROM orders"""
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     return profile_table(orders, _PROFILE_COLS, exact_distinct=True)
+
+
+_DRIFT_OLD_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice",
+                   "o_orderpriority"]
+_DRIFT_NEW_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+
+def _drift_profile_sql(cols_reprs: list[tuple[str, str]], src: str) -> str:
+    return "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST({rep.format(v=f'MIN({c})')} AS VARCHAR) AS mn,
+           CAST({rep.format(v=f'MAX({c})')} AS VARCHAR) AS mx
+    FROM {src}"""
+        for c, rep in cols_reprs
+    )
+
+
+def _drift_oracle() -> str:
+    reprs = {"o_totalprice": "CAST({v} AS DECIMAL(18,2))"}
+    old_p = _drift_profile_sql(
+        [(c, reprs.get(c, "{v}")) for c in _DRIFT_OLD_COLS], "orders")
+    new_p = _drift_profile_sql(
+        [(c, reprs.get(c, "{v}")) for c in _DRIFT_NEW_COLS], "newt")
+    return f"""
+    WITH newt AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'F' THEN NULL
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+    ),
+    po AS ({old_p}),
+    pn AS ({new_p}),
+    j AS (
+        SELECT COALESCE(po.col, pn.col) AS "column",
+               CAST(ROUND(CAST(po.n_nulls / po.n_rows AS DECIMAL(18,6)), 6)
+                    AS DOUBLE) AS null_rate_old,
+               CAST(ROUND(CAST(pn.n_nulls / pn.n_rows AS DECIMAL(18,6)), 6)
+                    AS DOUBLE) AS null_rate_new,
+               po.n_distinct AS n_distinct_old,
+               pn.n_distinct AS n_distinct_new,
+               po.mn AS mn_old, po.mx AS mx_old,
+               pn.mn AS mn_new, pn.mx AS mx_new
+        FROM po FULL OUTER JOIN pn ON po.col = pn.col
+    )
+    SELECT "column", null_rate_old, null_rate_new,
+           n_distinct_old, n_distinct_new,
+           (null_rate_old IS NULL OR null_rate_new IS NULL
+            OR mn_old != mn_new OR mx_old != mx_new) AS range_changed,
+           (null_rate_old IS NULL OR null_rate_new IS NULL
+            OR ABS(null_rate_new - null_rate_old) > 0.05
+            OR n_distinct_new / GREATEST(n_distinct_old, 1) < 0.5
+            OR n_distinct_new / GREATEST(n_distinct_old, 1) > 1.5
+            OR mn_old != mn_new OR mx_old != mx_new) AS drifted
+    FROM j
+    """
+
+
+@register(
+    "q_profile_drift",
+    _drift_oracle(),
+    doc="Column-level drift between two profile_table outputs: orders vs "
+        "a degraded epoch (o_totalprice nulled for 'F' rows, "
+        "o_orderpriority gone) — null-rate delta, distinct-count ratio, "
+        "min/max change, and one-sided columns all flag via a FULL OUTER "
+        "join of two column-count-sized profiles (trivially broadcast). "
+        "The gate a pipeline runs between corpus versions before "
+        "retraining",
+)
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    degraded = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderstatus") == "F", F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice")),
+    )
+    return profile_drift(
+        profile_table(orders, _DRIFT_OLD_COLS, exact_distinct=True),
+        profile_table(degraded, _DRIFT_NEW_COLS, exact_distinct=True),
+    )
 
 
 _HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 400000.0, 16

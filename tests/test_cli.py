@@ -569,3 +569,39 @@ def test_cli_lex_build_and_retrieve_index(tmp_path, spark, capsys, sf_dir):
                  "--queries-table", qt]) == 2
     assert main(["retrieve-index", idx, "--query", "   "]) == 2
     capsys.readouterr()
+
+
+def test_cli_profile_reports_columns_and_histograms(tmp_path, spark, capsys):
+    import json
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (3, None, 99.0)],
+        "k long, s string, v double",
+    ).write.parquet(p)
+
+    rc = main(["profile", p, "--exact", "--hist", "v:0:10:4"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    cols = {c["column"]: c for c in out["columns"]}
+    assert set(cols) == {"k", "s", "v"}
+    assert cols["s"]["n_nulls"] == 1 and cols["s"]["n_distinct"] == 1
+    assert cols["k"]["min_repr"] == "1" and cols["k"]["max_repr"] == "3"
+    assert cols["v"]["max_repr"] == "99.00"
+    hist = out["histograms"]["v"]
+    # 1.5 -> bin 0; 99.0 clamps into the top bin; null vanishes
+    assert sum(b["cnt"] for b in hist) == 2
+    assert hist[-1]["bin"] == 3 and hist[-1]["cnt"] == 1
+
+    # approx default still reports every column with exact nulls/min/max
+    rc = main(["profile", p, "--columns", "k,v"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not out["exact_distinct"]
+    assert {c["column"] for c in out["columns"]} == {"k", "v"}
+
+    # malformed --hist fails loudly, not silently
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["profile", p, "--hist", "nope"])

@@ -74,3 +74,32 @@ def test_histogram_total_matches_nonnull_rows(spark, sf_dir):
     hist = P.numeric_histogram(orders, "o_totalprice", 0.0, 400000.0, 16)
     total = hist.agg(F.sum("cnt")).collect()[0][0]
     assert total == orders.filter(F.col("o_totalprice").isNotNull()).count()
+
+
+def test_profile_drift_flags_and_one_sided_columns(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None), (3, "c", 3.0), (9, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    drift = {r.column: r for r in P.profile_drift(
+        P.profile_table(old, ["k", "s", "v"], exact_distinct=True),
+        P.profile_table(new, ["k", "v"], exact_distinct=True),
+    ).collect()}
+    # s exists only in the old profile: loudest drift, range_changed too
+    assert drift["s"].drifted and drift["s"].range_changed
+    assert drift["s"].null_rate_new is None
+    # v: null rate 0 -> 0.5 and unchanged distinct range min moved 1.0->3.0
+    assert drift["v"].drifted and drift["v"].null_rate_new == 0.5
+    # k: same null rate, same distinct count, but max moved 4 -> 9
+    assert drift["k"].range_changed and drift["k"].drifted
+
+
+def test_profile_drift_clean_epoch_is_quiet(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "k long, s string")
+    p = P.profile_table(df, ["k", "s"], exact_distinct=True)
+    rows = P.profile_drift(p, p).collect()
+    assert rows and not any(r.drifted or r.range_changed for r in rows)
