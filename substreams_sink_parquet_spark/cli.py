@@ -160,6 +160,8 @@ def cmd_run(args: argparse.Namespace) -> int:
         exploded_write_workers=args.exploded_write_workers,
         max_files_per_trigger=args.max_files_per_trigger,
         rollup_spec=_rollup_spec_from_args(args),
+        profile_columns=(args.profile_columns.split(",")
+                         if args.profile_columns else None),
     )
     # 30s stats cadence like the reference's ticker (sinker.go:19-90)
     while query.isActive:
@@ -248,6 +250,30 @@ def cmd_profile(args: argparse.Namespace) -> int:
         out.setdefault("histograms", {})[col] = [
             r.asDict() for r in hist.orderBy("bin").collect()
         ]
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_profile_history(args: argparse.Namespace) -> int:
+    """Read the per-epoch ingest profiles a ``run --profile-columns``
+    stream recorded under ``_profile/`` and print them plus the
+    epoch-over-epoch drift verdicts (operators/profiling.py lag-window
+    path) as a JSON report. ``--drift-only`` trims to flagged rows —
+    the page an on-call engineer actually wants."""
+    import json
+
+    from .operators.profiling import profile_history_drift, read_profile_history
+
+    spark = get_spark("profile-history")
+    hist = read_profile_history(spark, args.store_url)
+    drift = profile_history_drift(hist)
+    if args.drift_only:
+        drift = drift.filter("drifted")
+    out = {
+        "store": args.store_url,
+        "epochs": [r.asDict() for r in hist.orderBy("epoch", "column").collect()],
+        "drift": [r.asDict() for r in drift.orderBy("epoch", "column").collect()],
+    }
     print(json.dumps(out))
     return 0
 
@@ -924,6 +950,10 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument("--map-as", choices=("map", "entries"), default="map")
     run_p.add_argument("--drain-and-exit", action="store_true",
                        help="process everything staged, then stop (availableNow)")
+    run_p.add_argument("--profile-columns", default=None, metavar="A,B,C",
+                       help="per-epoch column profiles of the decoded rows "
+                       "under _profile/ (value-level ingest drift history; "
+                       "read back with the profile-history command)")
     run_p.set_defaults(fn=cmd_run)
 
     setup_p = sub.add_parser("setup", help="validate store access")
@@ -949,6 +979,16 @@ def main(argv: list[str] | None = None) -> int:
         "--hist", action="append", metavar="COL:LO:HI:BINS",
         help="append a fixed-bound numeric histogram (repeatable)")
     prof_p.set_defaults(fn=cmd_profile)
+
+    ph_p = sub.add_parser(
+        "profile-history",
+        help="per-epoch ingest profiles + epoch-over-epoch drift",
+    )
+    ph_p.add_argument("store_url")
+    ph_p.add_argument(
+        "--drift-only", action="store_true",
+        help="print only epochs/columns whose drifted flag is set")
+    ph_p.set_defaults(fn=cmd_profile_history)
 
     undo_p = sub.add_parser(
         "undo", help="retract blocks above a reorg fork point (stopped lake)"

@@ -156,6 +156,14 @@ def profile_drift(old: DataFrame, new: DataFrame,
             F.col("max_repr").alias(f"max_{tag}"),
         )
     j = side(old, "old").join(side(new, "new"), "column", "full_outer")
+    return _drift_flags(j, null_rate_tol, distinct_ratio_tol)
+
+
+def _drift_flags(j: DataFrame, null_rate_tol: float, distinct_ratio_tol: float,
+                 keys: tuple[str, ...] = ("column",)) -> DataFrame:
+    """Shared drift verdict over a frame carrying *_old / *_new stat
+    columns — one implementation so the two-profile compare and the
+    epoch-history lag path cannot diverge on thresholds or null logic."""
     one_sided = F.col("null_rate_old").isNull() | F.col("null_rate_new").isNull()
     range_changed = one_sided | (
         (F.col("min_old") != F.col("min_new"))
@@ -170,11 +178,59 @@ def profile_drift(old: DataFrame, new: DataFrame,
         | range_changed
     )
     return j.select(
-        "column", "null_rate_old", "null_rate_new",
+        *keys, "null_rate_old", "null_rate_new",
         "n_distinct_old", "n_distinct_new",
         range_changed.alias("range_changed"),
         drifted.alias("drifted"),
     )
+
+
+def read_profile_history(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-epoch ingest profiles written by the streaming sink's
+    ``profile_columns`` stage: ``{lake}/_profile/epoch={id}/`` →
+    (epoch, column, n_rows, n_nulls, n_distinct, min_repr, max_repr).
+    Kilobytes per epoch — the whole history of a year-long stream reads
+    in one tiny scan."""
+    from ..fsio import url_join
+
+    return spark.read.parquet(url_join(out_dir, "_profile"))
+
+
+def profile_history_drift(hist: DataFrame,
+                          null_rate_tol: float = 0.05,
+                          distinct_ratio_tol: float = 0.5) -> DataFrame:
+    """Epoch-over-epoch drift within an ingest-profile history: each
+    (epoch, column) row compared against the SAME column's previous
+    epoch via one lag window — a single exchange on ``column`` over a
+    kilobytes-sized history, with the verdict logic shared with
+    :func:`profile_drift`. The first epoch has no baseline and is
+    omitted; a column vanishing from the stream's schema mid-history is
+    a schema-drift event the sink's ``ensure_schema_compatible`` guard
+    already refuses, so unlike ``profile_drift`` there is no one-sided
+    case here."""
+    from pyspark.sql.window import Window
+
+    nr = F.round(
+        (F.col("n_nulls") / F.col("n_rows")).cast("decimal(18,6)"), 6
+    ).cast("double")
+    cur = hist.select(
+        "epoch", "column",
+        nr.alias("null_rate_new"),
+        F.col("n_distinct").alias("n_distinct_new"),
+        F.col("min_repr").alias("min_new"),
+        F.col("max_repr").alias("max_new"),
+    )
+    w = Window.partitionBy("column").orderBy("epoch")
+    lagged = cur.select(
+        "epoch", "column", "null_rate_new", "n_distinct_new",
+        "min_new", "max_new",
+        F.lag("null_rate_new").over(w).alias("null_rate_old"),
+        F.lag("n_distinct_new").over(w).alias("n_distinct_old"),
+        F.lag("min_new").over(w).alias("min_old"),
+        F.lag("max_new").over(w).alias("max_old"),
+    ).filter(F.col("null_rate_old").isNotNull())
+    return _drift_flags(lagged, null_rate_tol, distinct_ratio_tol,
+                        keys=("epoch", "column"))
 
 
 # -- catalog entries -------------------------------------------------------

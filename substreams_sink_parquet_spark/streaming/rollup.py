@@ -107,6 +107,32 @@ class RollupSpec:
         ]
 
 
+def guard_stream_id(fs: HadoopFS, history_dir: str, stream_id: str | None,
+                    what: str = "rollup") -> None:
+    """Refuse epoch-dir overwrites from a DIFFERENT stream: epoch ids
+    restart at 0 under a fresh/lost checkpoint, and an unguarded restart
+    would replace accumulated ``epoch={id}`` history one dir at a time.
+    The first write records ``stream_id`` (recommended: the checkpoint
+    path) in ``_STREAM_ID``; a mismatch raises instead of destroying
+    history. Shared by every epoch-keyed history the sink maintains
+    (rollup partials, ingest profiles)."""
+    if stream_id is None:
+        return
+    marker = url_join(history_dir, "_STREAM_ID")
+    if fs.exists(marker):
+        prev = fs.read_bytes(marker).decode()
+        if prev != stream_id:
+            raise RuntimeError(
+                f"{what} at {history_dir} was built by stream "
+                f"{prev!r}; refusing epoch overwrite from {stream_id!r} "
+                "— a fresh checkpoint restarts epoch ids at 0 and would "
+                f"silently replace history. Compact and archive the old "
+                f"{what}, or delete _STREAM_ID to adopt it deliberately."
+            )
+    else:
+        fs.write_bytes(marker, stream_id.encode())
+
+
 def write_rollup_partial(
     df: DataFrame, rollup_dir: str, spec: RollupSpec, epoch_id: int,
     stream_id: str | None = None,
@@ -114,29 +140,12 @@ def write_rollup_partial(
     """One micro-batch's partial aggregates -> ``epoch={id}`` (idempotent
     overwrite; replays of the SAME stream cannot double-count).
 
-    ``stream_id`` (recommended: the checkpoint path) arms the history
-    guard: epoch ids restart at 0 under a fresh/lost checkpoint, and an
-    unguarded restart would overwrite historical epoch dirs one by one.
-    The first write records the id in ``_STREAM_ID``; a mismatch refuses
-    the write instead of silently destroying accumulated aggregates."""
+    ``stream_id`` arms :func:`guard_stream_id`'s history guard."""
     fs = HadoopFS(df.sparkSession, rollup_dir)
     spec_file = url_join(rollup_dir, "_SPEC.json")
     if not fs.exists(spec_file):
         fs.write_bytes(spec_file, spec.to_json().encode())
-    if stream_id is not None:
-        marker = url_join(rollup_dir, "_STREAM_ID")
-        if fs.exists(marker):
-            prev = fs.read_bytes(marker).decode()
-            if prev != stream_id:
-                raise RuntimeError(
-                    f"rollup at {rollup_dir} was built by stream "
-                    f"{prev!r}; refusing epoch overwrite from {stream_id!r} "
-                    "— a fresh checkpoint restarts epoch ids at 0 and would "
-                    "silently replace history. Compact and archive the old "
-                    "rollup, or delete _STREAM_ID to adopt it deliberately."
-                )
-        else:
-            fs.write_bytes(marker, stream_id.encode())
+    guard_stream_id(fs, rollup_dir, stream_id, what="rollup")
     partial = df.groupBy(spec.bucket_expr(), *spec.group_cols).agg(
         *spec.partial_aggs()
     )

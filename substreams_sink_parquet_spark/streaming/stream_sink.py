@@ -87,6 +87,14 @@ class StreamingSink:
     # the possibly-uncommitted trailing epoch is never folded) — bounds
     # read_rollup's listing at O(N) dirs on a continuous stream
     rollup_compact_every: int = 64
+    # optional per-epoch column profiles of the DECODED rows
+    # (operators/profiling.py, HLL-sketch distinct — the exchange is
+    # column-count-sized whatever the batch size): each epoch writes a
+    # kilobyte row-per-column snapshot under ``_profile/epoch={id}/``, so
+    # value-level ingest drift (null-rate spikes, cardinality collapse,
+    # range walk) is queryable history, complementing the structural
+    # ensure_schema_compatible guard. None = off.
+    profile_columns: list[str] | None = None
     _max_seen: int = -1
     _schema_checked: bool = False
 
@@ -136,8 +144,10 @@ class StreamingSink:
         # JVM-only agg job stays — it is noise next to N table writes.
         # Same reasoning when the rollup persists the decode in plain mode.
         obs = None
-        will_persist = (self.explode and bool(self._child_dirs())) or (
-            self.rollup_spec is not None
+        will_persist = (
+            (self.explode and bool(self._child_dirs()))
+            or self.rollup_spec is not None
+            or bool(self.profile_columns)
         )
         if not will_persist:
             from pyspark.sql import Observation
@@ -195,6 +205,23 @@ class StreamingSink:
                         lambda a: self._append_live(a[0], a[1], epoch_id),
                         appends,
                     ))
+            if self.profile_columns:
+                # decode is persisted whenever profiling is on: one extra
+                # sketch-aggregate job over cached partitions, writing a
+                # row-per-column epoch snapshot. Epoch-keyed overwrite =
+                # replay-idempotent (same contract as _append_live); the
+                # _STREAM_ID guard stops a fresh checkpoint's epoch 0 from
+                # silently replacing recorded history.
+                from ..operators.profiling import profile_table
+                from .rollup import guard_stream_id
+
+                profile_dir = url_join(self.out_dir, "_profile")
+                guard_stream_id(self._fs, profile_dir, self.stream_id,
+                                what="ingest-profile history")
+                prof = profile_table(decoded, self.profile_columns)
+                prof.coalesce(1).write.mode("overwrite").parquet(
+                    url_join(profile_dir, f"epoch={epoch_id}")
+                )
             if self.rollup_spec is not None:
                 # decode is persisted whenever the rollup is on, so this is
                 # one tiny agg job over cached partitions
@@ -571,6 +598,7 @@ def run_pipeline(
     exploded_write_workers: int = 0,
     max_files_per_trigger: int = 8,
     rollup_spec=None,
+    profile_columns: list[str] | None = None,
 ):
     """readStream over staged raw-block parquet → StreamingSink.
 
@@ -593,6 +621,7 @@ def run_pipeline(
         exploded_write_workers=exploded_write_workers,
         rollup_spec=rollup_spec,
         stream_id=checkpoint_dir,
+        profile_columns=profile_columns,
     )
     sink._fs.mkdirs(out_dir)
     # Repair any _compact_* leftover from a compaction run that crashed

@@ -605,3 +605,26 @@ def test_cli_profile_reports_columns_and_histograms(tmp_path, spark, capsys):
 
     with pytest.raises(SystemExit):
         main(["profile", p, "--hist", "nope"])
+
+
+def test_cli_profile_history_reports_drift(tmp_path, spark, capsys):
+    import json
+
+    lake = str(tmp_path / "lake")
+    cols = "column string, n_rows long, n_nulls long, n_distinct long, min_repr string, max_repr string"
+    spark.createDataFrame([("v", 10, 0, 5, "1", "9")], cols) \
+        .write.parquet(f"{lake}/_profile/epoch=0")
+    spark.createDataFrame([("v", 10, 6, 5, "1", "9")], cols) \
+        .write.parquet(f"{lake}/_profile/epoch=1")
+
+    assert main(["profile-history", lake]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["epochs"]) == 2
+    assert len(out["drift"]) == 1
+    d = out["drift"][0]
+    # null rate 0 -> 0.6 with an unchanged range: drifted, not range_changed
+    assert d["epoch"] == 1 and d["drifted"] and not d["range_changed"]
+
+    assert main(["profile-history", lake, "--drift-only"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [r["column"] for r in out["drift"]] == ["v"]

@@ -103,3 +103,56 @@ def test_profile_drift_clean_epoch_is_quiet(spark):
     p = P.profile_table(df, ["k", "s"], exact_distinct=True)
     rows = P.profile_drift(p, p).collect()
     assert rows and not any(r.drifted or r.range_changed for r in rows)
+
+
+def test_streaming_sink_records_per_epoch_profiles(spark, tmp_path):
+    """run --profile-columns: each micro-batch writes a row-per-column
+    snapshot under _profile/epoch={id}/; the lag-window history drift
+    flags the moving block range; a fresh checkpoint (epoch ids restart
+    at 0) is refused by the _STREAM_ID guard instead of silently
+    overwriting recorded history."""
+    import pytest
+
+    from substreams_sink_parquet_spark.sink.writer import WriterOptions
+    from substreams_sink_parquet_spark.streaming.stream_sink import run_pipeline
+    from tests.test_protowire import BLOCK
+    from tests.test_streaming import _stage_blocks
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    opts = WriterOptions(partition_size=10, start_block=0)
+    for batch, blocks in enumerate([range(0, 12), range(12, 30)]):
+        _stage_blocks(spark, input_dir, list(blocks), batch)
+        q, _ = run_pipeline(
+            spark, input_dir, out_dir, BLOCK, ckpt, opts=opts,
+            profile_columns=["block_number", "s"],
+        )
+        q.awaitTermination(120)
+
+    hist = P.read_profile_history(spark, out_dir)
+    rows = {(r.epoch, r.column): r for r in hist.collect()}
+    assert len(rows) == 4  # 2 epochs x 2 columns
+    assert rows[(0, "block_number")].n_rows == 12
+    assert rows[(1, "block_number")].n_rows == 18
+    assert rows[(0, "block_number")].n_nulls == 0
+    assert (rows[(0, "block_number")].min_repr,
+            rows[(0, "block_number")].max_repr) == ("0", "11")
+    assert rows[(1, "block_number")].min_repr == "12"
+
+    drift = P.profile_history_drift(hist).collect()
+    # first epoch has no baseline; both columns judged once, at epoch 1
+    assert sorted((r.epoch, r.column) for r in drift) == [
+        (1, "block_number"), (1, "s")]
+    d = {r.column: r for r in drift}
+    assert d["block_number"].range_changed and d["block_number"].drifted
+    assert d["s"].null_rate_new == 0.0
+
+    # fresh checkpoint => epoch 0 again => guard must refuse, loudly
+    _stage_blocks(spark, input_dir, [30, 31], 2)
+    q, _ = run_pipeline(
+        spark, input_dir, out_dir, BLOCK, str(tmp_path / "ckpt2"), opts=opts,
+        profile_columns=["block_number"],
+    )
+    with pytest.raises(Exception, match="refusing epoch overwrite"):
+        q.awaitTermination(120)
