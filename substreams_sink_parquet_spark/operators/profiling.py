@@ -40,7 +40,8 @@ from pyspark.sql import functions as F
 from ..catalog import register
 from ..tables import load
 
-__all__ = ["profile_table", "numeric_histogram", "profile_drift"]
+__all__ = ["profile_table", "numeric_histogram", "profile_drift",
+           "profile_quantiles"]
 
 
 def _repr_expr(dtype: str, c: Column) -> Column:
@@ -183,6 +184,42 @@ def _drift_flags(j: DataFrame, null_rate_tol: float, distinct_ratio_tol: float,
         range_changed.alias("range_changed"),
         drifted.alias("drifted"),
     )
+
+
+def profile_quantiles(df: DataFrame, cols: list[str],
+                      probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+                      exact: bool = True) -> DataFrame:
+    """Per-column quantiles → (column, p, q), one row per (column, prob),
+    all columns in ONE aggregate pass (same single-job unpivot shape as
+    :func:`profile_table`).
+
+    ``exact=True`` uses Spark's exact interpolated percentile — its
+    aggregation state holds each column's distinct (value, count) pairs,
+    so it is the right mode when distinct values are bounded (prices,
+    scores, lengths) and the mode the oracle hash demands. ``exact=False``
+    switches to the KLL-style ``percentile_approx`` sketch whose state is
+    fixed-size regardless of cardinality — the scale default for
+    continuous columns on a crawl. Values round to 6 dp (interpolation
+    arithmetic is the only float in play; see catalog.py rules)."""
+    if not cols:
+        raise ValueError("profile_quantiles needs at least one column")
+    plist = [float(p) for p in probs]
+    aggs = [
+        (F.percentile(c, F.lit(plist)) if exact
+         else F.percentile_approx(c, plist, 10000)).alias(f"__q_{c}")
+        for c in cols
+    ]
+    wide = df.agg(*aggs)
+    entries = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(p).alias("p"),
+            F.round(F.element_at(f"__q_{c}", i + 1).cast("double"), 6).alias("q"),
+        )
+        for c in cols
+        for i, p in enumerate(plist)
+    ])
+    return wide.select(F.inline(entries))
 
 
 def read_profile_history(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -354,6 +391,33 @@ def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         profile_table(orders, _DRIFT_OLD_COLS, exact_distinct=True),
         profile_table(degraded, _DRIFT_NEW_COLS, exact_distinct=True),
     )
+
+
+_QUANT_COLS = ["o_totalprice", "o_orderkey"]
+_QUANT_PROBS = (0.25, 0.5, 0.75, 0.95)
+
+_QUANT_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", CAST({p} AS DOUBLE) AS p,
+       ROUND(quantile_cont(CAST({c} AS DOUBLE), {p}), 6) AS q
+FROM orders"""
+    for c in _QUANT_COLS
+    for p in _QUANT_PROBS
+)
+
+
+@register(
+    "q_profile_quantiles",
+    _QUANT_ORACLE,
+    doc="Exact interpolated quantiles (p25/50/75/95) for two orders "
+        "columns in ONE aggregate pass, unpivoted via 1-row inline — the "
+        "distribution row of the profiling family. Exact mode's state is "
+        "distinct-value-bounded (right for prices/keys and demanded by "
+        "the oracle hash); the percentile_approx sketch mode is the "
+        "documented scale default for continuous crawl columns",
+)
+def q_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return profile_quantiles(orders, _QUANT_COLS, _QUANT_PROBS)
 
 
 _HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 400000.0, 16

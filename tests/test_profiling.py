@@ -156,3 +156,52 @@ def test_streaming_sink_records_per_epoch_profiles(spark, tmp_path):
     )
     with pytest.raises(Exception, match="refusing epoch overwrite"):
         q.awaitTermination(120)
+
+
+def test_profile_quantiles_exact_and_approx(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(1, 101)], "v double")
+    rows = {r.p: r.q for r in
+            P.profile_quantiles(df, ["v"], (0.25, 0.5)).collect()}
+    # R-7 interpolation over 1..100: h = 99p + 1
+    assert rows[0.25] == 25.75 and rows[0.5] == 50.5
+    approx = {r.p: r.q for r in
+              P.profile_quantiles(df, ["v"], (0.25, 0.5), exact=False).collect()}
+    for p in (0.25, 0.5):
+        assert abs(approx[p] - rows[p]) <= 2.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        P.profile_quantiles(df, [])
+
+
+def test_histogram_matches_plain_python_binning(spark):
+    """Property: for any values/bounds, every non-null value lands in
+    exactly the bin plain Python computes with the same clamp rule."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        vals=st.lists(
+            st.floats(min_value=-1e6, max_value=1e6,
+                      allow_nan=False, allow_infinity=False),
+            min_size=1, max_size=30),
+        lo=st.floats(min_value=-100, max_value=0),
+        width=st.floats(min_value=1, max_value=500),
+        n_bins=st.integers(min_value=1, max_value=8),
+    )
+    @settings(max_examples=12, deadline=None)
+    def check(vals, lo, width, n_bins):
+        hi = lo + width * n_bins
+        import math
+
+        expect = {}
+        for v in vals:
+            b = min(max(math.floor((v - lo) / ((hi - lo) / n_bins)), 0),
+                    n_bins - 1)
+            expect[b] = expect.get(b, 0) + 1
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = {r.bin: r.cnt for r in
+               P.numeric_histogram(df, "v", lo, hi, n_bins).collect()}
+        assert got == expect
+
+    check()
