@@ -799,6 +799,21 @@ def cmd_curate(args: argparse.Namespace) -> int:
         return 2
     report: dict = {"input_docs": docs.count()}
 
+    def _doc_profile(d):
+        # what curation changes about the DISTRIBUTION, not just counts:
+        # profile derived per-doc metrics (chars/words, plus lang if
+        # present) — sketch mode, one aggregate pass per side
+        from .operators.profiling import profile_table
+
+        view = d.select(
+            F.length("text").alias("chars"),
+            F.size(F.split("text", " ")).alias("words"),
+            *(["lang"] if "lang" in d.columns else []),
+        )
+        return profile_table(view, view.columns)
+
+    profile_before = _doc_profile(docs) if args.profile else None
+
     if args.line_dedup_min_docs is not None:
         cleaned = line_dedup(
             docs.select("doc_id", "text"),
@@ -846,6 +861,13 @@ def cmd_curate(args: argparse.Namespace) -> int:
         docs = docs.join(losers, "doc_id", "left_anti").persist()
         report["after_near_dup"] = docs.count()
 
+    if profile_before is not None:
+        from .operators.profiling import profile_drift
+
+        drift = profile_drift(profile_before, _doc_profile(docs))
+        report["profile_drift"] = [
+            r.asDict() for r in drift.orderBy("column").collect()
+        ]
     docs.drop("__flat").write.mode("overwrite").parquet(args.out)
     report["written"] = args.out
     print(json.dumps(report))
@@ -1192,6 +1214,9 @@ def main(argv: list[str] | None = None) -> int:
                        help="prune MinHash-LSH near-dup clusters to their "
                             "canonical (min doc_id) member")
     cur_p.add_argument("--neardup-threshold", type=float, default=0.5)
+    cur_p.add_argument("--profile", action="store_true",
+                       help="report distribution drift (chars/words/lang "
+                       "profiles before vs after) alongside the counts")
     cur_p.set_defaults(fn=cmd_curate)
 
     retr_p = sub.add_parser(

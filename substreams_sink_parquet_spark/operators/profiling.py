@@ -147,11 +147,18 @@ def profile_drift(old: DataFrame, new: DataFrame,
     column-count-sized, so the join is trivially broadcast; rates round
     through DECIMAL at 6dp for cross-engine hash stability."""
     def side(p: DataFrame, tag: str) -> DataFrame:
+        # n_rows = 0 (an empty table's profile) leaves the rate NULL →
+        # the one-sided branch flags it: a side with no rows at all is
+        # drift, never an ANSI divide-by-zero abort
         return p.select(
             "column",
-            F.round(
-                (F.col("n_nulls") / F.col("n_rows")).cast("decimal(18,6)"), 6
-            ).cast("double").alias(f"null_rate_{tag}"),
+            F.when(
+                F.col("n_rows") > 0,
+                F.round(
+                    (F.col("n_nulls") / F.col("n_rows")).cast("decimal(18,6)"),
+                    6,
+                ).cast("double"),
+            ).alias(f"null_rate_{tag}"),
             F.col("n_distinct").alias(f"n_distinct_{tag}"),
             F.col("min_repr").alias(f"min_{tag}"),
             F.col("max_repr").alias(f"max_{tag}"),
@@ -247,9 +254,12 @@ def profile_history_drift(hist: DataFrame,
     case here."""
     from pyspark.sql.window import Window
 
-    nr = F.round(
-        (F.col("n_nulls") / F.col("n_rows")).cast("decimal(18,6)"), 6
-    ).cast("double")
+    nr = F.when(
+        F.col("n_rows") > 0,
+        F.round(
+            (F.col("n_nulls") / F.col("n_rows")).cast("decimal(18,6)"), 6
+        ).cast("double"),
+    )
     cur = hist.select(
         "epoch", "column",
         nr.alias("null_rate_new"),

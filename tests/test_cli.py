@@ -628,3 +628,30 @@ def test_cli_profile_history_reports_drift(tmp_path, spark, capsys):
     assert main(["profile-history", lake, "--drift-only"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [r["column"] for r in out["drift"]] == ["v"]
+
+
+def test_cli_curate_profile_reports_distribution_drift(tmp_path, spark, capsys):
+    """--profile: the report carries before-vs-after drift of the derived
+    chars/words/lang profiles — curation that guts short junk must move
+    the distribution visibly, and a lang that fully survives must not."""
+    import json
+
+    good = ("the quick brown fox jumps over a lazy dog while the patient "
+            "cat watches from a warm sunny windowsill nearby today and it "
+            "is a fine day of calm weather in the garden this morning")
+    rows = [(i, f"{good} variant {i}", "en") for i in range(1, 5)] + [
+        (i, "x", "en") for i in range(5, 25)  # junk the gate removes
+    ]
+    src = str(tmp_path / "docs_p")
+    out = str(tmp_path / "curated_p")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string")\
+        .write.parquet(src)
+    rc = main(["curate", src, out, "--quality-gate", "--profile"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    drift = {d["column"]: d for d in rep["profile_drift"]}
+    assert set(drift) == {"chars", "words", "lang"}
+    # junk removal collapses the chars distribution: min moves 1 -> long
+    assert drift["chars"]["drifted"] and drift["chars"]["range_changed"]
+    # lang is 'en' on both sides: nothing to flag
+    assert not drift["lang"]["drifted"]

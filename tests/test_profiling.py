@@ -205,3 +205,14 @@ def test_histogram_matches_plain_python_binning(spark):
         assert got == expect
 
     check()
+
+
+def test_profile_drift_empty_side_flags_not_crashes(spark):
+    """A profile of an EMPTY table (n_rows=0) must read as loud one-sided
+    drift — not an ANSI divide-by-zero abort."""
+    full = spark.createDataFrame([(1,)], "k long")
+    empty = full.filter("k < 0")
+    p_full = P.profile_table(full, ["k"], exact_distinct=True)
+    p_empty = P.profile_table(empty, ["k"], exact_distinct=True)
+    r = P.profile_drift(p_full, p_empty).collect()[0]
+    assert r.null_rate_new is None and r.drifted and r.range_changed
