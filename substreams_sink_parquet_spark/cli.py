@@ -397,6 +397,7 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         input_format=args.format,
         quality_gate=args.quality_gate,
         line_dedup_min_docs=args.line_dedup_min_docs,
+        profile=args.profile,
     )
     query.awaitTermination()
     n = corpus_docs(spark, args.store_url).count()
@@ -799,20 +800,11 @@ def cmd_curate(args: argparse.Namespace) -> int:
         return 2
     report: dict = {"input_docs": docs.count()}
 
-    def _doc_profile(d):
-        # what curation changes about the DISTRIBUTION, not just counts:
-        # profile derived per-doc metrics (chars/words, plus lang if
-        # present) — sketch mode, one aggregate pass per side
-        from .operators.profiling import profile_table
+    # what curation changes about the DISTRIBUTION, not just counts:
+    # the shared derived-metrics snapshot (chars/words/lang, sketch mode)
+    from .operators.profiling import document_profile
 
-        view = d.select(
-            F.length("text").alias("chars"),
-            F.size(F.split("text", " ")).alias("words"),
-            *(["lang"] if "lang" in d.columns else []),
-        )
-        return profile_table(view, view.columns)
-
-    profile_before = _doc_profile(docs) if args.profile else None
+    profile_before = document_profile(docs) if args.profile else None
 
     if args.line_dedup_min_docs is not None:
         cleaned = line_dedup(
@@ -864,7 +856,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
     if profile_before is not None:
         from .operators.profiling import profile_drift
 
-        drift = profile_drift(profile_before, _doc_profile(docs))
+        drift = profile_drift(profile_before, document_profile(docs))
         report["profile_drift"] = [
             r.asDict() for r in drift.orderBy("column").collect()
         ]
@@ -1093,6 +1085,10 @@ def main(argv: list[str] | None = None) -> int:
                                "cascade BEFORE dedup; rejection reasons land "
                                "under _rejects/epoch=N")
     corpus_p.add_argument("--neardup-threshold", type=float, default=0.5)
+    corpus_p.add_argument("--profile", action="store_true",
+                          help="per-epoch chars/words/lang profiles of the "
+                          "admitted docs under _profile/ (read back with "
+                          "profile-history)")
     corpus_p.set_defaults(fn=cmd_corpus)
 
     ccompact_p = sub.add_parser(

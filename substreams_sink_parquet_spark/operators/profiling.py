@@ -229,6 +229,21 @@ def profile_quantiles(df: DataFrame, cols: list[str],
     return wide.select(F.inline(entries))
 
 
+def document_profile(docs: DataFrame) -> DataFrame:
+    """Distribution profile of a document table on DERIVED per-doc
+    metrics — chars and words of ``text``, plus ``lang`` when present —
+    in sketch mode (one aggregate pass, column-count-sized exchange).
+    The shared corpus-shape snapshot: curate's before/after drift report
+    and the streaming corpus builder's per-epoch history both use it, so
+    their numbers are comparable across the batch and streaming paths."""
+    view = docs.select(
+        F.length("text").alias("chars"),
+        F.size(F.split("text", " ")).alias("words"),
+        *(["lang"] if "lang" in docs.columns else []),
+    )
+    return profile_table(view, view.columns)
+
+
 def read_profile_history(spark: SparkSession, out_dir: str) -> DataFrame:
     """Per-epoch ingest profiles written by the streaming sink's
     ``profile_columns`` stage: ``{lake}/_profile/epoch={id}/`` →

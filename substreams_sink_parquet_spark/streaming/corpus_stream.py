@@ -101,6 +101,14 @@ class CorpusSink:
     # not silent, same philosophy as the quarantine — and the filter is
     # stateless, so replays converge by the epoch-overwrite contract.
     quality_gate: bool = False
+    # per-epoch distribution snapshots of the FINALLY-admitted docs
+    # (operators/profiling.py document_profile — chars/words/lang in
+    # sketch mode): kilobyte rows under ``_profile/epoch={id}`` with the
+    # same epoch-overwrite replay contract as every other per-epoch
+    # artifact here, read back with read_profile_history /
+    # profile_history_drift — the corpus-shape counterpart of the block
+    # sink's ``run --profile-columns`` history.
+    profile: bool = False
 
     def __post_init__(self) -> None:
         self._fs = HadoopFS(self.spark, self.out_dir)
@@ -390,6 +398,16 @@ class CorpusSink:
                     validate=False,
                     meta=self._ann_meta,
                 )
+            if self.profile:
+                from ..operators.profiling import document_profile
+
+                # kept is persisted: one sketch-aggregate job over cached
+                # partitions, a row per derived metric per epoch
+                document_profile(kept).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(
+                    url_join(self.out_dir, "_profile", f"epoch={epoch_id}")
+                )
             if self.lexical_index_dir is not None:
                 from ..llm.lexical_index import append_epoch_to_lexical_index
 
@@ -498,6 +516,7 @@ def run_corpus_pipeline(
     input_format: str = "jsonl",
     quality_gate: bool = False,
     line_dedup_min_docs: int | None = None,
+    profile: bool = False,
 ):
     """readStream over document shards → CorpusSink.
 
@@ -519,6 +538,7 @@ def run_corpus_pipeline(
         ann_index_dir=ann_index_dir, lexical_index_dir=lexical_index_dir,
         quality_gate=quality_gate,
         line_dedup_min_docs=line_dedup_min_docs,
+        profile=profile,
     )
     sink._fs.mkdirs(out_dir)
     if input_format == "warc":

@@ -1051,3 +1051,53 @@ def test_line_retro_stale_audit_matches_batch_diff_exactly(spark, tmp_path):
         spark.createDataFrame([(9, "solo", "en", "w", 4, None)], ddl), 0
     )
     assert line_retro_stale(spark, out2, min_dup_docs=3).count() == 0
+
+
+def test_corpus_stream_records_per_epoch_doc_profiles(spark, tmp_path):
+    """profile=True: each batch snapshots the ADMITTED docs' derived
+    chars/words/lang distribution under _profile/epoch={id} — same layout
+    and drift reader as the block sink's ingest history. Rejected dups do
+    not count: the profile describes what the corpus serves."""
+    import json as _json
+
+    from substreams_sink_parquet_spark.operators.profiling import (
+        profile_history_drift,
+        read_profile_history,
+    )
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        run_corpus_pipeline,
+    )
+
+    in_dir, out_dir = tmp_path / "in", str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir.mkdir()
+
+    def doc(i, text):
+        return _json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "web",
+             "n_chars": len(text)}
+        )
+
+    (in_dir / "s0.jsonl").write_text(
+        "\n".join([doc(1, "tiny doc"), doc(2, "other tiny doc")]) + "\n"
+    )
+    q, _ = run_corpus_pipeline(spark, str(in_dir), out_dir, ckpt,
+                               profile=True)
+    q.awaitTermination(120)
+    # second batch: one re-crawl (rejected, must not be profiled), one
+    # much longer admitted doc that moves the chars range
+    (in_dir / "s1.jsonl").write_text(
+        "\n".join([doc(9, "tiny doc"),
+                   doc(10, " ".join(f"w{i}" for i in range(40)))]) + "\n"
+    )
+    q, _ = run_corpus_pipeline(spark, str(in_dir), out_dir, ckpt,
+                               profile=True)
+    q.awaitTermination(120)
+
+    hist = read_profile_history(spark, out_dir)
+    rows = {(r.epoch, r.column): r for r in hist.collect()}
+    assert rows[(0, "chars")].n_rows == 2
+    assert rows[(1, "chars")].n_rows == 1          # only doc 10 admitted
+    assert int(rows[(1, "words")].min_repr) == 40
+    drift = {r.column: r for r in profile_history_drift(hist).collect()}
+    assert drift["chars"].drifted and drift["chars"].range_changed
