@@ -76,6 +76,10 @@ EXTENDED = [
     # (build timed separately as lex_index_build_sec; see main())
     "q_text_bm25_indexed",
     "q_retrieval_hybrid_indexed",
+    # round 7 — profiling family (one-pass aggregates; cheap by design,
+    # benched to prove they STAY cheap)
+    "q_profile_columns",
+    "q_profile_quantiles",
 ]
 
 

@@ -265,6 +265,15 @@ def cmd_profile_history(args: argparse.Namespace) -> int:
     from .operators.profiling import profile_history_drift, read_profile_history
 
     spark = get_spark("profile-history")
+    from .fsio import HadoopFS, url_join
+
+    if not HadoopFS(spark, args.store_url).exists(
+        url_join(args.store_url, "_profile")
+    ):
+        print(f"profile-history: no _profile/ under {args.store_url} — "
+              "run the stream with --profile-columns (block sink) or "
+              "--profile (corpus builder) first", file=sys.stderr)
+        return 2
     hist = read_profile_history(spark, args.store_url)
     drift = profile_history_drift(hist)
     if args.drift_only:
@@ -866,6 +875,39 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_catalog(args: argparse.Namespace) -> int:
+    """The query catalog as a shell surface: ``catalog --list`` prints
+    every registered query id with its check kind and one-line doc;
+    ``catalog <name> --sf-dir DIR`` executes one against a directory of
+    the standard tables (region/nation/.../documents/embeddings) and
+    prints rows. Same registry the driver contract and the bench run —
+    nothing here is a second implementation."""
+    from .catalog import registry
+
+    reg = registry()
+    if args.list or not args.name:
+        for name, spec in sorted(reg.items()):
+            kind = "oracle" if spec.oracle else "rows"
+            doc = " ".join((spec.doc or "").split())
+            print(f"{name}\t{kind}\t{doc[:120]}")
+        return 0
+    if args.name not in reg:
+        import difflib
+
+        close = difflib.get_close_matches(args.name, reg, n=3)
+        hint = f"; did you mean: {', '.join(close)}?" if close else ""
+        print(f"catalog: unknown query {args.name!r}{hint}", file=sys.stderr)
+        return 2
+    if not args.sf_dir:
+        print("catalog: --sf-dir DIR is required to run a query",
+              file=sys.stderr)
+        return 2
+    spark = get_spark("catalog")
+    df = reg[args.name].fn(spark, args.sf_dir)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_setup(args: argparse.Namespace) -> int:
     """Probe round-trip (setup.go:31-66): write → read-back-compare → delete."""
     spark = get_spark("sink-setup")
@@ -969,6 +1011,15 @@ def main(argv: list[str] | None = None) -> int:
                        "under _profile/ (value-level ingest drift history; "
                        "read back with the profile-history command)")
     run_p.set_defaults(fn=cmd_run)
+
+    cat_p = sub.add_parser(
+        "catalog", help="list or run registered catalog queries")
+    cat_p.add_argument("name", nargs="?", default=None)
+    cat_p.add_argument("--list", action="store_true")
+    cat_p.add_argument("--sf-dir", default=None,
+                       help="directory of the standard parquet tables")
+    cat_p.add_argument("--limit", type=int, default=20)
+    cat_p.set_defaults(fn=cmd_catalog)
 
     setup_p = sub.add_parser("setup", help="validate store access")
     setup_p.add_argument("store_url")

@@ -655,3 +655,28 @@ def test_cli_curate_profile_reports_distribution_drift(tmp_path, spark, capsys):
     assert drift["chars"]["drifted"] and drift["chars"]["range_changed"]
     # lang is 'en' on both sides: nothing to flag
     assert not drift["lang"]["drifted"]
+
+
+def test_cli_catalog_lists_and_runs_queries(tmp_path, spark, capsys):
+    rc = main(["catalog", "--list"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "q_profile_columns\toracle" in out and "q_agg_approx\trows" in out
+
+    rc = main(["catalog", "q_agg_basic", "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    assert "l_returnflag" in capsys.readouterr().out
+
+    assert main(["catalog", "q_agg_basic"]) == 2          # no --sf-dir
+    assert main(["catalog", "q_profle_columns"]) == 2     # typo
+    err = capsys.readouterr().err
+    assert "did you mean" in err and "q_profile_columns" in err
+
+
+def test_cli_profile_history_without_history_is_loud(tmp_path, spark, capsys):
+    lake = str(tmp_path / "empty_lake")
+    import os
+
+    os.makedirs(lake)
+    assert main(["profile-history", lake]) == 2
+    assert "_profile" in capsys.readouterr().err
