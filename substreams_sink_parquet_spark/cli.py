@@ -433,7 +433,7 @@ def cmd_corpus_export(args: argparse.Namespace) -> int:
     from .streaming.corpus_stream import corpus_docs
 
     spark = get_spark("corpus-export")
-    docs = corpus_docs(spark, args.store_url)
+    docs = corpus_docs(spark, args.store_url, as_of_epoch=args.as_of_epoch)
     export_training_shards(
         docs, args.out_dir, n_shards=args.shards, seed=args.seed
     )
@@ -1156,6 +1156,9 @@ def main(argv: list[str] | None = None) -> int:
     cexport_p.add_argument("out_dir", help="shard output root")
     cexport_p.add_argument("--shards", type=int, default=64)
     cexport_p.add_argument("--seed", type=int, default=42)
+    cexport_p.add_argument("--as-of-epoch", type=int, default=None,
+                           help="snapshot export: only docs admitted in "
+                           "epochs <= N (partition-pruned time travel)")
     cexport_p.set_defaults(fn=cmd_corpus_export)
 
     annb_p = sub.add_parser(

@@ -423,10 +423,18 @@ class CorpusSink:
                 df.unpersist()
 
 
-def corpus_docs(spark: SparkSession, out_dir: str) -> DataFrame:
+def corpus_docs(spark: SparkSession, out_dir: str,
+                as_of_epoch: int | None = None) -> DataFrame:
     """The admitted corpus (union of every epoch's docs). An empty corpus —
     no micro-batch ever ran, or none admitted anything — reads as zero
-    rows, not a PATH_NOT_FOUND crash."""
+    rows, not a PATH_NOT_FOUND crash.
+
+    ``as_of_epoch`` is a snapshot read: only documents admitted in epochs
+    <= N (the corpus as it stood after batch N committed). Because
+    ``epoch`` IS the partition column, the filter is pure partition
+    pruning — later epochs' files are never opened — which makes
+    reproducing an earlier training run's exact corpus a zero-cost
+    time-travel read, not a restore job."""
     docs_root = url_join(out_dir, "docs")
     if not HadoopFS(spark, out_dir).exists(docs_root):
         from ..sources.text_corpus import DOC_SCHEMA
@@ -439,11 +447,14 @@ def corpus_docs(spark: SparkSession, out_dir: str) -> DataFrame:
     # with and without the optional embedding column; without the merge,
     # Spark takes one arbitrary footer's schema and the column appears or
     # vanishes run-to-run
-    return (
+    df = (
         spark.read.option("basePath", docs_root)
         .option("mergeSchema", "true")
         .parquet(docs_root)
     )
+    if as_of_epoch is not None:
+        df = df.filter(F.col("epoch") <= int(as_of_epoch))
+    return df
 
 
 def line_retro_stale(spark: SparkSession, out_dir: str,

@@ -1101,3 +1101,38 @@ def test_corpus_stream_records_per_epoch_doc_profiles(spark, tmp_path):
     assert int(rows[(1, "words")].min_repr) == 40
     drift = {r.column: r for r in profile_history_drift(hist).collect()}
     assert drift["chars"].drifted and drift["chars"].range_changed
+
+
+def test_corpus_docs_as_of_epoch_is_a_pruned_snapshot(spark, tmp_path):
+    """Time-travel read: as_of_epoch=N returns exactly the corpus as it
+    stood after batch N committed, and because epoch is the partition
+    column the later epochs' files never enter the plan (partition
+    pruning, not a post-scan filter)."""
+    import json as _json
+
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        corpus_docs,
+        run_corpus_pipeline,
+    )
+
+    in_dir, out_dir = tmp_path / "in", str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir.mkdir()
+
+    def doc(i, text):
+        return _json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "web",
+             "n_chars": len(text)}
+        )
+
+    for batch, texts in enumerate([[(1, "alpha doc")], [(2, "beta doc")]]):
+        (in_dir / f"s{batch}.jsonl").write_text(
+            "\n".join(doc(i, t) for i, t in texts) + "\n")
+        q, _ = run_corpus_pipeline(spark, str(in_dir), out_dir, ckpt)
+        q.awaitTermination(120)
+
+    assert {r.doc_id for r in corpus_docs(spark, out_dir).collect()} == {1, 2}
+    snap = corpus_docs(spark, out_dir, as_of_epoch=0)
+    assert [r.doc_id for r in snap.collect()] == [1]
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert "epoch" in plan.split("PartitionFilters", 1)[1][:120]
