@@ -76,9 +76,13 @@ EXTENDED = [
     # (build timed separately as lex_index_build_sec; see main())
     "q_text_bm25_indexed",
     "q_retrieval_hybrid_indexed",
-    # round 7 — profiling family (one-pass aggregates; cheap by design,
-    # benched to prove they STAY cheap)
+    # round 7 — profiling family. q_profile_columns is the catalog's
+    # EXACT mode (multi-column COUNT DISTINCT: Expand + distinct-values
+    # shuffle — the documented oracle-gate trade); the _approx row is the
+    # bench-local HLL scale default (see main()), so the artifact shows
+    # BOTH sides of the trade.
     "q_profile_columns",
+    "q_profile_columns_approx",
     "q_profile_quantiles",
 ]
 
@@ -380,9 +384,18 @@ def main() -> None:
             k=_HYBRID_K, top=10,
         )
 
+    def _profile_columns_approx(spark, sf_dir):
+        # the HLL scale mode of q_profile_columns: same columns, sketch
+        # distinct — the exchange is column-count-sized
+        from substreams_sink_parquet_spark.operators import profiling as P
+
+        return P.profile_table(load(spark, sf_dir, "orders"),
+                               P._PROFILE_COLS)
+
     serve_overrides = {
         "q_text_bm25_indexed": _serve_bm25_indexed,
         "q_retrieval_hybrid_indexed": _serve_hybrid_indexed,
+        "q_profile_columns_approx": _profile_columns_approx,
     }
     qs = dict(qs, **serve_overrides)
 
