@@ -563,6 +563,9 @@ def main() -> None:
         "sf": sf,
         "compact": True,
     }))
+    import shutil
+
+    shutil.rmtree(lex_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

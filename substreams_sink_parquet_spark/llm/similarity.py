@@ -320,7 +320,9 @@ def ivf_centroids(embeddings: DataFrame, vec_col: str = "embedding",
     a cell that loses all members keeps its previous centroid (the same
     rule the distributed pass applied). Same-input determinism is exact:
     the sample is hash-ordered with an id tie-break and NumPy reductions
-    are order-fixed."""
+    are order-fixed. A corpus smaller than ``n_centroids`` degrades to
+    one centroid per row — the same graceful contract as the seed-only
+    path (every consumer's nprobe/assignment handles fewer cells)."""
     import numpy as np
 
     if refine_iters <= 0:
@@ -329,19 +331,22 @@ def ivf_centroids(embeddings: DataFrame, vec_col: str = "embedding",
     cap = train_cap if train_cap is not None else 256 * n_centroids
     rows = _seed_rows(embeddings, vec_col, max(n_centroids, cap))
     X = np.asarray([r.v for r in rows], dtype=np.float64)
-    # first n_centroids sample rows == the seeds the k-row collect returns
-    C = X[:n_centroids].copy()
+    k_eff = min(n_centroids, len(X))
+    if k_eff == 0:
+        return []
+    # first k_eff sample rows == the seeds the k-row collect returns
+    C = X[:k_eff].copy()
     Xn = X / _safe_norms(X)
     for _ in range(refine_iters):
         Cn = C / _safe_norms(C)
         # argmax takes the FIRST max -> lowest cent_id on ties, matching
         # _nearest_centroid's array_min struct tie-break
         a = np.argmax(Xn @ Cn.T, axis=1)
-        for j in range(n_centroids):
+        for j in range(k_eff):
             members = X[a == j]
             if len(members):
                 C[j] = members.mean(axis=0)
-    return [(i + 1, [float(x) for x in C[i]]) for i in range(n_centroids)]
+    return [(i + 1, [float(x) for x in C[i]]) for i in range(k_eff)]
 
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,

@@ -171,18 +171,30 @@ def _drift_flags(j: DataFrame, null_rate_tol: float, distinct_ratio_tol: float,
                  keys: tuple[str, ...] = ("column",)) -> DataFrame:
     """Shared drift verdict over a frame carrying *_old / *_new stat
     columns — one implementation so the two-profile compare and the
-    epoch-history lag path cannot diverge on thresholds or null logic."""
+    epoch-history lag path cannot diverge on thresholds or null logic.
+
+    min/max compare null-safely (an all-NULL column has NULL reprs on
+    both sides — identical, not "changed", and never a SQL-NULL verdict)
+    and the distinct-ratio test is skipped when BOTH sides have zero
+    distinct values: a column that is entirely NULL in every epoch is
+    unchanged, not permanently drifted (its 0/1 ratio would otherwise
+    trip the lower band forever)."""
     one_sided = F.col("null_rate_old").isNull() | F.col("null_rate_new").isNull()
     range_changed = one_sided | (
-        (F.col("min_old") != F.col("min_new"))
-        | (F.col("max_old") != F.col("max_new"))
+        ~F.col("min_old").eqNullSafe(F.col("min_new"))
+        | ~F.col("max_old").eqNullSafe(F.col("max_new"))
     )
     ratio = F.col("n_distinct_new") / F.greatest(F.col("n_distinct_old"), F.lit(1))
+    distinct_moved = F.when(
+        (F.col("n_distinct_old") == 0) & (F.col("n_distinct_new") == 0),
+        F.lit(False),
+    ).otherwise(
+        (ratio < 1 - distinct_ratio_tol) | (ratio > 1 + distinct_ratio_tol)
+    )
     drifted = (
         one_sided
         | (F.abs(F.col("null_rate_new") - F.col("null_rate_old")) > null_rate_tol)
-        | (ratio < 1 - distinct_ratio_tol)
-        | (ratio > 1 + distinct_ratio_tol)
+        | distinct_moved
         | range_changed
     )
     return j.select(
@@ -262,11 +274,13 @@ def profile_history_drift(hist: DataFrame,
     (epoch, column) row compared against the SAME column's previous
     epoch via one lag window — a single exchange on ``column`` over a
     kilobytes-sized history, with the verdict logic shared with
-    :func:`profile_drift`. The first epoch has no baseline and is
-    omitted; a column vanishing from the stream's schema mid-history is
-    a schema-drift event the sink's ``ensure_schema_compatible`` guard
-    already refuses, so unlike ``profile_drift`` there is no one-sided
-    case here."""
+    :func:`profile_drift`. Only each column's FIRST epoch (no baseline)
+    is omitted — the cut is by lag position, not by a null rate, because
+    an EMPTY epoch (n_rows=0, rates NULL) must flag one-sided drift on
+    its own row AND leave the following epoch's verdict in the report
+    (also one-sided: its baseline was empty). A column vanishing from
+    the stream's schema mid-history is a schema-drift event the sink's
+    ``ensure_schema_compatible`` guard already refuses."""
     from pyspark.sql.window import Window
 
     nr = F.when(
@@ -290,7 +304,8 @@ def profile_history_drift(hist: DataFrame,
         F.lag("n_distinct_new").over(w).alias("n_distinct_old"),
         F.lag("min_new").over(w).alias("min_old"),
         F.lag("max_new").over(w).alias("max_old"),
-    ).filter(F.col("null_rate_old").isNotNull())
+        F.lag("epoch").over(w).alias("__prev_epoch"),
+    ).filter(F.col("__prev_epoch").isNotNull()).drop("__prev_epoch")
     return _drift_flags(lagged, null_rate_tol, distinct_ratio_tol,
                         keys=("epoch", "column"))
 
@@ -384,12 +399,15 @@ def _drift_oracle() -> str:
     SELECT "column", null_rate_old, null_rate_new,
            n_distinct_old, n_distinct_new,
            (null_rate_old IS NULL OR null_rate_new IS NULL
-            OR mn_old != mn_new OR mx_old != mx_new) AS range_changed,
+            OR mn_old IS DISTINCT FROM mn_new
+            OR mx_old IS DISTINCT FROM mx_new) AS range_changed,
            (null_rate_old IS NULL OR null_rate_new IS NULL
             OR ABS(null_rate_new - null_rate_old) > 0.05
-            OR n_distinct_new / GREATEST(n_distinct_old, 1) < 0.5
-            OR n_distinct_new / GREATEST(n_distinct_old, 1) > 1.5
-            OR mn_old != mn_new OR mx_old != mx_new) AS drifted
+            OR (NOT (n_distinct_old = 0 AND n_distinct_new = 0)
+                AND (n_distinct_new / GREATEST(n_distinct_old, 1) < 0.5
+                     OR n_distinct_new / GREATEST(n_distinct_old, 1) > 1.5))
+            OR mn_old IS DISTINCT FROM mn_new
+            OR mx_old IS DISTINCT FROM mx_new) AS drifted
     FROM j
     """
 

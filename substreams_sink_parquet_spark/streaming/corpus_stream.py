@@ -107,8 +107,15 @@ class CorpusSink:
     # same epoch-overwrite replay contract as every other per-epoch
     # artifact here, read back with read_profile_history /
     # profile_history_drift — the corpus-shape counterpart of the block
-    # sink's ``run --profile-columns`` history.
+    # sink's ``run --profile-columns`` history. ``stream_id``
+    # (run_corpus_pipeline passes the checkpoint path) arms the same
+    # ``_STREAM_ID`` guard the rollup and sink-profile histories carry:
+    # a FRESH checkpoint restarts epoch ids at 0 and must not silently
+    # overwrite recorded history one dir at a time. The corpus/doc dirs
+    # themselves don't need it — a fresh checkpoint re-feeding there is
+    # screened by the content indexes, not destroyed by them.
     profile: bool = False
+    stream_id: str | None = None
 
     def __post_init__(self) -> None:
         self._fs = HadoopFS(self.spark, self.out_dir)
@@ -400,14 +407,16 @@ class CorpusSink:
                 )
             if self.profile:
                 from ..operators.profiling import document_profile
+                from .rollup import guard_stream_id
 
                 # kept is persisted: one sketch-aggregate job over cached
                 # partitions, a row per derived metric per epoch
+                profile_dir = url_join(self.out_dir, "_profile")
+                guard_stream_id(self._fs, profile_dir, self.stream_id,
+                                what="corpus-profile history")
                 document_profile(kept).coalesce(1).write.mode(
                     "overwrite"
-                ).parquet(
-                    url_join(self.out_dir, "_profile", f"epoch={epoch_id}")
-                )
+                ).parquet(url_join(profile_dir, f"epoch={epoch_id}"))
             if self.lexical_index_dir is not None:
                 from ..llm.lexical_index import append_epoch_to_lexical_index
 
@@ -550,6 +559,7 @@ def run_corpus_pipeline(
         quality_gate=quality_gate,
         line_dedup_min_docs=line_dedup_min_docs,
         profile=profile,
+        stream_id=checkpoint_dir,
     )
     sink._fs.mkdirs(out_dir)
     if input_format == "warc":

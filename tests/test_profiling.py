@@ -216,3 +216,33 @@ def test_profile_drift_empty_side_flags_not_crashes(spark):
     p_empty = P.profile_table(empty, ["k"], exact_distinct=True)
     r = P.profile_drift(p_full, p_empty).collect()[0]
     assert r.null_rate_new is None and r.drifted and r.range_changed
+
+
+def test_history_drift_survives_an_empty_epoch(spark):
+    """An empty epoch (n_rows=0) flags one-sided drift on its own row AND
+    the following epoch still appears (judged against the empty baseline)
+    — neither vanishes from the on-call report."""
+    cols = ("column string, n_rows long, n_nulls long, n_distinct long, "
+            "min_repr string, max_repr string")
+    mk = lambda rows: spark.createDataFrame(rows, cols)
+    hist = (
+        mk([("v", 10, 0, 5, "1", "9")]).withColumn("epoch", F.lit(0))
+        .unionByName(mk([("v", 0, 0, 0, None, None)]).withColumn("epoch", F.lit(1)))
+        .unionByName(mk([("v", 10, 0, 5, "1", "9")]).withColumn("epoch", F.lit(2)))
+    )
+    drift = {r.epoch: r for r in P.profile_history_drift(hist).collect()}
+    assert set(drift) == {1, 2}
+    assert drift[1].drifted and drift[2].drifted
+
+
+def test_drift_all_null_column_is_quiet_not_permanently_flagged(spark):
+    """A column that is entirely NULL on both sides: identical, so no
+    drift — the 0-distinct ratio must not trip the band, NULL reprs
+    compare null-safely, and the verdicts are real booleans."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "k long, opt string"
+    )
+    p = P.profile_table(df, ["k", "opt"], exact_distinct=True)
+    r = {x.column: x for x in P.profile_drift(p, p).collect()}
+    assert r["opt"].drifted is False and r["opt"].range_changed is False
+    assert r["k"].drifted is False

@@ -433,3 +433,14 @@ def test_l2_topk_ranks_corrupt_embeddings_last_not_first(spark):
     # corrupt vectors — they are excluded, not merely ranked last
     got4 = [r.neighbor_id for r in l2_topk(emb, q, k=4).orderBy("rank").collect()]
     assert got4 == [1, 2]
+
+
+def test_quantizer_training_degrades_gracefully_on_tiny_corpora(spark, sf_dir):
+    """A corpus smaller than n_centroids yields one centroid per row —
+    the seed path's contract — instead of an IndexError (bootstrapping an
+    ANN index or semantic dedup on a small first corpus must work)."""
+    emb = load(spark, sf_dir, "embeddings").limit(5)
+    cents = S.ivf_centroids(emb, n_centroids=16, refine_iters=1)
+    assert len(cents) == 5
+    assert [c for c, _ in cents] == [1, 2, 3, 4, 5]
+    assert S.ivf_centroids(emb.limit(0), n_centroids=4, refine_iters=1) == []
