@@ -1136,3 +1136,33 @@ def test_corpus_docs_as_of_epoch_is_a_pruned_snapshot(spark, tmp_path):
     assert [r.doc_id for r in snap.collect()] == [1]
     plan = snap._jdf.queryExecution().executedPlan().toString()
     assert "epoch" in plan.split("PartitionFilters", 1)[1][:120]
+
+
+def test_corpus_profile_history_guards_fresh_checkpoints(spark, tmp_path):
+    """A fresh checkpoint restarts epoch ids at 0; the corpus _profile
+    history must refuse the overwrite loudly (same _STREAM_ID contract
+    as the rollup and block-sink profile histories)."""
+    import json as _json
+
+    import pytest
+
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        run_corpus_pipeline,
+    )
+
+    in_dir, out_dir = tmp_path / "in", str(tmp_path / "out")
+    in_dir.mkdir()
+    (in_dir / "s0.jsonl").write_text(_json.dumps(
+        {"doc_id": 1, "text": "alpha doc", "lang": "en", "source": "web",
+         "n_chars": 9}) + "\n")
+    q, _ = run_corpus_pipeline(spark, str(in_dir), out_dir,
+                               str(tmp_path / "ckpt"), profile=True)
+    q.awaitTermination(120)
+
+    (in_dir / "s1.jsonl").write_text(_json.dumps(
+        {"doc_id": 2, "text": "beta doc", "lang": "en", "source": "web",
+         "n_chars": 8}) + "\n")
+    q, _ = run_corpus_pipeline(spark, str(in_dir), out_dir,
+                               str(tmp_path / "ckpt2"), profile=True)
+    with pytest.raises(Exception, match="refusing epoch overwrite"):
+        q.awaitTermination(120)
