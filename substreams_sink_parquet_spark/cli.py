@@ -241,6 +241,17 @@ def cmd_profile(args: argparse.Namespace) -> int:
     prof = profile_table(df, cols, exact_distinct=args.exact)
     out = {"table": args.path, "exact_distinct": bool(args.exact),
            "columns": [r.asDict() for r in prof.collect()]}
+    if args.quantiles:
+        from .operators.profiling import profile_quantiles
+
+        # exact when --exact (distinct-value-bounded state), else the
+        # fixed-size percentile_approx sketch — same trade as distinct
+        out["quantiles"] = [
+            r.asDict()
+            for r in profile_quantiles(
+                df, args.quantiles.split(","), exact=args.exact
+            ).orderBy("column", "p").collect()
+        ]
     for spec_ in args.hist or []:
         try:
             col, lo, hi, bins = spec_.rsplit(":", 3)
@@ -1043,6 +1054,10 @@ def main(argv: list[str] | None = None) -> int:
     prof_p.add_argument(
         "--hist", action="append", metavar="COL:LO:HI:BINS",
         help="append a fixed-bound numeric histogram (repeatable)")
+    prof_p.add_argument(
+        "--quantiles", default=None, metavar="A,B,C",
+        help="p25/50/75/95 for these numeric columns (exact with --exact, "
+        "else the percentile_approx sketch)")
     prof_p.set_defaults(fn=cmd_profile)
 
     ph_p = sub.add_parser(

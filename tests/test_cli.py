@@ -580,7 +580,8 @@ def test_cli_profile_reports_columns_and_histograms(tmp_path, spark, capsys):
         "k long, s string, v double",
     ).write.parquet(p)
 
-    rc = main(["profile", p, "--exact", "--hist", "v:0:10:4"])
+    rc = main(["profile", p, "--exact", "--hist", "v:0:10:4",
+               "--quantiles", "v"])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     cols = {c["column"]: c for c in out["columns"]}
@@ -588,6 +589,8 @@ def test_cli_profile_reports_columns_and_histograms(tmp_path, spark, capsys):
     assert cols["s"]["n_nulls"] == 1 and cols["s"]["n_distinct"] == 1
     assert cols["k"]["min_repr"] == "1" and cols["k"]["max_repr"] == "3"
     assert cols["v"]["max_repr"] == "99.00"
+    qs = {q["p"]: q["q"] for q in out["quantiles"]}
+    assert qs[0.5] == 50.25                # interpolated median of {1.5, 99.0}
     hist = out["histograms"]["v"]
     # 1.5 -> bin 0; 99.0 clamps into the top bin; null vanishes
     assert sum(b["cnt"] for b in hist) == 2
