@@ -241,19 +241,22 @@ def profile_quantiles(df: DataFrame, cols: list[str],
     return wide.select(F.inline(entries))
 
 
-def document_profile(docs: DataFrame) -> DataFrame:
+def document_profile(docs: DataFrame, exact: bool = False) -> DataFrame:
     """Distribution profile of a document table on DERIVED per-doc
     metrics — chars and words of ``text``, plus ``lang`` when present —
-    in sketch mode (one aggregate pass, column-count-sized exchange).
-    The shared corpus-shape snapshot: curate's before/after drift report
-    and the streaming corpus builder's per-epoch history both use it, so
-    their numbers are comparable across the batch and streaming paths."""
+    in sketch mode by default (one aggregate pass, column-count-sized
+    exchange). The shared corpus-shape snapshot: curate's before/after
+    drift report and the streaming corpus builder's per-epoch history
+    both use it, so their numbers are comparable across the batch and
+    streaming paths. ``exact=True`` is the oracle-gate mode
+    (q_profile_documents pins the chars/words derivation against an
+    independent engine)."""
     view = docs.select(
         F.length("text").alias("chars"),
         F.size(F.split("text", " ")).alias("words"),
         *(["lang"] if "lang" in docs.columns else []),
     )
-    return profile_table(view, view.columns)
+    return profile_table(view, view.columns, exact_distinct=exact)
 
 
 def read_profile_history(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -434,6 +437,41 @@ def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         profile_table(orders, _DRIFT_OLD_COLS, exact_distinct=True),
         profile_table(degraded, _DRIFT_NEW_COLS, exact_distinct=True),
     )
+
+
+# document_profile derives chars via length() and words via
+# size(split(text, ' ')) — Spark's split keeps empty tokens, so words ==
+# (number of spaces + 1); the oracle derives the SAME count from
+# len(str_split), which DuckDB defines identically
+_DOC_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS "column",
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({expr}) AS n_nulls,
+       CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+       CAST(MIN({expr}) AS VARCHAR) AS min_repr,
+       CAST(MAX({expr}) AS VARCHAR) AS max_repr
+FROM documents"""
+    for name, expr in [
+        ("chars", "len(text)"),
+        ("words", "len(str_split(text, ' '))"),
+        ("lang", "lang"),
+    ]
+)
+
+
+@register(
+    "q_profile_documents",
+    _DOC_PROFILE_ORACLE,
+    doc="The shared corpus-shape snapshot (document_profile) in exact "
+        "mode: per-doc derived chars/words plus lang, profiled in one "
+        "aggregate pass — pins the chars/words derivation (length, "
+        "whitespace-split token count incl. empty tokens) against an "
+        "independent engine, since curate --profile and both streaming "
+        "profile histories report exactly these metrics",
+)
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return document_profile(docs, exact=True)
 
 
 _QUANT_COLS = ["o_totalprice", "o_orderkey"]
