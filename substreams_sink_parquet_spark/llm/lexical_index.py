@@ -270,10 +270,14 @@ def bm25_scores_indexed(spark: SparkSession, index_dir: str,
     meta = read_lexical_meta(spark, index_dir)
     fs = HadoopFS(spark, index_dir)
     terms = _collect_query_terms(queries)
+    # query_id's type follows the caller's table (int fixture vs bigint
+    # parquet --queries-table) so the degenerate returns agree with the
+    # populated path's inherited schema
+    qid_t = queries.schema["query_id"].dataType.simpleString()
+    empty_schema = (f"query_id {qid_t}, doc_id long, bm25 double,"
+                    " n_terms_matched long")
     if not terms:
-        return spark.createDataFrame(
-            [], "query_id int, doc_id long, bm25 double, n_terms_matched long"
-        )
+        return spark.createDataFrame([], empty_schema)
     buckets = sorted({
         zlib.crc32(t.encode("utf-8")) % meta["n_buckets"] for t in terms
     })
@@ -306,9 +310,7 @@ def bm25_scores_indexed(spark: SparkSession, index_dir: str,
                    for c in fs.listdir(ep_dir)):
                 frames.append(_pruned(spark.read.parquet(ep_dir)))
     if not frames or n_docs == 0:
-        return spark.createDataFrame(
-            [], "query_id int, doc_id long, bm25 double, n_terms_matched long"
-        )
+        return spark.createDataFrame([], empty_schema)
     postings = frames[0]
     for f in frames[1:]:
         postings = postings.unionByName(f)
@@ -387,24 +389,33 @@ def _indexed_oracle() -> str:
         "so indexed == direct is pinned at the gate",
 )
 def q_text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from .text import _BM25_BATCH_QUERIES
 
     index_dir = tempfile.mkdtemp(prefix="lexidx_")
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    write_lexical_index(docs, index_dir, n_buckets=64)
-    queries = spark.createDataFrame(
-        list(_BM25_BATCH_QUERIES), "query_id int, query string"
-    )
-    scored = bm25_scores_indexed(spark, index_dir, queries)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("bm25").desc(), "doc_id"
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "doc_id", "bm25",
-                F.col("n_terms_matched").cast("long").alias("n_terms_matched"),
-                F.col("rank").cast("long").alias("rank"))
-    )
+    try:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        write_lexical_index(docs, index_dir, n_buckets=64)
+        queries = spark.createDataFrame(
+            list(_BM25_BATCH_QUERIES), "query_id int, query string"
+        )
+        scored = bm25_scores_indexed(spark, index_dir, queries)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("bm25").desc(), "doc_id"
+        )
+        out = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "doc_id", "bm25",
+                    F.col("n_terms_matched").cast("long")
+                    .alias("n_terms_matched"),
+                    F.col("rank").cast("long").alias("rank"))
+        )
+        # materialize the bounded top-k (|queries| x 10 rows) BEFORE the
+        # finally removes the index the lazy plan would read from — each
+        # catalog/bench invocation previously leaked its mkdtemp dir
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)

@@ -317,8 +317,12 @@ def ivf_centroids(embeddings: DataFrame, vec_col: str = "embedding",
     SCAN of the corpus per iteration, which at 100 TB is exactly the pass
     k-means-on-a-sample exists to avoid. Assignment order and the
     (best cosine, lowest cent_id) tie-break match ``_nearest_centroid``;
-    a cell that loses all members keeps its previous centroid (the same
-    rule the distributed pass applied). Same-input determinism is exact:
+    a cell that loses all members keeps its previous centroid — a
+    DELIBERATE behavior change from the replaced distributed pass (which
+    rebuilt cents solely from the groupBy result, so empty cells were
+    dropped and consumers could see fewer than ``n_centroids`` cells
+    after refinement): keep-on-empty matches ``pq_codebooks`` and keeps
+    the cell count stable across refinement. Same-input determinism is exact:
     the sample is hash-ordered with an id tie-break and NumPy reductions
     are order-fixed. A corpus smaller than ``n_centroids`` degrades to
     one centroid per row — the same graceful contract as the seed-only
@@ -1756,6 +1760,7 @@ def q_retrieval_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "just in pytest",
 )
 def q_retrieval_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from .lexical_index import write_lexical_index
@@ -1763,12 +1768,19 @@ def q_retrieval_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     emb = load(spark, sf_dir, "embeddings")
     lex_dir = tempfile.mkdtemp(prefix="lexidx_hyb_")
-    write_lexical_index(docs, lex_dir, n_buckets=64)
-    qtbl = spark.createDataFrame(
-        list(_HYBRID_BATCH), "query_id int, query string, vec_id bigint"
-    )
-    return retrieve_hybrid_indexed(spark, lex_dir, qtbl, emb,
-                                   k=_HYBRID_K, top=10)
+    try:
+        write_lexical_index(docs, lex_dir, n_buckets=64)
+        qtbl = spark.createDataFrame(
+            list(_HYBRID_BATCH), "query_id int, query string, vec_id bigint"
+        )
+        out = retrieve_hybrid_indexed(spark, lex_dir, qtbl, emb,
+                                      k=_HYBRID_K, top=10)
+        # materialize the bounded fuse (|queries| x top rows) before the
+        # finally removes the index the lazy plan reads — each catalog/
+        # bench invocation previously leaked its mkdtemp dir
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(lex_dir, ignore_errors=True)
 
 
 # -- planted-truth audits for the hash-specific embedding families ---------

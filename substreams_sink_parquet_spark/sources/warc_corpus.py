@@ -216,6 +216,33 @@ def _frame_records_exact(data: bytes) -> list[bytes]:
     return recs
 
 
+def _gunzip_capped(data: bytes, cap: int) -> bytes | None:
+    """Multi-member gzip decompress with a HARD output cap: ``None`` the
+    moment the cap fills, so the allocation is bounded by ``cap`` (plus
+    one zlib block) rather than by whatever the stream expands to. This
+    is the difference between quarantining a gzip bomb and dying to one:
+    ``gzip.decompress`` materializes the full expansion FIRST, so a
+    100 MB raw shard that passes the pre-check but inflates to 300 GiB
+    OOMs the executor before any post-hoc size check runs. Members are
+    read back-to-back (Common Crawl packs one gzip member per WARC
+    record); a truncated stream raises ``EOFError`` and corrupt bytes
+    raise ``zlib.error``, matching ``gzip.decompress``'s contract."""
+    import zlib
+
+    out = bytearray()
+    buf = data
+    while buf:
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out += d.decompress(buf, cap + 1 - len(out))
+        if len(out) > cap:
+            return None
+        if not d.eof:
+            raise EOFError("compressed stream ended before the gzip "
+                           "end-of-stream marker")
+        buf = d.unused_data
+    return bytes(out)
+
+
 def read_warc_corpus_exact(
     spark: SparkSession,
     path: str,
@@ -243,8 +270,12 @@ def read_warc_corpus_exact(
     archive — one pathological multi-hundred-GiB shard — would OOM the
     executor mid-stage. Oversized shards are QUARANTINED LOUDLY instead:
     one corrupt-record row naming the path, the observed size, and the
-    limit (checked on the raw bytes first, then again after gunzip, so a
-    gzip bomb is caught before its framed copies exist). Common Crawl's
+    limit. The raw bytes are checked first; ``.gz`` shards then gunzip
+    through a CAPPED stream decompress (:func:`_gunzip_capped`) that
+    aborts the moment output crosses the limit — so a gzip bomb whose
+    raw bytes pass the pre-check is quarantined with at most
+    ``max_shard_bytes`` allocated, never materialized in full before
+    being measured. Common Crawl's
     ~1 GiB shards pass the default untouched; raise the limit alongside
     executor memory for bigger archives, or use the marker-split default
     reader, which never holds a whole shard."""
@@ -254,9 +285,7 @@ def read_warc_corpus_exact(
     n_strip = len(WARC_MARKER)
 
     def split_files(batches):
-        import gzip
-
-        def oversized(p, n_bytes: int, stage: str) -> str:
+        def oversized(p, n_bytes, stage: str) -> str:
             # a headerless chunk: parses as a corrupt record and takes
             # the normal quarantine path, so the skip is VISIBLE in the
             # same place every other unreadable input lands
@@ -273,9 +302,12 @@ def read_warc_corpus_exact(
                     vals.append(oversized(p, len(data), "raw"))
                     continue
                 if str(p).endswith(".gz"):
-                    data = gzip.decompress(data)
-                    if len(data) > max_shard_bytes:
-                        vals.append(oversized(p, len(data), "gunzipped"))
+                    data = _gunzip_capped(data, max_shard_bytes)
+                    if data is None:
+                        # capped decompress aborts at the limit, so the
+                        # true expansion is unknown — report the breach
+                        vals.append(oversized(
+                            p, f">{max_shard_bytes}", "gunzipped"))
                         continue
                 vals.extend(
                     # decode per-record (Content-Length counts bytes, so

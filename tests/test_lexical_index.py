@@ -170,6 +170,37 @@ def test_empty_query_terms_returns_empty(spark, sf_dir, tmp_path):
     assert L.bm25_scores_indexed(spark, idx, qs).count() == 0
 
 
+def test_degenerate_returns_inherit_query_id_type(spark, sf_dir, tmp_path):
+    """ADVICE r7: the populated path inherits query_id's type from the
+    caller's table (bigint from a parquet --queries-table), so the two
+    empty-result early returns must derive it the same way instead of
+    hardcoding int — schema must agree between the degenerate and
+    populated cases for any caller type."""
+    docs = _docs(spark, sf_dir).limit(20)
+    idx = str(tmp_path / "lex")
+    L.write_lexical_index(docs, idx, n_buckets=4)
+    for qid_t, qid in (("bigint", 7), ("int", 7), ("string", "7")):
+        qs = spark.createDataFrame(
+            [(qid, "the")], f"query_id {qid_t}, query string"
+        )
+        populated = L.bm25_scores_indexed(spark, idx, qs)
+        no_terms = L.bm25_scores_indexed(
+            spark, idx, qs.withColumn("query", F.lit(" "))
+        )
+        # names + types must agree (nullability flags legitimately differ
+        # between a join output and a literal empty frame)
+        assert [(f.name, f.dataType) for f in no_terms.schema] == \
+               [(f.name, f.dataType) for f in populated.schema], qid_t
+        assert no_terms.schema["query_id"].dataType.simpleString() == qid_t
+    # empty-index early return (no postings frames) agrees too
+    empty_idx = str(tmp_path / "lex_empty")
+    L.write_lexical_index(docs.filter(F.lit(False)), empty_idx, n_buckets=4)
+    qs = spark.createDataFrame([(7, "the")], "query_id bigint, query string")
+    out = L.bm25_scores_indexed(spark, empty_idx, qs)
+    assert out.count() == 0
+    assert out.schema["query_id"].dataType.simpleString() == "bigint"
+
+
 def test_corpus_stream_lexical_appends_track_admissions(spark, tmp_path):
     """CorpusSink composition: admitted docs (and ONLY admitted docs —
     rejects leave no postings) become retrievable per batch; a replayed

@@ -518,3 +518,51 @@ def test_warc_exact_mode_max_shard_bytes_quarantines_loudly(spark, tmp_path):
     # same shards, roomy limit: everything parses, nothing quarantined
     clean2, bad2 = read_warc_corpus_exact(spark, str(d))
     assert clean2.count() == 3 and bad2.count() == 0
+
+
+def test_gunzip_capped_bounds_allocation_not_just_measurement():
+    """ADVICE r7 (medium): the bomb guard must bound the ALLOCATION, not
+    measure the expansion after materializing it — a shard whose raw
+    bytes pass max_shard_bytes but inflate far past it has to be refused
+    with at most ~cap bytes ever held. _gunzip_capped returns None the
+    moment the cap fills (zlib max_length capped reads), round-trips
+    multi-member streams (Common Crawl packs one gzip member per WARC
+    record), and keeps gzip.decompress's failure contract for truncated
+    and corrupt inputs."""
+    import gzip
+    import zlib
+
+    import pytest
+
+    from substreams_sink_parquet_spark.sources.warc_corpus import (
+        _gunzip_capped,
+    )
+
+    # multi-member round-trip == gzip.decompress
+    members = b"".join(gzip.compress(p) for p in (b"alpha", b"", b"beta!"))
+    assert _gunzip_capped(members, 1 << 20) == gzip.decompress(members)
+    assert _gunzip_capped(b"", 10) == b""
+
+    # 64 MiB of zeros compresses to ~64 KiB: the raw bytes sail past any
+    # MB-scale raw check while the expansion is 1000x. A tiny cap must
+    # refuse it — and with capped reads that refusal allocates ~cap
+    # bytes, not 64 MiB
+    bomb = gzip.compress(b"\x00" * (64 << 20))
+    assert len(bomb) < 200_000
+    assert _gunzip_capped(bomb, 1000) is None
+    # multi-member bomb: per-member output fits the cap, the SUM doesn't
+    small = gzip.compress(b"z" * 600)
+    assert _gunzip_capped(small + small, 1000) is None
+    # exactly at the cap is allowed, one past is not
+    payload = gzip.compress(b"q" * 1000)
+    assert _gunzip_capped(payload, 1000) == b"q" * 1000
+    assert _gunzip_capped(gzip.compress(b"q" * 1001), 1000) is None
+
+    # failure contract parity with gzip.decompress
+    whole = gzip.compress(b"hello world, framed exactly")
+    with pytest.raises(EOFError):
+        _gunzip_capped(whole[:-8], 1 << 20)  # truncated mid-stream
+    with pytest.raises(zlib.error):
+        _gunzip_capped(b"not gzip at all", 1 << 20)
+    with pytest.raises(zlib.error):
+        _gunzip_capped(whole + b"trailing garbage", 1 << 20)
