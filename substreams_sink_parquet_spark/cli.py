@@ -566,6 +566,33 @@ def cmd_lex_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_export_pretrain(args: argparse.Namespace) -> int:
+    """Lay a curated corpus down as the trainer-facing artifact: one
+    pos-ordered parquet file per shard dir + a committed manifest
+    (llm/export.py). (shard, pos) is a pure function of (doc_id, seed,
+    n_shards), so re-exports reproduce byte order and a new --seed
+    reshuffles the next epoch's order without moving docs between
+    shards. --bpe-merges trains a tokenizer on the corpus head and
+    carries token arrays in the shards."""
+    from .llm.export import write_pretrain_export
+
+    spark = get_spark("export-pretrain")
+    docs = spark.read.parquet(args.docs).select("doc_id", "text")
+    merges = None
+    if args.bpe_merges:
+        from .llm.bpe import train_bpe
+
+        merges = train_bpe(docs, num_merges=args.bpe_merges)
+    man = write_pretrain_export(
+        docs, args.out_dir, context_len=args.context_len,
+        n_shards=args.n_shards, seed=args.seed, merges=merges,
+    )
+    print(f"export-pretrain OK: {args.out_dir} shards={man['n_shards']} "
+          f"docs={man['total_docs']} tokens={man['total_tokens']} "
+          f"seqs={man['total_seqs']} tokenizer={man['tokenizer']}")
+    return 0
+
+
 def cmd_retrieve_index(args: argparse.Namespace) -> int:
     """BM25 retrieval served from a persisted postings index — the
     ``retrieve`` command without its per-call corpus re-tokenize: the
@@ -1262,6 +1289,27 @@ def main(argv: list[str] | None = None) -> int:
     lexc_p.add_argument("index_dir")
     lexc_p.add_argument("--min-epochs", type=int, default=2)
     lexc_p.set_defaults(fn=cmd_lex_compact)
+
+    exp_p = sub.add_parser(
+        "export-pretrain",
+        help="export a corpus as ordered training shards (one pos-ordered "
+             "file per shard + committed manifest)",
+    )
+    exp_p.add_argument("out_dir",
+                       help="artifact root (shards/ + _EXPORT_MANIFEST.json)")
+    exp_p.add_argument("--docs", required=True,
+                       help="parquet of (doc_id, text) rows")
+    exp_p.add_argument("--context-len", type=int, default=2048,
+                       help="greedy packing bin size in tokens")
+    exp_p.add_argument("--n-shards", type=int, default=16,
+                       help="shard count (size so one shard fits a task)")
+    exp_p.add_argument("--seed", type=int, default=42,
+                       help="epoch seed: reshuffles within-shard order, "
+                            "shard membership unchanged")
+    exp_p.add_argument("--bpe-merges", type=int, default=0,
+                       help="train a BPE tokenizer with this many merges "
+                            "and carry token arrays in the shards")
+    exp_p.set_defaults(fn=cmd_export_pretrain)
 
     cur_p = sub.add_parser(
         "curate",

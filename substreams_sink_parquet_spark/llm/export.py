@@ -1,0 +1,289 @@
+"""Training-ready export: the LAST MILE of the pre-training pipeline.
+
+Everything upstream (ingest -> curate -> dedup -> decontaminate -> sample;
+reference parity: the sink's parquet lake is the INPUT side of this story,
+``parquet/sinker/sinker.go`` stops at "rows are in parquet") produces a
+corpus TABLE; a trainer consumes ORDERED, FIXED-SIZE SHARDS. This module
+lays the corpus down as that artifact:
+
+  ``{out_dir}/shards/shard_id={n}/part-*.parquet``  training rows, ONE file
+                                                    per shard dir, pos-ordered
+  ``{out_dir}/_EXPORT_MANIFEST.json``               params + totals +
+                                                    per-shard stats; the
+                                                    COMMIT MARKER
+
+Determinism contract (the reason this is an operator, not a bare
+``df.write``): the ``(shard_id, pos)`` of every document is a pure function
+of ``(doc_id, seed, n_shards)`` — universal-hash shard assignment + seeded
+md5 within-shard order, the ``q_shuffle_shards`` construction — so the same
+corpus exports the same order at any parallelism, on any engine, twice.
+Re-exports are byte-reproducible, trainer resume points are stable
+(shard, pos) coordinates, and a NEW SEED reshuffles the within-shard order
+for the next training epoch while shard MEMBERSHIP stays put (only the
+order exchange reruns; data-parallel shard->worker wiring is unchanged).
+
+Packing rides along rather than being materialized: ``seq_id`` groups
+consecutive docs (in shard order) into ``context_len``-token greedy bins
+via a per-shard running token sum — the ``q_pack_sequences`` contract — and
+``n_tokens`` marks document boundaries for loss masking / attention resets.
+A doc longer than ``context_len`` overflows the bin it STARTS in (greedy
+running-sum packing never splits a document; chunk upstream with
+``text.chunk_documents`` if the trainer needs hard caps).
+
+Tokenization is whitespace by default (count-only, engine-portable —
+SQL-oracle-able end to end) and a trained BPE when ``merges`` is passed:
+then ``tokens`` (the trainable ids-as-strings) are carried in the shards
+and ``n_tokens`` is the BPE count (``bpe.bpe_tokenize``'s map-only Arrow
+apply — no extra shuffle beyond the export's own).
+
+Scale shape: everything before the write is map-only expressions; the ONE
+exchange is the hash repartition on ``shard_id`` (so one task owns one
+shard's rows end-to-end: sort, pack, write a single pos-ordered file).
+Window running sums partition by shard — corpus/n_shards rows each, never a
+global sort. Size ``n_shards`` so a shard fits a task at your scale (the
+knob a 100 TB run raises to thousands; each shard is then still an
+independent stream a trainer worker tails).
+
+Crash-safety: the manifest is the commit marker, written LAST from a
+read-back of the shards actually on disk (never from a recompute that
+could drift from what landed). A re-export deletes it FIRST, so a crash
+mid-write leaves a manifest-less directory every reader refuses loudly,
+and the old artifact is never half-overwritten silently.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..fsio import HadoopFS, url_join
+from ..tables import load
+
+_MANIFEST = "_EXPORT_MANIFEST.json"
+
+# the samplers' universal-hash constants (sampling._A/_B/_M) — duplicated
+# by value so the oracle SQL below stays a literal string
+_M = (1 << 31) - 1
+_A = 1_103_515_245
+_B = 12_345
+
+
+def plan_pretrain_export(docs: DataFrame, context_len: int = 2048,
+                         n_shards: int = 16, seed: int = 42,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         merges: list[tuple[str, str]] | None = None,
+                         ) -> DataFrame:
+    """The export as a DataFrame: (shard_id, pos, seq_id, doc_id, n_tokens,
+    text[, tokens]) — pure function of (doc_id, seed, n_shards), lazily
+    composable (filter it, join it, or hand it to write_pretrain_export).
+
+    shard_id is seed-INDEPENDENT (universal hash of doc_id) so epochs with
+    different seeds reshuffle order without moving docs between shards;
+    pos/seq_id derive from the seeded md5 sort key. seq packing is the
+    greedy per-shard running sum over that order."""
+    cols = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    if merges is None:
+        counted = cols.withColumn(
+            "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+        )
+    else:
+        from .bpe import bpe_tokenize
+
+        toks = bpe_tokenize(cols, merges, text_col="text").select(
+            "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+            "tokens",
+        )
+        counted = cols.join(toks, "doc_id")
+    shard = (((F.col("doc_id") * _A + _B) % _M) % n_shards).cast("long")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}")))
+    w = Window.partitionBy("shard_id").orderBy("sort_key")
+    run = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        counted.withColumn("shard_id", shard)
+        .withColumn("sort_key", key)
+        # the export's ONE exchange: hash-repartition on shard_id to
+        # n_shards tasks BEFORE the windows — hashpartitioning(shard_id)
+        # satisfies the windows' clustering requirement, so ordering and
+        # packing reuse this exchange instead of adding their own, and the
+        # writer downstream adds none (each shard's rows already live in
+        # exactly one task)
+        .repartition(n_shards, "shard_id")
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "seq_id",
+            F.floor((run - F.col("n_tokens")) / context_len).cast("long"),
+        )
+    )
+    keep = ["shard_id", "pos", "seq_id", "doc_id", "n_tokens", "text"]
+    if merges is not None:
+        keep.append("tokens")
+    return out.select(*keep)
+
+
+def write_pretrain_export(docs: DataFrame, out_dir: str,
+                          context_len: int = 2048, n_shards: int = 16,
+                          seed: int = 42, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          merges: list[tuple[str, str]] | None = None,
+                          ) -> dict:
+    """Materialize the export artifact; returns the manifest it committed.
+
+    One file per shard dir, rows pos-ordered inside it: the plan hash-
+    repartitions on shard_id (each shard's rows land in exactly one task)
+    and sorts within partitions by (shard_id, pos), so partitionBy splits
+    a task's output into one ordered file per shard it owns — a trainer
+    worker streams its shard file start to finish with zero further sort.
+    Per-shard stats in the manifest come from reading BACK the written
+    columns (counts only — text is never rescanned), so manifest ==
+    on-disk is true by construction, not by recompute."""
+    spark = docs.sparkSession
+    fs = HadoopFS(spark, out_dir)
+    manifest_path = url_join(out_dir, _MANIFEST)
+    if fs.exists(manifest_path):
+        fs.delete(manifest_path, recursive=False)
+    shards_dir = url_join(out_dir, "shards")
+    plan = plan_pretrain_export(
+        docs, context_len=context_len, n_shards=n_shards, seed=seed,
+        text_col=text_col, id_col=id_col, merges=merges,
+    )
+    (
+        # the plan is already hash-partitioned on shard_id (its one
+        # exchange); the local sort re-asserts pos order without another
+        plan.sortWithinPartitions("shard_id", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(shards_dir)
+    )
+    # explicit schema: an EMPTY corpus writes a shards dir with no data
+    # files to infer from — the artifact must still commit (manifest with
+    # zero totals), not crash the export
+    stats = (
+        spark.read.schema(plan.schema).parquet(shards_dir)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.countDistinct("seq_id").alias("n_seqs"),
+        )
+        .collect()  # bounded: one row per shard
+    )
+    manifest = {
+        "context_len": int(context_len),
+        "n_shards": int(n_shards),
+        "seed": int(seed),
+        "tokenizer": "whitespace" if merges is None else "bpe",
+        "n_merges": 0 if merges is None else len(merges),
+        "total_docs": int(sum(r.n_docs for r in stats)),
+        "total_tokens": int(sum(r.n_tokens for r in stats)),
+        "total_seqs": int(sum(r.n_seqs for r in stats)),
+        "shards": {
+            str(r.shard_id): {
+                "n_docs": int(r.n_docs),
+                "n_tokens": int(r.n_tokens),
+                "n_seqs": int(r.n_seqs),
+            }
+            for r in sorted(stats, key=lambda r: r.shard_id)
+        },
+    }
+    fs.write_bytes(manifest_path, json.dumps(manifest).encode())
+    return manifest
+
+
+def read_export_manifest(spark: SparkSession, out_dir: str) -> dict:
+    fs = HadoopFS(spark, out_dir)
+    manifest_path = url_join(out_dir, _MANIFEST)
+    if not fs.exists(manifest_path):
+        raise FileNotFoundError(
+            f"pre-training export at {out_dir!r} has no {_MANIFEST} — "
+            "either it was never written (write_pretrain_export / "
+            "`export-pretrain`) or an export crashed mid-write; re-export "
+            "before training on it"
+        )
+    return json.loads(fs.read_bytes(manifest_path))
+
+
+def read_pretrain_export(spark: SparkSession, out_dir: str,
+                         shard_id: int | None = None) -> DataFrame:
+    """Read the artifact back (manifest-gated). ``shard_id`` prunes to one
+    shard dir via the partition filter — the per-worker read path; rows
+    are re-sorted by pos within the shard partition (cheap: the file is
+    already in that order, but parquet split planning does not PROMISE
+    order, so the contract is re-asserted rather than assumed)."""
+    manifest = read_export_manifest(spark, out_dir)  # refuses uncommitted
+    schema = ("doc_id long, text string, n_tokens long, pos long,"
+              " seq_id long, shard_id long")
+    if manifest["tokenizer"] == "bpe":
+        schema += ", tokens array<string>"
+    df = spark.read.schema(schema).parquet(url_join(out_dir, "shards"))
+    if shard_id is not None:
+        df = df.filter(F.col("shard_id") == int(shard_id))
+    return df.repartition("shard_id").sortWithinPartitions("shard_id", "pos")
+
+
+_EXPORT_N_SHARDS = 8
+_EXPORT_CTX = 512
+
+
+@register(
+    "q_export_shards",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(((doc_id * {_A} + {_B}) % {_M}) % {_EXPORT_N_SHARDS}
+                    AS BIGINT) AS shard_id,
+               md5(CAST(doc_id AS VARCHAR) || ':42') AS k
+        FROM documents
+    ),
+    o AS (
+        SELECT shard_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY shard_id ORDER BY k
+                   ROWS UNBOUNDED PRECEDING
+               ) AS run
+        FROM t
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT FLOOR((run - n_tokens) / {_EXPORT_CTX}))
+                AS BIGINT) AS n_seqs
+    FROM o
+    GROUP BY shard_id
+    """,
+    doc="Training-ready export, pinned END TO END at the gate: writes the "
+        "sharded artifact (deterministic hash-shard + seeded order + "
+        "greedy packing), then returns per-shard stats FROM THE COMMITTED "
+        "MANIFEST — so the whole write->manifest->read path, not just the "
+        "plan, must agree with a first-principles DuckDB restatement of "
+        "the (shard, order, packing) contract",
+)
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="pretrain_export_")
+    try:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        manifest = write_pretrain_export(
+            docs, out_dir, context_len=_EXPORT_CTX,
+            n_shards=_EXPORT_N_SHARDS,
+        )
+        rows = [
+            (int(sid), s["n_docs"], s["n_tokens"], s["n_seqs"])
+            for sid, s in manifest["shards"].items()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "shard_id long, n_docs long, n_tokens long, n_seqs long",
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

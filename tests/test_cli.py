@@ -683,3 +683,48 @@ def test_cli_profile_history_without_history_is_loud(tmp_path, spark, capsys):
     os.makedirs(lake)
     assert main(["profile-history", lake]) == 2
     assert "_profile" in capsys.readouterr().err
+
+
+def test_cli_export_pretrain(tmp_path, spark, capsys, sf_dir):
+    """export-pretrain end-to-end: writes the sharded artifact with a
+    committed manifest whose totals conserve the input; the BPE variant
+    reports its tokenizer; re-running with a new --seed reshuffles order
+    in place (rebuild semantics, manifest stays consistent)."""
+    from substreams_sink_parquet_spark.llm.export import (
+        read_export_manifest, read_pretrain_export,
+    )
+    from substreams_sink_parquet_spark.cli import main
+
+    docs = f"{sf_dir}/documents.parquet"
+    n_docs = spark.read.parquet(docs).count()
+    out = str(tmp_path / "export")
+
+    rc = main(["export-pretrain", out, "--docs", docs,
+               "--context-len", "256", "--n-shards", "4"])
+    assert rc == 0
+    msg = capsys.readouterr().out
+    assert "export-pretrain OK" in msg and f"docs={n_docs}" in msg
+    man = read_export_manifest(spark, out)
+    assert man["total_docs"] == n_docs and man["n_shards"] == 4
+    assert read_pretrain_export(spark, out).count() == n_docs
+
+    # epoch re-export with a new seed: same membership, order moves
+    first = {(r.shard_id, r.doc_id): r.pos
+             for r in read_pretrain_export(spark, out).collect()}
+    rc = main(["export-pretrain", out, "--docs", docs,
+               "--context-len", "256", "--n-shards", "4", "--seed", "7"])
+    assert rc == 0
+    capsys.readouterr()
+    second = {(r.shard_id, r.doc_id): r.pos
+              for r in read_pretrain_export(spark, out).collect()}
+    assert set(first) == set(second)  # same (shard, doc) membership
+    assert any(first[k] != second[k] for k in first)  # order reshuffled
+
+    # BPE variant
+    out2 = str(tmp_path / "export_bpe")
+    rc = main(["export-pretrain", out2, "--docs", docs,
+               "--context-len", "256", "--n-shards", "2",
+               "--bpe-merges", "30"])
+    assert rc == 0
+    assert "tokenizer=bpe" in capsys.readouterr().out
+    assert "tokens" in read_pretrain_export(spark, out2).columns

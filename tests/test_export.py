@@ -1,0 +1,175 @@
+"""Training-ready export artifact (llm/export.py): determinism, physical
+order, packing, conservation, crash markers, BPE variant."""
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from substreams_sink_parquet_spark.llm import export as E
+from substreams_sink_parquet_spark.tables import load
+
+
+def _docs(spark, sf_dir, n=200):
+    return (
+        load(spark, sf_dir, "documents").select("doc_id", "text").limit(n)
+    )
+
+
+def test_manifest_conserves_input_and_matches_readback(spark, sf_dir,
+                                                       tmp_path):
+    docs = _docs(spark, sf_dir)
+    out = str(tmp_path / "exp")
+    man = E.write_pretrain_export(docs, out, context_len=128, n_shards=4)
+
+    n_docs = docs.count()
+    n_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0].t
+    assert man["total_docs"] == n_docs
+    assert man["total_tokens"] == n_tokens
+    assert sum(s["n_docs"] for s in man["shards"].values()) == n_docs
+    assert sum(s["n_tokens"] for s in man["shards"].values()) == n_tokens
+
+    back = E.read_pretrain_export(spark, out)
+    assert back.count() == n_docs
+    got = {
+        r.shard_id: (r.n_docs, r.n_tokens, r.n_seqs)
+        for r in back.groupBy("shard_id").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.countDistinct("seq_id").alias("n_seqs"),
+        ).collect()
+    }
+    for sid, s in man["shards"].items():
+        assert got[int(sid)] == (s["n_docs"], s["n_tokens"], s["n_seqs"])
+
+
+def test_assignment_deterministic_across_parallelism_and_runs(spark, sf_dir,
+                                                              tmp_path):
+    """(shard_id, pos, seq_id) must be a pure function of (doc_id, seed,
+    n_shards): re-exporting the same corpus under a hostile repartition
+    yields identical rows, and changing the SEED reshuffles order while
+    shard MEMBERSHIP stays put (the epoch contract)."""
+    docs = _docs(spark, sf_dir)
+    a = E.plan_pretrain_export(docs, context_len=128, n_shards=4).collect()
+    b = E.plan_pretrain_export(
+        docs.repartition(7), context_len=128, n_shards=4
+    ).collect()
+    key = lambda r: (r.shard_id, r.pos, r.seq_id, r.doc_id, r.n_tokens)
+    assert sorted(map(key, a)) == sorted(map(key, b))
+
+    c = E.plan_pretrain_export(
+        docs, context_len=128, n_shards=4, seed=43
+    ).collect()
+    shard_of = {r.doc_id: r.shard_id for r in a}
+    assert all(shard_of[r.doc_id] == r.shard_id for r in c)  # membership
+    order_a = {r.doc_id: r.pos for r in a}
+    assert any(order_a[r.doc_id] != r.pos for r in c)  # order reshuffled
+
+
+def test_one_file_per_shard_in_physical_pos_order(spark, sf_dir, tmp_path):
+    """The trainer contract: each shard dir holds ONE parquet file whose
+    PHYSICAL row order is pos-ascending — a worker streams it start to
+    finish with no sort. Checked via pyarrow, not Spark, so no read-side
+    re-sort can mask a broken write."""
+    import pathlib
+
+    docs = _docs(spark, sf_dir)
+    out = tmp_path / "exp"
+    E.write_pretrain_export(docs, str(out), context_len=128, n_shards=4)
+    shard_dirs = sorted((out / "shards").glob("shard_id=*"))
+    assert len(shard_dirs) == 4
+    for d in shard_dirs:
+        files = [p for p in pathlib.Path(d).iterdir()
+                 if p.name.endswith(".parquet")]
+        assert len(files) == 1, d
+        pos = pq.read_table(files[0], columns=["pos"])["pos"].to_pylist()
+        assert pos == sorted(pos) and pos[0] == 1
+        assert pos == list(range(1, len(pos) + 1))  # dense, no gaps
+
+
+def test_greedy_packing_invariant(spark, sf_dir):
+    """Every packed sequence satisfies the greedy bin property: the bin
+    was closed only because the NEXT doc would overflow — so each seq's
+    token sum minus its last doc is under context_len, seq_ids are
+    non-decreasing along pos, and a doc longer than context_len overflows
+    the bin it starts in (never split)."""
+    ctx = 64
+    docs = _docs(spark, sf_dir)
+    rows = E.plan_pretrain_export(
+        docs, context_len=ctx, n_shards=2
+    ).orderBy("shard_id", "pos").collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    for shard_rows in by_shard.values():
+        run = 0
+        seqs = {}
+        last_seq = 0
+        for r in shard_rows:
+            assert r.seq_id == run // ctx  # floor((cumsum - n)/ctx)
+            assert r.seq_id >= last_seq
+            last_seq = r.seq_id
+            run += r.n_tokens
+            seqs.setdefault(r.seq_id, []).append(r.n_tokens)
+        for toks in seqs.values():
+            assert sum(toks) - toks[-1] < ctx
+
+
+def test_missing_manifest_refused_loudly(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir, n=20)
+    out = tmp_path / "exp"
+    E.write_pretrain_export(docs, str(out), context_len=128, n_shards=2)
+    (out / E._MANIFEST).unlink()  # crash window: shards without marker
+    with pytest.raises(FileNotFoundError, match="crashed mid-write"):
+        E.read_pretrain_export(spark, str(out))
+    # re-export repairs: marker deleted first, rewritten last
+    E.write_pretrain_export(docs, str(out), context_len=128, n_shards=2)
+    assert E.read_pretrain_export(spark, str(out)).count() == 20
+
+
+def test_shard_pruning_reads_one_partition(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    out = str(tmp_path / "exp")
+    E.write_pretrain_export(docs, out, context_len=128, n_shards=4)
+    from substreams_sink_parquet_spark.plans.inspect import explain_str
+
+    one = E.read_pretrain_export(spark, out, shard_id=2)
+    # the shard filter must reach the scan as a PARTITION filter (dir
+    # pruning), not a post-scan row filter
+    plan = explain_str(one)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "shard_id" in seg and "= 2" in seg
+    assert one.count() > 0
+
+
+def test_bpe_variant_carries_tokens_and_counts(spark, sf_dir, tmp_path):
+    from substreams_sink_parquet_spark.llm.bpe import train_bpe
+
+    docs = _docs(spark, sf_dir, n=60)
+    merges = train_bpe(docs, num_merges=50)
+    out = str(tmp_path / "exp_bpe")
+    man = E.write_pretrain_export(
+        docs, out, context_len=128, n_shards=2, merges=merges
+    )
+    assert man["tokenizer"] == "bpe" and man["n_merges"] == 50
+    back = E.read_pretrain_export(spark, out)
+    assert "tokens" in back.columns
+    bad = back.filter(F.size("tokens") != F.col("n_tokens")).count()
+    assert bad == 0
+    # BPE merges compress: total tokens <= character-split upper bound,
+    # and manifest totals still conserve the per-row counts
+    assert man["total_tokens"] == back.select(
+        F.sum("n_tokens")
+    ).collect()[0][0]
+
+
+def test_empty_corpus_exports_empty_artifact(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir).filter(F.lit(False))
+    out = str(tmp_path / "exp_empty")
+    man = E.write_pretrain_export(docs, out, context_len=128, n_shards=2)
+    assert man["total_docs"] == 0 and man["shards"] == {}
+    assert E.read_pretrain_export(spark, out).count() == 0
