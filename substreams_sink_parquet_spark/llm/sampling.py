@@ -635,3 +635,135 @@ def dsir_select(docs: DataFrame, is_target: F.Column, k: int,
 def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     return dsir_logweights(docs, F.col("lang") == "fr")
+
+
+def cluster_balanced_sample(emb: DataFrame, n_centroids: int = 16,
+                            per_cell_cap: int = 100,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            refine_iters: int = 1) -> DataFrame:
+    """Topic-rebalanced corpus selection: at most ``per_cell_cap`` docs per
+    k-means cell of embedding space (the DCLM / cluster-dedup family's
+    rebalancing move — a crawl is dominated by a few mega-topics, and a
+    cap per semantic cell flattens that head without touching the tail).
+
+    Returns every input row as (id, cent_id, cell_rank, kept):
+    ``cell_rank`` is the doc's position in its cell's deterministic
+    seeded-md5 hash order, ``kept = cell_rank <= per_cell_cap``. The cap
+    is EXACT (a saturated cell keeps exactly the cap; an undersized cell
+    keeps everything) and selection is a pure function of (id, cell) —
+    reproducible at any parallelism, unlike rate-based probabilistic
+    thinning, and auditable row-for-row.
+
+    Scale shape: the quantizer is ``similarity.ivf_centroids``'s bounded
+    driver-side fit (sample-capped, kilobytes); assignment is
+    ``_nearest_centroid``'s map-only broadcast-literal zip; the ONE
+    corpus-scale exchange is the window on ``cent_id``. Cells are
+    n_centroids-bounded so the exchange is as skewed as the topic mix —
+    raise n_centroids with the corpus (finer cells = smaller partitions
+    AND finer-grained balance)."""
+    from pyspark.sql import Window
+
+    from .similarity import _nearest_centroid, ivf_centroids
+
+    cents = ivf_centroids(emb, vec_col=vec_col, n_centroids=n_centroids,
+                          refine_iters=refine_iters)
+    assigned = _nearest_centroid(emb, cents, vec_col, keep=[id_col])
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":cbal")))
+    w = Window.partitionBy("cent_id").orderBy("sort_key")
+    return (
+        assigned.withColumn("sort_key", key)
+        .withColumn("cell_rank", F.row_number().over(w).cast("long"))
+        .select(
+            id_col,
+            F.col("cent_id").cast("long").alias("cent_id"),
+            "cell_rank",
+            (F.col("cell_rank") <= per_cell_cap).alias("kept"),
+        )
+    )
+
+
+_CBAL_CELLS = 8
+_CBAL_CAP = 20
+_CBAL_PLANT = 30
+
+
+@register(
+    "q_sample_cluster_balanced",
+    None,  # cell ids are quantizer-specific — rows-only; the hash-gated
+           # audit companion pins the semantics
+    doc="Cluster-balanced sampling summary: per k-means cell of embedding "
+        "space, total docs vs docs kept under the exact per-cell cap — "
+        "the topic-rebalancing pass (flatten mega-topic heads, keep "
+        "tails whole)",
+)
+def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    res = cluster_balanced_sample(
+        emb, n_centroids=_CBAL_CELLS, per_cell_cap=_CBAL_CAP
+    )
+    return res.groupBy("cent_id").agg(
+        F.count("*").alias("n_total"),
+        F.count_if("kept").alias("n_kept"),
+    )
+
+
+@register(
+    "q_sample_cluster_balanced_audit",
+    """
+    SELECT TRUE AS planted_copies_colocated,
+           TRUE AS planted_cell_saturated,
+           TRUE AS caps_enforced,
+           TRUE AS undersized_intact,
+           TRUE AS totals_match
+    """,
+    doc="HASHABLE audit for cluster-balanced sampling: 30 planted copies "
+        "of one vector (identical embeddings MUST share a k-means cell "
+        "regardless of the trained quantizer) overflow the cap, so the "
+        "audit pins (1) co-location through the clustering stage, (2) the "
+        "planted cell keeps EXACTLY the cap, (3) no cell anywhere exceeds "
+        "the cap, (4) undersized cells keep everything, (5) total kept == "
+        "sum of min(cell, cap). The oracle claims the five booleans TRUE "
+        "— a broken quantizer, assignment, ordering, or cap stage "
+        "hash-mismatches",
+)
+def q_sample_cluster_balanced_audit(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") == 0).select(
+        F.explode(
+            F.sequence(F.lit(10000), F.lit(10000 + _CBAL_PLANT - 1))
+        ).alias("vec_id"),
+        "embedding",
+    )
+    aug = emb.unionByName(planted)
+    res = cluster_balanced_sample(
+        aug, n_centroids=_CBAL_CELLS, per_cell_cap=_CBAL_CAP
+    )
+    summary = res.groupBy("cent_id").agg(
+        F.count("*").alias("n_total"),
+        F.count_if("kept").alias("n_kept"),
+    ).collect()  # bounded: one row per cell
+    planted_cells = [
+        r.cent_id
+        for r in res.filter(F.col("vec_id") >= 10000)
+        .select("cent_id").distinct().collect()
+    ]
+    colocated = len(planted_cells) == 1
+    by_cell = {r.cent_id: r for r in summary}
+    saturated = (
+        colocated and by_cell[planted_cells[0]].n_kept == _CBAL_CAP
+    )
+    caps = all(r.n_kept <= _CBAL_CAP for r in summary)
+    undersized = all(
+        r.n_kept == r.n_total for r in summary if r.n_total < _CBAL_CAP
+    )
+    totals = sum(r.n_kept for r in summary) == sum(
+        min(r.n_total, _CBAL_CAP) for r in summary
+    )
+    return spark.createDataFrame(
+        [(colocated, saturated, caps, undersized, totals)],
+        "planted_copies_colocated boolean, planted_cell_saturated boolean,"
+        " caps_enforced boolean, undersized_intact boolean,"
+        " totals_match boolean",
+    )

@@ -239,3 +239,63 @@ def test_dsir_staging_dir_matches_persisted_and_reads_staged_table(
     spark.catalog.clearCache()  # release the persist-mode feature cache
     assert got_staged == got_persist
     assert len(got_staged) == 40
+
+
+def test_cluster_balanced_sample_contract(spark, sf_dir):
+    """Exact-cap semantics, determinism, and the rebalancing effect:
+    (1) pure function of (id, cell) — identical under a hostile
+    repartition; (2) saturated cells keep exactly the cap, undersized
+    keep all; (3) the kept set's max cell share is <= the input's (the
+    point of the pass); (4) identical planted vectors co-locate."""
+    from pyspark.sql import functions as F
+
+    from substreams_sink_parquet_spark.llm.sampling import (
+        cluster_balanced_sample,
+    )
+    from substreams_sink_parquet_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cap = 5
+    a = cluster_balanced_sample(emb, n_centroids=4, per_cell_cap=cap)
+    b = cluster_balanced_sample(
+        emb.repartition(7), n_centroids=4, per_cell_cap=cap
+    )
+    key = lambda r: (r.vec_id, r.cent_id, r.cell_rank, r.kept)
+    rows_a = sorted(map(key, a.collect()))
+    assert rows_a == sorted(map(key, b.collect()))
+
+    per_cell = {}
+    for r in rows_a:
+        per_cell.setdefault(r[1], []).append(r)
+    n_in = len(rows_a)
+    kept_cells = {}
+    for cid, rows in per_cell.items():
+        n_kept = sum(1 for r in rows if r[3])
+        assert n_kept == min(len(rows), cap)
+        # ranks dense 1..n within the cell
+        assert sorted(r[2] for r in rows) == list(range(1, len(rows) + 1))
+        kept_cells[cid] = n_kept
+    n_kept_total = sum(kept_cells.values())
+    max_share_in = max(len(v) for v in per_cell.values()) / n_in
+    max_share_out = max(kept_cells.values()) / n_kept_total
+    assert max_share_out <= max_share_in + 1e-12
+
+    # identical vectors co-locate through the trained quantizer
+    planted = emb.filter(F.col("vec_id") == 1).select(
+        F.explode(F.sequence(F.lit(20000), F.lit(20009))).alias("vec_id"),
+        "embedding",
+    )
+    res = cluster_balanced_sample(
+        emb.unionByName(planted), n_centroids=4, per_cell_cap=cap
+    )
+    cells = (
+        res.filter(F.col("vec_id") >= 20000)
+        .select("cent_id").distinct().count()
+    )
+    assert cells == 1
+
+    # cap larger than every cell: everything kept
+    all_kept = cluster_balanced_sample(
+        emb, n_centroids=4, per_cell_cap=10**9
+    )
+    assert all_kept.filter(~F.col("kept")).count() == 0
