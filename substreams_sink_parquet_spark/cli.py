@@ -437,18 +437,24 @@ def cmd_corpus_compact(args: argparse.Namespace) -> int:
 
 
 def cmd_corpus_export(args: argparse.Namespace) -> int:
-    """Materialize a deduped corpus as deterministic training shards:
-    shard=N dirs sorted by the seeded shuffle key, so any trainer replays
-    the exact same document order (llm/sampling.py:export_training_shards)."""
-    from .llm.sampling import export_training_shards
+    """Materialize a (possibly time-travel) snapshot of the streaming
+    corpus as the trainer-facing artifact (llm/export.py): one
+    pos-ordered file per shard dir + committed manifest, packing seq_ids
+    riding along, lang/source metadata kept when present. The streaming
+    pipeline's last mile: crawl -> screens -> admitted corpus ->
+    `--as-of-epoch N` snapshot -> ordered shards."""
+    from .llm.export import write_pretrain_export
     from .streaming.corpus_stream import corpus_docs
 
     spark = get_spark("corpus-export")
     docs = corpus_docs(spark, args.store_url, as_of_epoch=args.as_of_epoch)
-    export_training_shards(
-        docs, args.out_dir, n_shards=args.shards, seed=args.seed
+    riders = tuple(c for c in ("lang", "source") if c in docs.columns)
+    man = write_pretrain_export(
+        docs, args.out_dir, context_len=args.context_len,
+        n_shards=args.shards, seed=args.seed, keep_cols=riders,
     )
-    print(f"corpus-export OK: {args.shards} shards in {args.out_dir}")
+    print(f"corpus-export OK: {args.shards} shards in {args.out_dir} "
+          f"docs={man['total_docs']} tokens={man['total_tokens']}")
     return 0
 
 
@@ -1198,6 +1204,8 @@ def main(argv: list[str] | None = None) -> int:
     cexport_p.add_argument("out_dir", help="shard output root")
     cexport_p.add_argument("--shards", type=int, default=64)
     cexport_p.add_argument("--seed", type=int, default=42)
+    cexport_p.add_argument("--context-len", type=int, default=2048,
+                           help="greedy packing bin size in tokens")
     cexport_p.add_argument("--as-of-epoch", type=int, default=None,
                            help="snapshot export: only docs admitted in "
                            "epochs <= N (partition-pruned time travel)")

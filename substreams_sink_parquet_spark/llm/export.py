@@ -75,6 +75,7 @@ def plan_pretrain_export(docs: DataFrame, context_len: int = 2048,
                          n_shards: int = 16, seed: int = 42,
                          text_col: str = "text", id_col: str = "doc_id",
                          merges: list[tuple[str, str]] | None = None,
+                         keep_cols: tuple[str, ...] = (),
                          ) -> DataFrame:
     """The export as a DataFrame: (shard_id, pos, seq_id, doc_id, n_tokens,
     text[, tokens]) — pure function of (doc_id, seed, n_shards), lazily
@@ -87,6 +88,7 @@ def plan_pretrain_export(docs: DataFrame, context_len: int = 2048,
     cols = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("text"),
+        *[F.col(c) for c in keep_cols],  # metadata riders (lang, source…)
     )
     if merges is None:
         counted = cols.withColumn(
@@ -122,7 +124,8 @@ def plan_pretrain_export(docs: DataFrame, context_len: int = 2048,
             F.floor((run - F.col("n_tokens")) / context_len).cast("long"),
         )
     )
-    keep = ["shard_id", "pos", "seq_id", "doc_id", "n_tokens", "text"]
+    keep = ["shard_id", "pos", "seq_id", "doc_id", "n_tokens", "text",
+            *keep_cols]
     if merges is not None:
         keep.append("tokens")
     return out.select(*keep)
@@ -133,6 +136,7 @@ def write_pretrain_export(docs: DataFrame, out_dir: str,
                           seed: int = 42, text_col: str = "text",
                           id_col: str = "doc_id",
                           merges: list[tuple[str, str]] | None = None,
+                          keep_cols: tuple[str, ...] = (),
                           ) -> dict:
     """Materialize the export artifact; returns the manifest it committed.
 
@@ -153,6 +157,7 @@ def write_pretrain_export(docs: DataFrame, out_dir: str,
     plan = plan_pretrain_export(
         docs, context_len=context_len, n_shards=n_shards, seed=seed,
         text_col=text_col, id_col=id_col, merges=merges,
+        keep_cols=keep_cols,
     )
     (
         # the plan is already hash-partitioned on shard_id (its one
@@ -181,6 +186,9 @@ def write_pretrain_export(docs: DataFrame, out_dir: str,
         "seed": int(seed),
         "tokenizer": "whitespace" if merges is None else "bpe",
         "n_merges": 0 if merges is None else len(merges),
+        # the reader's schema contract — read-side inference would break
+        # on an empty export and could drift across mixed-version shards
+        "schema": plan.schema.jsonValue(),
         "total_docs": int(sum(r.n_docs for r in stats)),
         "total_tokens": int(sum(r.n_tokens for r in stats)),
         "total_seqs": int(sum(r.n_seqs for r in stats)),
@@ -217,11 +225,10 @@ def read_pretrain_export(spark: SparkSession, out_dir: str,
     are re-sorted by pos within the shard partition (cheap: the file is
     already in that order, but parquet split planning does not PROMISE
     order, so the contract is re-asserted rather than assumed)."""
+    from pyspark.sql import types as T
+
     manifest = read_export_manifest(spark, out_dir)  # refuses uncommitted
-    schema = ("doc_id long, text string, n_tokens long, pos long,"
-              " seq_id long, shard_id long")
-    if manifest["tokenizer"] == "bpe":
-        schema += ", tokens array<string>"
+    schema = T.StructType.fromJson(manifest["schema"])
     df = spark.read.schema(schema).parquet(url_join(out_dir, "shards"))
     if shard_id is not None:
         df = df.filter(F.col("shard_id") == int(shard_id))

@@ -409,36 +409,6 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def export_training_shards(
-    docs: DataFrame, out_dir: str, n_shards: int = 64, seed: int = 42,
-    key_col: str = "doc_id",
-) -> None:
-    """Materialize the deterministic epoch order as an on-disk shard layout:
-    ``shard=N/`` directories whose parquet files are sorted by the seeded
-    shuffle key — any trainer (or engine) replays the exact same document
-    order by reading shards in name order.
-
-    One shuffle total (repartition by shard), then sortWithinPartitions —
-    the sort never sees more than corpus/n_shards rows. Same hash/key math
-    as ``q_shuffle_shards``, so the layout IS that query's order made
-    durable. Raise n_shards with the cluster; re-running with the same seed
-    reproduces the identical layout (hash order, not sampling order).
-    """
-    key = F.col(key_col).cast("long")
-    shard = (((key * _A + _B) % _M) % n_shards).cast("long")
-    sort_key = F.md5(F.concat(key.cast("string"), F.lit(f":{seed}")))
-    (
-        docs.withColumn("shard", shard)
-        .withColumn("__sk", sort_key)
-        .repartition(n_shards, "shard")
-        .sortWithinPartitions("__sk")
-        .drop("__sk")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(out_dir)
-    )
-
-
 # -- DSIR: importance-weighted data selection -------------------------------
 
 _DSIR_B = 4096  # hashed n-gram feature buckets

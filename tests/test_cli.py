@@ -292,9 +292,17 @@ def test_cli_corpus_export(tmp_path, spark, capsys):
         "--shards", "4",
     ]) == 0
     assert "4 shards" in capsys.readouterr().out
-    got = spark.read.parquet(str(tmp_path / "shards_out"))
+    from substreams_sink_parquet_spark.llm.export import (
+        read_export_manifest, read_pretrain_export,
+    )
+
+    man = read_export_manifest(spark, str(tmp_path / "shards_out"))
+    assert man["total_docs"] == 6 and man["n_shards"] == 4
+    got = read_pretrain_export(spark, str(tmp_path / "shards_out"))
     assert got.count() == 6
-    assert {r.shard for r in got.select("shard").distinct().collect()} <= set(range(4))
+    assert {"shard_id", "pos", "seq_id", "lang", "source"} <= set(got.columns)
+    assert {r.shard_id for r in got.select("shard_id").distinct().collect()
+            } <= set(range(4))
 
 
 def test_cli_tier_finalized(tmp_path, spark, capsys):

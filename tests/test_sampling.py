@@ -89,35 +89,6 @@ def test_shuffle_shards_dense_positions_and_deterministic(spark):
     }
 
 
-def test_export_training_shards_reproducible_order(spark, tmp_path):
-    from substreams_sink_parquet_spark.llm.sampling import export_training_shards
-
-    docs = load(spark, SF, "documents")
-    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
-    export_training_shards(docs, a_dir, n_shards=8)
-    export_training_shards(docs, b_dir, n_shards=8)
-
-    import glob
-    import pyarrow.parquet as pq
-
-    def order(root):
-        out = {}
-        for d in sorted(glob.glob(f"{root}/shard=*")):
-            ids = []
-            for f in sorted(glob.glob(f"{d}/*.parquet")):
-                ids.extend(pq.read_table(f).column("doc_id").to_pylist())
-            out[d.rsplit("=", 1)[1]] = ids
-        return out
-
-    oa, ob = order(a_dir), order(b_dir)
-    assert oa == ob  # same seed => byte-identical layout
-    all_ids = [i for ids in oa.values() for i in ids]
-    assert sorted(all_ids) == sorted(
-        r.doc_id for r in docs.select("doc_id").collect()
-    )  # every doc exactly once
-    assert len(oa) == 8 and all(ids for ids in oa.values())
-
-
 def test_quality_weighted_keep_rate_tracks_score(spark, sf_dir):
     """Keep probability equals the quality score, so the kept fraction in
     the top score quartile must exceed the bottom quartile's, and the
