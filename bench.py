@@ -84,6 +84,13 @@ EXTENDED = [
     "q_profile_columns",
     "q_profile_columns_approx",
     "q_profile_quantiles",
+    # round 8 — trainer-artifact export (writes shards + manifest to a
+    # temp dir per pass: the number includes the write, which IS the
+    # operator), topic-rebalanced sampling, and OPQ (next to its plain-PQ
+    # baseline q_sim_topk_pq so the rotation's cost is visible)
+    "q_export_shards",
+    "q_sample_cluster_balanced",
+    "q_sim_topk_opq",
 ]
 
 

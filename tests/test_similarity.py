@@ -444,3 +444,93 @@ def test_quantizer_training_degrades_gracefully_on_tiny_corpora(spark, sf_dir):
     assert len(cents) == 5
     assert [c for c, _ in cents] == [1, 2, 3, 4, 5]
     assert S.ivf_centroids(emb.limit(0), n_centroids=4, refine_iters=1) == []
+
+
+def test_opq_rotation_contract(spark, sf_dir):
+    """OPQ invariants: (1) R is orthogonal (L2 geometry preserved
+    exactly); (2) the returned R's sample reconstruction MSE <= plain
+    PQ's (mse_history[0] evaluates R=I — the best-iterate-wins guarantee
+    holds even when one-step Lloyd breaks per-iteration monotonicity);
+    (3) training is deterministic; (4) rotate_expr computes exactly
+    X @ R (Arrow matmul vs numpy, element-wise)."""
+    import numpy as np
+
+    from substreams_sink_parquet_spark.llm.similarity import (
+        embedding_dim, opq_rotation, rotate_expr,
+    )
+    from substreams_sink_parquet_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = embedding_dim(spark, sf_dir)
+    R, mses = opq_rotation(emb, dim, iters=3)
+    R2, mses2 = opq_rotation(emb, dim, iters=3)
+    assert R == R2 and mses == mses2  # deterministic
+
+    Rm = np.asarray(R)
+    assert np.allclose(Rm @ Rm.T, np.eye(dim), atol=1e-9)  # orthogonal
+    assert len(mses) == 4
+    assert min(mses) >= 0.0
+    # returned R is the best iterate: its MSE equals the minimum, which
+    # is <= the R=I (plain PQ) starting point
+    assert min(mses) <= mses[0]
+
+    rows = emb.filter(F.col("vec_id") < 5).select(
+        "vec_id", "embedding",
+        rotate_expr("embedding", R).alias("rot"),
+    ).collect()
+    for r in rows:
+        want = np.asarray(r.embedding, dtype=np.float64) @ Rm
+        assert np.allclose(np.asarray(r.rot), want, atol=1e-12)
+        # orthogonality preserves the norm
+        assert abs(np.linalg.norm(r.rot) -
+                   np.linalg.norm(np.asarray(r.embedding, np.float64))
+                   ) < 1e-9
+
+
+def test_opq_improves_sample_mse_on_correlated_data(spark):
+    """The case OPQ exists for: dimensions whose variance is concentrated
+    in a few correlated directions misaligned with the subspace grid.
+    Plain PQ quantizes the raw axes and wastes codes; the trained
+    rotation must strictly reduce sample reconstruction MSE here."""
+    import numpy as np
+
+    from substreams_sink_parquet_spark.llm.similarity import opq_rotation
+
+    dim, n = 16, 400
+    rng = np.random.RandomState(7)
+    # low-rank structure rotated off-axis: every raw dim mixes the
+    # same 2 latent factors
+    W = rng.randn(2, dim)
+    X = rng.randn(n, 2) @ W + 0.05 * rng.randn(n, dim)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    R, mses = opq_rotation(df, dim, m=4, k=8, iters=4)
+    assert min(mses) < mses[0] * 0.9  # >10% better than plain PQ
+
+
+def test_opq_topk_identity_rotation_equals_pq(spark, sf_dir):
+    """With iters=0 the trainer returns R=I (iteration 0 evaluates the
+    identity and best-iterate-wins keeps it), so opq_topk must reproduce
+    pq_topk row-for-row — pinning that the rotation is the ONLY
+    difference between the two pipelines."""
+    from substreams_sink_parquet_spark.llm.similarity import (
+        embedding_dim, opq_topk, pq_topk,
+    )
+    from substreams_sink_parquet_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = embedding_dim(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    a = sorted(
+        (r.q_id, r.neighbor_id, r.rank)
+        for r in opq_topk(emb, queries, dim=dim, k=5, opq_iters=0).collect()
+    )
+    b = sorted(
+        (r.q_id, r.neighbor_id, r.rank)
+        for r in pq_topk(emb, queries, dim=dim, k=5).collect()
+    )
+    assert a == b
