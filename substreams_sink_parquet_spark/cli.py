@@ -473,7 +473,8 @@ def cmd_ann_build(args: argparse.Namespace) -> int:
             n for n, v in (("--dim", args.dim), ("--cells", args.cells),
                            ("--m", args.m), ("--codes", args.codes))
             if v is not None
-        ] + (["--no-residual"] if args.no_residual else [])
+        ] + (["--no-residual"] if args.no_residual else []) \
+          + (["--opq-iters"] if args.opq_iters else [])
         if explicit:
             print(f"ann-build: {', '.join(explicit)} cannot be combined with "
                   "--append (the existing index's parameters are frozen; "
@@ -496,10 +497,12 @@ def cmd_ann_build(args: argparse.Namespace) -> int:
         m=args.m if args.m is not None else 8,
         n_codes=args.codes if args.codes is not None else 16,
         residual=not args.no_residual,
+        opq_iters=args.opq_iters,
     )
     print(
         f"ann-build OK: {args.index_dir} cells={len(meta['centroids'])} "
         f"m={meta['m']} codes={meta['n_codes']} residual={meta['residual']}"
+        f" opq={'rotation' in meta}"
     )
     return 0
 
@@ -1225,6 +1228,10 @@ def main(argv: list[str] | None = None) -> int:
                         help="PQ subspaces (default 8)")
     annb_p.add_argument("--codes", type=int, default=None,
                         help="PQ codes per subspace (default 16)")
+    annb_p.add_argument("--opq-iters", type=int, default=0,
+                        help="train an OPQ rotation with this many "
+                             "alternating-minimization iterations and "
+                             "build the index in the rotated space")
     annb_p.add_argument("--no-residual", action="store_true",
                         help="quantize raw vectors instead of cell residuals")
     annb_p.add_argument("--append", action="store_true",

@@ -23,6 +23,11 @@ corpus. This module materializes the index once and prunes at read time:
 - Residual encoding (the FAISS default) is preserved end-to-end: codes
   quantize (vector − cell centroid); each (query, probed cell) pair gets
   its own residual distance table.
+- Optional OPQ (``opq_iters > 0``, FAISS's ``OPQMatrix,IVFxx,PQy``): the
+  whole index lives in the trained rotated space; the rotation persists
+  in the meta and appends/queries apply it transparently — callers never
+  see rotated coordinates, true L2 ranks are unchanged (R orthogonal),
+  only quantization error improves.
 
 Incremental growth: ``append_to_ann_index`` encodes NEW vectors with the
 frozen quantizer/codebooks (map-only) and appends into the same cell
@@ -65,8 +70,10 @@ from .similarity import (
     _nearest_centroid,
     _residual,
     ivf_centroids,
+    opq_rotation,
     pq_codebooks,
     pq_encode,
+    rotate_expr,
 )
 
 _META = "_ANN_META.json"
@@ -82,9 +89,19 @@ def write_ann_index(
     residual: bool = True,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    opq_iters: int = 0,
 ) -> dict:
     """Train quantizer + codebooks, encode the corpus, and lay the index
     down partitioned by cell. Returns the metadata dict it persisted.
+
+    ``opq_iters > 0`` trains an OPQ rotation first (the FAISS
+    ``OPQMatrix,IVFxx,PQy`` factory string) and builds the ENTIRE index in
+    the rotated space — centroids, residuals, codebooks, codes. The
+    rotation persists in the meta (dim x dim floats — still a bounded
+    driver artifact beside the codebooks) and every later entry point
+    (frozen appends, epoch appends, ann_topk's probes) applies it
+    transparently, so callers never see rotated coordinates. R orthogonal
+    ⇒ true L2 ranks are unchanged; only quantization error improves.
 
     Rebuild crash-safety: meta is deleted BEFORE the codes overwrite
     (commit-marker protocol). The codes overwrite is not atomic; if this
@@ -103,6 +120,13 @@ def write_ann_index(
     src = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
+    rotation = None
+    if opq_iters > 0:
+        rotation, _ = opq_rotation(src, dim, m=m, k=n_codes,
+                                   iters=opq_iters)
+        src = src.select(
+            "vec_id", rotate_expr("embedding", rotation).alias("embedding")
+        )
     cents = ivf_centroids(src, n_centroids=n_centroids)
     assigned = _nearest_centroid(
         src, cents, "embedding", keep=["vec_id", "embedding"]
@@ -137,6 +161,8 @@ def write_ann_index(
         "centroids": [[cid, vec] for cid, vec in cents],
         "codebooks": cbs,
     }
+    if rotation is not None:
+        meta["rotation"] = rotation
     fs.write_bytes(url_join(index_dir, _META), json.dumps(meta).encode())
     return meta
 
@@ -169,6 +195,14 @@ def _encode_frozen(new_vectors: DataFrame, meta: dict, vec_col: str,
                 "-dimensional embeddings; the index's dimension is frozen at "
                 "build time — filter or re-embed the batch first"
             )
+    if meta.get("rotation") is not None:
+        # an OPQ index lives entirely in the rotated space: frozen appends
+        # rotate exactly like the build did (dim check above still saw the
+        # caller's raw vectors — R is square, dim is unchanged)
+        src = src.select(
+            "vec_id",
+            rotate_expr("embedding", meta["rotation"]).alias("embedding"),
+        )
     assigned = _nearest_centroid(
         src, cents, "embedding", keep=["vec_id", "embedding"]
     )
@@ -297,6 +331,13 @@ def ann_topk(spark: SparkSession, index_dir: str, queries: DataFrame,
     m = meta["m"]
     cbs = meta["codebooks"]
     dsub = meta["dim"] // m
+    if meta.get("rotation") is not None:
+        # probes enter the OPQ index's rotated space before cell
+        # assignment — the one extra map-only step a rotated index costs
+        # at query time (ADC tables and codes are unchanged shapes)
+        queries = queries.select(
+            "q_id", rotate_expr("q_vec", meta["rotation"]).alias("q_vec")
+        )
     probes = _nearest_centroid(
         queries, cents, "q_vec", keep=["q_id", "q_vec"], nprobe=nprobe
     )

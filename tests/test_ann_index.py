@@ -284,3 +284,50 @@ def test_failed_rebuild_leaves_old_index_serving(spark, tmp_path):
     assert os.path.exists(os.path.join(idx, "codes_epochs"))
     after = {r.neighbor_id for r in A.ann_topk(spark, idx, probe, k=3).collect()}
     assert after == before
+
+
+def test_opq_index_equals_manual_rotation_composition(spark, sf_dir,
+                                                      tmp_path):
+    """An OPQ index is rotate ∘ plain-index at every entry point: building
+    with opq_iters must return EXACTLY what a plain index built over
+    manually-rotated vectors returns for manually-rotated queries — which
+    pins the rotation's application at build, and at query time, against
+    the same deterministic training. Frozen appends then land in the
+    rotated space too: an appended exact copy is its query's rank-1
+    neighbor through the persisted rotation."""
+    emb = load(spark, sf_dir, "embeddings").limit(300)
+    dim = S.embedding_dim(spark, sf_dir)
+    opq_dir = str(tmp_path / "ann_opq")
+    meta = A.write_ann_index(emb, opq_dir, dim=dim, opq_iters=2)
+    R = meta["rotation"]
+    assert A.read_ann_meta(spark, opq_dir)["rotation"] == R
+
+    rot_emb = emb.select(
+        "vec_id", S.rotate_expr("embedding", R).alias("embedding")
+    )
+    plain_dir = str(tmp_path / "ann_plain_rotated")
+    A.write_ann_index(rot_emb, plain_dir, dim=dim)
+
+    qs = _queries(emb)
+    got = {(r.q_id, r.neighbor_id, r.rank)
+           for r in A.ann_topk(spark, opq_dir, qs, k=5).collect()}
+    qs_rot = qs.select("q_id", S.rotate_expr("q_vec", R).alias("q_vec"))
+    want = {(r.q_id, r.neighbor_id, r.rank)
+            for r in A.ann_topk(spark, plain_dir, qs_rot, k=5).collect()}
+    assert got == want and got
+
+    # frozen append rotates like the build did: plant exact copies of
+    # vectors 50..53 at +50000, append RAW (the index rotates them), and
+    # each original must recover its appended copy at ADC distance 0
+    src = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 54))
+    copies = src.select(
+        (F.col("vec_id") + 50000).alias("vec_id"), "embedding"
+    )
+    A.append_to_ann_index(copies, opq_dir)
+    probe = src.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    res = A.ann_topk(spark, opq_dir, probe, k=3)
+    top1 = {r.q_id: r.neighbor_id
+            for r in res.filter(F.col("rank") == 1).collect()}
+    assert top1 == {50: 50050, 51: 50051, 52: 50052, 53: 50053}
