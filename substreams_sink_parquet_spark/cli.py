@@ -575,20 +575,46 @@ def cmd_lex_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_bpe_train(args: argparse.Namespace) -> int:
+    """Train a BPE tokenizer on a corpus and persist the merge list as a
+    lake artifact (llm/bpe.py:write_bpe_model) — train once, freeze,
+    apply everywhere: exports that retrain per run have token boundaries
+    that move whenever the corpus does."""
+    from .llm.bpe import train_bpe, write_bpe_model
+
+    spark = get_spark("bpe-train")
+    docs = spark.read.parquet(args.docs).select("text")
+    merges = train_bpe(docs, num_merges=args.merges,
+                       max_words=args.max_words)
+    write_bpe_model(spark, merges, args.model_dir, max_words=args.max_words)
+    print(f"bpe-train OK: {args.model_dir} merges={len(merges)}")
+    return 0
+
+
 def cmd_export_pretrain(args: argparse.Namespace) -> int:
     """Lay a curated corpus down as the trainer-facing artifact: one
     pos-ordered parquet file per shard dir + a committed manifest
     (llm/export.py). (shard, pos) is a pure function of (doc_id, seed,
     n_shards), so re-exports reproduce byte order and a new --seed
     reshuffles the next epoch's order without moving docs between
-    shards. --bpe-merges trains a tokenizer on the corpus head and
-    carries token arrays in the shards."""
+    shards. --tokenizer applies a FROZEN persisted BPE model (the
+    reproducible path); --bpe-merges trains one on the fly from this
+    corpus. Either carries token arrays in the shards."""
     from .llm.export import write_pretrain_export
 
+    if args.tokenizer and args.bpe_merges:
+        print("export-pretrain: --tokenizer and --bpe-merges are mutually "
+              "exclusive (a persisted model IS the trained merges)",
+              file=sys.stderr)
+        return 2
     spark = get_spark("export-pretrain")
     docs = spark.read.parquet(args.docs).select("doc_id", "text")
     merges = None
-    if args.bpe_merges:
+    if args.tokenizer:
+        from .llm.bpe import read_bpe_model
+
+        merges = read_bpe_model(spark, args.tokenizer)
+    elif args.bpe_merges:
         from .llm.bpe import train_bpe
 
         merges = train_bpe(docs, num_merges=args.bpe_merges)
@@ -1324,7 +1350,23 @@ def main(argv: list[str] | None = None) -> int:
     exp_p.add_argument("--bpe-merges", type=int, default=0,
                        help="train a BPE tokenizer with this many merges "
                             "and carry token arrays in the shards")
+    exp_p.add_argument("--tokenizer", default=None,
+                       help="apply a persisted BPE model (bpe-train) "
+                            "instead of training per run")
     exp_p.set_defaults(fn=cmd_export_pretrain)
+
+    bpe_p = sub.add_parser(
+        "bpe-train",
+        help="train a BPE tokenizer and persist the merge list as a "
+             "frozen lake artifact",
+    )
+    bpe_p.add_argument("model_dir", help="model root (_BPE_MODEL.json)")
+    bpe_p.add_argument("--docs", required=True,
+                       help="parquet with a text column")
+    bpe_p.add_argument("--merges", type=int, default=200)
+    bpe_p.add_argument("--max-words", type=int, default=50_000,
+                       help="frequency-head size the trainer collects")
+    bpe_p.set_defaults(fn=cmd_bpe_train)
 
     cur_p = sub.add_parser(
         "curate",

@@ -294,3 +294,51 @@ def q_text_bpe_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_words") == n_words_sql).alias("word_count_match"),
         (detokenize_expr() == norm).alias("roundtrip_ok"),
     )
+
+
+# -- persisted tokenizer model (lake artifact) -------------------------------
+
+_MODEL = "_BPE_MODEL.json"
+
+
+def write_bpe_model(spark: SparkSession, merges: list[tuple[str, str]],
+                    model_dir: str, max_words: int | None = None) -> dict:
+    """Persist a trained merge list as ``{model_dir}/_BPE_MODEL.json`` —
+    the tokenizer the way real pipelines ship one: trained once, frozen,
+    applied everywhere (an export whose token boundaries depend on when
+    the tokenizer was retrained is not reproducible). The file is the
+    whole model (merges are KBs at 200, low MBs at a production 100k),
+    written atomically enough for its size; rebuilding overwrites."""
+    import json
+
+    from ..fsio import HadoopFS, url_join
+
+    fs = HadoopFS(spark, model_dir)
+    fs.mkdirs(model_dir)
+    meta = {
+        "num_merges": len(merges),
+        "max_words": max_words,
+        "end_marker": END,
+        "merges": [[a, b] for a, b in merges],
+    }
+    fs.write_bytes(url_join(model_dir, _MODEL), json.dumps(meta).encode())
+    return meta
+
+
+def read_bpe_model(spark: SparkSession, model_dir: str
+                   ) -> list[tuple[str, str]]:
+    """Load a persisted merge list (tuples restored — rank lookup keys).
+    Refuses a dir without the model file loudly, naming the builder."""
+    import json
+
+    from ..fsio import HadoopFS, url_join
+
+    fs = HadoopFS(spark, model_dir)
+    path = url_join(model_dir, _MODEL)
+    if not fs.exists(path):
+        raise FileNotFoundError(
+            f"BPE model at {model_dir!r} has no {_MODEL} — train one with "
+            "write_bpe_model / `bpe-train` before applying it"
+        )
+    meta = json.loads(fs.read_bytes(path))
+    return [(a, b) for a, b in meta["merges"]]

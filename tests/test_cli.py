@@ -736,3 +736,49 @@ def test_cli_export_pretrain(tmp_path, spark, capsys, sf_dir):
     assert rc == 0
     assert "tokenizer=bpe" in capsys.readouterr().out
     assert "tokens" in read_pretrain_export(spark, out2).columns
+
+
+def test_cli_bpe_train_and_frozen_export(tmp_path, spark, capsys, sf_dir):
+    """bpe-train persists a frozen tokenizer; export-pretrain --tokenizer
+    applies it and must tokenize EXACTLY like the same merges trained
+    inline (--bpe-merges) on the same corpus — the reproducibility
+    contract a persisted model exists for. The two flags together are a
+    usage error; a model-less dir refuses loudly."""
+    import pytest
+
+    from substreams_sink_parquet_spark.cli import main
+    from substreams_sink_parquet_spark.llm.bpe import read_bpe_model
+    from substreams_sink_parquet_spark.llm.export import (
+        read_pretrain_export,
+    )
+
+    docs = f"{sf_dir}/documents.parquet"
+    model = str(tmp_path / "bpe_model")
+    rc = main(["bpe-train", model, "--docs", docs, "--merges", "40"])
+    assert rc == 0
+    assert "merges=40" in capsys.readouterr().out
+    assert len(read_bpe_model(spark, model)) == 40
+
+    out_frozen = str(tmp_path / "exp_frozen")
+    out_inline = str(tmp_path / "exp_inline")
+    assert main(["export-pretrain", out_frozen, "--docs", docs,
+                 "--n-shards", "2", "--tokenizer", model]) == 0
+    assert main(["export-pretrain", out_inline, "--docs", docs,
+                 "--n-shards", "2", "--bpe-merges", "40"]) == 0
+    capsys.readouterr()
+    a = sorted(
+        (r.doc_id, r.n_tokens, tuple(r.tokens))
+        for r in read_pretrain_export(spark, out_frozen).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.n_tokens, tuple(r.tokens))
+        for r in read_pretrain_export(spark, out_inline).collect()
+    )
+    assert a == b
+
+    assert main(["export-pretrain", str(tmp_path / "x"), "--docs", docs,
+                 "--tokenizer", model, "--bpe-merges", "10"]) == 2
+    with pytest.raises(FileNotFoundError, match="bpe-train"):
+        main(["export-pretrain", str(tmp_path / "y"), "--docs", docs,
+              "--tokenizer", str(tmp_path / "nope")])
+    capsys.readouterr()
