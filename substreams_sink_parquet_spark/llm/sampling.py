@@ -737,3 +737,154 @@ def q_sample_cluster_balanced_audit(spark: SparkSession,
         " caps_enforced boolean, undersized_intact boolean,"
         " totals_match boolean",
     )
+
+
+_MIX_WEIGHTS = (("en", 0.5), ("zh", 0.2), ("fr", 0.15),
+                ("es", 0.1), ("de", 0.05))
+_MIX_BUDGET = 30_000
+
+
+def mixture_plan(docs: DataFrame, weights: dict[str, float],
+                 budget_tokens: int, group_col: str = "lang",
+                 seed: int = 42, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted corpus mixture WITH UPSAMPLING — the
+    Pile/Dolma recipe move: each group g gets ``floor(budget * w_g)``
+    tokens; a group whose quota exceeds its inventory REPEATS
+    (``full_epochs`` whole copies of every doc + a seeded-hash-ordered
+    prefix filling the remainder), a group below quota downsamples to the
+    prefix alone, an unweighted group contributes nothing. Output is one
+    row per weighted doc: (doc_id, group, n_tokens, n_copies) —
+    ``n_copies`` is how many times the doc appears in the mixture
+    (explode ``sequence(1, n_copies)`` to materialize; kept lazy here so
+    the plan composes with export without duplicating text through the
+    shuffle).
+
+    Determinism: the remainder prefix is hash-ordered (seeded md5, the
+    shuffle-shard key), so the same corpus + weights + seed yields the
+    same mixture at any parallelism — and a new seed re-draws WHICH docs
+    fill the fractional epoch while every full epoch is unchanged.
+
+    Scale shape: one group-count-sized aggregate broadcast back, one
+    window partitioned by group (each group's running sum independent;
+    a giant group salts into (group, hash-bucket) sub-quotas exactly
+    like the token-budget op)."""
+    from pyspark.sql import Window
+
+    w_expr = F.lit(None).cast("double")
+    for g, wt in weights.items():
+        w_expr = F.when(F.col(group_col) == g, F.lit(float(wt))).otherwise(
+            w_expr
+        )
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        w_expr.alias("w"),
+        key.alias("sort_key"),
+    ).filter(F.col("w").isNotNull())
+    totals = base.groupBy("grp").agg(
+        F.sum("n_tokens").alias("grp_tokens")
+    )
+    staged = (
+        base.join(F.broadcast(totals), "grp")
+        .withColumn("quota", F.floor(F.lit(budget_tokens) * F.col("w")))
+        .withColumn("full_epochs", F.floor(F.col("quota") /
+                                           F.col("grp_tokens")))
+        .withColumn("rem", F.col("quota") -
+                    F.col("full_epochs") * F.col("grp_tokens"))
+    )
+    run = F.sum("n_tokens").over(
+        Window.partitionBy("grp").orderBy("sort_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        staged.withColumn("cum", run)
+        .select(
+            "doc_id",
+            F.col("grp").alias("grp"),
+            "n_tokens",
+            (F.col("full_epochs")
+             + (F.col("cum") <= F.col("rem")).cast("long")
+             ).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "q_sample_mixture",
+    f"""
+    WITH base AS (
+        SELECT doc_id, lang AS grp,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CASE lang {' '.join(f"WHEN '{g}' THEN {w}" for g, w in _MIX_WEIGHTS)}
+               END AS w,
+               md5(CAST(doc_id AS VARCHAR) || ':42') AS k
+        FROM documents
+        WHERE lang IN ({', '.join(f"'{g}'" for g, _ in _MIX_WEIGHTS)})
+    ),
+    tot AS (SELECT grp, SUM(n_tokens) AS grp_tokens FROM base GROUP BY grp),
+    staged AS (
+        SELECT b.*, FLOOR({_MIX_BUDGET} * w) AS quota,
+               FLOOR(FLOOR({_MIX_BUDGET} * w) / grp_tokens) AS full_epochs,
+               FLOOR({_MIX_BUDGET} * w)
+                 - FLOOR(FLOOR({_MIX_BUDGET} * w) / grp_tokens) * grp_tokens
+                 AS rem,
+               SUM(n_tokens) OVER (
+                   PARTITION BY b.grp ORDER BY k
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM base b JOIN tot USING (grp)
+    )
+    SELECT doc_id, grp, n_tokens,
+           CAST(full_epochs + CASE WHEN cum <= rem THEN 1 ELSE 0 END
+                AS BIGINT) AS n_copies
+    FROM staged
+    """,
+    doc="Weighted corpus mixture with deterministic upsampling (the "
+        "Pile/Dolma recipe): per-language token quotas from a weight "
+        "table over a 30k budget; a group over quota repeats whole "
+        "epochs + a hash-ordered fractional prefix, a group under it "
+        "downsamples to the prefix, unweighted groups drop out — one "
+        "row per doc with its copy count, hash-checked end to end",
+)
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return mixture_plan(docs, dict(_MIX_WEIGHTS), _MIX_BUDGET)
+
+
+def materialize_mixture(docs: DataFrame, plan: DataFrame,
+                        stride: int = 4096,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Explode a ``mixture_plan`` into physical rows for export: each doc
+    appears ``n_copies`` times as (mix_id, doc_id, copy, text) where
+    ``mix_id = doc_id * stride + copy`` — a collision-free synthetic key
+    (guarded: raises if any n_copies >= stride, checked cheaply on the
+    plan which is doc-count-sized, not text-sized) so the export's
+    (shard, pos) determinism applies per COPY: epoch k of an upsampled
+    doc lands at its own stable position instead of colliding with epoch
+    k+1. Join + explode only — the text column never passes through an
+    aggregate."""
+    mx = plan.agg(F.max("n_copies").alias("m")).collect()[0].m
+    if mx is not None and mx >= stride:
+        raise ValueError(
+            f"materialize_mixture: a doc repeats {mx}x >= stride={stride}; "
+            "raise stride (mix_id = doc_id*stride+copy must not collide)"
+        )
+    kept = plan.filter(F.col("n_copies") > 0)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)
+                    .alias("text"))
+        .join(kept, "doc_id")
+        .select(
+            "doc_id", "grp", "text",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies")))
+            .alias("copy"),
+        )
+        .select(
+            (F.col("doc_id") * stride + F.col("copy")).alias("mix_id"),
+            "doc_id", "copy", "grp", "text",
+        )
+    )

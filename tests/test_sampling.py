@@ -270,3 +270,84 @@ def test_cluster_balanced_sample_contract(spark, sf_dir):
         emb, n_centroids=4, per_cell_cap=10**9
     )
     assert all_kept.filter(~F.col("kept")).count() == 0
+
+
+def test_mixture_plan_quotas_upsampling_and_determinism(spark, sf_dir):
+    """Mixture semantics: per-group emitted tokens land within one doc of
+    the quota (greedy whole-doc prefix); a group whose quota exceeds its
+    inventory upsamples (n_copies >= 1 for EVERY doc, full epochs
+    unchanged under a new seed); a group under quota downsamples;
+    unweighted groups are absent; assignment is repartition-invariant."""
+    from pyspark.sql import functions as F
+
+    from substreams_sink_parquet_spark.llm.sampling import mixture_plan
+    from substreams_sink_parquet_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    weights = {"en": 0.6, "fr": 0.1}
+    budget = 20_000
+    res = mixture_plan(docs, weights, budget).collect()
+    assert {r.grp for r in res} == {"en", "fr"}  # zh/es/de dropped
+
+    inv = {g: sum(r.n_tokens for r in res if r.grp == g)
+           for g in ("en", "fr")}
+    for g in ("en", "fr"):
+        quota = int(budget * weights[g])
+        rows = [r for r in res if r.grp == g]
+        emitted = sum(r.n_tokens * r.n_copies for r in rows)
+        max_doc = max(r.n_tokens for r in rows)
+        assert emitted <= quota < emitted + max_doc + 1
+        if quota > inv[g]:  # upsampled: every doc appears at least once
+            assert min(r.n_copies for r in rows) >= 1
+        else:  # downsampled: some docs dropped, none repeated
+            assert max(r.n_copies for r in rows) == 1
+            assert any(r.n_copies == 0 for r in rows)
+
+    # repartition invariance
+    res2 = mixture_plan(docs.repartition(7), weights, budget).collect()
+    key = lambda rs: sorted((r.doc_id, r.grp, r.n_copies) for r in rs)
+    assert key(res) == key(res2)
+
+    # a new seed re-draws the fractional prefix only: full-epoch floor
+    # identical, per-doc copies move by at most 1
+    res3 = mixture_plan(docs, weights, budget, seed=7).collect()
+    c1 = {r.doc_id: r.n_copies for r in res}
+    c3 = {r.doc_id: r.n_copies for r in res3}
+    assert set(c1) == set(c3)
+    assert all(abs(c1[d] - c3[d]) <= 1 for d in c1)
+    assert any(c1[d] != c3[d] for d in c1)
+
+
+def test_materialize_mixture_explodes_copies_for_export(spark, sf_dir):
+    """Copy materialization: row count == sum(n_copies); mix_ids are
+    unique and reversible (doc_id = mix_id // stride, copy = mix_id %
+    stride); the guard refuses a stride the copy count would collide;
+    the result exports cleanly with per-copy stable positions."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from substreams_sink_parquet_spark.llm.export import (
+        plan_pretrain_export,
+    )
+    from substreams_sink_parquet_spark.llm.sampling import (
+        materialize_mixture, mixture_plan,
+    )
+    from substreams_sink_parquet_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    plan = mixture_plan(docs, {"en": 0.9, "fr": 0.05}, 30_000)
+    rows = materialize_mixture(docs, plan).collect()
+    want = sum(r.n_copies for r in plan.collect())
+    assert len(rows) == want > 0
+    ids = [r.mix_id for r in rows]
+    assert len(set(ids)) == len(ids)
+    assert all(r.mix_id == r.doc_id * 4096 + r.copy for r in rows)
+
+    with pytest.raises(ValueError, match="stride"):
+        materialize_mixture(docs, plan, stride=1)
+
+    mat = materialize_mixture(docs, plan)
+    exported = plan_pretrain_export(
+        mat, context_len=256, n_shards=2, id_col="mix_id"
+    )
+    assert exported.count() == want  # every copy got its own (shard, pos)
