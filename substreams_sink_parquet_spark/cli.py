@@ -628,6 +628,22 @@ def cmd_export_pretrain(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_export_verify(args: argparse.Namespace) -> int:
+    """Integrity audit of a pre-training export: recompute per-shard
+    stats from the shards on disk, compare to the committed manifest,
+    re-assert pos density (llm/export.py:verify_pretrain_export). Exit 1
+    with the issue list when the artifact is degraded — run it after a
+    restore/copy and before burning GPU-hours."""
+    import json as _json
+
+    from .llm.export import verify_pretrain_export
+
+    spark = get_spark("export-verify")
+    report = verify_pretrain_export(spark, args.out_dir)
+    print(_json.dumps(report))
+    return 0 if report["ok"] else 1
+
+
 def cmd_retrieve_index(args: argparse.Namespace) -> int:
     """BM25 retrieval served from a persisted postings index — the
     ``retrieve`` command without its per-call corpus re-tokenize: the
@@ -1354,6 +1370,14 @@ def main(argv: list[str] | None = None) -> int:
                        help="apply a persisted BPE model (bpe-train) "
                             "instead of training per run")
     exp_p.set_defaults(fn=cmd_export_pretrain)
+
+    expv_p = sub.add_parser(
+        "export-verify",
+        help="integrity audit of a pre-training export (manifest vs "
+             "shards on disk, pos density); exit 1 when degraded",
+    )
+    expv_p.add_argument("out_dir", help="export root")
+    expv_p.set_defaults(fn=cmd_export_verify)
 
     bpe_p = sub.add_parser(
         "bpe-train",

@@ -294,3 +294,57 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def verify_pretrain_export(spark: SparkSession, out_dir: str) -> dict:
+    """Integrity audit of an export artifact — the check a trainer (or an
+    operator who just restored/copied 100 TB of shards) runs before
+    burning GPU-hours on it: recompute per-shard stats FROM THE SHARDS
+    and compare to the committed manifest, and re-assert the pos-density
+    invariant (positions 1..n_docs, no gaps — a lost parquet file inside
+    a shard dir shows up as a pos hole even when row counts happen to
+    survive elsewhere). One counts-only scan (text is never read:
+    column pruning keeps the audit cheap at any scale).
+
+    Returns {"ok": bool, "issues": [str...], "shards_checked": int};
+    read_export_manifest's loud FileNotFoundError propagates for a
+    manifest-less dir (that is not a degraded artifact — it is an
+    uncommitted one)."""
+    from pyspark.sql import types as T
+
+    man = read_export_manifest(spark, out_dir)
+    df = spark.read.schema(
+        T.StructType.fromJson(man["schema"])
+    ).parquet(url_join(out_dir, "shards"))
+    got = {
+        r.shard_id: r
+        for r in df.groupBy("shard_id").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.countDistinct("seq_id").alias("n_seqs"),
+            F.max("pos").alias("max_pos"),
+            F.countDistinct("pos").alias("n_pos"),
+        ).collect()
+    }
+    issues: list[str] = []
+    want = {int(sid): s for sid, s in man["shards"].items()}
+    for sid in sorted(set(want) - set(got)):
+        issues.append(f"shard {sid}: in manifest but has no rows on disk")
+    for sid in sorted(set(got) - set(want)):
+        issues.append(f"shard {sid}: on disk but absent from the manifest")
+    for sid in sorted(set(want) & set(got)):
+        w, g = want[sid], got[sid]
+        for k, v in (("n_docs", g.n_docs), ("n_tokens", g.n_tokens),
+                     ("n_seqs", g.n_seqs)):
+            if w[k] != v:
+                issues.append(
+                    f"shard {sid}: {k} manifest={w[k]} disk={v}"
+                )
+        if g.max_pos != g.n_docs or g.n_pos != g.n_docs:
+            issues.append(
+                f"shard {sid}: pos not dense 1..{g.n_docs} "
+                f"(max_pos={g.max_pos}, distinct={g.n_pos}) — rows lost "
+                "or duplicated inside the shard"
+            )
+    return {"ok": not issues, "issues": issues,
+            "shards_checked": len(set(want) | set(got))}

@@ -173,3 +173,63 @@ def test_empty_corpus_exports_empty_artifact(spark, sf_dir, tmp_path):
     man = E.write_pretrain_export(docs, out, context_len=128, n_shards=2)
     assert man["total_docs"] == 0 and man["shards"] == {}
     assert E.read_pretrain_export(spark, out).count() == 0
+
+
+def test_verify_detects_tampering_and_loss(spark, sf_dir, tmp_path):
+    """export-verify's contract: an intact artifact reports ok; a lost
+    shard dir, a manifest count drift, and a duplicated row inside a
+    shard (pos no longer dense) are each named in the issue list."""
+    import json
+    import shutil
+
+    docs = _docs(spark, sf_dir)
+    out = tmp_path / "exp"
+    E.write_pretrain_export(docs, str(out), context_len=128, n_shards=4)
+    rep = E.verify_pretrain_export(spark, str(out))
+    assert rep == {"ok": True, "issues": [], "shards_checked": 4}
+
+    # lost shard: manifest knows it, disk does not
+    shutil.rmtree(out / "shards" / "shard_id=2")
+    rep = E.verify_pretrain_export(spark, str(out))
+    assert not rep["ok"]
+    assert any("shard 2" in i and "no rows on disk" in i
+               for i in rep["issues"])
+
+    # manifest drift: tamper a count (through HadoopFS — a raw pathlib
+    # write would trip the local-FS CRC, not the audit)
+    from substreams_sink_parquet_spark.fsio import HadoopFS, url_join
+
+    fs = HadoopFS(spark, str(out))
+    man = json.loads((out / E._MANIFEST).read_text())
+    man["shards"]["1"]["n_tokens"] += 5
+    fs.delete(url_join(str(out), E._MANIFEST), recursive=False)
+    fs.write_bytes(url_join(str(out), E._MANIFEST),
+                   json.dumps(man).encode())
+    rep = E.verify_pretrain_export(spark, str(out))
+    assert any("shard 1: n_tokens" in i for i in rep["issues"])
+
+    # duplicated rows inside a shard: pos density violated
+    E.write_pretrain_export(docs, str(out), context_len=128, n_shards=4)
+    d = out / "shards" / "shard_id=3"
+    f = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+    shutil.copy(f, d / "zz-dup.parquet")
+    rep = E.verify_pretrain_export(spark, str(out))
+    assert any("shard 3" in i and "not dense" in i for i in rep["issues"])
+
+
+def test_cli_export_verify(spark, sf_dir, tmp_path, capsys):
+    import json
+    import shutil
+
+    from substreams_sink_parquet_spark.cli import main
+
+    docs = f"{sf_dir}/documents.parquet"
+    out = tmp_path / "exp"
+    assert main(["export-pretrain", str(out), "--docs", docs,
+                 "--n-shards", "3"]) == 0
+    capsys.readouterr()
+    assert main(["export-verify", str(out)]) == 0
+    assert json.loads(capsys.readouterr().out)["ok"] is True
+    shutil.rmtree(out / "shards" / "shard_id=0")
+    assert main(["export-verify", str(out)]) == 1
+    assert not json.loads(capsys.readouterr().out)["ok"]
