@@ -410,6 +410,15 @@ def main() -> None:
     # MINIMUM (steady-state cost), with median + spread (max−min) reported
     # alongside so sub-noise-floor round-over-round deltas are identifiable
     # as noise (VERDICT r4, Next #6).
+    # Root cause of the heavy-codegen spread (VERDICT r6, Next #3 —
+    # q_dedup_minhash): the first pass pays whole-stage-codegen COMPILE +
+    # C2 JIT tiering on a plan with an unusually wide generated-class
+    # surface (band explode + signature HOFs), measured solo as
+    # 8.4 → 2.1 → 1.8 → 1.7 → 1.7 → 1.6 s over six passes — monotone
+    # warm-up convergence to ±8%, NOT AQE flapping. min-of-3 therefore
+    # under-samples steady state by at most one warm-up tail; read
+    # queries_passes (monotone decreasing = warm-up, spikes = stalls)
+    # before calling a round-over-round delta real.
     # HEADLINE passes finish before EXTENDED starts so the heavy extended
     # plans can't pollute the round-over-round-comparable headline numbers
     # with GC pressure.
