@@ -628,6 +628,62 @@ def cmd_export_pretrain(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_decontaminate(args: argparse.Namespace) -> int:
+    """One-command benchmark decontamination: flag training docs that
+    leak an eval/benchmark set through any enabled detector — word
+    8-grams (verbatim), winnowing char fingerprints (cross-tokenization
+    edits, opt-in), embedding cosine (paraphrases, opt-in via embedding
+    tables keyed by doc_id) — then write the cleaned corpus and print a
+    per-detector JSON report. The asymmetric-join shapes of the
+    underlying operators are unchanged: the eval side broadcasts, the
+    corpus is never shuffled by anything eval-sized."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from .llm.dedup import decontaminate as ngram_scan
+    from .llm.text import winnow_decontaminate
+
+    spark = get_spark("decontaminate")
+    train = spark.read.parquet(args.train).select("doc_id", "text")
+    ev = spark.read.parquet(args.eval).select("doc_id", "text")
+    report: dict = {"n_train": train.count(), "detectors": {}}
+    flagged = None
+
+    def _add(name: str, ids_df) -> None:
+        nonlocal flagged
+        ids = ids_df.select("doc_id").distinct()
+        report["detectors"][name] = ids.count()
+        flagged = ids if flagged is None else flagged.unionByName(ids)
+
+    _add("ngram", ngram_scan(train, ev, n=args.ngram))
+    if args.winnow:
+        _add("winnow", winnow_decontaminate(
+            train, ev, k=args.winnow_k, w=args.winnow_w
+        ))
+    if args.embeddings:
+        from .llm.similarity import semantic_decontaminate
+
+        if not args.eval_embeddings:
+            print("decontaminate: --embeddings requires --eval-embeddings",
+                  file=sys.stderr)
+            return 2
+        tr_emb = spark.read.parquet(args.embeddings)
+        ev_emb = spark.read.parquet(args.eval_embeddings)
+        sem = semantic_decontaminate(
+            tr_emb, ev_emb, threshold=args.threshold
+        ).filter(F.col("contaminated"))
+        _add("semantic", sem.select(F.col("vec_id").alias("doc_id")))
+
+    flagged = flagged.distinct()
+    report["flagged_total"] = flagged.count()
+    clean = train.join(flagged, "doc_id", "left_anti")
+    clean.write.mode("overwrite").parquet(args.out)
+    report["kept"] = report["n_train"] - report["flagged_total"]
+    print(_json.dumps(report))
+    return 0
+
+
 def cmd_export_verify(args: argparse.Namespace) -> int:
     """Integrity audit of a pre-training export: recompute per-shard
     stats from the shards on disk, compare to the committed manifest,
@@ -1370,6 +1426,32 @@ def main(argv: list[str] | None = None) -> int:
                        help="apply a persisted BPE model (bpe-train) "
                             "instead of training per run")
     exp_p.set_defaults(fn=cmd_export_pretrain)
+
+    dec_p = sub.add_parser(
+        "decontaminate",
+        help="flag + drop training docs leaking an eval set (n-gram "
+             "always; winnowing and embedding detectors opt-in)",
+    )
+    dec_p.add_argument("train", help="parquet of (doc_id, text) rows")
+    dec_p.add_argument("--eval", required=True, dest="eval",
+                       help="parquet of eval/benchmark (doc_id, text) rows")
+    dec_p.add_argument("--out", required=True,
+                       help="cleaned corpus output dir")
+    dec_p.add_argument("--ngram", type=int, default=8,
+                       help="word n-gram length (default 8)")
+    dec_p.add_argument("--winnow", action="store_true",
+                       help="also run char-level winnowing fingerprints "
+                            "(catches cross-tokenization edits)")
+    dec_p.add_argument("--winnow-k", type=int, default=16)
+    dec_p.add_argument("--winnow-w", type=int, default=6)
+    dec_p.add_argument("--embeddings", default=None,
+                       help="train embeddings parquet (vec_id == doc_id): "
+                            "also run the paraphrase detector")
+    dec_p.add_argument("--eval-embeddings", default=None,
+                       help="eval embeddings parquet (with --embeddings)")
+    dec_p.add_argument("--threshold", type=float, default=0.97,
+                       help="semantic contamination cosine threshold")
+    dec_p.set_defaults(fn=cmd_decontaminate)
 
     expv_p = sub.add_parser(
         "export-verify",

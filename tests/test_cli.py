@@ -782,3 +782,77 @@ def test_cli_bpe_train_and_frozen_export(tmp_path, spark, capsys, sf_dir):
         main(["export-pretrain", str(tmp_path / "y"), "--docs", docs,
               "--tokenizer", str(tmp_path / "nope")])
     capsys.readouterr()
+
+
+def test_cli_decontaminate(tmp_path, spark, capsys):
+    """decontaminate end-to-end: a verbatim 8-gram leak is always caught;
+    a punctuation-shifted copy of an eval doc is caught ONLY when
+    --winnow is on (the cross-tokenization case word n-grams miss); a
+    paraphrase sharing zero text is caught only by the embedding
+    detector; the cleaned output excludes exactly the flagged docs and
+    the JSON report names each detector's count."""
+    import json
+
+    from substreams_sink_parquet_spark.cli import main
+
+    eval_text = ("what is the capital of freedonia the answer is "
+                 "sylvania city of course")
+    shifted = ("What, is the capital of freedonia; the answer is "
+               "sylvania city -- of course!!")
+    clean1 = "a completely unrelated document about spark window functions"
+    clean2 = "another clean doc covering parquet row group layout details"
+    train = spark.createDataFrame(
+        [(1, "prefix words " + eval_text + " suffix words"),  # verbatim
+         (2, shifted * 3),                                    # edited copy
+         (3, clean1), (4, clean2), (5, "paraphrased leak no shared text")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, eval_text)], "doc_id long, text string"
+    )
+    tr_p, ev_p = str(tmp_path / "train"), str(tmp_path / "eval")
+    train.write.parquet(tr_p)
+    ev.write.parquet(ev_p)
+
+    # n-gram only: verbatim flagged, shifted copy survives
+    out1 = str(tmp_path / "clean1")
+    assert main(["decontaminate", tr_p, "--eval", ev_p, "--out", out1]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["detectors"]["ngram"] == 1 and rep["flagged_total"] == 1
+    kept = {r.doc_id for r in spark.read.parquet(out1).collect()}
+    assert kept == {2, 3, 4, 5}
+
+    # + winnow: the punctuation-shifted copy shares long char substrings
+    out2 = str(tmp_path / "clean2")
+    assert main(["decontaminate", tr_p, "--eval", ev_p, "--out", out2,
+                 "--winnow"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["detectors"]["winnow"] >= 2  # verbatim + shifted
+    kept = {r.doc_id for r in spark.read.parquet(out2).collect()}
+    assert 2 not in kept and 1 not in kept and {3, 4} <= kept
+
+    # + semantic: doc 5's embedding sits on the eval vector
+    emb_tr = spark.createDataFrame(
+        [(5, [1.0, 0.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0, 0.0]),
+         (4, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    emb_ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    tre_p, eve_p = str(tmp_path / "emb_tr"), str(tmp_path / "emb_ev")
+    emb_tr.write.parquet(tre_p)
+    emb_ev.write.parquet(eve_p)
+    out3 = str(tmp_path / "clean3")
+    assert main(["decontaminate", tr_p, "--eval", ev_p, "--out", out3,
+                 "--winnow", "--embeddings", tre_p,
+                 "--eval-embeddings", eve_p]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["detectors"]["semantic"] == 1
+    kept = {r.doc_id for r in spark.read.parquet(out3).collect()}
+    assert kept == {3, 4}
+
+    # usage error: embeddings without the eval side
+    assert main(["decontaminate", tr_p, "--eval", ev_p,
+                 "--out", str(tmp_path / "x"), "--embeddings", tre_p]) == 2
+    capsys.readouterr()
