@@ -692,3 +692,85 @@ def test_line_dedup_matches_plain_python_property(spark):
         assert got == want
 
     check()
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=300),
+                  min_size=1, max_size=60),
+    ctx=st.integers(min_value=8, max_value=128),
+    n_shards=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=4, deadline=None)
+def test_export_plan_matches_plain_python_reference(spark, toks, ctx,
+                                                    n_shards):
+    """Property: the export's (shard, pos, seq_id) equals a plain-Python
+    restatement of the contract — universal-hash shard, seeded-md5 order,
+    greedy running-sum packing — for arbitrary token-length profiles,
+    context lengths, and shard counts (the oracle pins one fixture; this
+    pins the law)."""
+    import hashlib
+
+    from substreams_sink_parquet_spark.llm.export import (
+        _A, _B, _M, plan_pretrain_export,
+    )
+
+    docs = [(i, " ".join("w" for _ in range(n))) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.shard_id, r.pos, r.seq_id, r.n_tokens)
+        for r in plan_pretrain_export(
+            df, context_len=ctx, n_shards=n_shards
+        ).collect()
+    }
+
+    # plain-Python reference
+    by_shard: dict[int, list[tuple[str, int, int]]] = {}
+    for i, n in enumerate(toks):
+        s = ((i * _A + _B) % _M) % n_shards
+        k = hashlib.md5(f"{i}:42".encode()).hexdigest()
+        by_shard.setdefault(s, []).append((k, i, n))
+    want = {}
+    for s, rows in by_shard.items():
+        run = 0
+        for pos, (_, i, n) in enumerate(sorted(rows), start=1):
+            want[i] = (s, pos, run // ctx, n)
+            run += n
+    assert got == want
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=200),
+                  min_size=2, max_size=40),
+    budget=st.integers(min_value=10, max_value=20_000),
+    w=st.floats(min_value=0.05, max_value=1.0),
+)
+@settings(max_examples=4, deadline=None)
+def test_mixture_copies_match_plain_python_reference(spark, toks, budget, w):
+    """Property: mixture_plan's per-doc copy counts equal the plain-Python
+    restatement — quota = floor(budget*w), full epochs = quota //
+    inventory, remainder filled by the md5-ordered greedy prefix — for
+    arbitrary inventories, budgets, and weights (upsampling and
+    downsampling regimes both land here)."""
+    import hashlib
+
+    from substreams_sink_parquet_spark.llm.sampling import mixture_plan
+
+    docs = [(i, "g", " ".join("w" for _ in range(n)))
+            for i, n in enumerate(toks)]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    got = {r.doc_id: r.n_copies
+           for r in mixture_plan(df, {"g": w}, budget).collect()}
+
+    inv = sum(toks)
+    quota = int(budget * w)
+    full = quota // inv
+    rem = quota - full * inv
+    order = sorted(
+        (hashlib.md5(f"{i}:42".encode()).hexdigest(), i, n)
+        for i, n in enumerate(toks)
+    )
+    want, run = {}, 0
+    for _, i, n in order:
+        run += n
+        want[i] = full + (1 if run <= rem else 0)
+    assert got == want
