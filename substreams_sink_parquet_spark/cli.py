@@ -1049,6 +1049,14 @@ def cmd_catalog(args: argparse.Namespace) -> int:
         return 2
     spark = get_spark("catalog")
     df = reg[args.name].fn(spark, args.sf_dir)
+    if args.explain:
+        # the physical plan instead of rows — the surface for checking
+        # pushdown/pruning/exchange shapes on a live query without
+        # writing a pytest (plans/inspect.py is the programmatic twin)
+        from .plans.inspect import explain_str
+
+        print(explain_str(df))
+        return 0
     df.show(args.limit, truncate=False)
     return 0
 
@@ -1164,6 +1172,9 @@ def main(argv: list[str] | None = None) -> int:
     cat_p.add_argument("--sf-dir", default=None,
                        help="directory of the standard parquet tables")
     cat_p.add_argument("--limit", type=int, default=20)
+    cat_p.add_argument("--explain", action="store_true",
+                       help="print the formatted physical plan instead "
+                            "of rows")
     cat_p.set_defaults(fn=cmd_catalog)
 
     setup_p = sub.add_parser("setup", help="validate store access")

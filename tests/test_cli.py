@@ -678,6 +678,12 @@ def test_cli_catalog_lists_and_runs_queries(tmp_path, spark, capsys):
     assert rc == 0
     assert "l_returnflag" in capsys.readouterr().out
 
+    rc = main(["catalog", "q_filter", "--sf-dir", "/root/testdata/sf0.001",
+               "--explain"])
+    assert rc == 0
+    plan = capsys.readouterr().out
+    assert "PushedFilters" in plan and "Scan parquet" in plan
+
     assert main(["catalog", "q_agg_basic"]) == 2          # no --sf-dir
     assert main(["catalog", "q_profle_columns"]) == 2     # typo
     err = capsys.readouterr().err
