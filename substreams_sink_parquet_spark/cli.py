@@ -628,6 +628,51 @@ def cmd_export_pretrain(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_quality_train(args: argparse.Namespace) -> int:
+    """Train the weak-label quality classifier (rule cascade -> HashingTF
+    -> logistic regression) and freeze it as a lake artifact
+    (llm/quality_model.py) — score tomorrow's crawl with today's model
+    instead of silently refitting on drifted data."""
+    from .llm.quality_model import save_quality_model, train_quality_model
+
+    spark = get_spark("quality-train")
+    docs = spark.read.parquet(args.docs).select("doc_id", "text")
+    model = train_quality_model(docs, sample_mod=args.sample_mod)
+    save_quality_model(model, args.model_dir)
+    print(f"quality-train OK: {args.model_dir} sample_mod={args.sample_mod}")
+    return 0
+
+
+def cmd_quality_score(args: argparse.Namespace) -> int:
+    """Score a corpus with a frozen quality model: per-doc P(keep) +
+    prediction, written as parquet; --min-p-keep also writes the
+    filtered corpus beside the scores (map-only — scan parallelism)."""
+    from pyspark.sql import functions as F
+
+    from .llm.quality_model import load_quality_model, score_quality
+
+    spark = get_spark("quality-score")
+    docs = spark.read.parquet(args.docs)
+    model = load_quality_model(spark, args.model_dir)
+    scores = score_quality(model, docs)
+    scores.write.mode("overwrite").parquet(args.out)
+    report = {"n_docs": docs.count()}
+    if args.min_p_keep is not None:
+        kept = docs.join(
+            spark.read.parquet(args.out)
+            .filter(F.col("p_keep") >= args.min_p_keep)
+            .select("doc_id"),
+            "doc_id",
+        )
+        kept.write.mode("overwrite").parquet(args.out + "_kept")
+        report["kept"] = kept.count()
+        report["min_p_keep"] = args.min_p_keep
+    import json as _json
+
+    print(_json.dumps(report))
+    return 0
+
+
 def cmd_decontaminate(args: argparse.Namespace) -> int:
     """One-command benchmark decontamination: flag training docs that
     leak an eval/benchmark set through any enabled detector — word
@@ -1437,6 +1482,31 @@ def main(argv: list[str] | None = None) -> int:
                        help="apply a persisted BPE model (bpe-train) "
                             "instead of training per run")
     exp_p.set_defaults(fn=cmd_export_pretrain)
+
+    qt_p = sub.add_parser(
+        "quality-train",
+        help="train + freeze the weak-label quality classifier",
+    )
+    qt_p.add_argument("model_dir", help="model artifact root")
+    qt_p.add_argument("--docs", required=True,
+                      help="parquet of (doc_id, text) rows")
+    qt_p.add_argument("--sample-mod", type=int, default=1,
+                      help="train on the 1/N hash slice (100 at crawl "
+                           "scale; 1 = all docs)")
+    qt_p.set_defaults(fn=cmd_quality_train)
+
+    qsc_p = sub.add_parser(
+        "quality-score",
+        help="score a corpus with a frozen quality model (P(keep) per "
+             "doc; optional threshold filter)",
+    )
+    qsc_p.add_argument("model_dir")
+    qsc_p.add_argument("--docs", required=True)
+    qsc_p.add_argument("--out", required=True,
+                       help="scores output dir (filtered corpus lands "
+                            "at <out>_kept with --min-p-keep)")
+    qsc_p.add_argument("--min-p-keep", type=float, default=None)
+    qsc_p.set_defaults(fn=cmd_quality_score)
 
     dec_p = sub.add_parser(
         "decontaminate",

@@ -163,3 +163,31 @@ def q_text_quality_model_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0.65
         ).alias("acc_floor_met"),
     )
+
+
+# -- persisted model (lake artifact) -----------------------------------------
+
+
+def save_quality_model(model, model_dir: str) -> None:
+    """Persist the fitted pipeline with MLlib's native writer (metadata +
+    coefficient parquet under ``model_dir``) — the frozen-artifact story
+    the tokenizer and the indexes already follow: score tomorrow's crawl
+    with TODAY'S model, not one silently refit on drifted data. Overwrite
+    semantics match a rebuild."""
+    model.write().overwrite().save(model_dir)
+
+
+def load_quality_model(spark: SparkSession, model_dir: str):
+    """Load a persisted quality model; refuses a missing/foreign dir with
+    an error naming the builder (MLlib's raw load error names a metadata
+    path, not the fix)."""
+    from pyspark.ml import PipelineModel
+
+    try:
+        return PipelineModel.load(model_dir)
+    except Exception as e:
+        raise FileNotFoundError(
+            f"no quality model at {model_dir!r} — train one with "
+            "train_quality_model + save_quality_model (or `quality-train`) "
+            f"first; loader said: {e}"
+        ) from None

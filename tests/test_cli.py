@@ -862,3 +862,45 @@ def test_cli_decontaminate(tmp_path, spark, capsys):
     assert main(["decontaminate", tr_p, "--eval", ev_p,
                  "--out", str(tmp_path / "x"), "--embeddings", tre_p]) == 2
     capsys.readouterr()
+
+
+def test_cli_quality_train_and_score(tmp_path, spark, capsys, sf_dir):
+    """quality-train freezes the classifier; quality-score applies it:
+    scores parquet has one row per doc with p_keep in [0,1]; a
+    --min-p-keep threshold writes the filtered corpus beside the scores
+    and keeps exactly the docs clearing it; a model-less dir refuses
+    loudly naming quality-train."""
+    import json
+
+    import pytest
+
+    from substreams_sink_parquet_spark.cli import main
+
+    docs = f"{sf_dir}/documents.parquet"
+    n = spark.read.parquet(docs).count()
+    model = str(tmp_path / "qmodel")
+    assert main(["quality-train", model, "--docs", docs]) == 0
+    assert "quality-train OK" in capsys.readouterr().out
+
+    out = str(tmp_path / "scores")
+    assert main(["quality-score", model, "--docs", docs, "--out", out,
+                 "--min-p-keep", "0.5"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["n_docs"] == n
+    scores = spark.read.parquet(out)
+    assert scores.count() == n
+    from pyspark.sql import functions as F
+
+    assert scores.filter(
+        (F.col("p_keep") < 0) | (F.col("p_keep") > 1)
+    ).count() == 0
+    kept = spark.read.parquet(out + "_kept")
+    want = {r.doc_id for r in scores.filter(F.col("p_keep") >= 0.5)
+            .collect()}
+    assert {r.doc_id for r in kept.collect()} == want
+    assert rep["kept"] == len(want)
+
+    with pytest.raises(FileNotFoundError, match="quality-train"):
+        main(["quality-score", str(tmp_path / "nope"), "--docs", docs,
+              "--out", str(tmp_path / "x")])
+    capsys.readouterr()
