@@ -1793,3 +1793,88 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return line_dedup(spread_if_narrow(relined), min_dup_docs=2)
+
+
+def decontaminate_eval_report(train: DataFrame, eval_set: DataFrame,
+                              n: int = 8) -> DataFrame:
+    """The flip side of :func:`decontaminate` — per EVAL example, how
+    badly it leaked: how many training docs contain one of its word
+    n-grams, how many of its grams are compromised, and the ``burned``
+    verdict. ``decontaminate`` tells you which training docs to drop;
+    this tells you which benchmark items stopped measuring anything —
+    the report that accompanies every serious eval release. Eval docs
+    with ZERO leakage are present (burned=false): 'clean item' must be
+    distinguishable from 'report never ran'.
+
+    Same asymmetric 100 TB shape: the eval gram index broadcasts, the
+    train side is one map-only shingle pass, and the post-join
+    aggregation keys on eval_doc — its input is matches only
+    (contamination-sized, not corpus-sized)."""
+    grams = shingle_array("text", n)
+    ev_g = eval_set.select(
+        F.col("doc_id").alias("eval_doc"), F.explode(grams).alias("gram")
+    )
+    tr_g = spread_if_narrow(train).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    hits = (
+        tr_g.join(F.broadcast(ev_g), "gram")
+        .groupBy("eval_doc")
+        .agg(
+            F.countDistinct("doc_id").alias("n_train_docs"),
+            F.countDistinct("gram").alias("n_grams_hit"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        eval_set.select(F.col("doc_id").alias("eval_doc"))
+        .join(hits, "eval_doc", "left")
+        .select(
+            "eval_doc",
+            F.coalesce("n_train_docs", zero).alias("n_train_docs"),
+            F.coalesce("n_grams_hit", zero).alias("n_grams_hit"),
+            (F.coalesce("n_train_docs", zero) > 0).alias("burned"),
+        )
+    )
+
+
+@register(
+    "q_decontaminate_eval_report",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(
+                   range(len(str_split(text, ' ')) - 7),
+                   i -> array_to_string(str_split(text, ' ')[i+1:i+8], ' ')
+               ))) AS gram
+        FROM documents
+    ),
+    eval_g AS (SELECT doc_id AS eval_doc, gram FROM g WHERE doc_id % 7 = 0),
+    train_g AS (SELECT doc_id, gram FROM g WHERE doc_id % 7 <> 0),
+    hits AS (
+        SELECT e.eval_doc,
+               COUNT(DISTINCT t.doc_id) AS n_train_docs,
+               COUNT(DISTINCT t.gram) AS n_grams_hit
+        FROM eval_g e JOIN train_g t ON t.gram = e.gram
+        GROUP BY e.eval_doc
+    )
+    SELECT d.doc_id AS eval_doc,
+           CAST(COALESCE(n_train_docs, 0) AS BIGINT) AS n_train_docs,
+           CAST(COALESCE(n_grams_hit, 0) AS BIGINT) AS n_grams_hit,
+           COALESCE(n_train_docs, 0) > 0 AS burned
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
+    LEFT JOIN hits ON d.doc_id = hits.eval_doc
+    """,
+    doc="Eval-side contamination report: per benchmark example, how many "
+        "training docs leak it, how many of its 8-grams are compromised, "
+        "and the burned verdict — clean items present with burned=false. "
+        "The flip side of q_decontaminate, same broadcast-eval shape",
+)
+def q_decontaminate_eval_report(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return decontaminate_eval_report(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        n=8,
+    )
