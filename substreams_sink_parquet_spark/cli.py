@@ -418,6 +418,8 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         quality_gate=args.quality_gate,
         line_dedup_min_docs=args.line_dedup_min_docs,
         profile=args.profile,
+        decontaminate_eval_dir=args.decontaminate_eval,
+        decontaminate_ngram=args.decontaminate_ngram,
     )
     query.awaitTermination()
     n = corpus_docs(spark, args.store_url).count()
@@ -1341,6 +1343,12 @@ def main(argv: list[str] | None = None) -> int:
                                "cascade BEFORE dedup; rejection reasons land "
                                "under _rejects/epoch=N")
     corpus_p.add_argument("--neardup-threshold", type=float, default=0.5)
+    corpus_p.add_argument("--decontaminate-eval", default=None,
+                          help="parquet of benchmark (doc_id, text) rows: "
+                               "reject docs sharing any word n-gram with "
+                               "it at admission (recorded under "
+                               "_contam_rejects/, never enters an index)")
+    corpus_p.add_argument("--decontaminate-ngram", type=int, default=8)
     corpus_p.add_argument("--profile", action="store_true",
                           help="per-epoch chars/words/lang profiles of the "
                           "admitted docs under _profile/ (read back with "

@@ -101,6 +101,18 @@ class CorpusSink:
     # not silent, same philosophy as the quarantine — and the filter is
     # stateless, so replays converge by the epoch-overwrite contract.
     quality_gate: bool = False
+    # decontamination gate (after quality, before every dedup index):
+    # reject docs sharing any word ``decontaminate_ngram``-gram with the
+    # benchmark set at ``decontaminate_eval_dir`` (a parquet of (doc_id,
+    # text)). The eval gram index is computed ONCE at construction
+    # (benchmark-suite-sized, broadcast per batch); the gate is stateless
+    # so replays converge by the epoch-overwrite contract. Rejections —
+    # (doc_id, lang, n_grams_hit) — land under
+    # ``_contam_rejects/epoch={id}``: a contaminated doc must never enter
+    # ANY index (admitting it and dropping at export time would let its
+    # hash block a later clean re-crawl).
+    decontaminate_eval_dir: str | None = None
+    decontaminate_ngram: int = 8
     # per-epoch distribution snapshots of the FINALLY-admitted docs
     # (operators/profiling.py document_profile — chars/words/lang in
     # sketch mode): kilobyte rows under ``_profile/epoch={id}`` with the
@@ -137,6 +149,28 @@ class CorpusSink:
                     f"ann_index_dir={self.ann_index_dir!r} holds no readable "
                     "_ANN_META.json — build the index first (`ann-build` / "
                     "write_ann_index), then point the corpus stream at it"
+                ) from e
+        self._eval_grams = None
+        if self.decontaminate_eval_dir is not None:
+            from ..llm.dedup import shingle_array
+
+            # fail at construction on an unreadable eval set; the gram
+            # index is eval-sized (MBs) and reused by every micro-batch
+            try:
+                ev = self.spark.read.parquet(self.decontaminate_eval_dir)
+                self._eval_grams = (
+                    ev.select(F.explode(
+                        shingle_array("text", self.decontaminate_ngram)
+                    ).alias("gram"))
+                    .distinct()
+                    .persist()
+                )
+                self._eval_grams.count()  # materialize + validate now
+            except Exception as e:
+                raise ValueError(
+                    f"decontaminate_eval_dir={self.decontaminate_eval_dir!r}"
+                    " is not a readable parquet of (doc_id, text) rows —"
+                    f" the eval set must exist before the stream starts: {e}"
                 ) from e
         if self.lexical_index_dir is not None:
             from ..llm.lexical_index import read_lexical_meta
@@ -290,6 +324,31 @@ class CorpusSink:
             else:
                 clean = clean.persist()
                 to_unpersist.append(clean)
+            if self._eval_grams is not None:
+                from ..llm.dedup import shingle_array
+
+                tr_g = clean.select(
+                    "doc_id",
+                    F.explode(
+                        shingle_array("text", self.decontaminate_ngram)
+                    ).alias("gram"),
+                )
+                contaminated = (
+                    tr_g.join(F.broadcast(self._eval_grams), "gram")
+                    .groupBy("doc_id")
+                    .agg(F.countDistinct("gram").alias("n_grams_hit"))
+                    .persist()
+                )
+                to_unpersist.append(contaminated)
+                clean.join(contaminated, "doc_id").select(
+                    "doc_id", "lang", "n_grams_hit"
+                ).write.mode("overwrite").parquet(
+                    url_join(self.out_dir, "_contam_rejects",
+                             f"epoch={epoch_id}")
+                )
+                clean = clean.join(
+                    contaminated.select("doc_id"), "doc_id", "left_anti"
+                )
             # stage 1: exact content hash vs the persistent hash index
             admitted = incremental_dedup(clean, index)
             kept = clean.join(admitted.select("doc_id"), "doc_id")
@@ -537,6 +596,8 @@ def run_corpus_pipeline(
     quality_gate: bool = False,
     line_dedup_min_docs: int | None = None,
     profile: bool = False,
+    decontaminate_eval_dir: str | None = None,
+    decontaminate_ngram: int = 8,
 ):
     """readStream over document shards → CorpusSink.
 
@@ -559,6 +620,8 @@ def run_corpus_pipeline(
         quality_gate=quality_gate,
         line_dedup_min_docs=line_dedup_min_docs,
         profile=profile,
+        decontaminate_eval_dir=decontaminate_eval_dir,
+        decontaminate_ngram=decontaminate_ngram,
         stream_id=checkpoint_dir,
     )
     sink._fs.mkdirs(out_dir)

@@ -1166,3 +1166,71 @@ def test_corpus_profile_history_guards_fresh_checkpoints(spark, tmp_path):
                                str(tmp_path / "ckpt2"), profile=True)
     with pytest.raises(Exception, match="refusing epoch overwrite"):
         q.awaitTermination(120)
+
+
+def test_corpus_decontamination_gate_rejects_before_index(spark, tmp_path):
+    """Decontamination gate: a doc sharing an 8-gram with the eval set is
+    rejected WITH its hit count under _contam_rejects/, never admitted,
+    and its hash never enters the dedup index; clean docs flow through.
+    The gate is stateless, so a checkpointed replay converges; a missing
+    eval path fails at construction, not on batch 47."""
+    import json as _json
+
+    import pytest
+
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        corpus_docs,
+        run_corpus_pipeline,
+    )
+
+    in_dir, out_dir = tmp_path / "in", str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir.mkdir()
+
+    eval_text = ("what is the capital of freedonia the answer is "
+                 "sylvania city of course my friend")
+    clean_a = ("the quick brown fox jumps over the lazy dog while a calm "
+               "river flows past the old stone bridge in the sun")
+    clean_b = ("children play near tall green trees beside the warm "
+               "meadow as evening settles over the quiet village")
+    leaked = "some padding words then " + eval_text + " and a tail here"
+
+    ev_dir = str(tmp_path / "eval")
+    spark.createDataFrame(
+        [(100, eval_text)], "doc_id long, text string"
+    ).write.parquet(ev_dir)
+
+    def doc(i, text):
+        return _json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "web",
+             "n_chars": len(text)}
+        )
+
+    (in_dir / "s0.jsonl").write_text(
+        "\n".join([doc(1, clean_a), doc(2, leaked), doc(3, clean_b)]) + "\n"
+    )
+    q, _ = run_corpus_pipeline(spark, str(in_dir), out_dir, ckpt,
+                               decontaminate_eval_dir=ev_dir)
+    q.awaitTermination(120)
+    assert {r.doc_id for r in corpus_docs(spark, out_dir).collect()} == {1, 3}
+    rej = spark.read.parquet(
+        str(tmp_path / "out" / "_contam_rejects")
+    ).collect()
+    assert len(rej) == 1 and rej[0].doc_id == 2 and rej[0].n_grams_hit > 0
+    idx = spark.read.parquet(str(tmp_path / "out" / "_index"))
+    assert idx.count() == 2  # only the clean docs' hashes
+
+    # replay convergence (stateless gate + epoch-overwrite writes)
+    q, _ = run_corpus_pipeline(spark, str(in_dir), out_dir, ckpt,
+                               decontaminate_eval_dir=ev_dir)
+    q.awaitTermination(120)
+    assert {r.doc_id for r in corpus_docs(spark, out_dir).collect()} == {1, 3}
+    assert spark.read.parquet(
+        str(tmp_path / "out" / "_contam_rejects")
+    ).count() == 1
+
+    # unreadable eval set: loud at construction
+    with pytest.raises(ValueError, match="decontaminate_eval_dir"):
+        run_corpus_pipeline(spark, str(in_dir), str(tmp_path / "out2"),
+                            str(tmp_path / "ckpt2"),
+                            decontaminate_eval_dir=str(tmp_path / "nope"))
