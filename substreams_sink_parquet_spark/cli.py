@@ -420,6 +420,7 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         profile=args.profile,
         decontaminate_eval_dir=args.decontaminate_eval,
         decontaminate_ngram=args.decontaminate_ngram,
+        decontaminate_mode=args.decontaminate_mode,
     )
     query.awaitTermination()
     n = corpus_docs(spark, args.store_url).count()
@@ -1349,6 +1350,11 @@ def main(argv: list[str] | None = None) -> int:
                                "it at admission (recorded under "
                                "_contam_rejects/, never enters an index)")
     corpus_p.add_argument("--decontaminate-ngram", type=int, default=8)
+    corpus_p.add_argument("--decontaminate-mode",
+                          choices=("ngram", "winnow"), default="ngram",
+                          help="ngram = verbatim word grams; winnow = "
+                               "char fingerprints (catches punctuation/"
+                               "casing-edited copies)")
     corpus_p.add_argument("--profile", action="store_true",
                           help="per-epoch chars/words/lang profiles of the "
                           "admitted docs under _profile/ (read back with "

@@ -113,6 +113,14 @@ class CorpusSink:
     # hash block a later clean re-crawl).
     decontaminate_eval_dir: str | None = None
     decontaminate_ngram: int = 8
+    # "ngram" (default, word 8-grams: verbatim leakage) or "winnow"
+    # (char-level winnowing fingerprints: any shared substring of
+    # >= winnow_k + winnow_w - 1 chars is GUARANTEED to surface, so a
+    # punctuation/casing-edited copy of an eval item is caught where word
+    # n-grams miss it — RefinedWeb-style robust ingest decontamination)
+    decontaminate_mode: str = "ngram"
+    decontaminate_winnow_k: int = 16
+    decontaminate_winnow_w: int = 6
     # per-epoch distribution snapshots of the FINALLY-admitted docs
     # (operators/profiling.py document_profile — chars/words/lang in
     # sketch mode): kilobyte rows under ``_profile/epoch={id}`` with the
@@ -151,19 +159,19 @@ class CorpusSink:
                     "write_ann_index), then point the corpus stream at it"
                 ) from e
         self._eval_grams = None
+        if self.decontaminate_mode not in ("ngram", "winnow"):
+            raise ValueError(
+                f"decontaminate_mode={self.decontaminate_mode!r} — use "
+                "'ngram' (verbatim word n-grams) or 'winnow' (char-level "
+                "fingerprints, robust to tokenization edits)"
+            )
         if self.decontaminate_eval_dir is not None:
-            from ..llm.dedup import shingle_array
-
-            # fail at construction on an unreadable eval set; the gram
-            # index is eval-sized (MBs) and reused by every micro-batch
+            # fail at construction on an unreadable eval set; the index
+            # is eval-sized (MBs) and reused by every micro-batch
             try:
                 ev = self.spark.read.parquet(self.decontaminate_eval_dir)
                 self._eval_grams = (
-                    ev.select(F.explode(
-                        shingle_array("text", self.decontaminate_ngram)
-                    ).alias("gram"))
-                    .distinct()
-                    .persist()
+                    self._contam_keys(ev).select("gram").distinct().persist()
                 )
                 self._eval_grams.count()  # materialize + validate now
             except Exception as e:
@@ -186,6 +194,29 @@ class CorpusSink:
                     "(`lex-build` / write_lexical_index, an empty seed "
                     "corpus is fine), then point the corpus stream at it"
                 ) from e
+
+    def _contam_keys(self, docs: DataFrame) -> DataFrame:
+        """One (doc_id-free) leak-key column per mode — word grams or
+        winnowing fingerprints — applied identically to the eval set (at
+        construction) and each batch (map-only), so the two sides can
+        never tokenize apart."""
+        if self.decontaminate_mode == "winnow":
+            from ..llm.text import _winnow_selected
+
+            return _winnow_selected(
+                docs.select("doc_id", "text"),
+                self.decontaminate_winnow_k, self.decontaminate_winnow_w,
+            ).select(
+                "doc_id", F.explode_outer("fps").alias("gram")
+            ).filter(F.col("gram").isNotNull())
+        from ..llm.dedup import shingle_array
+
+        return docs.select(
+            "doc_id",
+            F.explode(
+                shingle_array("text", self.decontaminate_ngram)
+            ).alias("gram"),
+        )
 
     def _index_dirs(self, root_name: str, exclude_epoch: int) -> list[str]:
         index_root = url_join(self.out_dir, root_name)
@@ -325,14 +356,7 @@ class CorpusSink:
                 clean = clean.persist()
                 to_unpersist.append(clean)
             if self._eval_grams is not None:
-                from ..llm.dedup import shingle_array
-
-                tr_g = clean.select(
-                    "doc_id",
-                    F.explode(
-                        shingle_array("text", self.decontaminate_ngram)
-                    ).alias("gram"),
-                )
+                tr_g = self._contam_keys(clean)
                 contaminated = (
                     tr_g.join(F.broadcast(self._eval_grams), "gram")
                     .groupBy("doc_id")
@@ -598,6 +622,7 @@ def run_corpus_pipeline(
     profile: bool = False,
     decontaminate_eval_dir: str | None = None,
     decontaminate_ngram: int = 8,
+    decontaminate_mode: str = "ngram",
 ):
     """readStream over document shards → CorpusSink.
 
@@ -622,6 +647,7 @@ def run_corpus_pipeline(
         profile=profile,
         decontaminate_eval_dir=decontaminate_eval_dir,
         decontaminate_ngram=decontaminate_ngram,
+        decontaminate_mode=decontaminate_mode,
         stream_id=checkpoint_dir,
     )
     sink._fs.mkdirs(out_dir)

@@ -1234,3 +1234,77 @@ def test_corpus_decontamination_gate_rejects_before_index(spark, tmp_path):
         run_corpus_pipeline(spark, str(in_dir), str(tmp_path / "out2"),
                             str(tmp_path / "ckpt2"),
                             decontaminate_eval_dir=str(tmp_path / "nope"))
+
+
+def test_corpus_decontamination_winnow_mode_catches_edited_copy(spark,
+                                                                tmp_path):
+    """Winnow mode: a punctuation/casing-edited copy of an eval item —
+    which shares NO word 8-gram with it — is still rejected (shared
+    >= k+w-1 char substrings survive the edits); clean docs pass; the
+    same edited copy sails through ngram mode, pinning that the mode
+    actually changes the detector. Unknown mode fails at construction."""
+    import json as _json
+
+    import pytest
+
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        corpus_docs,
+        run_corpus_pipeline,
+    )
+
+    eval_text = ("what is the capital of freedonia the answer is "
+                 "sylvania city of course my friend")
+    # every word survives, but punctuation shifts every 8-gram boundary
+    edited = ("What, is the capital of freedonia; the answer is "
+              "sylvania city -- of course, my friend!")
+    clean = ("children play near tall green trees beside the warm "
+             "meadow as evening settles over the quiet village")
+
+    ev_dir = str(tmp_path / "eval")
+    spark.createDataFrame(
+        [(100, eval_text)], "doc_id long, text string"
+    ).write.parquet(ev_dir)
+
+    def doc(i, text):
+        return _json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "web",
+             "n_chars": len(text)}
+        )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "s0.jsonl").write_text(
+        "\n".join([doc(1, edited), doc(2, clean)]) + "\n"
+    )
+
+    # ngram mode misses the edited copy (boundaries shifted)
+    q, _ = run_corpus_pipeline(
+        spark, str(in_dir), str(tmp_path / "out_ng"),
+        str(tmp_path / "ckpt_ng"), decontaminate_eval_dir=ev_dir,
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id
+           for r in corpus_docs(spark, str(tmp_path / "out_ng")).collect()}
+    assert got == {1, 2}
+
+    # winnow mode catches it
+    q, _ = run_corpus_pipeline(
+        spark, str(in_dir), str(tmp_path / "out_wn"),
+        str(tmp_path / "ckpt_wn"), decontaminate_eval_dir=ev_dir,
+        decontaminate_mode="winnow",
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id
+           for r in corpus_docs(spark, str(tmp_path / "out_wn")).collect()}
+    assert got == {2}
+    rej = spark.read.parquet(
+        str(tmp_path / "out_wn" / "_contam_rejects")
+    ).collect()
+    assert len(rej) == 1 and rej[0].doc_id == 1
+
+    with pytest.raises(ValueError, match="decontaminate_mode"):
+        run_corpus_pipeline(
+            spark, str(in_dir), str(tmp_path / "out_x"),
+            str(tmp_path / "ckpt_x"), decontaminate_eval_dir=ev_dir,
+            decontaminate_mode="typo",
+        )
