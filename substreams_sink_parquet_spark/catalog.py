@@ -57,7 +57,7 @@ def registry() -> dict[str, QuerySpec]:
     # Import for side effect of registration.
     from .operators import relational, joins, windows, setops, scalar_fns, skew, sql_modern, sql_surface, streaming_equiv, udfs, profiling  # noqa: F401
     from .llm import bpe, dedup, sampling, similarity, text  # noqa: F401
-    from .llm import export, lexical_index, multimodal, quality_model  # noqa: F401
+    from .llm import export, lexical_index, lm, multimodal, quality_model  # noqa: F401
     return dict(_REGISTRY)
 
 

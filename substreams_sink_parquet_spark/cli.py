@@ -631,6 +631,51 @@ def cmd_export_pretrain(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_lm_train(args: argparse.Namespace) -> int:
+    """Train a bigram LM on a TARGET-domain corpus and persist the count
+    tables as a lake artifact (llm/lm.py) — the CCNet shape: the model
+    that decides 'does this crawl doc read like the reference domain'
+    must outlive the corpus that trained it."""
+    from .llm.lm import write_bigram_lm
+
+    spark = get_spark("lm-train")
+    docs = spark.read.parquet(args.docs).select("doc_id", "text")
+    meta = write_bigram_lm(docs, args.lm_dir, n_buckets=args.buckets)
+    print(f"lm-train OK: {args.lm_dir} vocab={meta['vocab']} "
+          f"tokens={meta['n_tokens']} docs={meta['n_docs']}")
+    return 0
+
+
+def cmd_lm_score(args: argparse.Namespace) -> int:
+    """Score a corpus's fluency under a persisted bigram LM (add-alpha
+    smoothed — unseen words degrade to the uniform floor). Writes
+    (doc_id, n_bigrams, neg_avg_logprob) parquet; --max-score also
+    writes the docs under the perplexity ceiling beside the scores."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from .llm.lm import score_with_lm
+
+    spark = get_spark("lm-score")
+    docs = spark.read.parquet(args.docs)
+    scores = score_with_lm(spark, args.lm_dir, docs, alpha=args.alpha)
+    scores.write.mode("overwrite").parquet(args.out)
+    report = {"n_docs": docs.count()}
+    if args.max_score is not None:
+        kept = docs.join(
+            spark.read.parquet(args.out)
+            .filter(F.col("neg_avg_logprob") <= args.max_score)
+            .select("doc_id"),
+            "doc_id",
+        )
+        kept.write.mode("overwrite").parquet(args.out + "_kept")
+        report["kept"] = kept.count()
+        report["max_score"] = args.max_score
+    print(_json.dumps(report))
+    return 0
+
+
 def cmd_quality_train(args: argparse.Namespace) -> int:
     """Train the weak-label quality classifier (rule cascade -> HashingTF
     -> logistic regression) and freeze it as a lake artifact
@@ -1496,6 +1541,33 @@ def main(argv: list[str] | None = None) -> int:
                        help="apply a persisted BPE model (bpe-train) "
                             "instead of training per run")
     exp_p.set_defaults(fn=cmd_export_pretrain)
+
+    lmt_p = sub.add_parser(
+        "lm-train",
+        help="train + persist a target-domain bigram LM (CCNet fluency "
+             "reference)",
+    )
+    lmt_p.add_argument("lm_dir", help="model artifact root")
+    lmt_p.add_argument("--docs", required=True,
+                       help="target-domain parquet of (doc_id, text) rows")
+    lmt_p.add_argument("--buckets", type=int, default=64)
+    lmt_p.set_defaults(fn=cmd_lm_train)
+
+    lms_p = sub.add_parser(
+        "lm-score",
+        help="score a corpus's fluency under a persisted bigram LM "
+             "(add-alpha smoothed; optional perplexity ceiling filter)",
+    )
+    lms_p.add_argument("lm_dir")
+    lms_p.add_argument("--docs", required=True)
+    lms_p.add_argument("--out", required=True,
+                       help="scores output dir (filtered corpus lands at "
+                            "<out>_kept with --max-score)")
+    lms_p.add_argument("--alpha", type=float, default=0.1,
+                       help="add-alpha smoothing mass (query-time knob; "
+                            "the artifact stores raw counts)")
+    lms_p.add_argument("--max-score", type=float, default=None)
+    lms_p.set_defaults(fn=cmd_lm_score)
 
     qt_p = sub.add_parser(
         "quality-train",

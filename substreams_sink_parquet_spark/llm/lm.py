@@ -1,0 +1,271 @@
+"""Persisted bigram language model: CCNet's fluency filter as a LAKE ARTIFACT.
+
+``text.bigram_lm_score`` scores a corpus under a model derived from THAT
+corpus — right for a self-contained fluency signal, but the production
+CCNet shape trains the LM on a TARGET domain (Wikipedia) and scores the
+CRAWL with it: "does this document read like the reference domain". That
+requires the model to outlive the corpus that trained it:
+
+  ``{lm_dir}/unigrams/w_bucket={b}/``  (w1, c_uni) counts
+  ``{lm_dir}/bigrams/w_bucket={b}/``   (w1, w2, c_bg) counts
+  ``{lm_dir}/_LM_META.json``           n_tokens, vocab size, the COMMIT
+                                       MARKER (deleted first on rebuild —
+                                       the index-family crash protocol)
+
+Cross-corpus scoring meets words the training corpus never saw, so the
+persisted path scores with ADD-ALPHA smoothing:
+
+    p(w2 | w1) = (c_bg + alpha) / (c_uni + alpha * V)
+
+(V = training vocabulary size from the meta; an unseen w1 degrades to the
+uniform 1/V; an unseen bigram under a seen w1 gets the discounted mass).
+alpha is a QUERY-TIME argument — the artifact stores raw counts, so
+retuning costs nothing (the lexical-index rule: no trained artifact, no
+freeze drift).
+
+Scale shape: counts are vocabulary-scale tables, so they are JOINED
+(shuffle partitioned by the high-cardinality word key — never broadcast,
+never collected), exactly the in-memory formulation's plan; bucketing by
+``crc32(w1)`` bounds file sizes and keeps both tables co-partitioned by
+the join key's prefix. Scoring shuffles the scored corpus's bigrams once
+into that join and aggregates per doc_id once.
+
+Hash stability: same rules as bigram_lm_score — each ln() rounds to 9 dp
+(absorbing libm ulp differences), sums go through DECIMAL, the average
+rounds to 6 dp — so the catalog entry hash-matches DuckDB exactly.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..fsio import HadoopFS, url_join
+from ..tables import load
+
+_META = "_LM_META.json"
+
+
+def _words(docs: DataFrame):
+    return F.split("text", " ")
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — one row per bigram occurrence, short-doc
+    guarded; the tokenization shared by training and scoring (identical
+    to text.bigram_lm_score's, so the two formulations can never
+    tokenize apart)."""
+    words = _words(docs)
+    seq = F.sequence(F.lit(0), F.size(words) - 2)
+    bigs = F.transform(
+        seq,
+        lambda i: F.struct(
+            F.element_at(words, i + 1).alias("w1"),
+            F.element_at(words, i + 2).alias("w2"),
+        ),
+    )
+    guarded = F.when(F.size(words) >= 2, bigs).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    return docs.select("doc_id", F.explode(guarded).alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    )
+
+
+def write_bigram_lm(docs: DataFrame, lm_dir: str,
+                    n_buckets: int = 64) -> dict:
+    """Count the training corpus once into bucketed unigram/bigram tables
+    + a meta commit marker. Rebuild overwrites under the index-family
+    crash protocol (meta deleted first; reads refuse marker-less dirs)."""
+    spark = docs.sparkSession
+    fs = HadoopFS(spark, lm_dir)
+    from .dedup import spread_if_narrow
+
+    src = spread_if_narrow(docs.select("doc_id", "text"))
+    bucket = lambda col: (F.crc32(F.encode(col, "UTF-8")) % n_buckets) \
+        .cast("int").alias("w_bucket")
+    uni = (
+        src.select(F.explode(_words(src)).alias("w1"))
+        .groupBy("w1").agg(F.count("*").alias("c_uni"))
+        .withColumn("w_bucket", bucket(F.col("w1")))
+    )
+    bg = (
+        _doc_bigrams(src).groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_bg"))
+        .withColumn("w_bucket", bucket(F.col("w1")))
+    )
+    stats = src.agg(
+        F.coalesce(F.sum(F.size(_words(src))), F.lit(0)).alias("n_tokens"),
+        F.count("*").alias("n_docs"),
+    ).collect()[0]
+    meta_path = url_join(lm_dir, _META)
+    if fs.exists(meta_path):
+        fs.delete(meta_path, recursive=False)
+    uni.write.mode("overwrite").partitionBy("w_bucket").parquet(
+        url_join(lm_dir, "unigrams")
+    )
+    bg.write.mode("overwrite").partitionBy("w_bucket").parquet(
+        url_join(lm_dir, "bigrams")
+    )
+    vocab = spark.read.schema("w1 string, c_uni long, w_bucket int").parquet(
+        url_join(lm_dir, "unigrams")
+    ).count()
+    meta = {
+        "n_buckets": int(n_buckets),
+        "n_tokens": int(stats.n_tokens),
+        "n_docs": int(stats.n_docs),
+        "vocab": int(vocab),
+    }
+    fs.write_bytes(meta_path, json.dumps(meta).encode())
+    return meta
+
+
+def read_lm_meta(spark: SparkSession, lm_dir: str) -> dict:
+    fs = HadoopFS(spark, lm_dir)
+    meta_path = url_join(lm_dir, _META)
+    if not fs.exists(meta_path):
+        raise FileNotFoundError(
+            f"bigram LM at {lm_dir!r} has no {_META} — either it was never "
+            "trained (write_bigram_lm / `lm-train`) or a rebuild crashed "
+            "mid-overwrite; retrain before scoring with it"
+        )
+    return json.loads(fs.read_bytes(meta_path))
+
+
+def score_with_lm(spark: SparkSession, lm_dir: str, docs: DataFrame,
+                  alpha: float = 0.1) -> DataFrame:
+    """Per-document fluency under the PERSISTED model: (doc_id,
+    n_bigrams, neg_avg_logprob) with add-alpha smoothing, so documents
+    full of words the training domain never saw score high (garbled /
+    off-domain) instead of crashing the join. Single-word docs report
+    n_bigrams=0 with a null score — 'nothing to measure' stays
+    distinguishable from 'fluent'."""
+    meta = read_lm_meta(spark, lm_dir)
+    v = float(meta["vocab"]) if meta["vocab"] > 0 else 1.0
+    uni = spark.read.schema("w1 string, c_uni long, w_bucket int").parquet(
+        url_join(lm_dir, "unigrams")
+    ).select("w1", "c_uni")
+    bg = spark.read.schema(
+        "w1 string, w2 string, c_bg long, w_bucket int"
+    ).parquet(url_join(lm_dir, "bigrams")).select("w1", "w2", "c_bg")
+    from .dedup import spread_if_narrow
+
+    bigrams = _doc_bigrams(spread_if_narrow(docs.select("doc_id", "text")))
+    joined = (
+        bigrams.join(bg, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .select(
+            "doc_id",
+            F.coalesce("c_bg", F.lit(0)).alias("c_bg"),
+            F.coalesce("c_uni", F.lit(0)).alias("c_uni"),
+        )
+    )
+    lp = F.round(
+        F.log(
+            (F.col("c_bg") + F.lit(alpha))
+            / (F.col("c_uni") + F.lit(alpha) * F.lit(v))
+        ),
+        9,
+    ).cast("decimal(12,9)")
+    scored = (
+        joined.select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lp").alias("slp"))
+        .select(
+            "doc_id", "n_bigrams",
+            F.round(
+                -F.col("slp").cast("double") / F.col("n_bigrams"), 6
+            ).alias("neg_avg_logprob"),
+        )
+    )
+    return (
+        docs.select("doc_id").distinct()
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            "neg_avg_logprob",
+        )
+    )
+
+
+_LM_ALPHA = 0.1
+
+
+@register(
+    "q_text_perplexity_lm",
+    f"""
+    WITH train AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+    uni AS (
+        SELECT w1, COUNT(*) AS c_uni FROM (
+            SELECT UNNEST(str_split(text, ' ')) AS w1 FROM train
+        ) GROUP BY w1
+    ),
+    v AS (SELECT COUNT(*) AS vocab FROM uni),
+    bg AS (
+        SELECT w1, w2, COUNT(*) AS c_bg FROM (
+            SELECT str_split(text, ' ')[i+1] AS w1,
+                   str_split(text, ' ')[i+2] AS w2
+            FROM train, UNNEST(range(len(str_split(text, ' ')) - 1)) AS t(i)
+            WHERE len(str_split(text, ' ')) >= 2
+        ) GROUP BY w1, w2
+    ),
+    doc_bg AS (
+        SELECT doc_id, str_split(text, ' ')[i+1] AS w1,
+               str_split(text, ' ')[i+2] AS w2
+        FROM documents, UNNEST(range(len(str_split(text, ' ')) - 1)) AS t(i)
+        WHERE len(str_split(text, ' ')) >= 2
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(ROUND(LN((COALESCE(c_bg, 0) + {_LM_ALPHA})
+                    / (COALESCE(c_uni, 0) + {_LM_ALPHA} * vocab)), 9)
+                    AS DECIMAL(12,9)) AS lp
+        FROM doc_bg
+        LEFT JOIN bg USING (w1, w2)
+        LEFT JOIN uni USING (w1)
+        CROSS JOIN v
+    ),
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6)
+                   AS neg_avg_logprob
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           neg_avg_logprob
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
+    doc="Cross-corpus CCNet fluency: a bigram LM trained on the 'en' "
+        "slice (the target domain) scores EVERY document with add-alpha "
+        "smoothing — off-domain/garbled text scores high, unseen words "
+        "degrade to the uniform floor instead of crashing. Exercises the "
+        "persisted artifact's exact formula (build + score over a temp "
+        "LM dir), hash-checked against a first-principles DuckDB "
+        "restatement",
+)
+def q_text_perplexity_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    lm_dir = tempfile.mkdtemp(prefix="lm_")
+    try:
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        write_bigram_lm(
+            docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+            lm_dir, n_buckets=16,
+        )
+        out = score_with_lm(spark, lm_dir,
+                            docs.select("doc_id", "text"), alpha=_LM_ALPHA)
+        # bounded: one row per doc at catalog SF; materialize before the
+        # finally removes the artifact the lazy plan reads
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(lm_dir, ignore_errors=True)
