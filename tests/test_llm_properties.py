@@ -774,3 +774,54 @@ def test_mixture_copies_match_plain_python_reference(spark, toks, budget, w):
         run += n
         want[i] = full + (1 if run <= rem else 0)
     assert got == want
+
+
+@given(
+    train=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=2, max_size=8),
+        min_size=1, max_size=8,
+    ),
+    probe=st.lists(st.sampled_from("abcdxy"), min_size=2, max_size=10),
+    alpha=st.floats(min_value=0.01, max_value=2.0),
+)
+@settings(max_examples=4, deadline=None)
+def test_lm_scoring_matches_plain_python_reference(spark, tmp_path_factory,
+                                                   train, probe, alpha):
+    """Property: score_with_lm over the persisted artifact equals a
+    plain-Python restatement of the add-alpha law — counts from the
+    training docs, p = (c_bg + a) / (c_uni + a*V), per-9dp-rounded ln
+    sums — for arbitrary tiny vocabularies, probe mixes (in-vocab and
+    OOV words), and alphas."""
+    import math
+
+    from substreams_sink_parquet_spark.llm import lm as L
+
+    train_docs = [(i, " ".join(ws)) for i, ws in enumerate(train)]
+    probe_text = " ".join(probe)
+    df = spark.createDataFrame(train_docs, "doc_id long, text string")
+    lm_dir = str(tmp_path_factory.mktemp("lm") / "m")
+    meta = L.write_bigram_lm(df, lm_dir, n_buckets=2)
+    got = L.score_with_lm(
+        spark, lm_dir,
+        spark.createDataFrame([(99, probe_text)], "doc_id long, text string"),
+        alpha=alpha,
+    ).collect()[0]
+
+    uni, bg = {}, {}
+    for _, t in train_docs:
+        ws = t.split(" ")
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    v = len(uni)
+    assert meta["vocab"] == v
+    ps = probe_text.split(" ")
+    lps = [
+        round(math.log((bg.get((a, b), 0) + alpha)
+                       / (uni.get(a, 0) + alpha * v)), 9)
+        for a, b in zip(ps, ps[1:])
+    ]
+    assert got.n_bigrams == len(lps)
+    want = round(-sum(lps) / len(lps), 6)
+    assert abs(got.neg_avg_logprob - want) < 1e-9
