@@ -602,7 +602,10 @@ def cmd_export_pretrain(args: argparse.Namespace) -> int:
     reshuffles the next epoch's order without moving docs between
     shards. --tokenizer applies a FROZEN persisted BPE model (the
     reproducible path); --bpe-merges trains one on the fly from this
-    corpus. Either carries token arrays in the shards."""
+    corpus. Either carries token arrays in the shards. --mixture +
+    --budget-tokens runs the Pile/Dolma recipe first: weighted per-group
+    quotas with deterministic upsampling, each repeated copy exported at
+    its own stable (shard, pos)."""
     from .llm.export import write_pretrain_export
 
     if args.tokenizer and args.bpe_merges:
@@ -611,7 +614,32 @@ def cmd_export_pretrain(args: argparse.Namespace) -> int:
               file=sys.stderr)
         return 2
     spark = get_spark("export-pretrain")
-    docs = spark.read.parquet(args.docs).select("doc_id", "text")
+    docs = spark.read.parquet(args.docs)
+    id_col = "doc_id"
+    if args.mixture:
+        from .llm.sampling import materialize_mixture, mixture_plan
+
+        try:
+            group_col, rest = args.mixture.split(":", 1)
+            weights = {
+                k: float(v)
+                for k, v in (kv.split("=") for kv in rest.split(","))
+            }
+        except ValueError:
+            print("export-pretrain: --mixture wants COL:g1=w1,g2=w2,... "
+                  "(e.g. lang:en=0.5,fr=0.2)", file=sys.stderr)
+            return 2
+        if not args.budget_tokens:
+            print("export-pretrain: --mixture requires --budget-tokens",
+                  file=sys.stderr)
+            return 2
+        plan = mixture_plan(docs, weights, args.budget_tokens,
+                            group_col=group_col, seed=args.seed)
+        # copies materialize under collision-guarded mix_ids so an
+        # upsampled doc's epochs land at their own stable (shard, pos)
+        docs = materialize_mixture(docs, plan)
+        id_col = "mix_id"
+    docs = docs.select(id_col, "text")
     merges = None
     if args.tokenizer:
         from .llm.bpe import read_bpe_model
@@ -624,6 +652,7 @@ def cmd_export_pretrain(args: argparse.Namespace) -> int:
     man = write_pretrain_export(
         docs, args.out_dir, context_len=args.context_len,
         n_shards=args.n_shards, seed=args.seed, merges=merges,
+        id_col=id_col,
     )
     print(f"export-pretrain OK: {args.out_dir} shards={man['n_shards']} "
           f"docs={man['total_docs']} tokens={man['total_tokens']} "
@@ -1540,6 +1569,14 @@ def main(argv: list[str] | None = None) -> int:
     exp_p.add_argument("--tokenizer", default=None,
                        help="apply a persisted BPE model (bpe-train) "
                             "instead of training per run")
+    exp_p.add_argument("--mixture", default=None,
+                       help="weighted mixture with deterministic "
+                            "upsampling before export: COL:g1=w1,g2=w2 "
+                            "(e.g. lang:en=0.5,fr=0.2); repeated docs get "
+                            "their own stable (shard, pos) per copy")
+    exp_p.add_argument("--budget-tokens", type=int, default=None,
+                       help="total token budget the mixture weights "
+                            "divide (required with --mixture)")
     exp_p.set_defaults(fn=cmd_export_pretrain)
 
     lmt_p = sub.add_parser(

@@ -1605,3 +1605,69 @@ def q_text_hashing_tf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("total_terms") == F.col("n_bigrams")).alias("tf_mass_ok"),
         ((F.col("nnz") >= lo) & (F.col("nnz") <= hi)).alias("nnz_bounded"),
     )
+
+
+@register(
+    "q_corpus_diversity",
+    """
+    WITH w AS (
+        SELECT lang, doc_id, UNNEST(str_split(text, ' ')) AS w1
+        FROM documents
+    ),
+    b AS (
+        SELECT lang,
+               str_split(text, ' ')[i+1] || ' ' || str_split(text, ' ')[i+2]
+                   AS gram
+        FROM documents,
+             UNNEST(range(len(str_split(text, ' ')) - 1)) AS t(i)
+        WHERE len(str_split(text, ' ')) >= 2
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT w1) AS BIGINT) AS n_types,
+           ROUND(COUNT(DISTINCT w1) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS type_token_ratio,
+           (SELECT ROUND(COUNT(DISTINCT gram) / CAST(COUNT(*) AS DOUBLE), 6)
+            FROM b WHERE b.lang = w.lang) AS distinct_bigram_ratio
+    FROM w
+    GROUP BY lang
+    """,
+    doc="Corpus diversity report (the self-BLEU-adjacent health metric a "
+        "dataset card carries): per language, token count, vocabulary "
+        "size, type-token ratio, and distinct-bigram ratio — a collapsing "
+        "(template-spam) corpus shows falling ratios long before eyeballs "
+        "catch it. Two count-distinct aggregates on the bounded lang key; "
+        "the n-gram side reuses the LM tokenization so the two reports "
+        "can never diverge",
+)
+def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .lm import _doc_bigrams
+
+    docs = load(spark, sf_dir, "documents").select("lang", "doc_id", "text")
+    words = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("w1")
+    )
+    uni = words.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("w1").alias("n_types"),
+    )
+    bigs = _doc_bigrams(docs.select(F.col("lang").alias("doc_id"), "text"))
+    bg = (
+        bigs.select(
+            F.col("doc_id").alias("lang"),
+            F.concat_ws(" ", "w1", "w2").alias("gram"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.round(
+                F.countDistinct("gram") / F.count("*").cast("double"), 6
+            ).alias("distinct_bigram_ratio")
+        )
+    )
+    return uni.join(bg, "lang").select(
+        "lang", "n_tokens", "n_types",
+        F.round(
+            F.col("n_types") / F.col("n_tokens").cast("double"), 6
+        ).alias("type_token_ratio"),
+        "distinct_bigram_ratio",
+    )

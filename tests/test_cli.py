@@ -904,3 +904,44 @@ def test_cli_quality_train_and_score(tmp_path, spark, capsys, sf_dir):
         main(["quality-score", str(tmp_path / "nope"), "--docs", docs,
               "--out", str(tmp_path / "x")])
     capsys.readouterr()
+
+
+def test_cli_export_pretrain_mixture(tmp_path, spark, capsys, sf_dir):
+    """--mixture runs the weighted-upsampling recipe before export: the
+    manifest's doc count equals the mixture's total copy count (an
+    upsampled group's docs appear more than once, each copy at its own
+    position), only weighted groups are present, and a malformed spec or
+    missing budget is a usage error."""
+    import json
+
+    from substreams_sink_parquet_spark.cli import main
+    from substreams_sink_parquet_spark.llm.export import (
+        read_export_manifest, read_pretrain_export,
+    )
+    from substreams_sink_parquet_spark.llm.sampling import mixture_plan
+    from substreams_sink_parquet_spark.tables import load
+
+    docs_p = f"{sf_dir}/documents.parquet"
+    out = str(tmp_path / "exp_mix")
+    rc = main(["export-pretrain", out, "--docs", docs_p, "--n-shards", "2",
+               "--mixture", "lang:en=0.9,fr=0.05",
+               "--budget-tokens", "30000"])
+    assert rc == 0
+    capsys.readouterr()
+
+    docs = load(spark, sf_dir, "documents")
+    plan = mixture_plan(docs, {"en": 0.9, "fr": 0.05}, 30_000)
+    want_rows = sum(r.n_copies for r in plan.collect())
+    man = read_export_manifest(spark, out)
+    assert man["total_docs"] == want_rows
+    back = read_pretrain_export(spark, out)
+    assert back.count() == want_rows
+    # upsampling visible: more exported rows than distinct source docs
+    n_kept_docs = plan.filter("n_copies > 0").count()
+    assert want_rows > n_kept_docs
+
+    assert main(["export-pretrain", str(tmp_path / "x"), "--docs", docs_p,
+                 "--mixture", "lang:en=0.9"]) == 2  # no budget
+    assert main(["export-pretrain", str(tmp_path / "y"), "--docs", docs_p,
+                 "--mixture", "garbage", "--budget-tokens", "10"]) == 2
+    capsys.readouterr()
