@@ -91,6 +91,9 @@ EXTENDED = [
     "q_export_shards",
     "q_sample_cluster_balanced",
     "q_sim_topk_opq",
+    # the round-8 capstone composition (gate -> dedup -> decontaminate ->
+    # mixture) — one declarative plan end to end
+    "q_pipeline_release",
 ]
 
 

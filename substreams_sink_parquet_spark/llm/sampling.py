@@ -888,3 +888,104 @@ def materialize_mixture(docs: DataFrame, plan: DataFrame,
             "doc_id", "copy", "grp", "text",
         )
     )
+
+
+_REL_W = (("en", 0.5), ("fr", 0.2), ("de", 0.3))
+_REL_BUDGET = 20_000
+
+
+@register(
+    "q_pipeline_release",
+    f"""
+    WITH evals AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
+    train AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+    qual AS (
+        SELECT * FROM train
+        WHERE n_chars >= 50 AND len(str_split(text, ' ')) >= 10
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+    kept AS (SELECT q.* FROM qual q JOIN keep USING (doc_id)),
+    eval_g AS (
+        SELECT DISTINCT UNNEST(list_transform(
+            range(len(str_split(text, ' ')) - 7),
+            i -> array_to_string(str_split(text, ' ')[i+1:i+8], ' ')
+        )) AS gram
+        FROM evals
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, UNNEST(list_transform(
+                range(len(str_split(text, ' ')) - 7),
+                i -> array_to_string(str_split(text, ' ')[i+1:i+8], ' ')
+            )) AS gram
+            FROM kept
+        ) kg JOIN eval_g USING (gram)
+    ),
+    clean AS (
+        SELECT * FROM kept
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    base AS (
+        SELECT doc_id, lang AS grp,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CASE lang {' '.join(f"WHEN '{g}' THEN {w}" for g, w in _REL_W)}
+               END AS w,
+               md5(CAST(doc_id AS VARCHAR) || ':42') AS k
+        FROM clean
+        WHERE lang IN ({', '.join(f"'{g}'" for g, _ in _REL_W)})
+    ),
+    tot AS (SELECT grp, SUM(n_tokens) AS grp_tokens FROM base GROUP BY grp),
+    staged AS (
+        SELECT b.*, FLOOR({_REL_BUDGET} * w) AS quota,
+               FLOOR(FLOOR({_REL_BUDGET} * w) / grp_tokens) AS full_epochs,
+               FLOOR({_REL_BUDGET} * w)
+                 - FLOOR(FLOOR({_REL_BUDGET} * w) / grp_tokens) * grp_tokens
+                 AS rem,
+               SUM(n_tokens) OVER (
+                   PARTITION BY b.grp ORDER BY k ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM base b JOIN tot USING (grp)
+    ),
+    copies AS (
+        SELECT grp, n_tokens,
+               full_epochs + CASE WHEN cum <= rem THEN 1 ELSE 0 END
+                   AS n_copies
+        FROM staged
+    )
+    SELECT grp,
+           CAST(COUNT(*) FILTER (WHERE n_copies > 0) AS BIGINT) AS n_docs,
+           CAST(SUM(n_copies) AS BIGINT) AS n_copies,
+           CAST(SUM(n_tokens * n_copies) AS BIGINT) AS tokens_emitted
+    FROM copies
+    GROUP BY grp
+    """,
+    doc="The release pipeline end to end in ONE declarative plan, the "
+        "round's capstone composition: eval split -> quality gate -> "
+        "exact dedup (min-doc_id keeper) -> benchmark decontamination "
+        "(8-gram vs the eval split) -> weighted mixture with "
+        "deterministic upsampling -> per-group release stats. Every "
+        "stage is the already-hash-checked operator; the composition "
+        "itself is pinned here",
+)
+def q_pipeline_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    qual = train.filter(
+        (F.col("n_chars") >= 50)
+        & (F.size(F.split("text", " ")) >= 10)
+    )
+    keep = qual.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    kept = qual.join(keep, "doc_id")
+    flagged = decontaminate(kept, evals, n=8).select("doc_id")
+    clean = kept.join(flagged, "doc_id", "left_anti")
+    plan = mixture_plan(clean, dict(_REL_W), _REL_BUDGET)
+    return plan.groupBy("grp").agg(
+        F.count_if(F.col("n_copies") > 0).alias("n_docs"),
+        F.sum("n_copies").alias("n_copies"),
+        F.sum(F.col("n_tokens") * F.col("n_copies")).alias("tokens_emitted"),
+    )
