@@ -771,6 +771,16 @@ def mixture_plan(docs: DataFrame, weights: dict[str, float],
     like the token-budget op)."""
     from pyspark.sql import Window
 
+    if budget_tokens <= 0:
+        raise ValueError(
+            f"mixture_plan: budget_tokens={budget_tokens} must be positive"
+        )
+    bad = {g: w for g, w in weights.items() if not w > 0}
+    if bad:
+        raise ValueError(
+            f"mixture_plan: non-positive weights {bad} — a group you want "
+            "absent is simply omitted from the weight table"
+        )
     w_expr = F.lit(None).cast("double")
     for g, wt in weights.items():
         w_expr = F.when(F.col(group_col) == g, F.lit(float(wt))).otherwise(

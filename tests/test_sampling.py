@@ -351,3 +351,18 @@ def test_materialize_mixture_explodes_copies_for_export(spark, sf_dir):
         mat, context_len=256, n_shards=2, id_col="mix_id"
     )
     assert exported.count() == want  # every copy got its own (shard, pos)
+
+
+def test_mixture_plan_refuses_nonsense_inputs(spark, sf_dir):
+    import pytest
+
+    from substreams_sink_parquet_spark.llm.sampling import mixture_plan
+    from substreams_sink_parquet_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="budget_tokens"):
+        mixture_plan(docs, {"en": 0.5}, 0)
+    with pytest.raises(ValueError, match="non-positive"):
+        mixture_plan(docs, {"en": -0.5}, 100)
+    with pytest.raises(ValueError, match="non-positive"):
+        mixture_plan(docs, {"en": 0.0}, 100)
