@@ -348,3 +348,95 @@ def verify_pretrain_export(spark: SparkSession, out_dir: str) -> dict:
             )
     return {"ok": not issues, "issues": issues,
             "shards_checked": len(set(want) | set(got))}
+
+
+def materialize_sequences(rows: DataFrame) -> DataFrame:
+    """Fold an export's doc rows into trainer-batch SEQUENCE rows: one row
+    per (shard_id, seq_id) with pos-ordered doc_ids, per-doc lengths (the
+    attention-reset / loss-mask boundaries), the summed token count, and
+    — when the export carries BPE ``tokens`` — the concatenated token
+    array, i.e. the tensor-ready form. The collect_list is bounded by the
+    docs of ONE sequence (a context_len token budget, plus at most one
+    overflowing doc), never by a shard or the corpus; the groupBy reuses
+    the export's shard hash partitioning prefix."""
+    with_tokens = "tokens" in rows.columns
+    parts = ["pos", "doc_id", "n_tokens"] + (
+        ["tokens"] if with_tokens else []
+    )
+    s = F.sort_array(F.collect_list(F.struct(*parts)))
+    grouped = rows.groupBy("shard_id", "seq_id").agg(s.alias("s"))
+    cols = [
+        "shard_id", "seq_id",
+        F.size("s").cast("long").alias("n_docs"),
+        F.transform("s", lambda x: x.doc_id).alias("doc_ids"),
+        F.transform("s", lambda x: x.n_tokens).alias("doc_lens"),
+        F.aggregate(
+            "s", F.lit(0).cast("long"), lambda acc, x: acc + x.n_tokens
+        ).alias("seq_tokens"),
+    ]
+    if with_tokens:
+        cols.append(
+            F.flatten(F.transform("s", lambda x: x.tokens)).alias("tokens")
+        )
+    return grouped.select(*cols)
+
+
+def read_pretrain_sequences(spark: SparkSession, out_dir: str,
+                            shard_id: int | None = None) -> DataFrame:
+    """The artifact in its trainer-batch shape: manifest-gated read +
+    :func:`materialize_sequences` (shard pruning via the partition
+    filter, as in read_pretrain_export)."""
+    return materialize_sequences(
+        read_pretrain_export(spark, out_dir, shard_id=shard_id)
+    )
+
+
+@register(
+    "q_export_sequences",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(((doc_id * {_A} + {_B}) % {_M}) % {_EXPORT_N_SHARDS}
+                    AS BIGINT) AS shard_id,
+               md5(CAST(doc_id AS VARCHAR) || ':42') AS k
+        FROM documents
+    ),
+    o AS (
+        SELECT shard_id, doc_id, n_tokens, k,
+               SUM(n_tokens) OVER (
+                   PARTITION BY shard_id ORDER BY k
+                   ROWS UNBOUNDED PRECEDING
+               ) AS run
+        FROM t
+    ),
+    seqs AS (
+        SELECT shard_id, doc_id, n_tokens, k,
+               CAST(FLOOR((run - n_tokens) / {_EXPORT_CTX}) AS BIGINT)
+                   AS seq_id
+        FROM o
+    )
+    SELECT shard_id, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY k) AS doc_order
+    FROM seqs
+    GROUP BY shard_id, seq_id
+    """,
+    doc="The export in its trainer-batch shape: one row per packed "
+        "sequence with its pos-ORDERED doc list (the order is part of "
+        "the hash, so a broken sort surfaces), doc count, and token sum "
+        "— materialize_sequences over the deterministic shard/order/"
+        "packing contract, hash-checked end to end",
+)
+def q_export_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = plan_pretrain_export(
+        docs, context_len=_EXPORT_CTX, n_shards=_EXPORT_N_SHARDS
+    )
+    return materialize_sequences(plan).select(
+        "shard_id", "seq_id", "n_docs", "seq_tokens",
+        F.array_join(
+            F.transform("doc_ids", lambda d: d.cast("string")), ","
+        ).alias("doc_order"),
+    )

@@ -233,3 +233,33 @@ def test_cli_export_verify(spark, sf_dir, tmp_path, capsys):
     shutil.rmtree(out / "shards" / "shard_id=0")
     assert main(["export-verify", str(out)]) == 1
     assert not json.loads(capsys.readouterr().out)["ok"]
+
+
+def test_materialize_sequences_trainer_batch_shape(spark, sf_dir, tmp_path):
+    """Sequence rows are the tensor-ready form: doc_lens sum to
+    seq_tokens; doc_ids are in pos order (prefix order of the export);
+    with a BPE export the concatenated token array's length equals
+    seq_tokens and splits back into the per-doc arrays at the doc_lens
+    boundaries (the loss-mask contract)."""
+    from substreams_sink_parquet_spark.llm.bpe import train_bpe
+
+    docs = _docs(spark, sf_dir, n=80)
+    merges = train_bpe(docs, num_merges=40)
+    out = str(tmp_path / "exp")
+    E.write_pretrain_export(docs, out, context_len=128, n_shards=2,
+                            merges=merges)
+    export = E.read_pretrain_export(spark, out)
+    by_doc = {r.doc_id: r for r in export.collect()}
+    seqs = E.read_pretrain_sequences(spark, out).collect()
+    assert seqs and sum(r.n_docs for r in seqs) == len(by_doc)
+    for r in seqs:
+        assert sum(r.doc_lens) == r.seq_tokens
+        assert len(r.tokens) == r.seq_tokens
+        # pos order within the sequence
+        poses = [by_doc[d].pos for d in r.doc_ids]
+        assert poses == sorted(poses)
+        # concatenation splits back at doc_lens boundaries
+        off = 0
+        for d, ln in zip(r.doc_ids, r.doc_lens):
+            assert r.tokens[off:off + ln] == list(by_doc[d].tokens)
+            off += ln
