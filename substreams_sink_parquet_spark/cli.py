@@ -669,9 +669,11 @@ def cmd_lm_train(args: argparse.Namespace) -> int:
 
     spark = get_spark("lm-train")
     docs = spark.read.parquet(args.docs).select("doc_id", "text")
-    meta = write_bigram_lm(docs, args.lm_dir, n_buckets=args.buckets)
+    meta = write_bigram_lm(docs, args.lm_dir, n_buckets=args.buckets,
+                           min_count=args.min_count)
     print(f"lm-train OK: {args.lm_dir} vocab={meta['vocab']} "
-          f"tokens={meta['n_tokens']} docs={meta['n_docs']}")
+          f"tokens={meta['n_tokens']} docs={meta['n_docs']} "
+          f"min_count={meta['min_count']}")
     return 0
 
 
@@ -1588,6 +1590,10 @@ def main(argv: list[str] | None = None) -> int:
     lmt_p.add_argument("--docs", required=True,
                        help="target-domain parquet of (doc_id, text) rows")
     lmt_p.add_argument("--buckets", type=int, default=64)
+    lmt_p.add_argument("--min-count", type=int, default=1,
+                       help="prune bigrams seen fewer times (production "
+                            "size bound; unigrams stay complete so "
+                            "smoothing denominators are exact)")
     lmt_p.set_defaults(fn=cmd_lm_train)
 
     lms_p = sub.add_parser(

@@ -76,10 +76,17 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
 
 
 def write_bigram_lm(docs: DataFrame, lm_dir: str,
-                    n_buckets: int = 64) -> dict:
+                    n_buckets: int = 64, min_count: int = 1) -> dict:
     """Count the training corpus once into bucketed unigram/bigram tables
     + a meta commit marker. Rebuild overwrites under the index-family
-    crash protocol (meta deleted first; reads refuse marker-less dirs)."""
+    crash protocol (meta deleted first; reads refuse marker-less dirs).
+
+    ``min_count`` prunes bigrams seen fewer times from the persisted
+    table — the standard production-LM size bound (a crawl-scale bigram
+    table is dominated by hapax pairs that carry almost no signal; KenLM
+    ships pruned for the same reason). Unigram counts stay COMPLETE so
+    the smoothing denominator is exact: a pruned bigram scores as unseen
+    (alpha mass over the true c_uni), never as out-of-vocabulary."""
     spark = docs.sparkSession
     fs = HadoopFS(spark, lm_dir)
     from .dedup import spread_if_narrow
@@ -95,6 +102,7 @@ def write_bigram_lm(docs: DataFrame, lm_dir: str,
     bg = (
         _doc_bigrams(src).groupBy("w1", "w2")
         .agg(F.count("*").alias("c_bg"))
+        .filter(F.col("c_bg") >= min_count)
         .withColumn("w_bucket", bucket(F.col("w1")))
     )
     stats = src.agg(
@@ -118,6 +126,7 @@ def write_bigram_lm(docs: DataFrame, lm_dir: str,
         "n_tokens": int(stats.n_tokens),
         "n_docs": int(stats.n_docs),
         "vocab": int(vocab),
+        "min_count": int(min_count),
     }
     fs.write_bytes(meta_path, json.dumps(meta).encode())
     return meta

@@ -104,3 +104,42 @@ def test_cli_lm_train_and_score(spark, tmp_path, capsys, sf_dir):
     assert scores.count() == n
     kept = spark.read.parquet(out + "_kept")
     assert 0 < kept.count() <= n and rep["kept"] == kept.count()
+
+
+def test_min_count_pruning_bounds_table_not_vocabulary(spark, tmp_path):
+    """Pruned-LM contract: min_count shrinks the persisted BIGRAM table
+    (hapax pairs dropped) while unigram counts and vocab stay complete,
+    so a pruned bigram scores as UNSEEN under the true c_uni — never as
+    out-of-vocabulary — and in-domain text still orders below garbled
+    text under the pruned model."""
+    docs = _train(spark).unionByName(spark.createDataFrame(
+        [(500, "one rare bigram pair appears exactly once here")],
+        "doc_id long, text string",
+    ))
+    full_dir, pruned_dir = str(tmp_path / "full"), str(tmp_path / "pruned")
+    m_full = L.write_bigram_lm(docs, full_dir, n_buckets=2)
+    m_pruned = L.write_bigram_lm(docs, pruned_dir, n_buckets=2, min_count=2)
+    assert m_pruned["vocab"] == m_full["vocab"]  # unigrams untouched
+    n_full = spark.read.schema(
+        "w1 string, w2 string, c_bg long, w_bucket int"
+    ).parquet(full_dir + "/bigrams").count()
+    n_pruned = spark.read.schema(
+        "w1 string, w2 string, c_bg long, w_bucket int"
+    ).parquet(pruned_dir + "/bigrams").count()
+    assert 0 < n_pruned < n_full
+
+    probe = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "one rare bigram pair appears exactly once here"),
+         (3, "zxq wvut plomb kraken verdigris xylophone snark")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.neg_avg_logprob
+           for r in L.score_with_lm(spark, pruned_dir, probe).collect()}
+    # repeated in-domain text survives pruning and still beats garbled
+    assert got[1] < got[3]
+    # the hapax doc's bigrams were pruned: it scores WORSE under the
+    # pruned model than the full one (unseen mass), but is still scored
+    full_score = {r.doc_id: r.neg_avg_logprob
+                  for r in L.score_with_lm(spark, full_dir, probe).collect()}
+    assert got[2] > full_score[2]
