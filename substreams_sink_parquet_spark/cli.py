@@ -636,8 +636,10 @@ def cmd_export_pretrain(args: argparse.Namespace) -> int:
         plan = mixture_plan(docs, weights, args.budget_tokens,
                             group_col=group_col, seed=args.seed)
         # copies materialize under collision-guarded mix_ids so an
-        # upsampled doc's epochs land at their own stable (shard, pos)
-        docs = materialize_mixture(docs, plan)
+        # upsampled doc's epochs land at their own stable (shard, pos);
+        # --mixture-id hash is the any-id-range strategy a real ingested
+        # corpus (xxhash64 doc_ids) needs
+        docs = materialize_mixture(docs, plan, id_strategy=args.mixture_id)
         id_col = "mix_id"
     docs = docs.select(id_col, "text")
     merges = None
@@ -799,7 +801,13 @@ def cmd_decontaminate(args: argparse.Namespace) -> int:
         ).filter(F.col("contaminated"))
         _add("semantic", sem.select(F.col("vec_id").alias("doc_id")))
 
-    flagged = flagged.distinct()
+    # flagged_total counts TRAIN docs only: the semantic detector's vec_ids
+    # come from a caller-supplied embeddings table that may cover docs
+    # outside --train, and counting those would misreport kept (ADVICE r8).
+    # The per-detector counts above stay raw detector outputs by design.
+    flagged = flagged.distinct().join(
+        train.select("doc_id").distinct(), "doc_id", "left_semi"
+    )
     report["flagged_total"] = flagged.count()
     clean = train.join(flagged, "doc_id", "left_anti")
     clean.write.mode("overwrite").parquet(args.out)
@@ -1579,6 +1587,12 @@ def main(argv: list[str] | None = None) -> int:
     exp_p.add_argument("--budget-tokens", type=int, default=None,
                        help="total token budget the mixture weights "
                             "divide (required with --mixture)")
+    exp_p.add_argument("--mixture-id", choices=("arith", "hash"),
+                       default="arith",
+                       help="mix_id strategy: 'arith' (reversible "
+                            "doc_id*stride+copy; refuses hash-range ids) "
+                            "or 'hash' (any id range, e.g. xxhash64 "
+                            "doc_ids from WARC ingest)")
     exp_p.set_defaults(fn=cmd_export_pretrain)
 
     lmt_p = sub.add_parser(

@@ -62,13 +62,9 @@ from ..catalog import register
 from ..fsio import HadoopFS, url_join
 from ..tables import load
 
-_MANIFEST = "_EXPORT_MANIFEST.json"
+from .sampling import uhash, uhash_sql
 
-# the samplers' universal-hash constants (sampling._A/_B/_M) — duplicated
-# by value so the oracle SQL below stays a literal string
-_M = (1 << 31) - 1
-_A = 1_103_515_245
-_B = 12_345
+_MANIFEST = "_EXPORT_MANIFEST.json"
 
 
 def plan_pretrain_export(docs: DataFrame, context_len: int = 2048,
@@ -102,7 +98,13 @@ def plan_pretrain_export(docs: DataFrame, context_len: int = 2048,
             "tokens",
         )
         counted = cols.join(toks, "doc_id")
-    shard = (((F.col("doc_id") * _A + _B) % _M) % n_shards).cast("long")
+    # sampling.uhash pmod-reduces doc_id BEFORE the multiply: real corpus
+    # doc_ids are xxhash64 digests (full-range signed longs,
+    # warc_corpus.py), for which the naive (doc_id * A + B) % M form
+    # overflows int64 — an ARITHMETIC_OVERFLOW crash under ANSI (the
+    # session default), negative shard_ids without it. The outer pmod
+    # keeps shard_id in [0, n_shards) for any id sign.
+    shard = F.pmod(uhash(F.col("doc_id")), F.lit(n_shards)).cast("long")
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}")))
     w = Window.partitionBy("shard_id").orderBy("sort_key")
     run = F.sum("n_tokens").over(
@@ -245,7 +247,7 @@ _EXPORT_CTX = 512
     WITH t AS (
         SELECT doc_id,
                CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
-               CAST(((doc_id * {_A} + {_B}) % {_M}) % {_EXPORT_N_SHARDS}
+               CAST(({uhash_sql('doc_id')}) % {_EXPORT_N_SHARDS}
                     AS BIGINT) AS shard_id,
                md5(CAST(doc_id AS VARCHAR) || ':42') AS k
         FROM documents
@@ -397,7 +399,7 @@ def read_pretrain_sequences(spark: SparkSession, out_dir: str,
     WITH t AS (
         SELECT doc_id,
                CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
-               CAST(((doc_id * {_A} + {_B}) % {_M}) % {_EXPORT_N_SHARDS}
+               CAST(({uhash_sql('doc_id')}) % {_EXPORT_N_SHARDS}
                     AS BIGINT) AS shard_id,
                md5(CAST(doc_id AS VARCHAR) || ':42') AS k
         FROM documents

@@ -20,10 +20,13 @@ exactly.
   shard — at scale each shard packs independently (shard = parquet range
   file, so packing parallelizes with the lake layout).
 
-The 31-bit Mersenne universal-hash field keeps every product under 2^62 so
-ANSI mode (driver default) never overflows; constants mirror
-``llm.dedup``'s MinHash family (reference has no sampling surface —
-parity target is the training-pipeline brief, not a reference file).
+The key is pmod-REDUCED into the 31-bit Mersenne field BEFORE the multiply
+(``uhash``), so every intermediate stays under 2^62 for ANY signed int64 key
+— real corpus doc_ids are xxhash64 digests (full-range longs), and the naive
+``key * A`` form overflows them under ANSI mode (the driver default) or
+wraps to negative buckets with ANSI off. Constants mirror ``llm.dedup``'s
+MinHash family (reference has no sampling surface — parity target is the
+training-pipeline brief, not a reference file).
 """
 
 from __future__ import annotations
@@ -39,9 +42,29 @@ _A = 1_103_515_245  # classic LCG multiplier, < 2^31
 _B = 12_345
 
 
+def uhash(key: F.Column) -> F.Column:
+    """Universal hash of an int64 key into [0, _M). The key is pmod-reduced
+    into the 31-bit field BEFORE the multiply — pmod(key,_M) < 2^31 times
+    _A < 2^31 stays under 2^62, so the expression never overflows int64
+    under ANSI for any signed long, and pmod keeps the result non-negative
+    for negative keys (a bare ``%`` follows the dividend's sign).
+    Identical values to the historical ``((key*A+B)%M)`` form on the
+    non-negative sub-2^31 ids the fixtures use (mod arithmetic), so every
+    oracle hash is unchanged."""
+    return F.pmod(F.pmod(key, F.lit(_M)) * _A + _B, F.lit(_M))
+
+
+def uhash_sql(key: str = "doc_id") -> str:
+    """The exact DuckDB restatement of :func:`uhash` (DuckDB has no pmod;
+    ``((x % m) + m) % m`` is the standard composition). Kept in lockstep
+    with the Spark expression so the oracle can never hash apart from the
+    engine on ANY id range."""
+    return f"((({key} % {_M} + {_M}) % {_M}) * {_A} + {_B}) % {_M}"
+
+
 def split_col(key: F.Column, train_pct: int = 80, val_pct: int = 10) -> F.Column:
     """Deterministic split label from a universal hash of an integer key."""
-    bucket = ((key * _A + _B) % _M) % 100
+    bucket = uhash(key) % 100
     return (
         F.when(bucket < train_pct, F.lit("train"))
         .when(bucket < train_pct + val_pct, F.lit("val"))
@@ -50,8 +73,8 @@ def split_col(key: F.Column, train_pct: int = 80, val_pct: int = 10) -> F.Column
 
 
 _SPLIT_SQL = f"""
-    CASE WHEN ((doc_id * {_A} + {_B}) % {_M}) % 100 < 80 THEN 'train'
-         WHEN ((doc_id * {_A} + {_B}) % {_M}) % 100 < 90 THEN 'val'
+    CASE WHEN ({uhash_sql('doc_id')}) % 100 < 80 THEN 'train'
+         WHEN ({uhash_sql('doc_id')}) % 100 < 90 THEN 'val'
          ELSE 'test' END
 """
 
@@ -86,7 +109,7 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_total,
            CAST(COUNT(*) FILTER (
-               WHERE ((doc_id * {_A} + {_B}) % {_M}) % 1000 <
+               WHERE ({uhash_sql('doc_id')}) % 1000 <
                      CASE WHEN lang = 'en' THEN 250 ELSE 900 END
            ) AS BIGINT) AS n_sampled
     FROM documents
@@ -97,7 +120,7 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    bucket = ((F.col("doc_id") * _A + _B) % _M) % 1000
+    bucket = uhash(F.col("doc_id")) % 1000
     rate = F.when(F.col("lang") == "en", 250).otherwise(900)
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_total"),
@@ -162,7 +185,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(n_words AS BIGINT) AS n_words,
            ROUND(score, 4) AS score4,
-           ((doc_id * {_A} + {_B}) % {_M}) % 1000
+           ({uhash_sql('doc_id')}) % 1000
                < CAST(FLOOR(score * 1000) AS BIGINT) AS kept
     FROM scored
     """,
@@ -184,7 +207,7 @@ def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score"
         ),
     )
-    bucket = ((F.col("doc_id") * _A + _B) % _M) % 1000
+    bucket = uhash(F.col("doc_id")) % 1000
     return staged.select(
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),
@@ -268,7 +291,7 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(r.n_total AS BIGINT) AS n_total,
            r.threshold,
            CAST(COUNT(*) FILTER (
-               WHERE ((d.doc_id * {_A} + {_B}) % {_M}) % 1000 < r.threshold
+               WHERE ({uhash_sql('d.doc_id')}) % 1000 < r.threshold
            ) AS BIGINT) AS n_kept
     FROM documents d JOIN rates r USING (source)
     GROUP BY r.source, r.n_total, r.threshold
@@ -293,7 +316,7 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(1000 * F.sqrt(F.col("mean_n") / F.col("n_total"))),
         ).cast("long").alias("threshold"),
     )
-    bucket = ((F.col("doc_id") * _A + _B) % _M) % 1000
+    bucket = uhash(F.col("doc_id")) % 1000
     return (
         docs.join(F.broadcast(rates), "source")
         .groupBy("source", "n_total", "threshold")
@@ -305,10 +328,10 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_shuffle_shards",
     f"""
-    SELECT CAST(((doc_id * {_A} + {_B}) % {_M}) % 64 AS BIGINT) AS shard_id,
+    SELECT CAST(({uhash_sql('doc_id')}) % 64 AS BIGINT) AS shard_id,
            doc_id,
            CAST(ROW_NUMBER() OVER (
-               PARTITION BY ((doc_id * {_A} + {_B}) % {_M}) % 64
+               PARTITION BY ({uhash_sql('doc_id')}) % 64
                ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')
            ) AS BIGINT) AS pos
     FROM documents
@@ -326,7 +349,7 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
-    shard = (((F.col("doc_id") * _A + _B) % _M) % 64).cast("long")
+    shard = (uhash(F.col("doc_id")) % 64).cast("long")
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
     w = Window.partitionBy("shard_id").orderBy("sort_key")
     return (
@@ -867,23 +890,80 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def materialize_mixture(docs: DataFrame, plan: DataFrame,
                         stride: int = 4096,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        id_strategy: str = "arith") -> DataFrame:
     """Explode a ``mixture_plan`` into physical rows for export: each doc
-    appears ``n_copies`` times as (mix_id, doc_id, copy, text) where
-    ``mix_id = doc_id * stride + copy`` — a collision-free synthetic key
-    (guarded: raises if any n_copies >= stride, checked cheaply on the
-    plan which is doc-count-sized, not text-sized) so the export's
-    (shard, pos) determinism applies per COPY: epoch k of an upsampled
-    doc lands at its own stable position instead of colliding with epoch
-    k+1. Join + explode only — the text column never passes through an
-    aggregate."""
-    mx = plan.agg(F.max("n_copies").alias("m")).collect()[0].m
-    if mx is not None and mx >= stride:
+    appears ``n_copies`` times as (mix_id, doc_id, copy, text) — a
+    collision-free synthetic key so the export's (shard, pos) determinism
+    applies per COPY: epoch k of an upsampled doc lands at its own stable
+    position instead of colliding with epoch k+1. Join + explode only —
+    the text column never passes through an aggregate.
+
+    Two mix_id strategies (both deterministic functions of (doc_id, copy)):
+
+    - ``"arith"`` (default): ``mix_id = doc_id * stride + copy`` —
+      reversible and SQL-oracle-able, but only injective-and-in-range for
+      |doc_id| < 2^63/stride. BOTH bounds are guarded on the plan side
+      (doc-count-sized, one tiny agg job): any n_copies >= stride, or any
+      |doc_id| >= 2^63/stride, refuses loudly instead of overflowing
+      int64 under ANSI mid-export (a real corpus's doc_ids are xxhash64
+      digests — full-range longs — which hit this with probability ~1).
+    - ``"hash"``: ``mix_id = pmod(xxhash64(doc_id, copy), 2^62)`` — valid
+      for ANY id range (the strategy a real ingested corpus uses), with a
+      uniqueness AUDIT over the exploded narrow plan (one exchange on
+      (doc_id, copy)-sized rows, no text): an astronomically-unlikely
+      64-bit collision refuses loudly rather than silently merging two
+      copies' (shard, pos) slots.
+    """
+    if id_strategy not in ("arith", "hash"):
         raise ValueError(
-            f"materialize_mixture: a doc repeats {mx}x >= stride={stride}; "
-            "raise stride (mix_id = doc_id*stride+copy must not collide)"
+            f"materialize_mixture: id_strategy={id_strategy!r} — use "
+            "'arith' (reversible, bounded ids) or 'hash' (any id range)"
         )
     kept = plan.filter(F.col("n_copies") > 0)
+    if id_strategy == "arith":
+        guard = plan.agg(
+            F.max("n_copies").alias("m"),
+            F.max(F.abs(F.col("doc_id"))).alias("mid"),
+        ).collect()[0]
+        if guard.m is not None and guard.m >= stride:
+            raise ValueError(
+                f"materialize_mixture: a doc repeats {guard.m}x >= "
+                f"stride={stride}; raise stride (mix_id = "
+                "doc_id*stride+copy must not collide)"
+            )
+        id_cap = (1 << 63) // stride
+        if guard.mid is not None and guard.mid >= id_cap:
+            raise ValueError(
+                f"materialize_mixture: |doc_id| up to {guard.mid} >= "
+                f"2^63/stride = {id_cap}; mix_id = doc_id*stride+copy "
+                "would overflow int64 (hash-range ids, e.g. xxhash64 "
+                "doc_ids from WARC ingest, always do). Pass "
+                "id_strategy='hash', or re-key doc_id into a bounded "
+                "range first"
+            )
+        mix_id = F.col("doc_id") * stride + F.col("copy")
+    else:
+        mix_id = F.pmod(
+            F.xxhash64(F.col("doc_id"), F.col("copy")), F.lit(1 << 62)
+        )
+        dup = (
+            kept.select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(1), F.col("n_copies")))
+                .alias("copy"),
+            )
+            .select(mix_id.alias("mix_id"))
+            .groupBy("mix_id").count().filter(F.col("count") > 1)
+            .limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                "materialize_mixture: mix_id hash collision across "
+                "(doc_id, copy) pairs — re-seed by changing stride is "
+                "not applicable in hash mode; re-key doc_id (or fall "
+                "back to id_strategy='arith' on bounded ids)"
+            )
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)
                     .alias("text"))
@@ -894,7 +974,7 @@ def materialize_mixture(docs: DataFrame, plan: DataFrame,
             .alias("copy"),
         )
         .select(
-            (F.col("doc_id") * stride + F.col("copy")).alias("mix_id"),
+            mix_id.alias("mix_id"),
             "doc_id", "copy", "grp", "text",
         )
     )

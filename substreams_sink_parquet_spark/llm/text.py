@@ -1664,7 +1664,11 @@ def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("distinct_bigram_ratio")
         )
     )
-    return uni.join(bg, "lang").select(
+    # LEFT join: a language whose docs are all single-word has no bigrams
+    # at all — it must surface with a NULL ratio (matching the oracle's
+    # correlated subquery over zero rows), not silently vanish from the
+    # report (ADVICE r8)
+    return uni.join(bg, "lang", "left").select(
         "lang", "n_tokens", "n_types",
         F.round(
             F.col("n_types") / F.col("n_tokens").cast("double"), 6

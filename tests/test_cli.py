@@ -837,10 +837,13 @@ def test_cli_decontaminate(tmp_path, spark, capsys):
     kept = {r.doc_id for r in spark.read.parquet(out2).collect()}
     assert 2 not in kept and 1 not in kept and {3, 4} <= kept
 
-    # + semantic: doc 5's embedding sits on the eval vector
+    # + semantic: doc 5's embedding sits on the eval vector. vec_id 999
+    # also matches but is NOT a train doc (an embeddings table covering a
+    # wider corpus — ADVICE r8): it must not inflate flagged_total or
+    # skew the kept count, which has to equal the written output exactly
     emb_tr = spark.createDataFrame(
         [(5, [1.0, 0.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0, 0.0]),
-         (4, [0.0, 0.0, 1.0, 0.0])],
+         (4, [0.0, 0.0, 1.0, 0.0]), (999, [1.0, 0.0, 0.0, 0.0])],
         "vec_id long, embedding array<float>",
     )
     emb_ev = spark.createDataFrame(
@@ -854,9 +857,11 @@ def test_cli_decontaminate(tmp_path, spark, capsys):
                  "--winnow", "--embeddings", tre_p,
                  "--eval-embeddings", eve_p]) == 0
     rep = json.loads(capsys.readouterr().out)
-    assert rep["detectors"]["semantic"] == 1
+    assert rep["detectors"]["semantic"] == 2  # raw detector output: 5 + 999
     kept = {r.doc_id for r in spark.read.parquet(out3).collect()}
     assert kept == {3, 4}
+    assert rep["flagged_total"] == 3  # 1, 2, 5 — train docs only, not 999
+    assert rep["kept"] == len(kept) == rep["n_train"] - rep["flagged_total"]
 
     # usage error: embeddings without the eval side
     assert main(["decontaminate", tr_p, "--eval", ev_p,

@@ -825,3 +825,40 @@ def test_lm_scoring_matches_plain_python_reference(spark, tmp_path_factory,
     assert got.n_bigrams == len(lps)
     want = round(-sum(lps) / len(lps), 6)
     assert abs(got.neg_avg_logprob - want) < 1e-9
+
+
+def test_corpus_diversity_keeps_bigramless_language(spark, tmp_path):
+    """ADVICE r9 (low): a language whose docs are all single-word produces
+    zero bigrams; the diversity report must keep its row with a NULL
+    distinct_bigram_ratio — exactly what the DuckDB oracle's correlated
+    subquery yields over zero rows — instead of inner-joining it away.
+    The fixture corpus never triggers this, so it is pinned here on a
+    synthetic one, against the registered oracle SQL itself."""
+    import duckdb
+
+    from substreams_sink_parquet_spark.catalog import registry
+
+    docs = spark.createDataFrame(
+        [(1, "en", "two words here"), (2, "zz", "single"),
+         (3, "zz", "alone")],
+        "doc_id long, lang string, text string",
+    )
+    sf = str(tmp_path / "sf")
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    spec = registry()["q_corpus_diversity"]
+    got = {r.lang: r for r in spec.fn(spark, sf).collect()}
+    assert set(got) == {"en", "zz"}
+    assert got["zz"].distinct_bigram_ratio is None
+    assert got["en"].distinct_bigram_ratio is not None
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = {r[0]: r for r in con.execute(spec.oracle).fetchall()}
+    assert set(want) == set(got)
+    for lang, row in want.items():
+        assert got[lang].n_tokens == row[1]
+        assert got[lang].n_types == row[2]
+        assert got[lang].distinct_bigram_ratio == row[4]
