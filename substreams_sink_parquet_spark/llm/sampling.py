@@ -62,6 +62,151 @@ def uhash_sql(key: str = "doc_id") -> str:
     return f"((({key} % {_M} + {_M}) % {_M}) * {_A} + {_B}) % {_M}"
 
 
+# -- salted (two-phase) per-group running sums -------------------------------
+#
+# Window.partitionBy(group) funnels a group's EVERY row through one task's
+# sort — at 100 TB with a dominant group ('en' is ~half of any web crawl)
+# that is tens-of-GB single-task skew on exactly the group the mixture /
+# budget operators exist to manage. The distributed form decomposes the
+# running sum: partition the window by (group, salt_bucket) where the
+# bucket is ORDER-CONTIGUOUS w.r.t. the sort key, aggregate per-bucket
+# totals (group-count x n_buckets rows), broadcast cumulative bucket
+# offsets back, and add offset + within-bucket running sum. Because the
+# bucket respects the order, the result is the unsalted value ROW FOR ROW
+# (pinned by pytest), while the corpus-scale sort shrinks by n_buckets x.
+
+_SALT_BUCKETS = 64  # divides 256 (hex-prefix bucketing); the skew knob
+
+
+def _hex_prefix_bucket(key: F.Column,
+                       n_buckets: int = _SALT_BUCKETS) -> F.Column:
+    """Order-contiguous bucket of an md5-hex sort key: the first two hex
+    chars (0..255) integer-divided into ``n_buckets`` contiguous ranges,
+    so sorting by (bucket, key) IS sorting by key and the two-phase
+    running-sum decomposition is exact. ``n_buckets`` must divide 256."""
+    if 256 % n_buckets:
+        raise ValueError(f"n_buckets={n_buckets} must divide 256")
+    width = 256 // n_buckets
+    return (F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
+            / width).cast("int")
+
+
+def salted_running_sum(df: DataFrame, grp_cols: list[str], order_cols: list,
+                       val_col: str, bucket: F.Column,
+                       out_col: str = "cum",
+                       group_total_col: str | None = None) -> DataFrame:
+    """Per-group running sum of ``val_col`` in ``order_cols`` order,
+    computed WITHOUT a per-group global sort: the corpus-scale window
+    partitions on (group, ``_salt_bucket``) — ``bucket`` MUST be
+    order-contiguous w.r.t. ``order_cols`` within each group (row a
+    before row b implies bucket(a) <= bucket(b); ``_hex_prefix_bucket``
+    for hash-ordered keys, ``ranked_order_buckets`` for semantic orders)
+    — and cumulative bucket offsets are broadcast back from a
+    (group x bucket)-sized aggregate. Identical results to
+    ``Window.partitionBy(group)``, row for row.
+
+    Cost shape: TWO passes over ``df`` (the bucket-totals aggregate,
+    map-side combined to group x bucket partials, then the window input)
+    and ONE corpus-scale exchange (the (group, bucket) hash repartition
+    the window needs) — the same pass/exchange count as the unsalted
+    form once the caller's own group-totals aggregate is folded in via
+    ``group_total_col``, which rides the same broadcast (per-group total
+    = sum of its bucket totals) instead of costing a third scan."""
+    from pyspark.sql import Window
+
+    bucketed = df.withColumn("_salt_bucket", bucket)
+    bt = bucketed.groupBy(*grp_cols, "_salt_bucket").agg(
+        F.sum(val_col).alias("_bucket_total")
+    )
+    off_w = (
+        Window.partitionBy(*grp_cols).orderBy("_salt_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rider = []
+    if group_total_col is not None:
+        tot_w = (
+            Window.partitionBy(*grp_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        rider.append(
+            F.sum("_bucket_total").over(tot_w).alias(group_total_col)
+        )
+    offsets = bt.select(
+        *grp_cols, "_salt_bucket",
+        F.coalesce(F.sum("_bucket_total").over(off_w), F.lit(0))
+        .alias("_offset"),
+        *rider,
+    )
+    local_w = (
+        Window.partitionBy(*grp_cols, "_salt_bucket").orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), [*grp_cols, "_salt_bucket"])
+        .withColumn(out_col, F.sum(val_col).over(local_w) + F.col("_offset"))
+        .drop("_salt_bucket", "_offset")
+    )
+
+
+def ranked_order_buckets(scored: DataFrame, grp_col: str,
+                         score_col: str = "score", id_col: str = "doc_id",
+                         n_buckets: int = 32) -> DataFrame:
+    """Attach an order-contiguous ``_salt_bucket`` for a SEMANTIC sort
+    order — (``score_col`` DESC, ``id_col`` ASC), the token-budget
+    selector's ranking — where no hash prefix can bucket the order.
+    Boundaries are deterministically hash-sampled rows (one per
+    ~group_count/n_buckets ids, so ~n_buckets boundaries per group —
+    two bounded driver collects: the per-group counts, then the sampled
+    boundary keys), broadcast back as per-group sorted arrays; a row's
+    bucket is the count of boundaries strictly before it in the order —
+    monotone along the order by construction, so the decomposition in
+    :func:`salted_running_sum` stays exact. Which boundaries get sampled
+    affects only the SPLIT, never the running-sum values."""
+    counts = {
+        r[0]: r[1] for r in scored.groupBy(grp_col).count().collect()
+    }
+    if not counts:
+        return scored.withColumn("_salt_bucket", F.lit(0))
+    mod_pairs = []
+    for g, n in counts.items():
+        mod_pairs += [F.lit(g), F.lit(max(1, n // n_buckets))]
+    mod = F.element_at(F.create_map(*mod_pairs), F.col(grp_col))
+    cand = scored.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), mod) == 0
+    ).select(grp_col, score_col, id_col).collect()
+    per_group: dict = {}
+    for r in cand:
+        per_group.setdefault(r[0], []).append((float(r[1]), int(r[2])))
+    rows = []
+    for g, bs in per_group.items():
+        bs.sort(key=lambda t: (-t[0], t[1]))
+        if len(bs) > 4 * n_buckets:  # sampling-variance cap: thin evenly
+            step = len(bs) / (4 * n_buckets)
+            bs = [bs[int(i * step)] for i in range(4 * n_buckets)]
+        rows.append((g, bs))
+    spark = scored.sparkSession
+    grp_t = scored.schema[grp_col].dataType.simpleString()
+    bnd = spark.createDataFrame(
+        rows,
+        f"{grp_col} {grp_t}, "
+        "_barr array<struct<score:double, doc_id:bigint>>",
+    )
+    barr = F.coalesce(
+        F.col("_barr"),
+        F.array().cast("array<struct<score:double, doc_id:bigint>>"),
+    )
+    before = F.size(F.filter(
+        barr,
+        lambda b: (b.score > F.col(score_col))
+        | ((b.score == F.col(score_col)) & (b.doc_id < F.col(id_col))),
+    ))
+    return (
+        scored.join(F.broadcast(bnd), grp_col, "left")
+        .withColumn("_salt_bucket", before)
+        .drop("_barr")
+    )
+
+
 def split_col(key: F.Column, train_pct: int = 80, val_pct: int = 10) -> F.Column:
     """Deterministic split label from a universal hash of an integer key."""
     bucket = uhash(key) % 100
@@ -243,13 +388,15 @@ def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Token-budget corpus selection: within each source, take the "
         "highest-quality docs (lexical diversity, doc_id tie-break) until "
         "a 20k-token budget fills — the data-mixing primitive for 'N "
-        "tokens per source' recipes. One window scan partitioned by "
-        "source; at scale each source's running sum is independent, and a "
-        "skewed giant source salts into (source, hash-bucket) sub-budgets",
+        "tokens per source' recipes. The running sum is the SALTED "
+        "two-phase form: the corpus-scale window partitions on (source, "
+        "order-contiguous sample-boundary bucket), never on the bare "
+        "source, so a dominant source's selection no longer funnels "
+        "through one task's sort at 100 TB — same rows to the digit "
+        "(salted == unsalted is pytest-pinned; the window keys are "
+        "plan-pinned)",
 )
 def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     scored = docs.select(
@@ -260,17 +407,17 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score"
         ),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("score").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed = ranked_order_buckets(scored, "source")
+    cumed = salted_running_sum(
+        bucketed, ["source"], [F.col("score").desc(), F.col("doc_id")],
+        "n_tokens", F.col("_salt_bucket"), out_col="cum_tokens",
     )
-    return scored.select(
+    return cumed.select(
         "source",
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
-        (F.sum("n_tokens").over(w) <= 20000).alias("selected"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        (F.col("cum_tokens") <= 20000).alias("selected"),
     )
 
 
@@ -651,22 +798,28 @@ def cluster_balanced_sample(emb: DataFrame, n_centroids: int = 16,
     Scale shape: the quantizer is ``similarity.ivf_centroids``'s bounded
     driver-side fit (sample-capped, kilobytes); assignment is
     ``_nearest_centroid``'s map-only broadcast-literal zip; the ONE
-    corpus-scale exchange is the window on ``cent_id``. Cells are
-    n_centroids-bounded so the exchange is as skewed as the topic mix —
-    raise n_centroids with the corpus (finer cells = smaller partitions
-    AND finer-grained balance)."""
-    from pyspark.sql import Window
-
+    corpus-scale exchange is the rank window — partitioned on
+    (cent_id, hex-prefix bucket of the sort key), the salted two-phase
+    form (cell_rank = within-bucket running count + broadcast earlier-
+    bucket counts == row_number over the cell, the keys are unique md5),
+    so a mega-topic cell never funnels through one task's sort. Cells
+    are n_centroids-bounded; raise n_centroids with the corpus (finer
+    cells = smaller partitions AND finer-grained balance)."""
     from .similarity import _nearest_centroid, ivf_centroids
 
     cents = ivf_centroids(emb, vec_col=vec_col, n_centroids=n_centroids,
                           refine_iters=refine_iters)
     assigned = _nearest_centroid(emb, cents, vec_col, keep=[id_col])
     key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":cbal")))
-    w = Window.partitionBy("cent_id").orderBy("sort_key")
-    return (
+    ranked = salted_running_sum(
         assigned.withColumn("sort_key", key)
-        .withColumn("cell_rank", F.row_number().over(w).cast("long"))
+        .withColumn("_one", F.lit(1).cast("long")),
+        ["cent_id"], ["sort_key"], "_one",
+        _hex_prefix_bucket(F.col("sort_key")), out_col="cell_rank",
+    )
+    return (
+        ranked
+        .withColumn("cell_rank", F.col("cell_rank").cast("long"))
         .select(
             id_col,
             F.col("cent_id").cast("long").alias("cent_id"),
@@ -788,12 +941,14 @@ def mixture_plan(docs: DataFrame, weights: dict[str, float],
     same mixture at any parallelism — and a new seed re-draws WHICH docs
     fill the fractional epoch while every full epoch is unchanged.
 
-    Scale shape: one group-count-sized aggregate broadcast back, one
-    window partitioned by group (each group's running sum independent;
-    a giant group salts into (group, hash-bucket) sub-quotas exactly
-    like the token-budget op)."""
-    from pyspark.sql import Window
-
+    Scale shape: the running sum is the SALTED two-phase form
+    (:func:`salted_running_sum`): the corpus-scale window partitions on
+    (group, hex-prefix bucket of the seeded sort key) — order-contiguous,
+    so the cum values are the unsalted ones row for row — and per-group
+    token totals ride the same (group x bucket)-sized broadcast as the
+    cumulative bucket offsets. A dominant group ('en' is ~half of any
+    crawl) therefore never funnels through one task's sort; the window
+    keys are plan-pinned and salted == unsalted is pytest-pinned."""
     if budget_tokens <= 0:
         raise ValueError(
             f"mixture_plan: budget_tokens={budget_tokens} must be positive"
@@ -817,23 +972,24 @@ def mixture_plan(docs: DataFrame, weights: dict[str, float],
         w_expr.alias("w"),
         key.alias("sort_key"),
     ).filter(F.col("w").isNotNull())
-    totals = base.groupBy("grp").agg(
-        F.sum("n_tokens").alias("grp_tokens")
+    # grp_tokens rides salted_running_sum's broadcast (per-group total =
+    # sum of its bucket totals), so the salted form costs the same two
+    # corpus passes the separate totals-aggregate + window form did
+    cumed = salted_running_sum(
+        base, ["grp"], ["sort_key"], "n_tokens",
+        _hex_prefix_bucket(F.col("sort_key")),
+        out_col="cum", group_total_col="grp_tokens",
     )
     staged = (
-        base.join(F.broadcast(totals), "grp")
+        cumed
         .withColumn("quota", F.floor(F.lit(budget_tokens) * F.col("w")))
         .withColumn("full_epochs", F.floor(F.col("quota") /
                                            F.col("grp_tokens")))
         .withColumn("rem", F.col("quota") -
                     F.col("full_epochs") * F.col("grp_tokens"))
     )
-    run = F.sum("n_tokens").over(
-        Window.partitionBy("grp").orderBy("sort_key")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        staged.withColumn("cum", run)
+        staged
         .select(
             "doc_id",
             F.col("grp").alias("grp"),

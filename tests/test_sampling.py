@@ -433,3 +433,93 @@ def test_materialize_mixture_refuses_hash_range_ids_in_arith_mode(spark):
 
     with pytest.raises(ValueError, match="id_strategy"):
         materialize_mixture(docs, plan, id_strategy="bogus")
+
+
+def test_salted_running_sum_equals_unsalted_hash_order(spark):
+    """The two-phase (salted) running sum is a pure plan-shape change:
+    on a deliberately skewed synthetic (one group holds ~80% of rows) it
+    must reproduce Window.partitionBy(group)'s values ROW FOR ROW, and
+    the group_total_col rider must equal the separate group aggregate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from substreams_sink_parquet_spark.llm.sampling import (
+        _hex_prefix_bucket, salted_running_sum,
+    )
+
+    df = (
+        spark.range(3000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 10 < 8, "en")
+            .when(F.col("id") % 10 == 8, "fr").otherwise("de").alias("grp"),
+            (F.col("id") * 7 % 13 + 1).alias("val"),
+            F.md5(F.col("id").cast("string")).alias("sort_key"),
+        )
+    )
+    w = (
+        Window.partitionBy("grp").orderBy("sort_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r.doc_id: r.cum
+        for r in df.withColumn("cum", F.sum("val").over(w)).collect()
+    }
+    got_rows = salted_running_sum(
+        df, ["grp"], ["sort_key"], "val",
+        _hex_prefix_bucket(F.col("sort_key")),
+        group_total_col="grp_total",
+    ).collect()
+    assert {r.doc_id: r.cum for r in got_rows} == want
+    tot = {
+        r.grp: r.t
+        for r in df.groupBy("grp").agg(F.sum("val").alias("t")).collect()
+    }
+    assert all(r.grp_total == tot[r.grp] for r in got_rows)
+
+
+def test_salted_running_sum_equals_unsalted_semantic_order(spark):
+    """Same pin for the boundary-bucketed form that salts a SEMANTIC
+    (score DESC, id ASC) order — with heavy score TIES, so boundary rows
+    and ties straddling bucket edges are exercised: the sharp edge of
+    the order-contiguity argument."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from substreams_sink_parquet_spark.llm.sampling import (
+        ranked_order_buckets, salted_running_sum,
+    )
+
+    df = (
+        spark.range(2500)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 8 < 7, "web").otherwise("books")
+            .alias("source"),
+            (F.col("id") % 11 + 1).alias("n_tokens"),
+            # only 5 distinct scores: every bucket boundary lands on a tie
+            ((F.col("id") % 5).cast("double") / 10).alias("score"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r.doc_id: r.cum
+        for r in df.withColumn("cum", F.sum("n_tokens").over(w)).collect()
+    }
+    bucketed = ranked_order_buckets(df, "source", n_buckets=16)
+    got = salted_running_sum(
+        bucketed, ["source"], [F.col("score").desc(), F.col("doc_id")],
+        "n_tokens", F.col("_salt_bucket"),
+    ).collect()
+    assert {r.doc_id: r.cum for r in got} == want
+    # and the salting actually split the dominant group's sort: >1 bucket
+    n_buckets_used = len({
+        r._salt_bucket
+        for r in bucketed.filter(F.col("source") == "web")
+        .select("_salt_bucket").distinct().collect()
+    })
+    assert n_buckets_used > 1
