@@ -414,6 +414,7 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         embed_dim=args.embed_dim,
         ann_index_dir=args.ann_index,
         lexical_index_dir=args.lexical_index,
+        lm_dir=args.lm_dir,
         input_format=args.format,
         quality_gate=args.quality_gate,
         line_dedup_min_docs=args.line_dedup_min_docs,
@@ -706,6 +707,36 @@ def cmd_lm_score(args: argparse.Namespace) -> int:
         report["kept"] = kept.count()
         report["max_score"] = args.max_score
     print(_json.dumps(report))
+    return 0
+
+
+def cmd_lm_append(args: argparse.Namespace) -> int:
+    """Append one batch of documents' count deltas to a persisted bigram
+    LM (replay-safe epoch overwrite — llm/lm.py). The batch-side manual
+    form of `corpus --lm-dir`; scoring reads base + epochs sum-merged,
+    so the model is current without a retrain."""
+    from .llm.lm import append_epoch_to_bigram_lm, merged_lm_state
+
+    spark = get_spark("lm-append")
+    docs = spark.read.parquet(args.docs).select("doc_id", "text")
+    append_epoch_to_bigram_lm(docs, args.lm_dir, args.epoch)
+    _, _, stats = merged_lm_state(spark, args.lm_dir)
+    print(f"lm-append OK: {args.lm_dir} epoch={args.epoch} "
+          f"vocab={stats['vocab']} tokens={stats['n_tokens']} "
+          f"docs={stats['n_docs']} epochs={stats['n_epochs']}")
+    return 0
+
+
+def cmd_lm_compact(args: argparse.Namespace) -> int:
+    """Fold a streamed LM's per-batch count deltas into one epoch=-1 dir
+    (groupBy-SUM merge under the crash-safe manifest swap; run against a
+    STOPPED corpus stream)."""
+    from .llm.lm import compact_lm_epochs
+
+    spark = get_spark("lm-compact")
+    did = compact_lm_epochs(spark, args.lm_dir, min_epochs=args.min_epochs)
+    print(f"lm-compact OK: {'merged' if did else 'nothing to do'} "
+          f"in {args.lm_dir}")
     return 0
 
 
@@ -1419,6 +1450,12 @@ def main(argv: list[str] | None = None) -> int:
                                "(epoch stats delta, replay-safe) so "
                                "retrieve-index serves the corpus without a "
                                "rebuild or re-tokenize")
+    corpus_p.add_argument("--lm-dir", default=None,
+                          help="existing lm-train model dir (min_count=1): "
+                               "admitted docs' unigram/bigram count deltas "
+                               "are appended per batch (epoch stats delta, "
+                               "replay-safe) so lm-score reflects the live "
+                               "corpus without a retrain")
     corpus_p.add_argument("--near-dup", action="store_true",
                           help="also reject MinHash near-duplicates of the corpus")
     corpus_p.add_argument("--line-dedup-min-docs", type=int, default=None,
@@ -1625,6 +1662,28 @@ def main(argv: list[str] | None = None) -> int:
                             "the artifact stores raw counts)")
     lms_p.add_argument("--max-score", type=float, default=None)
     lms_p.set_defaults(fn=cmd_lm_score)
+
+    lma_p = sub.add_parser(
+        "lm-append",
+        help="append a document batch's count deltas to a persisted "
+             "bigram LM (replay-safe epoch; scoring merges base+epochs)",
+    )
+    lma_p.add_argument("lm_dir")
+    lma_p.add_argument("--docs", required=True,
+                       help="parquet of (doc_id, text) rows to count in")
+    lma_p.add_argument("--epoch", type=int, required=True,
+                       help="epoch id (re-running the same id overwrites "
+                            "it — the replay-idempotence contract)")
+    lma_p.set_defaults(fn=cmd_lm_append)
+
+    lmc_p = sub.add_parser(
+        "lm-compact",
+        help="fold a streamed LM's per-batch deltas into one epoch=-1 "
+             "dir (stopped stream)",
+    )
+    lmc_p.add_argument("lm_dir")
+    lmc_p.add_argument("--min-epochs", type=int, default=2)
+    lmc_p.set_defaults(fn=cmd_lm_compact)
 
     qt_p = sub.add_parser(
         "quality-train",

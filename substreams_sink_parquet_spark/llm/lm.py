@@ -33,6 +33,24 @@ into that join and aggregates per doc_id once.
 Hash stability: same rules as bigram_lm_score — each ln() rounds to 9 dp
 (absorbing libm ulp differences), sums go through DECIMAL, the average
 rounds to 6 dp — so the catalog entry hash-matches DuckDB exactly.
+
+Streaming growth: ``append_epoch_to_bigram_lm`` is the replay-safe form —
+each micro-batch's (w1[, w2], count) DELTAS land under
+``epochs/epoch={id}/{unigrams,bigrams}/w_bucket={b}/`` and are OVERWRITTEN
+per epoch (the idempotence contract shared with the ANN/lexical indexes and
+every corpus-builder artifact), with the batch's (n_tokens, n_docs) delta
+as ``_EPOCH_STATS.json`` written LAST — an epoch with counts but no stats
+file is a detectable crash the replay repairs. Unlike postings, the same
+(w1, w2) recurs across epochs, so reads SUM-MERGE base + epochs (counts
+are the canonical sum-mergeable state — the reason a count-table LM can
+grow incrementally at all) and the vocabulary is recomputed from the
+merged unigrams (distinct words are NOT sum-mergeable). ``lm-compact``
+folds the per-batch deltas into one ``epoch=-1`` dir via the shared
+write-ahead manifest-swap protocol (foldswap.py), as a groupBy-SUM rather
+than a concatenation. Appending requires ``min_count == 1``: a pruned base
+already forgot its sub-threshold bigram counts, so no merge of deltas can
+reproduce what a full retrain would keep — the append refuses loudly
+instead of drifting; prune at release time on a frozen model.
 """
 
 from __future__ import annotations
@@ -47,6 +65,9 @@ from ..fsio import HadoopFS, url_join
 from ..tables import load
 
 _META = "_LM_META.json"
+_EPOCH_STATS = "_EPOCH_STATS.json"
+_UNI_SCHEMA = "w1 string, c_uni long, w_bucket int"
+_BG_SCHEMA = "w1 string, w2 string, c_bg long, w_bucket int"
 
 
 def _words(docs: DataFrame):
@@ -75,20 +96,10 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
     )
 
 
-def write_bigram_lm(docs: DataFrame, lm_dir: str,
-                    n_buckets: int = 64, min_count: int = 1) -> dict:
-    """Count the training corpus once into bucketed unigram/bigram tables
-    + a meta commit marker. Rebuild overwrites under the index-family
-    crash protocol (meta deleted first; reads refuse marker-less dirs).
-
-    ``min_count`` prunes bigrams seen fewer times from the persisted
-    table — the standard production-LM size bound (a crawl-scale bigram
-    table is dominated by hapax pairs that carry almost no signal; KenLM
-    ships pruned for the same reason). Unigram counts stay COMPLETE so
-    the smoothing denominator is exact: a pruned bigram scores as unseen
-    (alpha mass over the true c_uni), never as out-of-vocabulary."""
-    spark = docs.sparkSession
-    fs = HadoopFS(spark, lm_dir)
+def _count_tables(docs: DataFrame, n_buckets: int, min_count: int = 1):
+    """The (unigram, bigram, corpus-stats) count construction shared by
+    the full train and the per-epoch append — one tokenizer, one bucket
+    function, so the two paths can never count apart."""
     from .dedup import spread_if_narrow
 
     src = spread_if_narrow(docs.select("doc_id", "text"))
@@ -109,16 +120,39 @@ def write_bigram_lm(docs: DataFrame, lm_dir: str,
         F.coalesce(F.sum(F.size(_words(src))), F.lit(0)).alias("n_tokens"),
         F.count("*").alias("n_docs"),
     ).collect()[0]
+    return uni, bg, stats
+
+
+def write_bigram_lm(docs: DataFrame, lm_dir: str,
+                    n_buckets: int = 64, min_count: int = 1) -> dict:
+    """Count the training corpus once into bucketed unigram/bigram tables
+    + a meta commit marker. Rebuild overwrites under the index-family
+    crash protocol (meta deleted first; reads refuse marker-less dirs).
+
+    ``min_count`` prunes bigrams seen fewer times from the persisted
+    table — the standard production-LM size bound (a crawl-scale bigram
+    table is dominated by hapax pairs that carry almost no signal; KenLM
+    ships pruned for the same reason). Unigram counts stay COMPLETE so
+    the smoothing denominator is exact: a pruned bigram scores as unseen
+    (alpha mass over the true c_uni), never as out-of-vocabulary."""
+    spark = docs.sparkSession
+    fs = HadoopFS(spark, lm_dir)
+    uni, bg, stats = _count_tables(docs, n_buckets, min_count)
     meta_path = url_join(lm_dir, _META)
     if fs.exists(meta_path):
         fs.delete(meta_path, recursive=False)
+    # a rebuild supersedes any streaming deltas (the caller retrains FROM
+    # the grown corpus) — same rule as write_lexical_index's epoch clear
+    ep_root = url_join(lm_dir, "epochs")
+    if fs.exists(ep_root):
+        fs.delete(ep_root, recursive=True)
     uni.write.mode("overwrite").partitionBy("w_bucket").parquet(
         url_join(lm_dir, "unigrams")
     )
     bg.write.mode("overwrite").partitionBy("w_bucket").parquet(
         url_join(lm_dir, "bigrams")
     )
-    vocab = spark.read.schema("w1 string, c_uni long, w_bucket int").parquet(
+    vocab = spark.read.schema(_UNI_SCHEMA).parquet(
         url_join(lm_dir, "unigrams")
     ).count()
     meta = {
@@ -144,6 +178,190 @@ def read_lm_meta(spark: SparkSession, lm_dir: str) -> dict:
     return json.loads(fs.read_bytes(meta_path))
 
 
+def append_epoch_to_bigram_lm(new_docs: DataFrame, lm_dir: str,
+                              epoch_id: int) -> None:
+    """Replay-safe streaming append: the batch's unigram/bigram count
+    DELTAS overwrite ``epochs/epoch={id}/`` (bucket partitioning
+    preserved, so merged reads stay co-partitioned by the join-key
+    prefix) and its (n_tokens, n_docs) delta lands as _EPOCH_STATS.json
+    beside them — written LAST, so an epoch with counts but no stats
+    file is a detectable crash the replayed batch repairs by overwriting
+    its own epoch dir by name. Requires a min_count=1 base: a pruned
+    base already forgot its sub-threshold bigram counts, so no delta
+    merge can equal a retrain — refuse loudly rather than drift."""
+    spark = new_docs.sparkSession
+    meta = read_lm_meta(spark, lm_dir)
+    if int(meta.get("min_count", 1)) > 1:
+        raise ValueError(
+            f"bigram LM at {lm_dir!r} was trained with min_count="
+            f"{meta['min_count']} — a count-pruned base cannot accept "
+            "exact streaming appends (the pruned bigram counts are gone; "
+            "merged deltas would under-count what a retrain keeps). "
+            "Retrain with min_count=1 (the default) to make the LM "
+            "appendable; prune only as a terminal step on a frozen model"
+        )
+    fs = HadoopFS(spark, lm_dir)
+    ep_dir = url_join(lm_dir, "epochs", f"epoch={int(epoch_id)}")
+    # clear a previous attempt's stats first: a replay that crashes
+    # before its own stats write must not leave the OLD attempt's stats
+    # beside the NEW attempt's counts
+    stats_path = url_join(ep_dir, _EPOCH_STATS)
+    if fs.exists(stats_path):
+        fs.delete(stats_path, recursive=False)
+    uni, bg, stats = _count_tables(new_docs, meta["n_buckets"])
+    uni.write.mode("overwrite").partitionBy("w_bucket").parquet(
+        url_join(ep_dir, "unigrams")
+    )
+    bg.write.mode("overwrite").partitionBy("w_bucket").parquet(
+        url_join(ep_dir, "bigrams")
+    )
+    fs.write_bytes(stats_path, json.dumps(
+        {"n_tokens": int(stats.n_tokens), "n_docs": int(stats.n_docs)}
+    ).encode())
+
+
+def _read_epoch_stats(fs: HadoopFS, ep_dir: str, name: str) -> dict:
+    stats_path = url_join(ep_dir, _EPOCH_STATS)
+    if not fs.exists(stats_path):
+        raise FileNotFoundError(
+            f"bigram LM epoch {name} has count tables but no "
+            f"{_EPOCH_STATS} — its append crashed between the counts "
+            "write and the stats write; replay the batch (the epoch "
+            "overwrite repairs both)"
+        )
+    return json.loads(fs.read_bytes(stats_path))
+
+
+def _committed_epochs(fs: HadoopFS, lm_dir: str) -> list[str]:
+    ep_root = url_join(lm_dir, "epochs")
+    if not fs.exists(ep_root):
+        return []
+    return sorted(
+        e for e in fs.listdir(ep_root) if e.startswith("epoch=")
+    )
+
+
+def merged_lm_state(spark: SparkSession, lm_dir: str):
+    """(unigrams, bigrams, effective-stats) as of base + every appended
+    epoch. With no epochs this is exactly the base read (no extra
+    aggregate — the batch-only path's plan is unchanged); with epochs the
+    counts SUM-merge (shuffle keyed on the word — vocabulary-scale, never
+    collected) and the vocabulary is recomputed from the merged unigrams,
+    since distinct-word counts are not sum-mergeable across overlapping
+    epochs. A marker-less epoch dir raises (crash detection)."""
+    meta = read_lm_meta(spark, lm_dir)
+    fs = HadoopFS(spark, lm_dir)
+    uni = spark.read.schema(_UNI_SCHEMA).parquet(
+        url_join(lm_dir, "unigrams")
+    ).select("w1", "c_uni")
+    bg = spark.read.schema(_BG_SCHEMA).parquet(
+        url_join(lm_dir, "bigrams")
+    ).select("w1", "w2", "c_bg")
+    epochs = _committed_epochs(fs, lm_dir)
+    stats = {
+        "n_tokens": int(meta["n_tokens"]),
+        "n_docs": int(meta["n_docs"]),
+        "vocab": int(meta["vocab"]),
+        "n_epochs": len(epochs),
+    }
+    if not epochs:
+        return uni, bg, stats
+    ep_root = url_join(lm_dir, "epochs")
+    for e in epochs:
+        s = _read_epoch_stats(fs, url_join(ep_root, e), e)
+        stats["n_tokens"] += int(s["n_tokens"])
+        stats["n_docs"] += int(s["n_docs"])
+    # per-epoch reads unioned (a multi-path read trips partition
+    # discovery on the epoch= dir mid-path); compaction bounds the
+    # epoch count, and the union collapses into the one sum shuffle
+    uni = _union_epoch_reads(
+        spark, uni, _UNI_SCHEMA, ("w1", "c_uni"),
+        [url_join(ep_root, e, "unigrams") for e in epochs],
+    ).groupBy("w1").agg(F.sum("c_uni").alias("c_uni"))
+    bg = _union_epoch_reads(
+        spark, bg, _BG_SCHEMA, ("w1", "w2", "c_bg"),
+        [url_join(ep_root, e, "bigrams") for e in epochs],
+    ).groupBy("w1", "w2").agg(F.sum("c_bg").alias("c_bg"))
+    stats["vocab"] = uni.count()
+    return uni, bg, stats
+
+
+def _union_epoch_reads(spark: SparkSession, acc: DataFrame, schema: str,
+                       cols: tuple[str, ...], dirs: list[str]) -> DataFrame:
+    for d in dirs:
+        acc = acc.unionByName(
+            spark.read.schema(schema).parquet(d).select(*cols)
+        )
+    return acc
+
+
+def compact_lm_epochs(spark: SparkSession, lm_dir: str,
+                      min_epochs: int = 2) -> bool:
+    """Fold per-batch count deltas into one ``epoch=-1`` dir — bounds the
+    O(epochs) listing a long-running corpus stream accumulates. Same
+    write-ahead manifest-swap protocol and rules as the ANN/lexical
+    compactors (run only against a stopped stream; the HIGHEST-numbered
+    epoch is never folded — a crashed batch's replay relies on
+    overwriting its own epoch dir by name), but the fold is a
+    groupBy-SUM merge, not a concatenation: the same (w1, w2) recurs
+    across epochs and the folded table must carry the summed count."""
+    from ..foldswap import commit_fold, recover_fold, write_fold_manifest
+
+    fs = HadoopFS(spark, lm_dir)
+    ep_root = url_join(lm_dir, "epochs")
+    if fs.exists(ep_root):
+        recover_fold(fs, ep_root, "_compact")
+    if not fs.exists(ep_root):
+        return False
+    epochs = sorted(e for e in fs.listdir(ep_root) if e.startswith("epoch="))
+    numbered = [e for e in epochs if int(e.split("=", 1)[1]) >= 0]
+    if numbered:
+        trailing = max(numbered, key=lambda e: int(e.split("=", 1)[1]))
+        epochs = [e for e in epochs if e != trailing]
+    if len(epochs) < min_epochs:
+        return False
+    stats = {"n_tokens": 0, "n_docs": 0}
+    for e in epochs:
+        s = _read_epoch_stats(fs, url_join(ep_root, e), e)
+        stats["n_tokens"] += int(s["n_tokens"])
+        stats["n_docs"] += int(s["n_docs"])
+    tmp = url_join(ep_root, "_compact")
+    meta = read_lm_meta(spark, lm_dir)
+    n_buckets = int(meta["n_buckets"])
+    bucket = lambda col: (F.crc32(F.encode(col, "UTF-8")) % n_buckets) \
+        .cast("int").alias("w_bucket")
+    empty_uni = spark.createDataFrame([], _UNI_SCHEMA).select("w1", "c_uni")
+    empty_bg = spark.createDataFrame([], _BG_SCHEMA).select(
+        "w1", "w2", "c_bg"
+    )
+    uni = (
+        _union_epoch_reads(
+            spark, empty_uni, _UNI_SCHEMA, ("w1", "c_uni"),
+            [url_join(ep_root, e, "unigrams") for e in epochs],
+        )
+        .groupBy("w1").agg(F.sum("c_uni").alias("c_uni"))
+        .withColumn("w_bucket", bucket(F.col("w1")))
+    )
+    bg = (
+        _union_epoch_reads(
+            spark, empty_bg, _BG_SCHEMA, ("w1", "w2", "c_bg"),
+            [url_join(ep_root, e, "bigrams") for e in epochs],
+        )
+        .groupBy("w1", "w2").agg(F.sum("c_bg").alias("c_bg"))
+        .withColumn("w_bucket", bucket(F.col("w1")))
+    )
+    uni.write.mode("overwrite").partitionBy("w_bucket").parquet(
+        url_join(tmp, "unigrams")
+    )
+    bg.write.mode("overwrite").partitionBy("w_bucket").parquet(
+        url_join(tmp, "bigrams")
+    )
+    fs.write_bytes(url_join(tmp, _EPOCH_STATS), json.dumps(stats).encode())
+    write_fold_manifest(fs, tmp, epochs)
+    commit_fold(fs, ep_root, "_compact", epochs)
+    return True
+
+
 def score_with_lm(spark: SparkSession, lm_dir: str, docs: DataFrame,
                   alpha: float = 0.1) -> DataFrame:
     """Per-document fluency under the PERSISTED model: (doc_id,
@@ -151,15 +369,11 @@ def score_with_lm(spark: SparkSession, lm_dir: str, docs: DataFrame,
     full of words the training domain never saw score high (garbled /
     off-domain) instead of crashing the join. Single-word docs report
     n_bigrams=0 with a null score — 'nothing to measure' stays
-    distinguishable from 'fluent'."""
-    meta = read_lm_meta(spark, lm_dir)
-    v = float(meta["vocab"]) if meta["vocab"] > 0 else 1.0
-    uni = spark.read.schema("w1 string, c_uni long, w_bucket int").parquet(
-        url_join(lm_dir, "unigrams")
-    ).select("w1", "c_uni")
-    bg = spark.read.schema(
-        "w1 string, w2 string, c_bg long, w_bucket int"
-    ).parquet(url_join(lm_dir, "bigrams")).select("w1", "w2", "c_bg")
+    distinguishable from 'fluent'. Scores against base + every appended
+    epoch (merged_lm_state), so a streaming-grown model is current
+    without a retrain; with no epochs the plan is the plain base read."""
+    uni, bg, stats = merged_lm_state(spark, lm_dir)
+    v = float(stats["vocab"]) if stats["vocab"] > 0 else 1.0
     from .dedup import spread_if_narrow
 
     bigrams = _doc_bigrams(spread_if_narrow(docs.select("doc_id", "text")))

@@ -80,6 +80,16 @@ class CorpusSink:
     # agree with. Admission screens upstream guarantee the doc_id dedup
     # the append contract requires.
     lexical_index_dir: str | None = None
+    # fluency-model composition (the bigram-LM counterpart of
+    # lexical_index_dir): when set, each batch's FINALLY-admitted docs
+    # append their unigram/bigram count deltas to the persisted LM at
+    # this path (epoch-keyed replay-safe append + per-epoch stats delta —
+    # llm.lm.append_epoch_to_bigram_lm), so `lm-score` against a live
+    # corpus reflects the corpus as of the last committed batch with no
+    # retrain. The LM must already exist (`lm-train`; an empty seed
+    # corpus is fine) and be min_count=1 (a pruned base refuses appends
+    # — merged deltas cannot reproduce what a retrain would keep).
+    lm_dir: str | None = None
     # boilerplate stage (runs FIRST, before the quality gate and every
     # dedup index): cut lines that appear in >= line_dedup_min_docs
     # distinct documents across the batch PLUS the whole already-admitted
@@ -194,6 +204,29 @@ class CorpusSink:
                     "(`lex-build` / write_lexical_index, an empty seed "
                     "corpus is fine), then point the corpus stream at it"
                 ) from e
+        if self.lm_dir is not None:
+            from ..llm.lm import read_lm_meta
+
+            # same fail-at-construction contract: the append path needs
+            # the build's bucket count AND its min_count=1 exactness
+            # precondition — surface both before the stream starts, not
+            # on batch 47
+            try:
+                lm_meta = read_lm_meta(self.spark, self.lm_dir)
+            except Exception as e:
+                raise ValueError(
+                    f"lm_dir={self.lm_dir!r} holds no readable "
+                    "_LM_META.json — train the seed model first "
+                    "(`lm-train` / write_bigram_lm, an empty seed corpus "
+                    "is fine), then point the corpus stream at it"
+                ) from e
+            if int(lm_meta.get("min_count", 1)) > 1:
+                raise ValueError(
+                    f"lm_dir={self.lm_dir!r} was trained with min_count="
+                    f"{lm_meta['min_count']} — a count-pruned LM cannot "
+                    "accept exact streaming appends; retrain the seed "
+                    "with min_count=1"
+                )
 
     def _contam_keys(self, docs: DataFrame) -> DataFrame:
         """One (doc_id-free) leak-key column per mode — word grams or
@@ -510,6 +543,17 @@ class CorpusSink:
                     kept.select("doc_id", "text"),
                     self.lexical_index_dir, int(epoch_id),
                 )
+            if self.lm_dir is not None:
+                from ..llm.lm import append_epoch_to_bigram_lm
+
+                # count the text AS ADMITTED, same rule as the lexical
+                # append: the fluency model must reflect what the corpus
+                # serves, and the epoch-keyed overwrite makes a replayed
+                # batch converge
+                append_epoch_to_bigram_lm(
+                    kept.select("doc_id", "text"),
+                    self.lm_dir, int(epoch_id),
+                )
         finally:
             for df in to_unpersist:
                 df.unpersist()
@@ -616,6 +660,7 @@ def run_corpus_pipeline(
     embed_planes: int = 6,
     ann_index_dir: str | None = None,
     lexical_index_dir: str | None = None,
+    lm_dir: str | None = None,
     input_format: str = "jsonl",
     quality_gate: bool = False,
     line_dedup_min_docs: int | None = None,
@@ -642,6 +687,7 @@ def run_corpus_pipeline(
         embed_dup=embed_dup, embed_threshold=embed_threshold,
         embed_dim=embed_dim, embed_planes=embed_planes,
         ann_index_dir=ann_index_dir, lexical_index_dir=lexical_index_dir,
+        lm_dir=lm_dir,
         quality_gate=quality_gate,
         line_dedup_min_docs=line_dedup_min_docs,
         profile=profile,

@@ -710,9 +710,8 @@ def test_export_plan_matches_plain_python_reference(spark, toks, ctx,
     pins the law)."""
     import hashlib
 
-    from substreams_sink_parquet_spark.llm.export import (
-        _A, _B, _M, plan_pretrain_export,
-    )
+    from substreams_sink_parquet_spark.llm.export import plan_pretrain_export
+    from substreams_sink_parquet_spark.llm.sampling import _A, _B, _M
 
     docs = [(i, " ".join("w" for _ in range(n))) for i, n in enumerate(toks)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
@@ -726,7 +725,7 @@ def test_export_plan_matches_plain_python_reference(spark, toks, ctx,
     # plain-Python reference
     by_shard: dict[int, list[tuple[str, int, int]]] = {}
     for i, n in enumerate(toks):
-        s = ((i * _A + _B) % _M) % n_shards
+        s = ((i % _M) * _A + _B) % _M % n_shards
         k = hashlib.md5(f"{i}:42".encode()).hexdigest()
         by_shard.setdefault(s, []).append((k, i, n))
     want = {}

@@ -106,6 +106,208 @@ def test_cli_lm_train_and_score(spark, tmp_path, capsys, sf_dir):
     assert 0 < kept.count() <= n and rep["kept"] == kept.count()
 
 
+def _extra(spark):
+    """A second corpus slice: overlaps the training vocabulary (so the
+    sum-merge path is exercised, not just concatenation) and adds new
+    words (so the merged-vocab recompute is exercised)."""
+    rows = [
+        (200 + i, "the quick silver fox sleeps under the old bridge")
+        for i in range(6)
+    ] + [
+        (300 + i, "glaciers carve quiet valleys over patient centuries")
+        for i in range(6)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _probe(spark):
+    return spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "glaciers carve quiet valleys at dawn"),
+         (3, "zxq wvut plomb kraken verdigris"),
+         (4, "solo")],
+        "doc_id long, text string",
+    )
+
+
+def _scores(spark, lm_dir, probe):
+    return sorted(
+        (r.doc_id, r.n_bigrams, r.neg_avg_logprob)
+        for r in L.score_with_lm(spark, lm_dir, probe).collect()
+    )
+
+
+def test_epoch_append_equals_retrain_exactly(spark, tmp_path):
+    """Appends are NOT approximate: counts are sum-mergeable and the
+    vocabulary is recomputed from the merged unigrams, so base+epochs
+    scores every document BIT-IDENTICALLY to a full retrain over the
+    grown corpus — including vocab growth from epoch-only words. A
+    replayed epoch overwrites itself and converges (at-least-once
+    safety)."""
+    grown_dir = str(tmp_path / "retrained")
+    lm_dir = str(tmp_path / "lm")
+    base, extra = _train(spark), _extra(spark)
+    half_b = extra.filter(F.col("doc_id") < 300)
+    half_c = extra.filter(F.col("doc_id") >= 300)
+    L.write_bigram_lm(base.unionByName(extra), grown_dir, n_buckets=4)
+    L.write_bigram_lm(base, lm_dir, n_buckets=4)
+    L.append_epoch_to_bigram_lm(half_b, lm_dir, epoch_id=0)
+    L.append_epoch_to_bigram_lm(half_c, lm_dir, epoch_id=1)
+    want = _scores(spark, grown_dir, _probe(spark))
+    assert _scores(spark, lm_dir, _probe(spark)) == want
+    _, _, stats = L.merged_lm_state(spark, lm_dir)
+    retrain_meta = L.read_lm_meta(spark, grown_dir)
+    assert stats["vocab"] == retrain_meta["vocab"]
+    assert stats["n_tokens"] == retrain_meta["n_tokens"]
+    assert stats["n_docs"] == retrain_meta["n_docs"]
+    # at-least-once replay of epoch 1: overwrite, not double-count
+    L.append_epoch_to_bigram_lm(half_c, lm_dir, epoch_id=1)
+    assert _scores(spark, lm_dir, _probe(spark)) == want
+
+
+def test_lm_compaction_preserves_scores_and_trailing_epoch(spark,
+                                                           tmp_path):
+    """Folding per-batch deltas into epoch=-1 (a groupBy-SUM merge — the
+    same bigram recurs across epochs, unlike postings) changes no score;
+    the highest-numbered epoch survives by name (its crashed replay
+    relies on overwriting it); the folded stats JSON is the sum of the
+    folded deltas."""
+    import json
+
+    lm_dir = str(tmp_path / "lm")
+    base, extra = _train(spark), _extra(spark)
+    L.write_bigram_lm(base, lm_dir, n_buckets=4)
+    parts = [
+        extra.filter(F.col("doc_id") % 3 == i) for i in range(3)
+    ]
+    for i, p in enumerate(parts):
+        L.append_epoch_to_bigram_lm(p, lm_dir, epoch_id=i)
+    before = _scores(spark, lm_dir, _probe(spark))
+    assert L.compact_lm_epochs(spark, lm_dir, min_epochs=2)
+    ep_root = tmp_path / "lm" / "epochs"
+    assert {p.name for p in ep_root.iterdir()} == {"epoch=-1", "epoch=2"}
+    assert _scores(spark, lm_dir, _probe(spark)) == before
+    folded = json.loads(
+        (ep_root / "epoch=-1" / "_EPOCH_STATS.json").read_text()
+    )
+    assert folded["n_docs"] == parts[0].count() + parts[1].count()
+    # idempotent second call with nothing foldable below min_epochs
+    assert not L.compact_lm_epochs(spark, lm_dir, min_epochs=2)
+
+
+def test_append_refuses_pruned_base_and_rebuild_clears_epochs(spark,
+                                                              tmp_path):
+    """min_count>1 bases refuse appends loudly (the pruned bigram counts
+    are gone — merged deltas would under-count what a retrain keeps);
+    a full retrain supersedes and CLEARS prior epoch deltas, same rule
+    as the lexical index's rebuild."""
+    import pytest
+
+    pruned = str(tmp_path / "pruned")
+    L.write_bigram_lm(_train(spark), pruned, n_buckets=2, min_count=2)
+    with pytest.raises(ValueError, match="min_count=1"):
+        L.append_epoch_to_bigram_lm(_extra(spark), pruned, epoch_id=0)
+
+    lm_dir = str(tmp_path / "lm")
+    L.write_bigram_lm(_train(spark), lm_dir, n_buckets=2)
+    L.append_epoch_to_bigram_lm(_extra(spark), lm_dir, epoch_id=0)
+    assert (tmp_path / "lm" / "epochs" / "epoch=0").exists()
+    L.write_bigram_lm(_train(spark).unionByName(_extra(spark)), lm_dir,
+                      n_buckets=2)
+    assert not (tmp_path / "lm" / "epochs").exists()
+
+
+def test_crashed_lm_epoch_detected_by_name(spark, tmp_path):
+    """An epoch dir whose stats JSON is missing (append crashed between
+    the counts write and the stats write) is refused BY NAME so the
+    operator knows which batch to replay."""
+    import pytest
+
+    lm_dir = str(tmp_path / "lm")
+    L.write_bigram_lm(_train(spark), lm_dir, n_buckets=2)
+    L.append_epoch_to_bigram_lm(_extra(spark), lm_dir, epoch_id=5)
+    (tmp_path / "lm" / "epochs" / "epoch=5" / "_EPOCH_STATS.json").unlink()
+    with pytest.raises(FileNotFoundError, match="epoch=5"):
+        L.score_with_lm(spark, lm_dir, _probe(spark)).collect()
+
+
+def test_corpus_stream_lm_appends_track_admissions(spark, tmp_path):
+    """CorpusSink composition (`corpus --lm-dir`): admitted docs (and
+    ONLY admitted docs — exact-dup rejects leave no counts) update the
+    fluency model per batch from an EMPTY seed; a replayed epoch
+    converges; scores equal a retrain over the admitted corpus. A
+    missing or pruned seed model fails at construction, not batch 47."""
+    import pytest
+
+    from substreams_sink_parquet_spark.sources.text_corpus import DOC_SCHEMA
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        CorpusSink,
+        corpus_docs,
+    )
+
+    with pytest.raises(ValueError, match="lm-train"):
+        CorpusSink(spark=spark, out_dir=str(tmp_path / "c0"),
+                   lm_dir=str(tmp_path / "nowhere"))
+    pruned = str(tmp_path / "pruned")
+    L.write_bigram_lm(_train(spark), pruned, n_buckets=2, min_count=2)
+    with pytest.raises(ValueError, match="min_count"):
+        CorpusSink(spark=spark, out_dir=str(tmp_path / "c1"), lm_dir=pruned)
+
+    lm_dir = str(tmp_path / "lm")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    L.write_bigram_lm(empty, lm_dir, n_buckets=4)
+    out = str(tmp_path / "corpus")
+    sink = CorpusSink(spark=spark, out_dir=out, lm_dir=lm_dir)
+
+    def doc(i, text):
+        return (i, text, "en", "web", len(text), None, None)
+
+    b0 = spark.createDataFrame(
+        [doc(1, "alpha beta gamma beta"), doc(2, "delta epsilon zeta")],
+        DOC_SCHEMA,
+    )
+    sink.process_batch(b0, 0)
+    # batch 1 re-crawls doc 1's text (rejected by the exact index) and
+    # adds one new doc
+    b1 = spark.createDataFrame(
+        [doc(3, "alpha beta gamma beta"), doc(4, "eta theta iota")],
+        DOC_SCHEMA,
+    )
+    sink.process_batch(b1, 1)
+    sink.process_batch(b1, 1)  # crash replay of the same epoch
+    admitted = corpus_docs(spark, out).select("doc_id", "text")
+    assert sorted(r.doc_id for r in admitted.collect()) == [1, 2, 4]
+    retrained = str(tmp_path / "retrained")
+    L.write_bigram_lm(admitted, retrained, n_buckets=4)
+    probe = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "iota eta unseen")],
+        "doc_id long, text string",
+    )
+    assert _scores(spark, lm_dir, probe) == _scores(spark, retrained, probe)
+
+
+def test_cli_lm_append_and_compact(spark, tmp_path, capsys):
+    from substreams_sink_parquet_spark.cli import main
+
+    base_p = str(tmp_path / "base.parquet")
+    extra_p = str(tmp_path / "extra.parquet")
+    _train(spark).write.parquet(base_p)
+    _extra(spark).write.parquet(extra_p)
+    lm_dir = str(tmp_path / "lm")
+    assert main(["lm-train", lm_dir, "--docs", base_p]) == 0
+    capsys.readouterr()
+    assert main(["lm-append", lm_dir, "--docs", extra_p,
+                 "--epoch", "0"]) == 0
+    out = capsys.readouterr().out
+    assert "lm-append OK" in out and "epochs=1" in out
+    assert main(["lm-append", lm_dir, "--docs", extra_p,
+                 "--epoch", "1"]) == 0
+    capsys.readouterr()
+    assert main(["lm-compact", lm_dir, "--min-epochs", "1"]) == 0
+    assert "merged" in capsys.readouterr().out
+    assert (tmp_path / "lm" / "epochs" / "epoch=-1").exists()
+
+
 def test_min_count_pruning_bounds_table_not_vocabulary(spark, tmp_path):
     """Pruned-LM contract: min_count shrinks the persisted BIGRAM table
     (hapax pairs dropped) while unigram counts and vocab stay complete,
