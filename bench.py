@@ -91,6 +91,9 @@ EXTENDED = [
     "q_export_shards",
     "q_sample_cluster_balanced",
     "q_sim_topk_opq",
+    # round 9 — the composed mixture->materialize->shard write (includes
+    # the physical export of the upsampled mixture, which IS the operator)
+    "q_export_mixture",
     # the round-8 capstone composition (gate -> dedup -> decontaminate ->
     # mixture) — one declarative plan end to end
     "q_pipeline_release",
@@ -425,22 +428,56 @@ def main() -> None:
     # HEADLINE passes finish before EXTENDED starts so the heavy extended
     # plans can't pollute the round-over-round-comparable headline numbers
     # with GC pressure.
+    # per-pass GC time (driver == executor JVM in local mode) so a stalled
+    # pass self-diagnoses: BENCH_r07/r08 each flagged one stalled pass on
+    # q_retrieval_hybrid while a solo run stalled a different query at the
+    # same POSITION — positional GC/compile debt from the preceding query,
+    # not query-intrinsic cost (VERDICT r8, Wrong #3). The gc_ms delta in
+    # each stalled entry separates "JVM spent the pass collecting" from a
+    # genuine plan stall without a rerun.
+    _gc_beans = spark._jvm.java.lang.management.ManagementFactory \
+        .getGarbageCollectorMXBeans()
+
+    def _gc_ms() -> int:
+        return sum(_gc_beans.get(i).getCollectionTime()
+                   for i in range(_gc_beans.size()))
+
     raw: dict[str, list[float]] = {}
+    raw_gc: dict[str, list[int]] = {}
     for group in (HEADLINE, EXTENDED):
         for _pass in range(3):
-            for name in group:
+            # rotate the EXTENDED order by a third per pass so positional
+            # debt lands on a different successor each time and the
+            # min-of-3 sheds it; HEADLINE keeps its fixed order — its
+            # numbers are the round-over-round comparable set and
+            # reordering would change what each query's warm-up paid for.
+            # (queries_passes for EXTENDED is therefore not a positional
+            # warm-up curve; read gc_ms to classify a spike.)
+            if group is EXTENDED:
+                shift = _pass * len(group) // 3
+                order = group[shift:] + group[:shift]
+            else:
+                order = group
+            for name in order:
+                g0 = _gc_ms()
                 t0 = time.time()
                 run(name)
                 raw.setdefault(name, []).append(round(time.time() - t0, 3))
+                raw_gc.setdefault(name, []).append(_gc_ms() - g0)
 
     timings = {n: min(v) for n, v in raw.items()}
     medians = {n: round(sorted(v)[len(v) // 2], 3) for n, v in raw.items()}
     spreads = {n: round(max(v) - min(v), 3) for n, v in raw.items()}
     # a pass >5x the query's min is a JVM stall (GC / co-running load), not
     # a regression — flag it so 10-15 s spread entries self-identify
-    # (VERDICT r5, Wrong #2)
+    # (VERDICT r5, Wrong #2); each entry carries its pass index and the
+    # pass's GC time so the artifact tells GC debt from a real stall
     stalled = {
-        n: [t for t in v if t > 5 * min(v) and t - min(v) > 1.0]
+        n: [
+            {"sec": t, "pass": i, "gc_ms": raw_gc[n][i]}
+            for i, t in enumerate(v)
+            if t > 5 * min(v) and t - min(v) > 1.0
+        ]
         for n, v in raw.items()
     }
     stalled = {n: v for n, v in stalled.items() if v}

@@ -298,6 +298,124 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+_MIX_STRIDE = 4096
+
+
+def _mixture_oracle_cte() -> str:
+    """The q_sample_mixture construction + arith mix_id materialization as
+    a reusable CTE chain (ends in ``mixed(mix_id, n_tokens)``) — imported
+    literals so the oracle can never drift from the Spark operators'
+    constants."""
+    from .sampling import _MIX_BUDGET, _MIX_WEIGHTS
+
+    cases = " ".join(f"WHEN '{g}' THEN {w}" for g, w in _MIX_WEIGHTS)
+    langs = ", ".join(f"'{g}'" for g, _ in _MIX_WEIGHTS)
+    return f"""
+    base AS (
+        SELECT doc_id, lang AS grp,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CASE lang {cases} END AS w,
+               md5(CAST(doc_id AS VARCHAR) || ':42') AS mk
+        FROM documents
+        WHERE lang IN ({langs})
+    ),
+    tot AS (SELECT grp, SUM(n_tokens) AS grp_tokens FROM base GROUP BY grp),
+    staged AS (
+        SELECT b.*, FLOOR({_MIX_BUDGET} * w) AS quota,
+               FLOOR(FLOOR({_MIX_BUDGET} * w) / grp_tokens) AS full_epochs,
+               FLOOR({_MIX_BUDGET} * w)
+                 - FLOOR(FLOOR({_MIX_BUDGET} * w) / grp_tokens) * grp_tokens
+                 AS rem,
+               SUM(n_tokens) OVER (
+                   PARTITION BY b.grp ORDER BY mk ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM base b JOIN tot USING (grp)
+    ),
+    copies AS (
+        SELECT doc_id, n_tokens,
+               CAST(full_epochs + CASE WHEN cum <= rem THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_copies
+        FROM staged
+    ),
+    mixed AS (
+        SELECT doc_id * {_MIX_STRIDE} + c.copy AS mix_id, n_tokens
+        FROM copies, UNNEST(range(1, n_copies + 1)) AS c(copy)
+        WHERE n_copies > 0
+    )
+    """
+
+
+@register(
+    "q_export_mixture",
+    f"""
+    WITH {_mixture_oracle_cte()},
+    t AS (
+        SELECT mix_id, n_tokens,
+               CAST(({uhash_sql('mix_id')}) % {_EXPORT_N_SHARDS}
+                    AS BIGINT) AS shard_id,
+               md5(CAST(mix_id AS VARCHAR) || ':42') AS k
+        FROM mixed
+    ),
+    o AS (
+        SELECT shard_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY shard_id ORDER BY k
+                   ROWS UNBOUNDED PRECEDING
+               ) AS run
+        FROM t
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT FLOOR((run - n_tokens) / {_EXPORT_CTX}))
+                AS BIGINT) AS n_seqs
+    FROM o
+    GROUP BY shard_id
+    """,
+    doc="The composed mixture->materialize->shard path pinned END TO END "
+        "at the gate (the companion to q_pipeline_release, which pins the "
+        "selection side): weighted-mixture copy counts explode into "
+        "per-copy mix_id rows, the sharded artifact is physically written "
+        "with (shard, pos) keyed on mix_id — so an upsampled doc's epoch "
+        "k holds its own stable slot — and per-shard stats come FROM THE "
+        "COMMITTED MANIFEST, hash-checked against a first-principles "
+        "DuckDB restatement of mixture x shard x packing",
+)
+def q_export_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .sampling import (
+        _MIX_BUDGET,
+        _MIX_WEIGHTS,
+        materialize_mixture,
+        mixture_plan,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="mix_export_")
+    try:
+        docs = load(spark, sf_dir, "documents")
+        mixed = materialize_mixture(
+            docs, mixture_plan(docs, dict(_MIX_WEIGHTS), _MIX_BUDGET),
+            stride=_MIX_STRIDE,
+        )
+        manifest = write_pretrain_export(
+            mixed.select("mix_id", "text"), out_dir,
+            context_len=_EXPORT_CTX, n_shards=_EXPORT_N_SHARDS,
+            id_col="mix_id",
+        )
+        rows = [
+            (int(sid), s["n_docs"], s["n_tokens"], s["n_seqs"])
+            for sid, s in manifest["shards"].items()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "shard_id long, n_docs long, n_tokens long, n_seqs long",
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def verify_pretrain_export(spark: SparkSession, out_dir: str) -> dict:
     """Integrity audit of an export artifact — the check a trainer (or an
     operator who just restored/copied 100 TB of shards) runs before
