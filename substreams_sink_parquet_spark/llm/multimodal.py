@@ -145,8 +145,41 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_features",
-    None,  # fake featurizer is engine-side → rows-only check
-    doc="mapInPandas feature extraction over binary payloads (stubbed decode)",
+    # the deterministic featurizer is fully SQL-restatable on the ASCII
+    # fixture (payload bytes == character code points — the same
+    # assumption q_multimodal_frames' oracle leans on, pinned by
+    # test_multimodal_frames_oracle_assumption): n_bytes = strlen,
+    # first_byte = code of char 1 (NULL for empty), byte_mode = the most
+    # frequent byte with ties to the SMALLEST value (np.bincount.argmax
+    # returns the first maximal index; ORDER BY cnt DESC, b ASC mirrors
+    # it), 0 for an empty payload
+    """
+    WITH chars AS (
+        SELECT doc_id,
+               ascii(substring(text, CAST(i + 1 AS BIGINT), 1)) AS b
+        FROM documents, UNNEST(range(strlen(text))) AS t(i)
+    ),
+    mode AS (
+        SELECT doc_id, b FROM (
+            SELECT doc_id, b,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY COUNT(*) DESC, b ASC
+                   ) AS rn
+            FROM chars GROUP BY doc_id, b
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+           CASE WHEN strlen(d.text) >= 1
+                THEN CAST(ascii(substring(d.text, 1, 1)) AS BIGINT)
+           END AS first_byte,
+           CAST(COALESCE(m.b, 0) AS BIGINT) AS byte_mode
+    FROM documents d LEFT JOIN mode m USING (doc_id)
+    """,
+    doc="mapInPandas feature extraction over binary payloads (stubbed "
+        "decode) — the deterministic byte-stat featurizer hash-checked "
+        "against a first-principles DuckDB restatement (char explode + "
+        "windowed mode with the exact argmax tie-break)",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = to_media_table(load(spark, sf_dir, "documents"))
@@ -232,22 +265,33 @@ RESIZE_SCHEMA = StructType(
 )
 
 
-def resize_media(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+def resize_media(media: DataFrame, width: int = 8, height: int = 8,
+                 use_pil: bool | None = None) -> DataFrame:
     """Thumbnail/resize stage: each payload is reduced to a fixed
     ``width x height`` grid. The real path uses Pillow when importable
     (``decode_image`` contract); without it, a deterministic fallback
     stride-samples the raw bytes to exactly width*height values — honest
     about the production batch shape (vectorized numpy inside Arrow
-    batches, fixed-size output per row, no per-element Python loop)."""
+    batches, fixed-size output per row, no per-element Python loop).
+
+    ``use_pil`` overrides the auto-detect: ``False`` forces the
+    deterministic fallback regardless of environment (the hash-gate
+    companion q_multimodal_resize_delta pins that math against SQL —
+    with auto-detect its oracle would break the day someone installs
+    Pillow); ``True`` demands Pillow and fails loudly in the worker
+    when it is absent."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        try:
-            from PIL import Image  # noqa: F401
-            have_pil = True
-        except ImportError:
-            have_pil = False
+        if use_pil is None:
+            try:
+                from PIL import Image  # noqa: F401
+                have_pil = True
+            except ImportError:
+                have_pil = False
+        else:
+            have_pil = use_pil
         n_out = width * height
         for pdf in batches:
             out_doc, out_md5 = [], []
@@ -285,8 +329,40 @@ def resize_media(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame
     "q_multimodal_resize",
     None,  # Pillow-vs-fallback output differs by environment → rows-only
     doc="Resize/thumbnail stage over binary payloads (8x8 grid; Pillow when "
-        "available, deterministic byte-stride fallback otherwise)",
+        "available, deterministic byte-stride fallback otherwise) — the "
+        "fallback math itself is hash-gated by q_multimodal_resize_delta",
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = to_media_table(load(spark, sf_dir, "documents"))
     return resize_media(media, width=8, height=8)
+
+
+@register(
+    "q_multimodal_resize_delta",
+    # stride-sample index i of n bytes = byte[(i*n)//64]; the oracle
+    # rebuilds the 64-char thumb string and md5s it (ASCII fixture:
+    # payload bytes == characters, the pinned frames-oracle assumption).
+    # Empty payloads are excluded on BOTH sides: their fallback thumb is
+    # 64 NUL bytes, which a VARCHAR oracle cannot restate — the parent
+    # rows-only entry still covers them
+    """
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           md5(array_to_string(list_transform(range(64),
+               i -> substring(text,
+                              CAST((i * strlen(text)) // 64 + 1 AS BIGINT),
+                              1)), '')) AS thumb_md5
+    FROM documents
+    WHERE strlen(text) > 0
+    """,
+    doc="The resize fallback's hash gate: use_pil=False forces the "
+        "deterministic byte-stride path regardless of environment, so the "
+        "exact (i*n)//64 sampling and digest are hash-checked against a "
+        "DuckDB reconstruction — the companion that makes the rows-only "
+        "q_multimodal_resize's engine-side math pinned instead of trusted",
+)
+def q_multimodal_resize_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return resize_media(to_media_table(docs), width=8, height=8,
+                        use_pil=False)
