@@ -415,6 +415,9 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         ann_index_dir=args.ann_index,
         lexical_index_dir=args.lexical_index,
         lm_dir=args.lm_dir,
+        lm_gate_dir=args.lm_gate_dir,
+        lm_gate_max_score=args.lm_gate_max_score,
+        lm_gate_alpha=args.lm_gate_alpha,
         input_format=args.format,
         quality_gate=args.quality_gate,
         line_dedup_min_docs=args.line_dedup_min_docs,
@@ -1456,6 +1459,17 @@ def main(argv: list[str] | None = None) -> int:
                                "are appended per batch (epoch stats delta, "
                                "replay-safe) so lm-score reflects the live "
                                "corpus without a retrain")
+    corpus_p.add_argument("--lm-gate-dir", default=None,
+                          help="existing lm-train TARGET-DOMAIN model dir: "
+                               "reject docs scoring above --lm-max-score "
+                               "at admission (CCNet fluency screen; "
+                               "rejections under _lm_rejects/)")
+    corpus_p.add_argument("--lm-max-score", dest="lm_gate_max_score",
+                          type=float, default=None,
+                          help="neg-avg-logprob ceiling for --lm-gate-dir "
+                               "(REQUIRED with it; calibrate via lm-score "
+                               "quantiles on a sample)")
+    corpus_p.add_argument("--lm-gate-alpha", type=float, default=0.1)
     corpus_p.add_argument("--near-dup", action="store_true",
                           help="also reject MinHash near-duplicates of the corpus")
     corpus_p.add_argument("--line-dedup-min-docs", type=int, default=None,

@@ -90,6 +90,25 @@ class CorpusSink:
     # corpus is fine) and be min_count=1 (a pruned base refuses appends
     # — merged deltas cannot reproduce what a retrain would keep).
     lm_dir: str | None = None
+    # CCNet fluency gate (after the rule cascade, before decontamination
+    # and every dedup index): score each batch under a PERSISTED
+    # target-domain bigram LM (llm/lm.py — typically `lm-train`ed on the
+    # reference domain; distinct from lm_dir, which is the live APPEND
+    # target) and reject docs whose add-alpha-smoothed neg-avg-logprob
+    # exceeds ``lm_gate_max_score`` — the CCNet "does this read like the
+    # reference domain" screen at admission, so disfluent docs never
+    # enter an index and an improved re-crawl is not blocked by a
+    # garbled twin's hash. Rejections land under
+    # ``_lm_rejects/epoch={id}`` (doc_id, lang, n_bigrams,
+    # neg_avg_logprob) — visible, never silent. Docs the model cannot
+    # measure (single-word: n_bigrams=0, null score) are KEPT —
+    # "nothing to measure" is not "disfluent". Stateless given the
+    # model, so replays converge by the epoch-overwrite contract.
+    lm_gate_dir: str | None = None
+    # REQUIRED alongside lm_gate_dir: there is no universal perplexity
+    # ceiling — calibrate on a scored sample (`lm-score` quantiles)
+    lm_gate_max_score: float | None = None
+    lm_gate_alpha: float = 0.1
     # boilerplate stage (runs FIRST, before the quality gate and every
     # dedup index): cut lines that appear in >= line_dedup_min_docs
     # distinct documents across the batch PLUS the whole already-admitted
@@ -227,6 +246,27 @@ class CorpusSink:
                     "accept exact streaming appends; retrain the seed "
                     "with min_count=1"
                 )
+        if (self.lm_gate_dir is None) != (self.lm_gate_max_score is None):
+            raise ValueError(
+                "lm_gate_dir and lm_gate_max_score come as a pair: the "
+                "fluency gate needs both the trained target-domain model "
+                "and an explicit perplexity ceiling (no universal default "
+                "exists — calibrate on a scored sample via `lm-score`)"
+            )
+        if self.lm_gate_dir is not None:
+            from ..llm.lm import read_lm_meta as _read_lm_meta
+
+            # fail at construction, not on batch 47: the gate is
+            # meaningless without a trained reference-domain model
+            try:
+                _read_lm_meta(self.spark, self.lm_gate_dir)
+            except Exception as e:
+                raise ValueError(
+                    f"lm_gate_dir={self.lm_gate_dir!r} holds no readable "
+                    "_LM_META.json — train the target-domain model first "
+                    "(`lm-train` / write_bigram_lm), then point the gate "
+                    "at it"
+                ) from e
 
     def _contam_keys(self, docs: DataFrame) -> DataFrame:
         """One (doc_id-free) leak-key column per mode — word grams or
@@ -388,6 +428,31 @@ class CorpusSink:
             else:
                 clean = clean.persist()
                 to_unpersist.append(clean)
+            if self.lm_gate_dir is not None:
+                from ..llm.lm import score_with_lm
+
+                # one scoring pass per batch: the batch's bigrams join the
+                # persisted vocabulary-scale count tables (never collected
+                # or broadcast) — the CCNet screen at its production cost
+                scored = score_with_lm(
+                    self.spark, self.lm_gate_dir,
+                    clean.select("doc_id", "text"),
+                    alpha=self.lm_gate_alpha,
+                ).persist()
+                to_unpersist.append(scored)
+                # null scores (n_bigrams=0) fail the > comparison and are
+                # kept — measurable and unmeasurable stay distinguishable
+                disfluent = scored.filter(
+                    F.col("neg_avg_logprob") > float(self.lm_gate_max_score)
+                )
+                clean.join(disfluent, "doc_id").select(
+                    "doc_id", "lang", "n_bigrams", "neg_avg_logprob"
+                ).write.mode("overwrite").parquet(
+                    url_join(self.out_dir, "_lm_rejects", f"epoch={epoch_id}")
+                )
+                clean = clean.join(
+                    disfluent.select("doc_id"), "doc_id", "left_anti"
+                )
             if self._eval_grams is not None:
                 tr_g = self._contam_keys(clean)
                 contaminated = (
@@ -661,6 +726,9 @@ def run_corpus_pipeline(
     ann_index_dir: str | None = None,
     lexical_index_dir: str | None = None,
     lm_dir: str | None = None,
+    lm_gate_dir: str | None = None,
+    lm_gate_max_score: float | None = None,
+    lm_gate_alpha: float = 0.1,
     input_format: str = "jsonl",
     quality_gate: bool = False,
     line_dedup_min_docs: int | None = None,
@@ -688,6 +756,8 @@ def run_corpus_pipeline(
         embed_dim=embed_dim, embed_planes=embed_planes,
         ann_index_dir=ann_index_dir, lexical_index_dir=lexical_index_dir,
         lm_dir=lm_dir,
+        lm_gate_dir=lm_gate_dir, lm_gate_max_score=lm_gate_max_score,
+        lm_gate_alpha=lm_gate_alpha,
         quality_gate=quality_gate,
         line_dedup_min_docs=line_dedup_min_docs,
         profile=profile,

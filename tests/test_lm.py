@@ -286,6 +286,75 @@ def test_corpus_stream_lm_appends_track_admissions(spark, tmp_path):
     assert _scores(spark, lm_dir, probe) == _scores(spark, retrained, probe)
 
 
+def test_corpus_stream_lm_gate_rejects_disfluent_only(spark, tmp_path):
+    """CCNet fluency gate (`corpus --lm-gate-dir/--lm-max-score`): docs
+    scoring above the ceiling under the TARGET-DOMAIN model are rejected
+    at admission (recorded under _lm_rejects, never entering any index);
+    in-domain docs pass; a single-word doc (n_bigrams=0, null score) is
+    KEPT — unmeasurable is not disfluent. The ceiling is calibrated in
+    the test from the model's own scores, so the pin survives fixture
+    edits. Replayed epochs converge; the dir/ceiling pair and a missing
+    model fail at construction."""
+    import pytest
+
+    from substreams_sink_parquet_spark.sources.text_corpus import DOC_SCHEMA
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        CorpusSink,
+        corpus_docs,
+    )
+
+    lm_dir = str(tmp_path / "target_lm")
+    L.write_bigram_lm(_train(spark), lm_dir, n_buckets=4)
+
+    with pytest.raises(ValueError, match="pair"):
+        CorpusSink(spark=spark, out_dir=str(tmp_path / "c0"),
+                   lm_gate_dir=lm_dir)
+    with pytest.raises(ValueError, match="target-domain"):
+        CorpusSink(spark=spark, out_dir=str(tmp_path / "c1"),
+                   lm_gate_dir=str(tmp_path / "nowhere"),
+                   lm_gate_max_score=5.0)
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    garbled = "zxq wvut plomb kraken verdigris xylophone snark blee"
+    probe = spark.createDataFrame(
+        [(0, fluent), (1, garbled)], "doc_id long, text string"
+    )
+    s = {r.doc_id: r.neg_avg_logprob
+         for r in L.score_with_lm(spark, lm_dir, probe).collect()}
+    assert s[0] < s[1]
+    ceiling = (s[0] + s[1]) / 2  # between in-domain and OOV
+
+    out = str(tmp_path / "corpus")
+    sink = CorpusSink(spark=spark, out_dir=out, lm_gate_dir=lm_dir,
+                      lm_gate_max_score=ceiling)
+
+    def doc(i, text):
+        return (i, text, "en", "web", len(text), None, None)
+
+    b0 = spark.createDataFrame(
+        [doc(1, fluent), doc(2, garbled), doc(3, "solo")], DOC_SCHEMA
+    )
+    sink.process_batch(b0, 0)
+    sink.process_batch(b0, 0)  # crash replay converges
+    admitted = sorted(
+        r.doc_id for r in corpus_docs(spark, out).select("doc_id").collect()
+    )
+    assert admitted == [1, 3]  # fluent + unmeasurable kept, garbled gone
+    rejects = spark.read.parquet(f"{out}/_lm_rejects/epoch=0").collect()
+    assert [r.doc_id for r in rejects] == [2]
+    assert rejects[0].neg_avg_logprob > ceiling
+    # the garbled doc never entered the dedup index: a later IMPROVED
+    # crawl of different fluent text with the same doc_id space admits
+    b1 = spark.createDataFrame(
+        [doc(4, "a calm river flows past the old stone bridge")], DOC_SCHEMA
+    )
+    sink.process_batch(b1, 1)
+    admitted = sorted(
+        r.doc_id for r in corpus_docs(spark, out).select("doc_id").collect()
+    )
+    assert admitted == [1, 3, 4]
+
+
 def test_cli_lm_append_and_compact(spark, tmp_path, capsys):
     from substreams_sink_parquet_spark.cli import main
 
