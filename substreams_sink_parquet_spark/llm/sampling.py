@@ -294,21 +294,35 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY source, seq_id
     """,
     doc="Sequence packing for LLM training: per-source-shard running token "
-        "sum chunked into 4096-token sequences (one window scan per shard)",
+        "sum chunked into 4096-token sequences. The running sum is the "
+        "SALTED two-phase form — the corpus-scale window partitions on "
+        "(source, order-contiguous bucket), never the bare source, so a "
+        "dominant source's packing no longer funnels through one task's "
+        "sort at 100 TB (the same decomposition as the token-budget and "
+        "mixture selectors; salted == unsalted pytest-pinned, window keys "
+        "plan-pinned)",
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(F.col("text"), " "))
-    w = Window.partitionBy("source").orderBy("doc_id")
-    packed = docs.select(
+    # the order is doc_id ASC; ranked_order_buckets expects (score DESC,
+    # doc_id ASC), so score = -double(doc_id) — cast BEFORE negating
+    # (-(-2^63) overflows long under ANSI; double negation cannot), and
+    # long->double is monotone, so bucket order == doc_id order even when
+    # nearby full-range ids collapse to one double (the doc_id ASC
+    # tie-break inside ranked_order_buckets stays exact on the long)
+    scored = docs.select(
         "source",
         "doc_id",
         n_tokens.alias("n_tokens"),
+        (-F.col("doc_id").cast("double")).alias("score"),
+    )
+    bucketed = ranked_order_buckets(scored, "source")
+    packed = salted_running_sum(
+        bucketed, ["source"], [F.col("doc_id")], "n_tokens",
+        F.col("_salt_bucket"), out_col="cum",
     ).withColumn(
-        "seq_id",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 4096),
+        "seq_id", F.floor((F.col("cum") - F.col("n_tokens")) / 4096)
     )
     return packed.groupBy("source", "seq_id").agg(
         F.count("*").alias("n_docs"),

@@ -260,6 +260,19 @@ def test_mixture_salted_window_keys(spark, sf_dir):
     assert rep.shuffle_exchanges == 3, rep.text
 
 
+def test_pack_sequences_salted_window_keys(spark, sf_dir):
+    """Same pin for sequence packing: the per-source running token sum
+    windows on (source, _salt_bucket) — a dominant source's packing
+    never funnels through one task's sort. doc_id is the row-level
+    order column; the groupBy(source, seq_id) downstream adds its own
+    exchange on top of the salted form's three."""
+    rep = plan_report(registry()["q_pack_sequences"].fn(spark, sf_dir))
+    row_wins = _row_level_windows(rep, "doc_id")
+    assert row_wins, rep.text
+    assert all("_salt_bucket" in w for w in row_wins), row_wins
+    assert rep.shuffle_exchanges == 4, rep.text
+
+
 def test_cluster_balanced_rank_salted_window_keys(spark, sf_dir):
     """cell_rank is the salted running count: the rank window partitions
     on (cent_id, _salt_bucket) so a mega-topic cell never single-tasks."""

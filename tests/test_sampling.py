@@ -478,6 +478,47 @@ def test_salted_running_sum_equals_unsalted_hash_order(spark):
     assert all(r.grp_total == tot[r.grp] for r in got_rows)
 
 
+def test_pack_sequences_salted_equals_unsalted_on_hash_range_ids(spark):
+    """The packing order is doc_id ASC, salted via score = -double(doc_id)
+    (long->double is monotone but LOSSY near 2^63): with full-range
+    xxhash-style ids that COLLIDE as doubles, the bucket boundary's exact
+    long tie-break must keep the decomposition equal to the plain
+    Window.partitionBy(source) form row for row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from substreams_sink_parquet_spark.llm.sampling import (
+        ranked_order_buckets, salted_running_sum,
+    )
+
+    # ids clustered tightly near 2^62 so consecutive longs map to the
+    # same double, plus a skewed 85/15 source split
+    df = (
+        spark.range(2000)
+        .select(
+            (F.lit(1 << 62) + F.col("id")).alias("doc_id"),
+            F.when(F.col("id") % 20 < 17, "web").otherwise("books")
+            .alias("source"),
+            (F.col("id") % 9 + 1).alias("n_tokens"),
+        )
+    )
+    w = (
+        Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r.doc_id: r.cum
+        for r in df.withColumn("cum", F.sum("n_tokens").over(w)).collect()
+    }
+    scored = df.withColumn("score", -F.col("doc_id").cast("double"))
+    bucketed = ranked_order_buckets(scored, "source", n_buckets=16)
+    got = salted_running_sum(
+        bucketed, ["source"], [F.col("doc_id")], "n_tokens",
+        F.col("_salt_bucket"),
+    ).collect()
+    assert {r.doc_id: r.cum for r in got} == want
+
+
 def test_salted_running_sum_equals_unsalted_semantic_order(spark):
     """Same pin for the boundary-bucketed form that salts a SEMANTIC
     (score DESC, id ASC) order — with heavy score TIES, so boundary rows
