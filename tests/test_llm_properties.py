@@ -861,3 +861,73 @@ def test_corpus_diversity_keeps_bigramless_language(spark, tmp_path):
         assert got[lang].n_tokens == row[1]
         assert got[lang].n_types == row[2]
         assert got[lang].distinct_bigram_ratio == row[4]
+
+
+_LM_WORDS = ["the", "river", "fox", "stone", "dawn", "quick", "old"]
+_LM_DOC = st.lists(
+    st.integers(min_value=0, max_value=len(_LM_WORDS) - 1),
+    min_size=1, max_size=8,
+)
+
+
+@given(
+    docs=st.lists(_LM_DOC, min_size=1, max_size=14),
+    parts=st.lists(st.integers(min_value=0, max_value=2),
+                   min_size=14, max_size=14),
+)
+@settings(max_examples=3, deadline=None)
+def test_lm_append_partition_law(spark, docs, parts):
+    """Property: for ANY partition of a corpus into (base, epoch0,
+    epoch1) — including empty parts — training on the base and appending
+    the epochs scores every probe doc BIT-IDENTICALLY to one retrain
+    over the whole corpus (the sum-mergeability law the streaming LM
+    rests on), with merged n_tokens/n_docs/vocab equal too."""
+    import shutil
+    import tempfile
+
+    from substreams_sink_parquet_spark.llm import lm as L
+
+    rows = [
+        (i, " ".join(_LM_WORDS[w] for w in doc))
+        for i, doc in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    split = [parts[i % len(parts)] for i in range(len(rows))]
+    probe = spark.createDataFrame(
+        [(100, "the quick fox at dawn"), (101, "zz unseen qq"), (102, "the")],
+        "doc_id long, text string",
+    )
+    lm_dir = tempfile.mkdtemp(prefix="lm_prop_")
+    full_dir = tempfile.mkdtemp(prefix="lm_prop_full_")
+    try:
+        L.write_bigram_lm(df, full_dir, n_buckets=2)
+        base = df.filter(
+            F.array_contains(
+                F.array(*[F.lit(i) for i, p in enumerate(split) if p == 0]
+                        or [F.lit(-1)]),
+                F.col("doc_id").cast("int"),
+            )
+        )
+        L.write_bigram_lm(base, lm_dir, n_buckets=2)
+        for ep in (1, 2):
+            ids = [i for i, p in enumerate(split) if p == ep]
+            part = df.filter(
+                F.array_contains(
+                    F.array(*[F.lit(i) for i in ids] or [F.lit(-1)]),
+                    F.col("doc_id").cast("int"),
+                )
+            )
+            L.append_epoch_to_bigram_lm(part, lm_dir, epoch_id=ep - 1)
+        key = lambda d: sorted(
+            (r.doc_id, r.n_bigrams, r.neg_avg_logprob)
+            for r in L.score_with_lm(spark, d, probe).collect()
+        )
+        assert key(lm_dir) == key(full_dir)
+        _, _, stats = L.merged_lm_state(spark, lm_dir)
+        want = L.read_lm_meta(spark, full_dir)
+        assert (stats["n_tokens"], stats["n_docs"], stats["vocab"]) == (
+            want["n_tokens"], want["n_docs"], want["vocab"]
+        )
+    finally:
+        shutil.rmtree(lm_dir, ignore_errors=True)
+        shutil.rmtree(full_dir, ignore_errors=True)
