@@ -221,19 +221,32 @@ def read_export_manifest(spark: SparkSession, out_dir: str) -> dict:
 
 
 def read_pretrain_export(spark: SparkSession, out_dir: str,
-                         shard_id: int | None = None) -> DataFrame:
+                         shard_id: int | None = None,
+                         shard_ids: list[int] | None = None) -> DataFrame:
     """Read the artifact back (manifest-gated). ``shard_id`` prunes to one
     shard dir via the partition filter — the per-worker read path; rows
     are re-sorted by pos within the shard partition (cheap: the file is
     already in that order, but parquet split planning does not PROMISE
-    order, so the contract is re-asserted rather than assumed)."""
+    order, so the contract is re-asserted rather than assumed).
+    ``shard_ids`` is the data-parallel form — worker i of W owns shards
+    ``range(i, n_shards, W)`` and reads them in one call; the isin filter
+    is still pure partition pruning (only the owned dirs' files enter the
+    plan), and each shard still lands in its own partition pos-ordered."""
     from pyspark.sql import types as T
 
+    if shard_id is not None and shard_ids is not None:
+        raise ValueError(
+            "read_pretrain_export: pass shard_id OR shard_ids, not both"
+        )
     manifest = read_export_manifest(spark, out_dir)  # refuses uncommitted
     schema = T.StructType.fromJson(manifest["schema"])
     df = spark.read.schema(schema).parquet(url_join(out_dir, "shards"))
     if shard_id is not None:
         df = df.filter(F.col("shard_id") == int(shard_id))
+    elif shard_ids is not None:
+        df = df.filter(
+            F.col("shard_id").isin([int(s) for s in shard_ids])
+        )
     return df.repartition("shard_id").sortWithinPartitions("shard_id", "pos")
 
 

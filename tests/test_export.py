@@ -144,6 +144,19 @@ def test_shard_pruning_reads_one_partition(spark, sf_dir, tmp_path):
     seg = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     assert "shard_id" in seg and "= 2" in seg
     assert one.count() > 0
+    # the data-parallel form: worker 1 of 2 owns shards {1, 3}; the isin
+    # filter is still a partition filter and the union of the two
+    # workers' reads is exactly the artifact
+    mine = E.read_pretrain_export(spark, out, shard_ids=[1, 3])
+    plan = explain_str(mine)
+    seg = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "shard_id" in seg and "1" in seg and "3" in seg
+    got = {r.shard_id for r in mine.select("shard_id").distinct().collect()}
+    assert got <= {1, 3}
+    other = E.read_pretrain_export(spark, out, shard_ids=[0, 2])
+    assert mine.count() + other.count() == docs.count()
+    with pytest.raises(ValueError, match="not both"):
+        E.read_pretrain_export(spark, out, shard_id=1, shard_ids=[1])
 
 
 def test_bpe_variant_carries_tokens_and_counts(spark, sf_dir, tmp_path):
