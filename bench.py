@@ -548,12 +548,25 @@ def main() -> None:
     # verdict can re-baseline.
     CAL_JVM_SOLO_REF = 0.176
     CAL_PY_SOLO_REF = 1.35
-    # sink spread: all plain-mode samples (pre- and post-sweep) come from
-    # identical code on identical input — a >2x max/min ratio within one
-    # bench run is contention by construction (r6's driver run showed
-    # 4,874-19,335 blocks/s inside a single artifact)
-    plain_all = sink_pre["samples"]["plain"] + sink_post["samples"]["plain"]
-    sink_spread_ratio = round(max(plain_all) / max(min(plain_all), 1e-9), 2)
+    # sink spread: plain-mode samples come from identical code on
+    # identical input, but pre- and post-sweep samples are NOT one
+    # population — the first post-sweep pass routinely pays the
+    # 550-query sweep's accumulated JVM debt even on an idle box
+    # (measured solo, both calibrations clean: pre 15.4/16.0/20.3k,
+    # post 4.7/13.1/13.8k — pooling those flagged a clean run). Two
+    # separate contention signals instead of one pooled ratio:
+    #   * within-PRE spread >2x — instability before any sweep debt
+    #     exists (the r6 shape: 4,874-19,335 inside one artifact);
+    #   * steady-state LEVEL drop, best-pre vs best-post >2x — the
+    #     session degraded for good mid-bench (the r4 collapse: fresh
+    #     16.4k vs post-sweep 5.8k steady), while a lone slow post pass
+    #     (GC debt) leaves the post max intact and does not flag.
+    pre_plain = sink_pre["samples"]["plain"]
+    post_plain = sink_post["samples"]["plain"]
+    sink_spread_ratio = round(
+        max(pre_plain) / max(min(pre_plain), 1e-9), 2)
+    sink_post_drop_ratio = round(
+        max(pre_plain) / max(max(post_plain), 1e-9), 2)
     contended_reasons = []
     if calibration > 1.3 * CAL_JVM_SOLO_REF:
         contended_reasons.append(
@@ -563,7 +576,10 @@ def main() -> None:
             f"py_calibration {calibration_py} > 1.3x solo {CAL_PY_SOLO_REF}")
     if sink_spread_ratio > 2.0:
         contended_reasons.append(
-            f"sink plain-sample spread {sink_spread_ratio}x > 2x")
+            f"sink pre-sweep sample spread {sink_spread_ratio}x > 2x")
+    if sink_post_drop_ratio > 2.0:
+        contended_reasons.append(
+            f"sink post-sweep steady-state drop {sink_post_drop_ratio}x > 2x")
     contended = bool(contended_reasons)
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
@@ -596,6 +612,7 @@ def main() -> None:
         "calibration_sec": calibration,
         "calibration_py_sec": calibration_py,
         "sink_plain_spread_ratio": sink_spread_ratio,
+        "sink_post_drop_ratio": sink_post_drop_ratio,
         "contended": contended,
         "contended_reasons": contended_reasons,
         "sf": sf,
