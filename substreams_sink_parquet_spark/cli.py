@@ -666,6 +666,119 @@ def cmd_export_pretrain(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_release(args: argparse.Namespace) -> int:
+    """Cut a training-data RELEASE in one command — the physical-artifact
+    twin of the hash-checked q_pipeline_release composition: quality gate
+    (opt-in Gopher cascade) -> exact dedup (always; min-doc_id keeper) ->
+    benchmark decontamination (--eval) -> CCNet fluency gate
+    (--lm-gate-dir + --lm-max-score) -> weighted mixture with
+    deterministic upsampling (--mixture COL:g=w,...) -> sharded
+    pre-training export with committed manifest. Every stage is the
+    already-hash-checked operator; this command sequences them, writes
+    the artifact, and commits a _RELEASE_REPORT.json of per-stage
+    survivor counts beside the export manifest — one count job per
+    stage, the receipt a release cut exists to produce."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from .fsio import HadoopFS, url_join
+    from .llm.export import write_pretrain_export
+
+    if (args.lm_gate_dir is None) != (args.lm_max_score is None):
+        print("release: --lm-gate-dir and --lm-max-score come as a pair",
+              file=sys.stderr)
+        return 2
+    spark = get_spark("release")
+    docs = spark.read.parquet(args.docs)
+    if "doc_id" not in docs.columns or "text" not in docs.columns:
+        print("release: input needs doc_id and text columns",
+              file=sys.stderr)
+        return 2
+    report: dict = {"input_docs": docs.count()}
+    if args.quality_gate:
+        from .llm.text import quality_verdict_expr
+
+        docs = docs.filter(quality_verdict_expr() == "keep").persist()
+        report["after_quality_gate"] = docs.count()
+    keepers = (
+        docs.groupBy(F.md5("text").alias("__th"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs = docs.join(keepers, "doc_id").persist()
+    report["after_exact_dedup"] = docs.count()
+    if args.eval:
+        from .llm.dedup import decontaminate
+
+        evals = spark.read.parquet(args.eval).select("doc_id", "text")
+        flagged = decontaminate(
+            docs.select("doc_id", "text"), evals,
+            n=args.decontaminate_ngram,
+        ).select("doc_id")
+        docs = docs.join(flagged, "doc_id", "left_anti").persist()
+        report["after_decontamination"] = docs.count()
+    if args.lm_gate_dir:
+        from .llm.lm import score_with_lm
+
+        scores = score_with_lm(
+            spark, args.lm_gate_dir, docs.select("doc_id", "text"),
+            alpha=args.lm_gate_alpha,
+        )
+        # null scores (single-word docs) fail the > and are kept — the
+        # same unmeasurable-is-not-disfluent rule as the streaming gate
+        disfluent = scores.filter(
+            F.col("neg_avg_logprob") > args.lm_max_score
+        ).select("doc_id")
+        docs = docs.join(disfluent, "doc_id", "left_anti").persist()
+        report["after_lm_gate"] = docs.count()
+    id_col = "doc_id"
+    if args.mixture:
+        from .llm.sampling import materialize_mixture, mixture_plan
+
+        try:
+            group_col, rest = args.mixture.split(":", 1)
+            weights = {
+                k: float(v)
+                for k, v in (kv.split("=") for kv in rest.split(","))
+            }
+        except ValueError:
+            print("release: --mixture wants COL:g1=w1,g2=w2,... "
+                  "(e.g. lang:en=0.5,fr=0.2)", file=sys.stderr)
+            return 2
+        if not args.budget_tokens:
+            print("release: --mixture requires --budget-tokens",
+                  file=sys.stderr)
+            return 2
+        plan = mixture_plan(docs, weights, args.budget_tokens,
+                            group_col=group_col, seed=args.seed)
+        docs = materialize_mixture(docs, plan,
+                                   id_strategy=args.mixture_id)
+        id_col = "mix_id"
+        report["after_mixture_rows"] = docs.count()
+    merges = None
+    if args.tokenizer:
+        from .llm.bpe import read_bpe_model
+
+        merges = read_bpe_model(spark, args.tokenizer)
+    man = write_pretrain_export(
+        docs.select(id_col, "text"), args.out_dir,
+        context_len=args.context_len, n_shards=args.n_shards,
+        seed=args.seed, merges=merges, id_col=id_col,
+    )
+    report["export"] = {
+        k: man[k]
+        for k in ("n_shards", "total_docs", "total_tokens", "total_seqs",
+                  "tokenizer")
+    }
+    HadoopFS(spark, args.out_dir).write_bytes(
+        url_join(args.out_dir, "_RELEASE_REPORT.json"),
+        _json.dumps(report).encode(),
+    )
+    print(_json.dumps(report))
+    return 0
+
+
 def cmd_lm_train(args: argparse.Namespace) -> int:
     """Train a bigram LM on a TARGET-domain corpus and persist the count
     tables as a lake artifact (llm/lm.py) — the CCNet shape: the model
@@ -1645,6 +1758,41 @@ def main(argv: list[str] | None = None) -> int:
                             "or 'hash' (any id range, e.g. xxhash64 "
                             "doc_ids from WARC ingest)")
     exp_p.set_defaults(fn=cmd_export_pretrain)
+
+    rel_p = sub.add_parser(
+        "release",
+        help="cut a training-data release: quality gate -> dedup -> "
+             "decontaminate -> fluency gate -> mixture -> sharded export "
+             "+ committed report",
+    )
+    rel_p.add_argument("out_dir", help="export artifact root")
+    rel_p.add_argument("--docs", required=True,
+                       help="curated parquet of (doc_id, text[, lang...])")
+    rel_p.add_argument("--quality-gate", action="store_true",
+                       help="drop docs failing the Gopher-style cascade")
+    rel_p.add_argument("--eval", default=None,
+                       help="benchmark parquet (doc_id, text): drop "
+                            "training docs sharing any word n-gram")
+    rel_p.add_argument("--decontaminate-ngram", type=int, default=8)
+    rel_p.add_argument("--lm-gate-dir", default=None,
+                       help="lm-train target-domain model: drop docs "
+                            "scoring above --lm-max-score")
+    rel_p.add_argument("--lm-max-score", type=float, default=None)
+    rel_p.add_argument("--lm-gate-alpha", type=float, default=0.1)
+    rel_p.add_argument("--mixture", default=None,
+                       help="COL:g1=w1,g2=w2,... weighted mixture with "
+                            "deterministic upsampling (needs "
+                            "--budget-tokens)")
+    rel_p.add_argument("--budget-tokens", type=int, default=None)
+    rel_p.add_argument("--mixture-id", choices=("arith", "hash"),
+                       default="arith")
+    rel_p.add_argument("--context-len", type=int, default=2048)
+    rel_p.add_argument("--n-shards", type=int, default=16)
+    rel_p.add_argument("--seed", type=int, default=42)
+    rel_p.add_argument("--tokenizer", default=None,
+                       help="frozen bpe-train model dir (token arrays in "
+                            "the shards)")
+    rel_p.set_defaults(fn=cmd_release)
 
     lmt_p = sub.add_parser(
         "lm-train",

@@ -950,3 +950,64 @@ def test_cli_export_pretrain_mixture(tmp_path, spark, capsys, sf_dir):
     assert main(["export-pretrain", str(tmp_path / "y"), "--docs", docs_p,
                  "--mixture", "garbage", "--budget-tokens", "10"]) == 2
     capsys.readouterr()
+
+
+def test_cli_release_end_to_end(tmp_path, spark, capsys, sf_dir):
+    """`release` cuts the physical artifact the hash-checked
+    q_pipeline_release composition describes: every stage's survivor
+    count is monotone non-increasing and recorded in the committed
+    _RELEASE_REPORT.json; the export manifest totals agree with the
+    report; the artifact passes the integrity audit; the gate-pair
+    usage error refuses loudly."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from substreams_sink_parquet_spark.cli import main
+    from substreams_sink_parquet_spark.llm.export import (
+        read_export_manifest,
+        verify_pretrain_export,
+    )
+    from substreams_sink_parquet_spark.llm.lm import write_bigram_lm
+
+    docs_p = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(docs_p)
+    # eval set sharing verbatim text (and so every 8-gram) with some docs
+    eval_p = str(tmp_path / "eval.parquet")
+    docs.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id", "text"
+    ).write.parquet(eval_p)
+    # fluency reference trained on the 'en' slice
+    lm_dir = str(tmp_path / "lm")
+    write_bigram_lm(
+        docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+        lm_dir, n_buckets=8,
+    )
+
+    assert main(["release", str(tmp_path / "x"), "--docs", docs_p,
+                 "--lm-gate-dir", lm_dir]) == 2  # ceiling missing
+
+    out = str(tmp_path / "release")
+    rc = main([
+        "release", out, "--docs", docs_p,
+        "--quality-gate",
+        "--eval", eval_p,
+        "--lm-gate-dir", lm_dir, "--lm-max-score", "12.0",
+        "--mixture", "lang:en=0.6,fr=0.4", "--budget-tokens", "20000",
+        "--context-len", "256", "--n-shards", "4",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    stages = ["input_docs", "after_quality_gate", "after_exact_dedup",
+              "after_decontamination", "after_lm_gate"]
+    counts = [report[s] for s in stages]
+    assert counts[0] == docs.count()
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert report["after_decontamination"] < report["after_exact_dedup"]
+    man = read_export_manifest(spark, out)
+    assert man["total_docs"] == report["export"]["total_docs"]
+    assert verify_pretrain_export(spark, out)["ok"]
+    committed = json.loads(
+        (tmp_path / "release" / "_RELEASE_REPORT.json").read_text()
+    )
+    assert committed == report
