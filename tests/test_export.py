@@ -313,3 +313,42 @@ def test_export_plan_one_exchange_pinned(spark, sf_dir):
     assert rep_bpe.shuffle_exchanges <= 3, rep_bpe.text
     assert rep_bpe.broadcast_joins + rep_bpe.sortmerge_joins \
         + rep_bpe.hash_joins == 1, rep_bpe.text
+
+
+def test_export_mixture_composition_plan_keeps_both_scale_shapes(
+        spark, sf_dir):
+    """The composed mixture->materialize->export plan (q_export_mixture's
+    write side) must keep BOTH parts' scale properties at once: the
+    mixture running sum still windows on (grp, _salt_bucket) — never the
+    bare group — the export's ordering/packing windows still cluster on
+    the ONE shard_id hash repartition, and no stage degrades to a
+    cartesian. Pinned so a future edit to either module cannot silently
+    lose the other's shape inside the composition."""
+    import re
+
+    from substreams_sink_parquet_spark.llm.sampling import (
+        materialize_mixture,
+        mixture_plan,
+    )
+    from substreams_sink_parquet_spark.plans import plan_report
+
+    docs = load(spark, sf_dir, "documents")
+    mixed = materialize_mixture(
+        docs,
+        mixture_plan(docs, {"en": 0.6, "fr": 0.4}, 20_000),
+    )
+    plan = E.plan_pretrain_export(
+        mixed.select("mix_id", "text"), context_len=512, n_shards=8,
+        id_col="mix_id",
+    )
+    rep = plan_report(plan)
+    assert not rep.has_cartesian, rep.text
+    wins = re.findall(r"windowspecdefinition\(([^)]*)\)", rep.text)
+    # corpus-scale mixture window carries the salt bucket
+    assert any("_salt_bucket" in w for w in wins), rep.text
+    # export windows keyed on the shard
+    assert any("shard_id" in w for w in wins), rep.text
+    # exactly one shard_id hash repartition — the export's one exchange
+    # survives the composition
+    assert len(re.findall(
+        r"Arguments: hashpartitioning\(shard_id", rep.text)) == 1, rep.text
