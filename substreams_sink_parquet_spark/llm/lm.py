@@ -233,12 +233,47 @@ def _read_epoch_stats(fs: HadoopFS, ep_dir: str, name: str) -> dict:
 
 
 def _committed_epochs(fs: HadoopFS, lm_dir: str) -> list[str]:
+    """Epoch dir NAMES under ``epochs/`` holding committed count deltas —
+    tolerant of a crashed ``lm-compact`` (the ann_topk manifest-aware-read
+    pattern): ``commit_fold`` deletes its source epoch dirs BEFORE renaming
+    ``epochs/_compact`` into ``epoch=-1``, so a crash in that window leaves
+    the folded counts ONLY in ``_compact`` (its ``_MERGED.json`` manifest
+    still inside — the commit record). A plain ``epoch=`` listing would
+    silently DROP those counts from scoring until the compact is re-run;
+    instead, when an armed ``_compact`` exists, read it in place of the
+    exact sources its manifest names (any source the crash had not yet
+    deleted is excluded — its counts are already summed into the fold, and
+    double-counting would be as wrong as dropping). A ``_compact`` WITHOUT
+    a manifest never committed and its sources are intact — ignored."""
+    from ..foldswap import MANIFEST
+
     ep_root = url_join(lm_dir, "epochs")
     if not fs.exists(ep_root):
         return []
-    return sorted(
+    names = sorted(
         e for e in fs.listdir(ep_root) if e.startswith("epoch=")
     )
+    # manifest checked AFTER the listing (the foldswap tolerant-read rule):
+    # a fold committing between the two reads leaves either the armed tmp
+    # (we use the fold) or the renamed epoch=-1 (already in the listing)
+    tmp_manifest = url_join(ep_root, "_compact", MANIFEST)
+    if fs.exists(tmp_manifest):
+        srcs = set(json.loads(fs.read_bytes(tmp_manifest))["sources"])
+        names = [e for e in names if e not in srcs]
+        names.append("_compact")
+    return names
+
+
+# merged-vocab memo: recomputing |distinct w1| over the merged unigrams is
+# an eager shuffle+count job, and the corpus-stream fluency gate calls
+# score_with_lm once PER MICRO-BATCH against the same grown model — without
+# the memo every batch pays that job before its scoring plan even starts.
+# Keyed on (lm_dir, base-meta stats, per-epoch (name, stats) fingerprint):
+# an epoch append/compact/replay changes the committed-epoch set or its
+# stats deltas, so a stale hit would need an epoch whose dir name AND both
+# count totals survived a content change — excluded by the append protocol
+# (replay overwrites an epoch by name only to converge to identical counts).
+_VOCAB_MEMO: dict = {}
 
 
 def merged_lm_state(spark: SparkSession, lm_dir: str):
@@ -248,7 +283,10 @@ def merged_lm_state(spark: SparkSession, lm_dir: str):
     counts SUM-merge (shuffle keyed on the word — vocabulary-scale, never
     collected) and the vocabulary is recomputed from the merged unigrams,
     since distinct-word counts are not sum-mergeable across overlapping
-    epochs. A marker-less epoch dir raises (crash detection)."""
+    epochs — once per (lm_dir, committed-epoch set), memoized after that.
+    A marker-less epoch dir raises (crash detection); a crash-stranded
+    ``_compact`` fold is read in place of the sources its manifest names
+    (see :func:`_committed_epochs`)."""
     meta = read_lm_meta(spark, lm_dir)
     fs = HadoopFS(spark, lm_dir)
     uni = spark.read.schema(_UNI_SCHEMA).parquet(
@@ -267,10 +305,12 @@ def merged_lm_state(spark: SparkSession, lm_dir: str):
     if not epochs:
         return uni, bg, stats
     ep_root = url_join(lm_dir, "epochs")
+    ep_fp = []
     for e in epochs:
         s = _read_epoch_stats(fs, url_join(ep_root, e), e)
         stats["n_tokens"] += int(s["n_tokens"])
         stats["n_docs"] += int(s["n_docs"])
+        ep_fp.append((e, int(s["n_tokens"]), int(s["n_docs"])))
     # per-epoch reads unioned (a multi-path read trips partition
     # discovery on the epoch= dir mid-path); compaction bounds the
     # epoch count, and the union collapses into the one sum shuffle
@@ -282,7 +322,13 @@ def merged_lm_state(spark: SparkSession, lm_dir: str):
         spark, bg, _BG_SCHEMA, ("w1", "w2", "c_bg"),
         [url_join(ep_root, e, "bigrams") for e in epochs],
     ).groupBy("w1", "w2").agg(F.sum("c_bg").alias("c_bg"))
-    stats["vocab"] = uni.count()
+    memo_key = (lm_dir, int(meta["vocab"]), int(meta["n_tokens"]),
+                int(meta["n_docs"]), tuple(ep_fp))
+    if memo_key not in _VOCAB_MEMO:
+        if len(_VOCAB_MEMO) >= 256:  # bound a long-lived session's memo
+            _VOCAB_MEMO.clear()
+        _VOCAB_MEMO[memo_key] = uni.count()
+    stats["vocab"] = _VOCAB_MEMO[memo_key]
     return uni, bg, stats
 
 

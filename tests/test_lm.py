@@ -195,6 +195,95 @@ def test_lm_compaction_preserves_scores_and_trailing_epoch(spark,
     assert not L.compact_lm_epochs(spark, lm_dir, min_epochs=2)
 
 
+def test_crashed_compact_scores_from_armed_fold(spark, tmp_path):
+    """A crash INSIDE commit_fold — sources deleted, ``epochs/_compact``
+    (manifest still inside) not yet renamed to ``epoch=-1`` — must not
+    change a single score: the folded counts exist ONLY in the armed tmp
+    at that point, and a plain ``epoch=`` listing would silently drop
+    them (wrong scores, no error). merged_lm_state reads the armed fold
+    in place of the sources its manifest names; an UNARMED ``_compact``
+    (no manifest: never committed, sources intact) is ignored."""
+    import json
+    import shutil
+
+    lm_dir = str(tmp_path / "lm")
+    base, extra = _train(spark), _extra(spark)
+    L.write_bigram_lm(base, lm_dir, n_buckets=4)
+    for i in range(3):
+        L.append_epoch_to_bigram_lm(
+            extra.filter(F.col("doc_id") % 3 == i), lm_dir, epoch_id=i
+        )
+    want = _scores(spark, lm_dir, _probe(spark))
+    ep_root = tmp_path / "lm" / "epochs"
+
+    # unarmed tmp (crash BEFORE the manifest write): sources intact,
+    # tmp contents are an incomplete duplicate — must be ignored
+    shutil.copytree(ep_root / "epoch=0", ep_root / "_compact")
+    assert _scores(spark, lm_dir, _probe(spark)) == want
+    shutil.rmtree(ep_root / "_compact")
+
+    # armed tmp (crash AFTER source deletes, BEFORE the rename): fold
+    # for real, then rewind the rename — epoch=-1 back to _compact with
+    # its manifest restored; epochs 0 and 1 are gone, epoch=2 (trailing,
+    # never folded) remains listed beside the armed fold
+    assert L.compact_lm_epochs(spark, lm_dir, min_epochs=2)
+    (ep_root / "epoch=-1").rename(ep_root / "_compact")
+    (ep_root / "_compact" / "_MERGED.json").write_text(
+        json.dumps({"sources": ["epoch=0", "epoch=1"]})
+    )
+    assert sorted(p.name for p in ep_root.iterdir()) == [
+        "_compact", "epoch=2"
+    ]
+    assert _scores(spark, lm_dir, _probe(spark)) == want
+
+    # a source the crash had NOT yet deleted is excluded by name (its
+    # counts already live in the fold — double-counting is as wrong as
+    # dropping): resurrect epoch=1 from the retrained-equivalent append
+    L.append_epoch_to_bigram_lm(
+        extra.filter(F.col("doc_id") % 3 == 1), lm_dir, epoch_id=1
+    )
+    assert _scores(spark, lm_dir, _probe(spark)) == want
+
+    # the writer-side recover (next lm-compact run) then converges the
+    # on-disk state and scores are still identical
+    L.compact_lm_epochs(spark, lm_dir, min_epochs=99)
+    assert _scores(spark, lm_dir, _probe(spark)) == want
+
+
+def test_merged_vocab_memoized_per_epoch_set(spark, tmp_path):
+    """With epochs present, the merged-vocab recompute (an eager
+    shuffle+count job) runs ONCE per (lm_dir, committed-epoch set) — a
+    repeat merged_lm_state (the corpus-stream gate's per-batch call
+    pattern) launches ZERO Spark jobs before its scoring plan; growing
+    the epoch set invalidates the memo and the vocab tracks the new
+    words."""
+    lm_dir = str(tmp_path / "lm")
+    base, extra = _train(spark), _extra(spark)
+    L.write_bigram_lm(base, lm_dir, n_buckets=4)
+    L.append_epoch_to_bigram_lm(
+        extra.filter(F.col("doc_id") < 300), lm_dir, epoch_id=0
+    )
+    _, _, first = L.merged_lm_state(spark, lm_dir)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("vocab-memo-probe", "repeat merged_lm_state")
+    try:
+        _, _, again = L.merged_lm_state(spark, lm_dir)
+    finally:
+        sc.setJobGroup("", "")
+    assert again == first
+    assert list(
+        sc.statusTracker().getJobIdsForGroup("vocab-memo-probe")
+    ) == []
+
+    # epoch growth with new words: memo miss, vocab recomputed
+    L.append_epoch_to_bigram_lm(
+        extra.filter(F.col("doc_id") >= 300), lm_dir, epoch_id=1
+    )
+    _, _, grown = L.merged_lm_state(spark, lm_dir)
+    assert grown["vocab"] > first["vocab"]
+
+
 def test_append_refuses_pruned_base_and_rebuild_clears_epochs(spark,
                                                               tmp_path):
     """min_count>1 bases refuse appends loudly (the pruned bigram counts
