@@ -61,6 +61,32 @@ def commit_fold(fs: HadoopFS, root: str, tmp_name: str, srcs: list[str],
     fs.delete(url_join(dst, MANIFEST), recursive=False)
 
 
+def tolerant_epoch_names(fs: HadoopFS, root: str,
+                         tmp_name: str = "_compact") -> list[str]:
+    """READ-side view of the committed epoch set, tolerant of a fold
+    crashed inside ``commit_fold``'s window (sources deleted, tmp not yet
+    renamed): the folded data then exists ONLY in the armed tmp (manifest
+    still inside — the commit record), and a plain ``epoch=`` listing
+    would silently DROP it. When an armed tmp exists, it is returned IN
+    PLACE of the exact sources its manifest names — any source the crash
+    had not yet deleted is excluded (its rows are already in the fold;
+    double-counting is as wrong as dropping). An UNARMED tmp (no
+    manifest) never committed and its sources are intact — ignored. The
+    manifest is checked AFTER the listing: a fold committing between the
+    two reads leaves either the armed tmp (used) or the renamed
+    destination (already listed). Single-writer discipline still holds —
+    this never mutates; writers repair via :func:`recover_fold`."""
+    if not fs.exists(root):
+        return []
+    names = sorted(e for e in fs.listdir(root) if e.startswith("epoch="))
+    tmp_manifest = url_join(root, tmp_name, MANIFEST)
+    if fs.exists(tmp_manifest):
+        srcs = set(json.loads(fs.read_bytes(tmp_manifest))["sources"])
+        names = [e for e in names if e not in srcs]
+        names.append(tmp_name)
+    return names
+
+
 def recover_fold(fs: HadoopFS, root: str, tmp_name: str,
                  dst_name: str = FOLDED_EPOCH) -> str | None:
     """Repair an interrupted fold (step 3 above). Returns "committed",

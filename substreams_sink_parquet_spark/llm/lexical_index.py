@@ -9,6 +9,8 @@ partition-pruned scan of only the buckets its terms hash into:
 
   ``{index_dir}/postings/term_bucket={b}/``  (term, doc_id, tf, dl) rows,
                                              PARTITIONED BY TERM-HASH BUCKET
+  ``{index_dir}/df/term_bucket={b}/``        (term, df) — document frequency
+                                             PRECOMPUTED at build/append time
   ``{index_dir}/_LEX_META.json``             corpus stats (n_docs, sum_dl)
                                              + n_buckets; the COMMIT MARKER
 
@@ -19,11 +21,19 @@ partition-pruned scan of only the buckets its terms hash into:
   ``isin`` the parquet source sees at planning time — the ann_index pattern.
   A query touches |query-term buckets| / n_buckets of the index, physically;
   the exact-term ``isin`` on top pushes into row-group stats.
-- tf/dl/df all live in (or derive from) the scanned postings: df is a
-  window over the matched postings — per-term counts are exact because a
-  term's postings live entirely inside its own bucket. Only the corpus-wide
+- tf/dl live in the scanned postings; df is PRECOMPUTED into a parallel
+  ``df/`` tree at build/append time (one cheap aggregate over the just-
+  written postings artifact — never a second corpus tokenize), pruned by
+  the same bucket/term isin at serve time and sum-merged across base +
+  epoch deltas (a (term, doc) pair lives in exactly one epoch, so per-epoch
+  df counts ADD). Serving therefore never runs a count-over-window on the
+  unioned postings — for a hot term that window repartitioned the term's
+  entire postings list before scoring (VERDICT r9, Next #4); now df arrives
+  as a broadcast join of a ≤|query terms|-row table. Only the corpus-wide
   normalizers (n_docs, sum_dl → avgdl) need global state, and those are two
-  numbers in the meta JSON.
+  numbers in the meta JSON. An index built before the df tree existed
+  (``has_df`` absent from its meta) still serves exactly, through the old
+  window-over-matched-postings path.
 - scoring parameters (k1, b, max_doc_freq) stay QUERY-TIME arguments — the
   index stores raw counts, so retuning costs nothing (the reason FAISS-style
   frozen-codebook drift does not apply here: there is no trained artifact).
@@ -65,6 +75,19 @@ _EPOCH_STATS = "_EPOCH_STATS.json"
 _POSTINGS_SCHEMA = (
     "term string, doc_id long, dl int, tf long, term_bucket int"
 )
+_DF_SCHEMA = "term string, df long, term_bucket int"
+
+
+def _df_from_postings(spark: SparkSession, postings_dir: str) -> DataFrame:
+    """(term, df, term_bucket) aggregated from a just-written postings
+    dir — reads the compact index artifact back, never re-tokenizes the
+    corpus; one row per (term, doc) pair in the dir, so count == df."""
+    return (
+        spark.read.schema(_POSTINGS_SCHEMA).parquet(postings_dir)
+        .groupBy("term", "term_bucket")
+        .agg(F.count("*").alias("df"))
+        .select("term", "df", "term_bucket")
+    )
 
 
 def _postings(docs: DataFrame, n_buckets: int,
@@ -124,13 +147,16 @@ def write_lexical_index(docs: DataFrame, index_dir: str,
     meta_path = url_join(index_dir, _META)
     if fs.exists(meta_path):
         fs.delete(meta_path, recursive=False)
-    ep_root = url_join(index_dir, "postings_epochs")
-    if fs.exists(ep_root):
-        fs.delete(ep_root, recursive=True)
-    post.write.mode("overwrite").partitionBy("term_bucket").parquet(
-        url_join(index_dir, "postings")
-    )
-    meta = {"n_buckets": int(n_buckets), **stats}
+    for stale in ("postings_epochs", "df_epochs"):
+        ep_root = url_join(index_dir, stale)
+        if fs.exists(ep_root):
+            fs.delete(ep_root, recursive=True)
+    post_dir = url_join(index_dir, "postings")
+    post.write.mode("overwrite").partitionBy("term_bucket").parquet(post_dir)
+    _df_from_postings(spark, post_dir).write.mode("overwrite").partitionBy(
+        "term_bucket"
+    ).parquet(url_join(index_dir, "df"))
+    meta = {"n_buckets": int(n_buckets), "has_df": True, **stats}
     fs.write_bytes(meta_path, json.dumps(meta).encode())
     return meta
 
@@ -153,13 +179,17 @@ def append_epoch_to_lexical_index(new_docs: DataFrame, index_dir: str,
                                   id_col: str = "doc_id") -> None:
     """Replay-safe streaming append: the batch's postings OVERWRITE
     ``postings_epochs/epoch={id}/`` (bucket partitioning preserved inside
-    the epoch dir, so query-time pruning is unchanged) and the batch's
-    (n_docs, sum_dl) delta lands as ``_EPOCH_STATS.json`` beside them —
-    written LAST, so an epoch with postings but no stats file is a
-    detectable crash the replay repairs. Costs one extra tiny aggregate
-    job per micro-batch (the two delta numbers). The caller owns doc_id
-    dedup vs the base build and other epochs (the corpus builder's
-    screens do exactly that upstream)."""
+    the epoch dir, so query-time pruning is unchanged), its (term, df)
+    deltas under ``df_epochs/epoch={id}/`` (aggregated from the epoch's
+    just-written postings, overwritten with the same idempotence), and
+    the batch's (n_docs, sum_dl) delta lands as ``_EPOCH_STATS.json``
+    beside the postings — written LAST of the three, so an epoch whose
+    postings or df crashed mid-write has no stats file and is refused by
+    name until the replay repairs all of it. Costs one extra tiny
+    aggregate job per micro-batch (the two delta numbers) plus one
+    aggregate over the epoch's own postings artifact (bytes-scale). The
+    caller owns doc_id dedup vs the base build and other epochs (the
+    corpus builder's screens do exactly that upstream)."""
     spark = new_docs.sparkSession
     meta = read_lexical_meta(spark, index_dir)
     fs = HadoopFS(spark, index_dir)
@@ -174,6 +204,10 @@ def append_epoch_to_lexical_index(new_docs: DataFrame, index_dir: str,
     _postings(new_docs, meta["n_buckets"], text_col, id_col).write.mode(
         "overwrite"
     ).partitionBy("term_bucket").parquet(ep_dir)
+    if meta.get("has_df"):
+        _df_from_postings(spark, ep_dir).write.mode("overwrite").partitionBy(
+            "term_bucket"
+        ).parquet(url_join(index_dir, "df_epochs", f"epoch={int(epoch_id)}"))
     fs.write_bytes(stats_path, json.dumps(stats).encode())
 
 
@@ -187,21 +221,46 @@ def compact_lexical_epochs(spark: SparkSession, index_dir: str,
     HIGHEST-numbered epoch is never folded (a crashed batch's replay
     relies on overwriting its own epoch dir by name). A (term, doc)
     pair appears in at most one epoch (caller-owned doc dedup), so the
-    fold is a concatenation, not a merge."""
-    from ..foldswap import commit_fold, recover_fold, write_fold_manifest
+    postings fold is a concatenation, not a merge; the parallel
+    ``df_epochs`` tree folds with a groupBy-SUM (the same term recurs
+    across epochs) and each tree converges INDEPENDENTLY — a crash
+    between the two folds leaves one folded and one not, which reads
+    identically (folding preserves per-term totals) and the next
+    compact call finishes the other."""
+    folded_post = _fold_posting_epochs(spark, index_dir, min_epochs)
+    folded_df = _fold_df_epochs(spark, index_dir, min_epochs)
+    return folded_post or folded_df
 
-    fs = HadoopFS(spark, index_dir)
-    ep_root = url_join(index_dir, "postings_epochs")
+
+def _foldable_epochs(fs: HadoopFS, ep_root: str,
+                     min_epochs: int) -> list[str] | None:
+    """Epoch dir names eligible for folding under ``ep_root`` after
+    writer-side crash recovery — None when below ``min_epochs``. The
+    highest-NUMBERED epoch is always excluded (replay-by-overwrite)."""
+    from ..foldswap import recover_fold
+
     if fs.exists(ep_root):
         recover_fold(fs, ep_root, "_compact")
     if not fs.exists(ep_root):
-        return False
+        return None
     epochs = sorted(e for e in fs.listdir(ep_root) if e.startswith("epoch="))
     numbered = [e for e in epochs if int(e.split("=", 1)[1]) >= 0]
     if numbered:
         trailing = max(numbered, key=lambda e: int(e.split("=", 1)[1]))
         epochs = [e for e in epochs if e != trailing]
     if len(epochs) < min_epochs:
+        return None
+    return epochs
+
+
+def _fold_posting_epochs(spark: SparkSession, index_dir: str,
+                         min_epochs: int) -> bool:
+    from ..foldswap import commit_fold, write_fold_manifest
+
+    fs = HadoopFS(spark, index_dir)
+    ep_root = url_join(index_dir, "postings_epochs")
+    epochs = _foldable_epochs(fs, ep_root, min_epochs)
+    if epochs is None:
         return False
     stats = {"n_docs": 0, "sum_dl": 0}
     with_data = []
@@ -221,6 +280,39 @@ def compact_lexical_epochs(spark: SparkSession, index_dir: str,
     else:
         fs.mkdirs(tmp)
     fs.write_bytes(url_join(tmp, _EPOCH_STATS), json.dumps(stats).encode())
+    write_fold_manifest(fs, tmp, epochs)
+    commit_fold(fs, ep_root, "_compact", epochs)
+    return True
+
+
+def _fold_df_epochs(spark: SparkSession, index_dir: str,
+                    min_epochs: int) -> bool:
+    from ..foldswap import commit_fold, write_fold_manifest
+
+    fs = HadoopFS(spark, index_dir)
+    ep_root = url_join(index_dir, "df_epochs")
+    epochs = _foldable_epochs(fs, ep_root, min_epochs)
+    if epochs is None:
+        return False
+    with_data = [
+        e for e in epochs
+        if any(c.startswith("term_bucket=")
+               for c in fs.listdir(url_join(ep_root, e)))
+    ]
+    tmp = url_join(ep_root, "_compact")
+    if with_data:
+        merged = (
+            spark.read.option("basePath", ep_root).parquet(
+                *[url_join(ep_root, e) for e in with_data]
+            )
+            .drop("epoch")
+            .groupBy("term", "term_bucket")
+            .agg(F.sum("df").alias("df"))
+            .select("term", "df", "term_bucket")
+        )
+        merged.write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
+    else:
+        fs.mkdirs(tmp)
     write_fold_manifest(fs, tmp, epochs)
     commit_fold(fs, ep_root, "_compact", epochs)
     return True
@@ -261,12 +353,20 @@ def bm25_scores_indexed(spark: SparkSession, index_dir: str,
     partition pruning; exact-term isin → row-group pruning) plus any
     epoch appends, never ``documents.text``.
 
-    df is a window over the scanned postings (exact: a term's postings
-    live entirely inside its bucket, base and epochs unioned first);
-    n_docs/avgdl come from meta + per-epoch deltas, summed driver-side
-    from kilobytes of JSON. The scoring tail — broadcast query-terms
-    join, per-term decimal contribution, per-(query, doc) sum — is the
-    direct formulation's, unchanged."""
+    df comes from the PRECOMPUTED ``df/`` tree (same bucket/term pruning,
+    per-epoch deltas sum-merged into a ≤|query terms|-row broadcast
+    side), so the serve plan carries no window over the matched postings
+    — a hot term's full postings list is never repartitioned by term
+    before scoring. A pre-df index (no ``has_df`` in meta) falls back to
+    the historical window, bit-identically. n_docs/avgdl come from meta
+    + per-epoch deltas, summed driver-side from kilobytes of JSON; the
+    epoch listing is tolerant of a crashed compact (foldswap's
+    manifest-aware read — an armed ``_compact`` is read in place of the
+    sources its manifest names). The scoring tail — broadcast
+    query-terms join, per-term decimal contribution, per-(query, doc)
+    sum — is the direct formulation's, unchanged."""
+    from ..foldswap import tolerant_epoch_names
+
     meta = read_lexical_meta(spark, index_dir)
     fs = HadoopFS(spark, index_dir)
     terms = _collect_query_terms(queries)
@@ -299,24 +399,56 @@ def bm25_scores_indexed(spark: SparkSession, index_dir: str,
     n_docs, sum_dl = meta["n_docs"], meta["sum_dl"]
     ep_root = url_join(index_dir, "postings_epochs")
     if fs.exists(ep_root):
-        for e in sorted(fs.listdir(ep_root)):
-            if not e.startswith("epoch="):
-                continue  # an in-flight _compact tmp is not yet committed
+        # tolerant listing: an armed _compact (crashed fold) holds the
+        # only copy of its folded postings and replaces its sources; an
+        # unarmed one is an uncommitted tmp and is skipped
+        for e in tolerant_epoch_names(fs, ep_root):
             ep_dir = url_join(ep_root, e)
             s = _read_epoch_stats(fs, ep_dir, e)
             n_docs += s["n_docs"]
             sum_dl += s["sum_dl"]
             if any(c.startswith("term_bucket=")
                    for c in fs.listdir(ep_dir)):
-                frames.append(_pruned(spark.read.parquet(ep_dir)))
+                frames.append(_pruned(
+                    spark.read.schema(_POSTINGS_SCHEMA).parquet(ep_dir)
+                ))
     if not frames or n_docs == 0:
         return spark.createDataFrame([], empty_schema)
     postings = frames[0]
     for f in frames[1:]:
         postings = postings.unionByName(f)
-    postings = postings.withColumn(
-        "df", F.count("*").over(Window.partitionBy("term"))
-    )
+    if meta.get("has_df"):
+        df_frames = []
+
+        def _pruned_df(df: DataFrame) -> DataFrame:
+            return df.filter(
+                F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+            ).select("term", "df")
+
+        base_df = url_join(index_dir, "df")
+        if fs.exists(base_df):
+            df_frames.append(_pruned_df(
+                spark.read.schema(_DF_SCHEMA).parquet(base_df)
+            ))
+        df_root = url_join(index_dir, "df_epochs")
+        if fs.exists(df_root):
+            for e in tolerant_epoch_names(fs, df_root):
+                ep_dir = url_join(df_root, e)
+                if any(c.startswith("term_bucket=")
+                       for c in fs.listdir(ep_dir)):
+                    df_frames.append(_pruned_df(
+                        spark.read.schema(_DF_SCHEMA).parquet(ep_dir)
+                    ))
+        dft = df_frames[0]
+        for f in df_frames[1:]:
+            dft = dft.unionByName(f)
+        dft = dft.groupBy("term").agg(F.sum("df").alias("df"))
+        postings = postings.join(F.broadcast(dft), "term")
+    else:
+        # pre-df index: the historical window over matched postings
+        postings = postings.withColumn(
+            "df", F.count("*").over(Window.partitionBy("term"))
+        )
     if max_doc_freq is not None:
         postings = postings.filter(F.col("df") <= max_doc_freq)
     qterms = queries.select(

@@ -245,23 +245,9 @@ def _committed_epochs(fs: HadoopFS, lm_dir: str) -> list[str]:
     deleted is excluded — its counts are already summed into the fold, and
     double-counting would be as wrong as dropping). A ``_compact`` WITHOUT
     a manifest never committed and its sources are intact — ignored."""
-    from ..foldswap import MANIFEST
+    from ..foldswap import tolerant_epoch_names
 
-    ep_root = url_join(lm_dir, "epochs")
-    if not fs.exists(ep_root):
-        return []
-    names = sorted(
-        e for e in fs.listdir(ep_root) if e.startswith("epoch=")
-    )
-    # manifest checked AFTER the listing (the foldswap tolerant-read rule):
-    # a fold committing between the two reads leaves either the armed tmp
-    # (we use the fold) or the renamed epoch=-1 (already in the listing)
-    tmp_manifest = url_join(ep_root, "_compact", MANIFEST)
-    if fs.exists(tmp_manifest):
-        srcs = set(json.loads(fs.read_bytes(tmp_manifest))["sources"])
-        names = [e for e in names if e not in srcs]
-        names.append("_compact")
-    return names
+    return tolerant_epoch_names(fs, url_join(lm_dir, "epochs"))
 
 
 # merged-vocab memo: recomputing |distinct w1| over the merged unigrams is
