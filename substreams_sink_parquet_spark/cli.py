@@ -673,11 +673,29 @@ def cmd_release(args: argparse.Namespace) -> int:
     benchmark decontamination (--eval) -> CCNet fluency gate
     (--lm-gate-dir + --lm-max-score) -> weighted mixture with
     deterministic upsampling (--mixture COL:g=w,...) -> sharded
-    pre-training export with committed manifest. Every stage is the
-    already-hash-checked operator; this command sequences them, writes
-    the artifact, and commits a _RELEASE_REPORT.json of per-stage
-    survivor counts beside the export manifest — one count job per
-    stage, the receipt a release cut exists to produce."""
+    pre-training export with committed manifest + a _RELEASE_REPORT.json
+    of per-stage survivor counts.
+
+    RESUMABLE: each stage commits a receipt (``_stages/<k>_<name>/
+    _STAGE.json``, written AFTER the stage's survivor-id parquet — the
+    index-family marker-last protocol) carrying its count and a
+    fingerprint chained over (stage, params, upstream fingerprint). A
+    rerun skips every stage whose receipt matches and resumes at the
+    first missing/mismatched one; because every stage is deterministic
+    (seeded hashes, min-doc_id keepers), the resumed artifact and report
+    equal an uninterrupted run's row for row (pytest-pinned by killing
+    the pipeline between stages). Changing a stage's arguments
+    invalidates its fingerprint and everything downstream recomputes.
+
+    Stage artifacts also end the recompute-and-pin economics the
+    persist-chain form had (ADVICE r9): survivors are narrow doc_id
+    parquet (bytes per row at 100 TB), every stage reads docs ⋈ the
+    LAST receipt's ids (a written artifact — no lineage recompute, no
+    executor storage pinned for the command's lifetime), and the
+    mixture is materialized ONCE — its narrow (mix_id, doc_id, copy,
+    grp) rows are written, counted from the artifact, and re-joined to
+    text only inside the export job."""
+    import hashlib
     import json as _json
 
     from pyspark.sql import functions as F
@@ -689,55 +707,10 @@ def cmd_release(args: argparse.Namespace) -> int:
         print("release: --lm-gate-dir and --lm-max-score come as a pair",
               file=sys.stderr)
         return 2
-    spark = get_spark("release")
-    docs = spark.read.parquet(args.docs)
-    if "doc_id" not in docs.columns or "text" not in docs.columns:
-        print("release: input needs doc_id and text columns",
-              file=sys.stderr)
-        return 2
-    report: dict = {"input_docs": docs.count()}
-    if args.quality_gate:
-        from .llm.text import quality_verdict_expr
-
-        docs = docs.filter(quality_verdict_expr() == "keep").persist()
-        report["after_quality_gate"] = docs.count()
-    keepers = (
-        docs.groupBy(F.md5("text").alias("__th"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    docs = docs.join(keepers, "doc_id").persist()
-    report["after_exact_dedup"] = docs.count()
-    if args.eval:
-        from .llm.dedup import decontaminate
-
-        evals = spark.read.parquet(args.eval).select("doc_id", "text")
-        flagged = decontaminate(
-            docs.select("doc_id", "text"), evals,
-            n=args.decontaminate_ngram,
-        ).select("doc_id")
-        docs = docs.join(flagged, "doc_id", "left_anti").persist()
-        report["after_decontamination"] = docs.count()
-    if args.lm_gate_dir:
-        from .llm.lm import score_with_lm
-
-        scores = score_with_lm(
-            spark, args.lm_gate_dir, docs.select("doc_id", "text"),
-            alpha=args.lm_gate_alpha,
-        )
-        # null scores (single-word docs) fail the > and are kept — the
-        # same unmeasurable-is-not-disfluent rule as the streaming gate
-        disfluent = scores.filter(
-            F.col("neg_avg_logprob") > args.lm_max_score
-        ).select("doc_id")
-        docs = docs.join(disfluent, "doc_id", "left_anti").persist()
-        report["after_lm_gate"] = docs.count()
-    id_col = "doc_id"
+    weights = None
     if args.mixture:
-        from .llm.sampling import materialize_mixture, mixture_plan
-
         try:
-            group_col, rest = args.mixture.split(":", 1)
+            mix_group_col, rest = args.mixture.split(":", 1)
             weights = {
                 k: float(v)
                 for k, v in (kv.split("=") for kv in rest.split(","))
@@ -750,28 +723,186 @@ def cmd_release(args: argparse.Namespace) -> int:
             print("release: --mixture requires --budget-tokens",
                   file=sys.stderr)
             return 2
-        plan = mixture_plan(docs, weights, args.budget_tokens,
-                            group_col=group_col, seed=args.seed)
-        docs = materialize_mixture(docs, plan,
-                                   id_strategy=args.mixture_id)
+    spark = get_spark("release")
+    docs0 = spark.read.parquet(args.docs)
+    if "doc_id" not in docs0.columns or "text" not in docs0.columns:
+        print("release: input needs doc_id and text columns",
+              file=sys.stderr)
+        return 2
+    fs = HadoopFS(spark, args.out_dir)
+    st_root = url_join(args.out_dir, "_stages")
+    report: dict = {}
+
+    def _fp(stage: str, params: dict, prev: str) -> str:
+        return hashlib.md5(_json.dumps(
+            [stage, params, prev], sort_keys=True
+        ).encode()).hexdigest()
+
+    def _receipt(name: str) -> dict | None:
+        p = url_join(st_root, name, "_STAGE.json")
+        return _json.loads(fs.read_bytes(p)) if fs.exists(p) else None
+
+    def _commit(name: str, receipt: dict) -> None:
+        fs.write_bytes(
+            url_join(st_root, name, "_STAGE.json"),
+            _json.dumps(receipt).encode(),
+        )
+
+    state = {"fp": "", "resume": True, "skipped": []}
+
+    # -- input ------------------------------------------------------------
+    state["fp"] = _fp("input", {"docs": args.docs}, "")
+    r = _receipt("00_input")
+    if state["resume"] and r and r.get("fp") == state["fp"]:
+        report["input_docs"] = int(r["count"])
+        state["skipped"].append("input")
+    else:
+        state["resume"] = False
+        n = docs0.count()
+        report["input_docs"] = n
+        _commit("00_input", {"fp": state["fp"], "count": n})
+    docs = docs0
+
+    def _id_stage(name: str, report_key: str, params: dict, compute_kept):
+        """Run (or skip) one survivor-id stage; rebinds ``docs`` to
+        docs0 ⋈ the stage's WRITTEN ids so downstream stages read an
+        artifact, never a recompute chain."""
+        nonlocal docs
+        state["fp"] = _fp(name, params, state["fp"])
+        ids_dir = url_join(st_root, name, "ids")
+        r = _receipt(name)
+        if state["resume"] and r and r.get("fp") == state["fp"]:
+            report[report_key] = int(r["count"])
+            state["skipped"].append(name)
+        else:
+            state["resume"] = False
+            compute_kept(docs).select("doc_id").write.mode(
+                "overwrite"
+            ).parquet(ids_dir)
+            n = spark.read.parquet(ids_dir).count()
+            report[report_key] = n
+            _commit(name, {"fp": state["fp"], "count": n})
+        docs = docs0.join(spark.read.parquet(ids_dir), "doc_id")
+
+    if args.quality_gate:
+        from .llm.text import quality_verdict_expr
+
+        _id_stage(
+            "01_quality", "after_quality_gate", {},
+            lambda d: d.filter(quality_verdict_expr() == "keep"),
+        )
+
+    def _dedup_kept(d):
+        return (
+            d.groupBy(F.md5("text").alias("__th"))
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+
+    _id_stage("02_dedup", "after_exact_dedup", {}, _dedup_kept)
+
+    if args.eval:
+        from .llm.dedup import decontaminate
+
+        def _decontam_kept(d):
+            evals = spark.read.parquet(args.eval).select("doc_id", "text")
+            flagged = decontaminate(
+                d.select("doc_id", "text"), evals,
+                n=args.decontaminate_ngram,
+            ).select("doc_id")
+            return d.join(flagged, "doc_id", "left_anti")
+
+        _id_stage(
+            "03_decontam", "after_decontamination",
+            {"eval": args.eval, "ngram": args.decontaminate_ngram},
+            _decontam_kept,
+        )
+
+    if args.lm_gate_dir:
+        from .llm.lm import score_with_lm
+
+        def _lm_kept(d):
+            scores = score_with_lm(
+                spark, args.lm_gate_dir, d.select("doc_id", "text"),
+                alpha=args.lm_gate_alpha,
+            )
+            # null scores (single-word docs) fail the > and are kept —
+            # the same unmeasurable-is-not-disfluent rule as the
+            # streaming gate
+            disfluent = scores.filter(
+                F.col("neg_avg_logprob") > args.lm_max_score
+            ).select("doc_id")
+            return d.join(disfluent, "doc_id", "left_anti")
+
+        _id_stage(
+            "04_lm_gate", "after_lm_gate",
+            {"dir": args.lm_gate_dir, "max": args.lm_max_score,
+             "alpha": args.lm_gate_alpha},
+            _lm_kept,
+        )
+
+    id_col = "doc_id"
+    export_df = docs.select("doc_id", "text")
+    if weights is not None:
+        from .llm.sampling import materialize_mixture, mixture_plan
+
+        state["fp"] = _fp("05_mixture", {
+            "mixture": args.mixture, "budget": args.budget_tokens,
+            "seed": args.seed, "id": args.mixture_id,
+        }, state["fp"])
+        rows_dir = url_join(st_root, "05_mixture", "rows")
+        r = _receipt("05_mixture")
+        if state["resume"] and r and r.get("fp") == state["fp"]:
+            report["after_mixture_rows"] = int(r["count"])
+            state["skipped"].append("05_mixture")
+        else:
+            state["resume"] = False
+            plan = mixture_plan(docs, weights, args.budget_tokens,
+                                group_col=mix_group_col, seed=args.seed)
+            # narrow projection: the explode job never materializes text
+            materialize_mixture(
+                docs, plan, id_strategy=args.mixture_id
+            ).select("mix_id", "doc_id", "copy", "grp").write.mode(
+                "overwrite"
+            ).parquet(rows_dir)
+            n = spark.read.parquet(rows_dir).count()
+            report["after_mixture_rows"] = n
+            _commit("05_mixture", {"fp": state["fp"], "count": n})
+        export_df = (
+            spark.read.parquet(rows_dir)
+            .join(docs0.select("doc_id", "text"), "doc_id")
+            .select("mix_id", "text")
+        )
         id_col = "mix_id"
-        report["after_mixture_rows"] = docs.count()
+
     merges = None
     if args.tokenizer:
         from .llm.bpe import read_bpe_model
 
         merges = read_bpe_model(spark, args.tokenizer)
-    man = write_pretrain_export(
-        docs.select(id_col, "text"), args.out_dir,
-        context_len=args.context_len, n_shards=args.n_shards,
-        seed=args.seed, merges=merges, id_col=id_col,
-    )
-    report["export"] = {
-        k: man[k]
-        for k in ("n_shards", "total_docs", "total_tokens", "total_seqs",
-                  "tokenizer")
-    }
-    HadoopFS(spark, args.out_dir).write_bytes(
+    state["fp"] = _fp("06_export", {
+        "context_len": args.context_len, "n_shards": args.n_shards,
+        "seed": args.seed, "tokenizer": args.tokenizer,
+    }, state["fp"])
+    r = _receipt("06_export")
+    if state["resume"] and r and r.get("fp") == state["fp"]:
+        report["export"] = r["export"]
+        state["skipped"].append("06_export")
+    else:
+        man = write_pretrain_export(
+            export_df, args.out_dir,
+            context_len=args.context_len, n_shards=args.n_shards,
+            seed=args.seed, merges=merges, id_col=id_col,
+        )
+        report["export"] = {
+            k: man[k]
+            for k in ("n_shards", "total_docs", "total_tokens",
+                      "total_seqs", "tokenizer")
+        }
+        _commit("06_export", {"fp": state["fp"], "export": report["export"]})
+    if state["skipped"]:
+        print(f"release: resumed — skipped completed stages "
+              f"{state['skipped']}", file=sys.stderr)
+    fs.write_bytes(
         url_join(args.out_dir, "_RELEASE_REPORT.json"),
         _json.dumps(report).encode(),
     )

@@ -1011,3 +1011,114 @@ def test_cli_release_end_to_end(tmp_path, spark, capsys, sf_dir):
         (tmp_path / "release" / "_RELEASE_REPORT.json").read_text()
     )
     assert committed == report
+
+
+def test_cli_release_resumes_after_crash(tmp_path, spark, capsys, sf_dir,
+                                         monkeypatch):
+    """Kill the release pipeline between stages and rerun: completed
+    stages are skipped (their receipts match) and the resumed artifact +
+    _RELEASE_REPORT.json equal an uninterrupted run's row for row —
+    every stage is deterministic, so resume-from-receipt cannot drift.
+    Also: deleting a mid-chain receipt forces that stage and everything
+    downstream to recompute, converging to the same artifact."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    import substreams_sink_parquet_spark.llm.dedup as dedup_mod
+    import substreams_sink_parquet_spark.llm.export as export_mod
+    from substreams_sink_parquet_spark.cli import main
+
+    docs_p = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(docs_p)
+    eval_p = str(tmp_path / "eval.parquet")
+    docs.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id", "text"
+    ).write.parquet(eval_p)
+
+    def argv(out):
+        return [
+            "release", out, "--docs", docs_p,
+            "--quality-gate", "--eval", eval_p,
+            "--mixture", "lang:en=0.6,fr=0.4", "--budget-tokens", "20000",
+            "--context-len", "256", "--n-shards", "4",
+        ]
+
+    def shard_rows(out):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(f"{out}/shards").collect()
+        )
+
+    # reference: one uninterrupted run
+    ref = str(tmp_path / "ref")
+    assert main(argv(ref)) == 0
+    ref_report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out = str(tmp_path / "release")
+
+    # crash #1: mid-decontamination (before that stage's receipt)
+    real_decontam = dedup_mod.decontaminate
+    monkeypatch.setattr(
+        dedup_mod, "decontaminate",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom-decontam")),
+    )
+    with pytest.raises(RuntimeError, match="boom-decontam"):
+        main(argv(out))
+    monkeypatch.setattr(dedup_mod, "decontaminate", real_decontam)
+
+    # crash #2: mid-export (all id stages + mixture committed)
+    real_export = export_mod.write_pretrain_export
+    monkeypatch.setattr(
+        export_mod, "write_pretrain_export",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom-export")),
+    )
+    with pytest.raises(RuntimeError, match="boom-export"):
+        main(argv(out))
+    monkeypatch.setattr(export_mod, "write_pretrain_export", real_export)
+    # upstream receipts survived both crashes
+    for name in ("00_input", "01_quality", "02_dedup", "03_decontam",
+                 "05_mixture"):
+        assert (tmp_path / "release" / "_stages" / name /
+                "_STAGE.json").exists(), name
+
+    # resume: only export recomputes; artifact == uninterrupted run
+    capsys.readouterr()
+    assert main(argv(out)) == 0
+    captured = capsys.readouterr()
+    report = json.loads(captured.out.strip().splitlines()[-1])
+    assert "skipped completed stages" in captured.err
+    assert report == ref_report
+    assert json.loads(
+        (tmp_path / "release" / "_RELEASE_REPORT.json").read_text()
+    ) == ref_report
+    assert shard_rows(out) == shard_rows(ref)
+
+    # a second full rerun skips EVERY stage and changes nothing
+    assert main(argv(out)) == 0
+    captured = capsys.readouterr()
+    assert json.loads(
+        captured.out.strip().splitlines()[-1]
+    ) == ref_report
+    assert "06_export" in captured.err
+    assert shard_rows(out) == shard_rows(ref)
+
+    # deleting a mid-chain receipt recomputes that stage + downstream,
+    # converging to the same artifact
+    (tmp_path / "release" / "_stages" / "02_dedup" / "_STAGE.json").unlink()
+    assert main(argv(out)) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    ) == ref_report
+    assert shard_rows(out) == shard_rows(ref)
+
+    # changing a stage argument invalidates downstream fingerprints
+    assert main([
+        "release", out, "--docs", docs_p,
+        "--quality-gate", "--eval", eval_p,
+        "--mixture", "lang:en=0.5,fr=0.5", "--budget-tokens", "20000",
+        "--context-len", "256", "--n-shards", "4",
+    ]) == 0
+    changed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert changed["after_exact_dedup"] == ref_report["after_exact_dedup"]
+    assert changed["after_mixture_rows"] != ref_report["after_mixture_rows"]
