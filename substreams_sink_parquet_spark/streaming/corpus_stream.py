@@ -168,6 +168,15 @@ class CorpusSink:
 
     def __post_init__(self) -> None:
         self._fs = HadoopFS(self.spark, self.out_dir)
+        # writer-side repair on (re)start: a compact_index crashed inside
+        # its commit window (sources deleted, ``_compact`` not yet renamed)
+        # leaves the folded index rows ONLY in the armed tmp, and the
+        # per-batch membership reads list ``epoch=`` dirs — without this, a
+        # restarted stream would silently re-ADMIT duplicates of everything
+        # the crashed fold covered until someone re-ran compact_index. The
+        # sink owns the dir single-writer (compaction runs only against a
+        # stopped stream), so repairing here cannot race a live compactor.
+        recover_index_compact(self._fs, self.out_dir)
         if self.embed_dup and not self.embed_dim:
             raise ValueError(
                 "embed_dup=True needs embed_dim (embedding dimension is "

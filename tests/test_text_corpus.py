@@ -1308,3 +1308,60 @@ def test_corpus_decontamination_winnow_mode_catches_edited_copy(spark,
             str(tmp_path / "ckpt_x"), decontaminate_eval_dir=ev_dir,
             decontaminate_mode="typo",
         )
+
+
+def test_sink_restart_repairs_crashed_index_compact(spark, tmp_path):
+    """A compact_index crashed inside its commit window (sources deleted,
+    ``_compact`` armed with its manifest, not yet renamed) leaves the
+    folded dedup hashes ONLY in the tmp dir — the per-batch membership
+    reads list ``epoch=`` dirs, so without repair a RESTARTED stream
+    would silently re-admit everything the fold covered. CorpusSink
+    repairs on construction (writer-side recover), so the restarted
+    stream still rejects the duplicates."""
+    import json
+
+    from substreams_sink_parquet_spark.fsio import HadoopFS
+    from substreams_sink_parquet_spark.sources.text_corpus import CORRUPT_COL
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        CorpusSink,
+        compact_index,
+        corpus_docs,
+    )
+
+    ddl = (f"doc_id long, text string, lang string, source string, "
+           f"n_chars long, {CORRUPT_COL} string")
+    out = str(tmp_path / "out")
+    sink = CorpusSink(spark=spark, out_dir=out)
+    sink.process_batch(
+        spark.createDataFrame([(1, "aa", "en", "w", 2, None)], ddl), 0
+    )
+    sink.process_batch(
+        spark.createDataFrame([(2, "bb", "en", "w", 2, None)], ddl), 1
+    )
+    sink.process_batch(
+        spark.createDataFrame([(3, "cc", "en", "w", 2, None)], ddl), 2
+    )
+    assert compact_index(spark, out) is True
+    # rewind the commit's rename: epoch=-1 (holding epochs 0+1's hashes)
+    # back to an armed _compact naming its deleted sources
+    root = tmp_path / "out" / "_index"
+    (root / "epoch=-1").rename(root / "_compact")
+    (root / "_compact" / "_MERGED.json").write_text(
+        json.dumps({"sources": ["epoch=0", "epoch=1"]})
+    )
+    # restart: a fresh sink over the same out_dir repairs on construction
+    sink2 = CorpusSink(spark=spark, out_dir=out)
+    fs = HadoopFS(spark, out)
+    assert fs.exists(out + "/_index/epoch=-1")
+    assert not fs.exists(out + "/_index/_compact")
+    # and the repaired index still rejects the folded epochs' content
+    sink2.process_batch(
+        spark.createDataFrame(
+            [(9, "aa", "en", "w", 2, None),   # dup of folded epoch 0
+             (10, "bb", "en", "w", 2, None),  # dup of folded epoch 1
+             (11, "dd", "en", "w", 2, None)], ddl
+        ),
+        3,
+    )
+    got = {r.doc_id for r in corpus_docs(spark, out).collect()}
+    assert got == {1, 2, 3, 11}
