@@ -1364,6 +1364,20 @@ def cmd_curate(args: argparse.Namespace) -> int:
         return 2
     report: dict = {"input_docs": docs.count()}
 
+    # stage frames persist so each count doesn't recompute the chain, but
+    # a predecessor's cache is RELEASED as soon as its successor is
+    # materialized (the cmd_release rule, ADVICE r9) — only the newest
+    # stage pins executor storage at any point, not the whole cascade
+    _pinned: list = []
+
+    def _pin(df):
+        df = df.persist()
+        n = df.count()
+        while _pinned:
+            _pinned.pop().unpersist()
+        _pinned.append(df)
+        return df, n
+
     # what curation changes about the DISTRIBUTION, not just counts:
     # the shared derived-metrics snapshot (chars/words/lang, sketch mode)
     from .operators.profiling import document_profile
@@ -1380,8 +1394,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
             .withColumn("text", F.col("clean_text"))
             .drop("clean_text")
         )
-        docs = docs.persist()
-        report["after_line_dedup"] = docs.count()
+        docs, report["after_line_dedup"] = _pin(docs)
 
     # the flattened view every downstream decision uses (the documents
     # themselves keep their newlines)
@@ -1390,10 +1403,9 @@ def cmd_curate(args: argparse.Namespace) -> int:
     )
 
     if args.quality_gate:
-        docs = docs.filter(
-            quality_verdict_expr("__flat") == "keep"
-        ).persist()
-        report["after_quality_gate"] = docs.count()
+        docs, report["after_quality_gate"] = _pin(
+            docs.filter(quality_verdict_expr("__flat") == "keep")
+        )
 
     # exact dedup: one shuffle on the content hash; min doc_id is the
     # deterministic keeper
@@ -1402,8 +1414,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    docs = docs.join(keepers, "doc_id").persist()
-    report["after_exact_dedup"] = docs.count()
+    docs, report["after_exact_dedup"] = _pin(docs.join(keepers, "doc_id"))
 
     if args.near_dup:
         pairs = minhash_lsh_pairs(
@@ -1414,8 +1425,9 @@ def cmd_curate(args: argparse.Namespace) -> int:
         losers = clusters.filter(
             F.col("doc_id") != F.col("canonical")
         ).select("doc_id")
-        docs = docs.join(losers, "doc_id", "left_anti").persist()
-        report["after_near_dup"] = docs.count()
+        docs, report["after_near_dup"] = _pin(
+            docs.join(losers, "doc_id", "left_anti")
+        )
 
     if profile_before is not None:
         from .operators.profiling import profile_drift
@@ -1425,6 +1437,8 @@ def cmd_curate(args: argparse.Namespace) -> int:
             r.asDict() for r in drift.orderBy("column").collect()
         ]
     docs.drop("__flat").write.mode("overwrite").parquet(args.out)
+    while _pinned:
+        _pinned.pop().unpersist()
     report["written"] = args.out
     print(json.dumps(report))
     return 0
