@@ -931,3 +931,55 @@ def test_lm_append_partition_law(spark, docs, parts):
     finally:
         shutil.rmtree(lm_dir, ignore_errors=True)
         shutil.rmtree(full_dir, ignore_errors=True)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # group
+            st.integers(min_value=0, max_value=3),    # score tier (ties!)
+            st.integers(min_value=1, max_value=9),    # value
+        ),
+        min_size=1, max_size=120,
+    ),
+    st.sampled_from([1, 2, 8, 32]),                   # n_buckets
+)
+def test_ranked_salted_running_sum_matches_window(spark, rows, n_buckets):
+    """The salted (score DESC, id ASC) running sum equals the plain
+    Window.partitionBy(group) form ROW FOR ROW on arbitrary inputs —
+    arbitrary group skew, heavy score ties (only 4 tiers, so every
+    boundary lands on a tie), and every bucket count incl. the
+    degenerate n_buckets=1. The property the one-job min_by boundary
+    sample must preserve: WHICH rows get sampled can only move the
+    bucket split, never a cum value."""
+    from pyspark.sql import Window
+
+    from substreams_sink_parquet_spark.llm.sampling import (
+        ranked_order_buckets,
+        salted_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{g}", float(s) / 2, v) for i, (g, s, v) in enumerate(rows)],
+        "doc_id long, source string, score double, n_tokens long",
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r.doc_id: r.cum
+        for r in df.withColumn("cum", F.sum("n_tokens").over(w)).collect()
+    }
+    bucketed = ranked_order_buckets(df, "source", n_buckets=n_buckets)
+    got = {
+        r.doc_id: r.cum
+        for r in salted_running_sum(
+            bucketed, ["source"],
+            [F.col("score").desc(), F.col("doc_id")],
+            "n_tokens", F.col("_salt_bucket"),
+        ).collect()
+    }
+    assert got == want
