@@ -676,16 +676,21 @@ def cmd_release(args: argparse.Namespace) -> int:
     pre-training export with committed manifest + a _RELEASE_REPORT.json
     of per-stage survivor counts.
 
-    RESUMABLE: each stage commits a receipt (``_stages/<k>_<name>/
-    _STAGE.json``, written AFTER the stage's survivor-id parquet — the
-    index-family marker-last protocol) carrying its count and a
-    fingerprint chained over (stage, params, upstream fingerprint). A
-    rerun skips every stage whose receipt matches and resumes at the
-    first missing/mismatched one; because every stage is deterministic
-    (seeded hashes, min-doc_id keepers), the resumed artifact and report
-    equal an uninterrupted run's row for row (pytest-pinned by killing
-    the pipeline between stages). Changing a stage's arguments
-    invalidates its fingerprint and everything downstream recomputes.
+    RESUMABLE: one shared stage protocol (``_run_stage``) commits a
+    receipt per stage (``_stages/<k>_<name>/_STAGE.json``) carrying its
+    payload and a fingerprint chained over (stage, params, upstream
+    fingerprint); data-bearing params carry a CONTENT fingerprint
+    (recursive size+mtime listing), so a dataset mutated in place under
+    the same path invalidates its stages instead of silently reusing
+    them. Receipts follow BOTH crash rules of the index family:
+    marker-LAST on success (artifact first, then receipt — a crash
+    between leaves no receipt and the stage recomputes) and
+    marker-DELETE-FIRST on recompute (a stale receipt is removed before
+    its artifact is overwritten — a crash mid-overwrite cannot leave an
+    old receipt vouching for a clobbered artifact). Because every stage
+    is deterministic (seeded hashes, min-doc_id keepers), a resumed run
+    equals an uninterrupted run row for row (pytest-pinned by killing
+    the pipeline between stages).
 
     Stage artifacts also end the recompute-and-pin economics the
     persist-chain form had (ADVICE r9): survivors are narrow doc_id
@@ -695,7 +700,6 @@ def cmd_release(args: argparse.Namespace) -> int:
     mixture is materialized ONCE — its narrow (mix_id, doc_id, copy,
     grp) rows are written, counted from the artifact, and re-joined to
     text only inside the export job."""
-    import hashlib
     import json as _json
 
     from pyspark.sql import functions as F
@@ -732,56 +736,75 @@ def cmd_release(args: argparse.Namespace) -> int:
     fs = HadoopFS(spark, args.out_dir)
     st_root = url_join(args.out_dir, "_stages")
     report: dict = {}
+    state = {"fp": "", "resume": True, "skipped": []}
+
+    def _content(path: str) -> str:
+        return HadoopFS(spark, path).content_fingerprint(path)
 
     def _fp(stage: str, params: dict, prev: str) -> str:
+        import hashlib
+
         return hashlib.md5(_json.dumps(
             [stage, params, prev], sort_keys=True
         ).encode()).hexdigest()
 
-    def _receipt(name: str) -> dict | None:
-        p = url_join(st_root, name, "_STAGE.json")
-        return _json.loads(fs.read_bytes(p)) if fs.exists(p) else None
-
-    def _commit(name: str, receipt: dict) -> None:
+    def _run_stage(name: str, params: dict, from_receipt, recompute) -> None:
+        """THE stage protocol (every stage goes through here — a fix to
+        the resume rules lands once): advance the fingerprint chain;
+        skip when a committed receipt matches it (``from_receipt``
+        restores the report entries); otherwise delete the stale receipt
+        FIRST, run ``recompute`` (which writes the stage artifact and
+        returns the receipt payload), and commit the receipt LAST."""
+        state["fp"] = _fp(name, params, state["fp"])
+        receipt_path = url_join(st_root, name, "_STAGE.json")
+        r = (_json.loads(fs.read_bytes(receipt_path))
+             if fs.exists(receipt_path) else None)
+        if state["resume"] and r and r.get("fp") == state["fp"]:
+            from_receipt(r)
+            state["skipped"].append(name)
+            return
+        state["resume"] = False
+        if fs.exists(receipt_path):
+            fs.delete(receipt_path, recursive=False)
+        payload = recompute()
         fs.write_bytes(
-            url_join(st_root, name, "_STAGE.json"),
-            _json.dumps(receipt).encode(),
+            receipt_path,
+            _json.dumps({"fp": state["fp"], **payload}).encode(),
         )
 
-    state = {"fp": "", "resume": True, "skipped": []}
-
     # -- input ------------------------------------------------------------
-    state["fp"] = _fp("input", {"docs": args.docs}, "")
-    r = _receipt("00_input")
-    if state["resume"] and r and r.get("fp") == state["fp"]:
-        report["input_docs"] = int(r["count"])
-        state["skipped"].append("input")
-    else:
-        state["resume"] = False
+    def _input_recompute() -> dict:
         n = docs0.count()
         report["input_docs"] = n
-        _commit("00_input", {"fp": state["fp"], "count": n})
+        return {"count": n}
+
+    def _input_from_receipt(r: dict) -> None:
+        report["input_docs"] = int(r["count"])
+
+    _run_stage("00_input",
+               {"docs": args.docs, "content": _content(args.docs)},
+               _input_from_receipt, _input_recompute)
     docs = docs0
 
     def _id_stage(name: str, report_key: str, params: dict, compute_kept):
-        """Run (or skip) one survivor-id stage; rebinds ``docs`` to
-        docs0 ⋈ the stage's WRITTEN ids so downstream stages read an
-        artifact, never a recompute chain."""
+        """One survivor-id stage over the shared protocol; rebinds
+        ``docs`` to docs0 ⋈ the stage's WRITTEN ids so downstream stages
+        read an artifact, never a recompute chain."""
         nonlocal docs
-        state["fp"] = _fp(name, params, state["fp"])
         ids_dir = url_join(st_root, name, "ids")
-        r = _receipt(name)
-        if state["resume"] and r and r.get("fp") == state["fp"]:
-            report[report_key] = int(r["count"])
-            state["skipped"].append(name)
-        else:
-            state["resume"] = False
+
+        def _recompute() -> dict:
             compute_kept(docs).select("doc_id").write.mode(
                 "overwrite"
             ).parquet(ids_dir)
             n = spark.read.parquet(ids_dir).count()
             report[report_key] = n
-            _commit(name, {"fp": state["fp"], "count": n})
+            return {"count": n}
+
+        def _from_receipt(r: dict) -> None:
+            report[report_key] = int(r["count"])
+
+        _run_stage(name, params, _from_receipt, _recompute)
         docs = docs0.join(spark.read.parquet(ids_dir), "doc_id")
 
     if args.quality_gate:
@@ -813,7 +836,8 @@ def cmd_release(args: argparse.Namespace) -> int:
 
         _id_stage(
             "03_decontam", "after_decontamination",
-            {"eval": args.eval, "ngram": args.decontaminate_ngram},
+            {"eval": args.eval, "content": _content(args.eval),
+             "ngram": args.decontaminate_ngram},
             _decontam_kept,
         )
 
@@ -835,8 +859,8 @@ def cmd_release(args: argparse.Namespace) -> int:
 
         _id_stage(
             "04_lm_gate", "after_lm_gate",
-            {"dir": args.lm_gate_dir, "max": args.lm_max_score,
-             "alpha": args.lm_gate_alpha},
+            {"dir": args.lm_gate_dir, "content": _content(args.lm_gate_dir),
+             "max": args.lm_max_score, "alpha": args.lm_gate_alpha},
             _lm_kept,
         )
 
@@ -845,17 +869,9 @@ def cmd_release(args: argparse.Namespace) -> int:
     if weights is not None:
         from .llm.sampling import materialize_mixture, mixture_plan
 
-        state["fp"] = _fp("05_mixture", {
-            "mixture": args.mixture, "budget": args.budget_tokens,
-            "seed": args.seed, "id": args.mixture_id,
-        }, state["fp"])
         rows_dir = url_join(st_root, "05_mixture", "rows")
-        r = _receipt("05_mixture")
-        if state["resume"] and r and r.get("fp") == state["fp"]:
-            report["after_mixture_rows"] = int(r["count"])
-            state["skipped"].append("05_mixture")
-        else:
-            state["resume"] = False
+
+        def _mix_recompute() -> dict:
             plan = mixture_plan(docs, weights, args.budget_tokens,
                                 group_col=mix_group_col, seed=args.seed)
             # narrow projection: the explode job never materializes text
@@ -866,7 +882,15 @@ def cmd_release(args: argparse.Namespace) -> int:
             ).parquet(rows_dir)
             n = spark.read.parquet(rows_dir).count()
             report["after_mixture_rows"] = n
-            _commit("05_mixture", {"fp": state["fp"], "count": n})
+            return {"count": n}
+
+        def _mix_from_receipt(r: dict) -> None:
+            report["after_mixture_rows"] = int(r["count"])
+
+        _run_stage("05_mixture", {
+            "mixture": args.mixture, "budget": args.budget_tokens,
+            "seed": args.seed, "id": args.mixture_id,
+        }, _mix_from_receipt, _mix_recompute)
         export_df = (
             spark.read.parquet(rows_dir)
             .join(docs0.select("doc_id", "text"), "doc_id")
@@ -879,15 +903,8 @@ def cmd_release(args: argparse.Namespace) -> int:
         from .llm.bpe import read_bpe_model
 
         merges = read_bpe_model(spark, args.tokenizer)
-    state["fp"] = _fp("06_export", {
-        "context_len": args.context_len, "n_shards": args.n_shards,
-        "seed": args.seed, "tokenizer": args.tokenizer,
-    }, state["fp"])
-    r = _receipt("06_export")
-    if state["resume"] and r and r.get("fp") == state["fp"]:
-        report["export"] = r["export"]
-        state["skipped"].append("06_export")
-    else:
+
+    def _export_recompute() -> dict:
         man = write_pretrain_export(
             export_df, args.out_dir,
             context_len=args.context_len, n_shards=args.n_shards,
@@ -898,7 +915,17 @@ def cmd_release(args: argparse.Namespace) -> int:
             for k in ("n_shards", "total_docs", "total_tokens",
                       "total_seqs", "tokenizer")
         }
-        _commit("06_export", {"fp": state["fp"], "export": report["export"]})
+        return {"export": report["export"]}
+
+    def _export_from_receipt(r: dict) -> None:
+        report["export"] = r["export"]
+
+    _run_stage("06_export", {
+        "context_len": args.context_len, "n_shards": args.n_shards,
+        "seed": args.seed, "tokenizer": args.tokenizer,
+        "tokenizer_content": (_content(args.tokenizer)
+                              if args.tokenizer else None),
+    }, _export_from_receipt, _export_recompute)
     if state["skipped"]:
         print(f"release: resumed — skipped completed stages "
               f"{state['skipped']}", file=sys.stderr)

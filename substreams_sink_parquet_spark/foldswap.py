@@ -72,19 +72,38 @@ def tolerant_epoch_names(fs: HadoopFS, root: str,
     had not yet deleted is excluded (its rows are already in the fold;
     double-counting is as wrong as dropping). An UNARMED tmp (no
     manifest) never committed and its sources are intact — ignored. The
-    manifest is checked AFTER the listing: a fold committing between the
-    two reads leaves either the armed tmp (used) or the renamed
-    destination (already listed). Single-writer discipline still holds —
-    this never mutates; writers repair via :func:`recover_fold`."""
-    if not fs.exists(root):
-        return []
-    names = sorted(e for e in fs.listdir(root) if e.startswith("epoch="))
+    manifest state is snapshotted BEFORE the listing and RE-CHECKED after
+    it (the ann_topk TOCTOU guard): a fold committing mid-listing — the
+    listing then contains neither the sources (deleted) nor the renamed
+    destination (not yet created) — flips the manifest from present to
+    absent, and the snapshot is retaken instead of silently returning a
+    listing with the folded epoch missing. Single-writer discipline
+    still holds — this never mutates; writers repair via
+    :func:`recover_fold`."""
     tmp_manifest = url_join(root, tmp_name, MANIFEST)
-    if fs.exists(tmp_manifest):
-        srcs = set(json.loads(fs.read_bytes(tmp_manifest))["sources"])
-        names = [e for e in names if e not in srcs]
-        names.append(tmp_name)
-    return names
+    for _attempt in range(3):
+        if not fs.exists(root):
+            return []
+        armed_before = fs.exists(tmp_manifest)
+        srcs = None
+        if armed_before:
+            try:
+                srcs = set(
+                    json.loads(fs.read_bytes(tmp_manifest))["sources"]
+                )
+            except Exception:  # commit removed the tmp mid-read
+                continue
+        names = sorted(e for e in fs.listdir(root) if e.startswith("epoch="))
+        if fs.exists(tmp_manifest) != armed_before:
+            continue  # a commit landed mid-listing — retake the snapshot
+        if armed_before:
+            names = [e for e in names if e not in srcs]
+            names.append(tmp_name)
+        return names
+    # three flips in a row cannot happen with one committing fold (each
+    # commit flips the manifest once); by now the destination is renamed
+    # and a plain fresh listing is consistent
+    return sorted(e for e in fs.listdir(root) if e.startswith("epoch="))
 
 
 def recover_fold(fs: HadoopFS, root: str, tmp_name: str,

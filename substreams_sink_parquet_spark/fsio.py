@@ -98,6 +98,39 @@ class HadoopFS:
             if not st.isDirectory()
         }
 
+    def content_fingerprint(self, url: str) -> str:
+        """md5 over the recursive (relative path, size, mtime) listing of
+        a file or directory URL — an rsync-grade change detector for
+        resume fingerprints: one metadata sweep (the same listing a scan
+        plans from, no data read), so a dataset mutated IN PLACE between
+        runs changes the fingerprint even though its path did not.
+        Returns \"absent\" for a missing path (distinct from any hash)."""
+        import hashlib
+
+        p = self.jpath(url)
+        if not self.fs.exists(p):
+            return "absent"
+        h = hashlib.md5()
+        root = self.fs.getFileStatus(p)
+        if not root.isDirectory():
+            h.update(
+                f"{root.getLen()}:{root.getModificationTime()}".encode()
+            )
+            return h.hexdigest()
+        base = root.getPath().toString()
+        it = self.fs.listFiles(p, True)
+        entries = []
+        while it.hasNext():
+            st = it.next()
+            entries.append((
+                st.getPath().toString()[len(base):],
+                st.getLen(),
+                st.getModificationTime(),
+            ))
+        for e in sorted(entries):
+            h.update(repr(e).encode())
+        return h.hexdigest()
+
     # -- mutation -----------------------------------------------------------
 
     def mkdirs(self, url: str) -> None:

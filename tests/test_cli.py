@@ -1122,3 +1122,67 @@ def test_cli_release_resumes_after_crash(tmp_path, spark, capsys, sf_dir,
     changed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert changed["after_exact_dedup"] == ref_report["after_exact_dedup"]
     assert changed["after_mixture_rows"] != ref_report["after_mixture_rows"]
+
+
+def test_cli_release_stale_receipt_and_content_invalidation(
+        tmp_path, spark, capsys, sf_dir, monkeypatch):
+    """Two crash/staleness rules of the stage protocol: (1) a recompute
+    deletes the stage's receipt BEFORE overwriting its artifact, so a
+    run with changed args that crashes mid-overwrite cannot leave the
+    ORIGINAL args' receipt vouching for a clobbered artifact — a rerun
+    with the original args recomputes instead of silently trusting it;
+    (2) fingerprints carry a CONTENT hash of data-bearing inputs, so
+    mutating the --docs dataset in place under the same path invalidates
+    every stage rather than silently reusing the stale ids."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    import substreams_sink_parquet_spark.llm.sampling as sampling_mod
+    from substreams_sink_parquet_spark.cli import main
+
+    docs_p = str(tmp_path / "docs.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.write.parquet(docs_p)
+
+    def argv(weights):
+        return [
+            "release", str(tmp_path / "rel"), "--docs", docs_p,
+            "--mixture", f"lang:{weights}", "--budget-tokens", "20000",
+            "--context-len", "256", "--n-shards", "4",
+        ]
+
+    assert main(argv("en=0.6,fr=0.4")) == 0
+    ref = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    receipt = tmp_path / "rel" / "_stages" / "05_mixture" / "_STAGE.json"
+    assert receipt.exists()
+
+    # (1) changed-args run crashes mid-mixture-overwrite: the original
+    # receipt must already be GONE (deleted before the overwrite began)
+    real = sampling_mod.materialize_mixture
+    monkeypatch.setattr(
+        sampling_mod, "materialize_mixture",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom-mix")),
+    )
+    with pytest.raises(RuntimeError, match="boom-mix"):
+        main(argv("en=0.5,fr=0.5"))
+    assert not receipt.exists()
+    monkeypatch.setattr(sampling_mod, "materialize_mixture", real)
+    # rerun with the ORIGINAL args: no receipt -> recompute, same report
+    capsys.readouterr()
+    assert main(argv("en=0.6,fr=0.4")) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    ) == ref
+
+    # (2) mutate the dataset IN PLACE (append one more parquet file):
+    # same path, same args — every stage recomputes and sees the new doc
+    docs.filter(F.col("doc_id") == 1).withColumn(
+        "doc_id", F.lit(99_999_999)
+    ).write.mode("append").parquet(docs_p)
+    assert main(argv("en=0.6,fr=0.4")) == 0
+    captured = capsys.readouterr()
+    grown = json.loads(captured.out.strip().splitlines()[-1])
+    assert grown["input_docs"] == ref["input_docs"] + 1
+    assert "skipped completed stages" not in captured.err
