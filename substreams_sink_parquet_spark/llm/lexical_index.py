@@ -513,8 +513,9 @@ def _indexed_oracle() -> str:
     "q_text_bm25_indexed",
     _indexed_oracle(),
     doc="Batch BM25 served from the persisted postings index: builds the "
-        "index (one corpus tokenize into bucket-partitioned postings + a "
-        "2-number meta), then scores the same 6-query fixture as "
+        "index (one corpus tokenize into bucket-partitioned postings, a "
+        "precomputed df tree aggregated from them, + a 2-number meta), "
+        "then scores the same 6-query fixture as "
         "q_text_bm25_batch by scanning ONLY the buckets the query terms "
         "hash into — documents.text never appears in the query plan. "
         "Hash-checked against the same first-principles DuckDB oracle, "
