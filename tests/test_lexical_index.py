@@ -492,3 +492,47 @@ def test_pre_df_index_still_serves_exactly(spark, sf_dir, tmp_path):
     assert _collect(L.bm25_scores_indexed(spark, idx, qs)) == _collect(
         bm25_scores_batch(docs, qs)
     )
+
+
+def test_df_deltas_sum_merge_to_rebuild_exactly(spark, sf_dir, tmp_path):
+    """The df EPOCH DELTAS themselves (not just the scores they feed) are
+    exact: base + appended df tables sum-merged per term equal the df
+    table a full rebuild over the grown corpus computes — including
+    terms that exist only in epochs, only in the base, and in both.
+    Compaction preserves the merged values."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 800)
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    parts = [docs.filter(F.col("doc_id") % 4 == 1),
+             docs.filter(F.col("doc_id") % 4 == 3)]
+    idx = str(tmp_path / "grown")
+    L.write_lexical_index(half_a, idx, n_buckets=16)
+    for i, p in enumerate(parts):
+        L.append_epoch_to_lexical_index(p, idx, epoch_id=i)
+    full = str(tmp_path / "rebuilt")
+    L.write_lexical_index(docs, full, n_buckets=16)
+
+    def merged_df(index_dir, trees):
+        frames = [spark.read.schema(L._DF_SCHEMA).parquet(d)
+                  for d in trees]
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        return {
+            r.term: r.df
+            for r in u.groupBy("term").agg(F.sum("df").alias("df")).collect()
+        }
+
+    want = merged_df(full, [f"{full}/df"])
+    got = merged_df(idx, [f"{idx}/df",
+                          f"{idx}/df_epochs/epoch=0",
+                          f"{idx}/df_epochs/epoch=1"])
+    assert got == want
+    # fold epochs 0 and... the trailing rule keeps epoch=1; add one more
+    # so {0, 1} fold and re-check through the folded tree
+    L.append_epoch_to_lexical_index(docs.filter(F.lit(False)), idx,
+                                    epoch_id=2)
+    assert L.compact_lexical_epochs(spark, idx, min_epochs=2)
+    got_folded = merged_df(idx, [f"{idx}/df",
+                                 f"{idx}/df_epochs/epoch=-1",
+                                 f"{idx}/df_epochs/epoch=2"])
+    assert got_folded == want
