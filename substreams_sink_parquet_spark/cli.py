@@ -757,8 +757,14 @@ def cmd_release(args: argparse.Namespace) -> int:
         returns the receipt payload), and commit the receipt LAST."""
         state["fp"] = _fp(name, params, state["fp"])
         receipt_path = url_join(st_root, name, "_STAGE.json")
-        r = (_json.loads(fs.read_bytes(receipt_path))
-             if fs.exists(receipt_path) else None)
+        try:
+            r = (_json.loads(fs.read_bytes(receipt_path))
+                 if fs.exists(receipt_path) else None)
+        except ValueError:
+            # a crash mid-receipt-write leaves truncated JSON: treat as
+            # absent (the recompute path deletes and rewrites it) rather
+            # than wedging every future resume on a parse error
+            r = None
         if state["resume"] and r and r.get("fp") == state["fp"]:
             from_receipt(r)
             state["skipped"].append(name)
@@ -898,13 +904,15 @@ def cmd_release(args: argparse.Namespace) -> int:
         )
         id_col = "mix_id"
 
-    merges = None
-    if args.tokenizer:
-        from .llm.bpe import read_bpe_model
-
-        merges = read_bpe_model(spark, args.tokenizer)
-
     def _export_recompute() -> dict:
+        merges = None
+        if args.tokenizer:
+            # read lazily: a fully-resumed run that skips the export must
+            # stay metadata-only (the content fingerprint in the stage
+            # params already covers tokenizer drift)
+            from .llm.bpe import read_bpe_model
+
+            merges = read_bpe_model(spark, args.tokenizer)
         man = write_pretrain_export(
             export_df, args.out_dir,
             context_len=args.context_len, n_shards=args.n_shards,

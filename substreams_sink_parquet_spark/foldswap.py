@@ -72,38 +72,50 @@ def tolerant_epoch_names(fs: HadoopFS, root: str,
     had not yet deleted is excluded (its rows are already in the fold;
     double-counting is as wrong as dropping). An UNARMED tmp (no
     manifest) never committed and its sources are intact — ignored. The
-    manifest state is snapshotted BEFORE the listing and RE-CHECKED after
-    it (the ann_topk TOCTOU guard): a fold committing mid-listing — the
-    listing then contains neither the sources (deleted) nor the renamed
-    destination (not yet created) — flips the manifest from present to
-    absent, and the snapshot is retaken instead of silently returning a
-    listing with the folded epoch missing. Single-writer discipline
-    still holds — this never mutates; writers repair via
-    :func:`recover_fold`."""
+    (manifest content, listing) pair is snapshotted TWICE and must agree
+    (the ann_topk TOCTOU guard, strengthened: comparing manifest BYTES
+    and the listing itself also catches the ABA interleavings a
+    present/absent boolean misses — a fold arming AND committing
+    entirely inside the window changes the listing; a second fold
+    re-arming changes the manifest bytes). On persistent disagreement
+    the LAST snapshot still gets the armed-tmp handling — never a bare
+    listing, which would reintroduce the dropped-epoch race. Single-
+    writer discipline still holds — this never mutates; writers repair
+    via :func:`recover_fold`."""
     tmp_manifest = url_join(root, tmp_name, MANIFEST)
+    _TRANSIENT = object()
+
+    def _snapshot():
+        try:
+            manifest = (fs.read_bytes(tmp_manifest)
+                        if fs.exists(tmp_manifest) else None)
+        except Exception:  # a commit removed the tmp mid-read
+            manifest = _TRANSIENT
+        names = sorted(
+            e for e in fs.listdir(root) if e.startswith("epoch=")
+        )
+        return manifest, names
+
+    def _apply(manifest, names):
+        if manifest in (None, _TRANSIENT):
+            return names
+        srcs = set(json.loads(manifest)["sources"])
+        return [e for e in names if e not in srcs] + [tmp_name]
+
+    manifest, names = None, []
     for _attempt in range(3):
         if not fs.exists(root):
             return []
-        armed_before = fs.exists(tmp_manifest)
-        srcs = None
-        if armed_before:
-            try:
-                srcs = set(
-                    json.loads(fs.read_bytes(tmp_manifest))["sources"]
-                )
-            except Exception:  # commit removed the tmp mid-read
-                continue
-        names = sorted(e for e in fs.listdir(root) if e.startswith("epoch="))
-        if fs.exists(tmp_manifest) != armed_before:
-            continue  # a commit landed mid-listing — retake the snapshot
-        if armed_before:
-            names = [e for e in names if e not in srcs]
-            names.append(tmp_name)
-        return names
-    # three flips in a row cannot happen with one committing fold (each
-    # commit flips the manifest once); by now the destination is renamed
-    # and a plain fresh listing is consistent
-    return sorted(e for e in fs.listdir(root) if e.startswith("epoch="))
+        manifest, names = _snapshot()
+        again = _snapshot()
+        if manifest is not _TRANSIENT and (manifest, names) == again:
+            return _apply(manifest, names)
+    # retries exhausted (a compactor is actively folding): use the last
+    # snapshot WITH its armed-tmp handling — the manifest-named sources
+    # and the fold never both disappear from a single consistent pair
+    if manifest is _TRANSIENT:
+        manifest, names = _snapshot()
+    return _apply(manifest, names)
 
 
 def recover_fold(fs: HadoopFS, root: str, tmp_name: str,

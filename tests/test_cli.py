@@ -1176,6 +1176,19 @@ def test_cli_release_stale_receipt_and_content_invalidation(
         capsys.readouterr().out.strip().splitlines()[-1]
     ) == ref
 
+    # (1b) a crash mid-receipt-write leaves truncated JSON: the next
+    # run treats it as absent and recomputes instead of wedging on a
+    # parse error forever
+    receipt.write_text('{"fp": "abc", "cou')
+    crc = receipt.parent / ("." + receipt.name + ".crc")
+    if crc.exists():
+        crc.unlink()
+    capsys.readouterr()
+    assert main(argv("en=0.6,fr=0.4")) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    ) == ref
+
     # (2) mutate the dataset IN PLACE (append one more parquet file):
     # same path, same args — every stage recomputes and sees the new doc
     docs.filter(F.col("doc_id") == 1).withColumn(

@@ -511,7 +511,7 @@ def test_df_deltas_sum_merge_to_rebuild_exactly(spark, sf_dir, tmp_path):
     full = str(tmp_path / "rebuilt")
     L.write_lexical_index(docs, full, n_buckets=16)
 
-    def merged_df(index_dir, trees):
+    def merged_df(trees):
         frames = [spark.read.schema(L._DF_SCHEMA).parquet(d)
                   for d in trees]
         u = frames[0]
@@ -522,8 +522,8 @@ def test_df_deltas_sum_merge_to_rebuild_exactly(spark, sf_dir, tmp_path):
             for r in u.groupBy("term").agg(F.sum("df").alias("df")).collect()
         }
 
-    want = merged_df(full, [f"{full}/df"])
-    got = merged_df(idx, [f"{idx}/df",
+    want = merged_df([f"{full}/df"])
+    got = merged_df([f"{idx}/df",
                           f"{idx}/df_epochs/epoch=0",
                           f"{idx}/df_epochs/epoch=1"])
     assert got == want
@@ -532,7 +532,7 @@ def test_df_deltas_sum_merge_to_rebuild_exactly(spark, sf_dir, tmp_path):
     L.append_epoch_to_lexical_index(docs.filter(F.lit(False)), idx,
                                     epoch_id=2)
     assert L.compact_lexical_epochs(spark, idx, min_epochs=2)
-    got_folded = merged_df(idx, [f"{idx}/df",
+    got_folded = merged_df([f"{idx}/df",
                                  f"{idx}/df_epochs/epoch=-1",
                                  f"{idx}/df_epochs/epoch=2"])
     assert got_folded == want
