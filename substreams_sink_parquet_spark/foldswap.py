@@ -99,7 +99,13 @@ def tolerant_epoch_names(fs: HadoopFS, root: str,
     def _apply(manifest, names):
         if manifest in (None, _TRANSIENT):
             return names
-        srcs = set(json.loads(manifest)["sources"])
+        try:
+            srcs = set(json.loads(manifest)["sources"])
+        except ValueError:
+            # torn manifest write: the fold never armed (the manifest is
+            # written LAST, and commit only starts after it succeeds), so
+            # the sources are intact — read them, ignore the tmp
+            return names
         return [e for e in names if e not in srcs] + [tmp_name]
 
     manifest, names = None, []
@@ -128,8 +134,17 @@ def recover_fold(fs: HadoopFS, root: str, tmp_name: str,
     action = None
     if fs.exists(tmp):
         manifest = url_join(tmp, MANIFEST)
+        srcs = None
         if fs.exists(manifest):
-            srcs = json.loads(fs.read_bytes(manifest))["sources"]
+            try:
+                srcs = json.loads(fs.read_bytes(manifest))["sources"]
+            except ValueError:
+                # torn manifest write: never armed — the commit (and its
+                # source deletes) only start after the manifest write
+                # succeeds, so the sources are intact and the tmp is an
+                # uncommitted partial, same as no manifest at all
+                srcs = None
+        if srcs is not None:
             commit_fold(fs, root, tmp_name, srcs, dst_name)
             action = "committed"
         else:

@@ -1,0 +1,96 @@
+"""foldswap.tolerant_epoch_names unit semantics: the read-side view of a
+fold commit from every static crash point. (The LM / lexical / corpus
+suites cover the same protocol through their integrations; these pin the
+helper's contract directly, fast.)"""
+
+import json
+
+import pytest
+
+from substreams_sink_parquet_spark.foldswap import (
+    FOLDED_EPOCH,
+    MANIFEST,
+    recover_fold,
+    tolerant_epoch_names,
+)
+from substreams_sink_parquet_spark.fsio import HadoopFS
+
+
+@pytest.fixture()
+def fs(spark, tmp_path):
+    return HadoopFS(spark, str(tmp_path))
+
+
+def _mk(tmp_path, *names):
+    for n in names:
+        (tmp_path / n).mkdir(parents=True, exist_ok=True)
+
+
+def _arm(tmp_path, srcs):
+    (tmp_path / "_compact").mkdir(exist_ok=True)
+    (tmp_path / "_compact" / MANIFEST).write_text(
+        json.dumps({"sources": list(srcs)})
+    )
+
+
+def test_absent_root_and_plain_listing(fs, tmp_path):
+    assert tolerant_epoch_names(fs, str(tmp_path / "nope")) == []
+    _mk(tmp_path, "epoch=0", "epoch=1", "not_an_epoch")
+    assert tolerant_epoch_names(fs, str(tmp_path)) == ["epoch=0", "epoch=1"]
+
+
+def test_unarmed_tmp_ignored(fs, tmp_path):
+    """No manifest: the fold never committed; its sources are intact and
+    the half-written tmp must not be read (incomplete duplicate)."""
+    _mk(tmp_path, "epoch=0", "epoch=1", "_compact")
+    assert tolerant_epoch_names(fs, str(tmp_path)) == ["epoch=0", "epoch=1"]
+
+
+def test_armed_tmp_replaces_named_sources(fs, tmp_path):
+    """Crash after both source deletes, before the rename: the armed tmp
+    is the only copy of the folded rows and stands in for its sources."""
+    _mk(tmp_path, "epoch=2")  # trailing epoch, never folded
+    _arm(tmp_path, ["epoch=0", "epoch=1"])
+    assert tolerant_epoch_names(fs, str(tmp_path)) == [
+        "epoch=2", "_compact"
+    ]
+
+
+def test_armed_tmp_excludes_surviving_sources(fs, tmp_path):
+    """Crash after ONE of two source deletes: the survivor's rows are
+    already summed into the fold — reading both would double-count."""
+    _mk(tmp_path, "epoch=1", "epoch=2")
+    _arm(tmp_path, ["epoch=0", "epoch=1"])
+    assert tolerant_epoch_names(fs, str(tmp_path)) == [
+        "epoch=2", "_compact"
+    ]
+
+
+def test_committed_fold_listed_plainly(fs, tmp_path):
+    """After recover (or an uninterrupted commit) the destination is a
+    normal epoch dir and no tmp handling applies."""
+    _mk(tmp_path, "epoch=2")
+    _arm(tmp_path, ["epoch=0", "epoch=1"])
+    assert recover_fold(fs, str(tmp_path), "_compact") == "committed"
+    assert tolerant_epoch_names(fs, str(tmp_path)) == [
+        FOLDED_EPOCH, "epoch=2"
+    ]
+
+
+def test_torn_manifest_treated_as_unarmed(fs, tmp_path):
+    """A manifest that fails to parse is a TORN WRITE: the manifest is
+    written last and the commit (source deletes) only starts after it
+    succeeds, so the sources are intact — readers list them and ignore
+    the tmp (raising would wedge every read forever), and the writer's
+    recover drops the uncommitted tmp exactly as if no manifest existed."""
+    _mk(tmp_path, "epoch=0", "epoch=2")
+    (tmp_path / "_compact").mkdir()
+    (tmp_path / "_compact" / MANIFEST).write_text('{"sour')
+    assert tolerant_epoch_names(fs, str(tmp_path)) == [
+        "epoch=0", "epoch=2"
+    ]
+    assert recover_fold(fs, str(tmp_path), "_compact") == "dropped"
+    assert not (tmp_path / "_compact").exists()
+    assert tolerant_epoch_names(fs, str(tmp_path)) == [
+        "epoch=0", "epoch=2"
+    ]
