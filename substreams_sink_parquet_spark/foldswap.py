@@ -121,7 +121,48 @@ def tolerant_epoch_names(fs: HadoopFS, root: str,
     # and the fold never both disappear from a single consistent pair
     if manifest is _TRANSIENT:
         manifest, names = _snapshot()
+    if manifest is _TRANSIENT:
+        # four consecutive manifest-read failures: if the tmp dir is
+        # still there the fold's state is UNKNOWABLE right now — a bare
+        # listing could silently drop an armed fold's rows, so fail
+        # loudly instead (the family's contract); if the tmp is gone the
+        # failures were its deletion and the plain listing is consistent
+        if fs.exists(url_join(root, tmp_name)):
+            raise IOError(
+                f"tolerant_epoch_names: cannot read {tmp_manifest} after "
+                "repeated attempts while its tmp dir exists — fold state "
+                "unknowable; retry, or run the writer-side recover"
+            )
+        manifest = None
+        names = sorted(
+            e for e in fs.listdir(root) if e.startswith("epoch=")
+        )
     return _apply(manifest, names)
+
+
+def foldable_epoch_names(fs: HadoopFS, root: str, min_epochs: int,
+                         tmp_name: str = "_compact",
+                         recover: bool = True) -> list[str] | None:
+    """WRITER-side epoch set eligible for folding (one shared
+    implementation — lm, lexical postings/df, and the corpus dedup
+    indexes all follow the identical rules): crash-recover the tmp
+    first, list ``epoch=`` dirs, and exclude the highest-NUMBERED epoch
+    — foreachBatch commits each batch before starting the next, so only
+    the trailing epoch can be an uncommitted crashed attempt, and its
+    replay relies on finding (and overwriting) its own dir BY NAME.
+    Returns None when fewer than ``min_epochs`` remain."""
+    if recover and fs.exists(root):
+        recover_fold(fs, root, tmp_name)
+    if not fs.exists(root):
+        return None
+    epochs = sorted(e for e in fs.listdir(root) if e.startswith("epoch="))
+    numbered = [e for e in epochs if int(e.split("=", 1)[1]) >= 0]
+    if numbered:
+        trailing = max(numbered, key=lambda e: int(e.split("=", 1)[1]))
+        epochs = [e for e in epochs if e != trailing]
+    if len(epochs) < min_epochs:
+        return None
+    return epochs
 
 
 def recover_fold(fs: HadoopFS, root: str, tmp_name: str,

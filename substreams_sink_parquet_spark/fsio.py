@@ -99,36 +99,46 @@ class HadoopFS:
         }
 
     def content_fingerprint(self, url: str) -> str:
-        """md5 over the recursive (relative path, size, mtime) listing of
-        a file or directory URL — an rsync-grade change detector for
-        resume fingerprints: one metadata sweep (the same listing a scan
-        plans from, no data read), so a dataset mutated IN PLACE between
-        runs changes the fingerprint even though its path did not.
-        Returns \"absent\" for a missing path (distinct from any hash)."""
+        """md5 over the metadata of a file, directory, or GLOB url — an
+        rsync-grade change detector for resume fingerprints. Cost is a
+        BOUNDED number of gateway calls regardless of tree size (never a
+        per-file py4j walk — the round-trip pathology the batch helpers
+        above exist to avoid): per glob match, one ``getContentSummary``
+        (total bytes + file count + dir count, computed filesystem-side)
+        plus one top-level ``listStatus`` digest (name, size, mtime).
+        Catches appends, deletes, and any rewrite that changes total
+        bytes or file counts; the residual blind spot — a nested rewrite
+        preserving total length, file count, and every top-level status
+        — is documented at the call sites (delete the receipts to force
+        a full recompute). Returns \"absent\" for a path or glob that
+        matches nothing (distinct from any hash)."""
         import hashlib
 
-        p = self.jpath(url)
-        if not self.fs.exists(p):
+        matches = self.fs.globStatus(self.jpath(url))
+        if matches is None or len(matches) == 0:
             return "absent"
         h = hashlib.md5()
-        root = self.fs.getFileStatus(p)
-        if not root.isDirectory():
-            h.update(
-                f"{root.getLen()}:{root.getModificationTime()}".encode()
-            )
-            return h.hexdigest()
-        base = root.getPath().toString()
-        it = self.fs.listFiles(p, True)
-        entries = []
-        while it.hasNext():
-            st = it.next()
-            entries.append((
-                st.getPath().toString()[len(base):],
-                st.getLen(),
-                st.getModificationTime(),
-            ))
-        for e in sorted(entries):
-            h.update(repr(e).encode())
+        for st in sorted(matches, key=lambda s: s.getPath().toString()):
+            p = st.getPath()
+            h.update(p.toString().encode())
+            if st.isDirectory():
+                cs = self.fs.getContentSummary(p)
+                h.update(
+                    f"{cs.getLength()}:{cs.getFileCount()}:"
+                    f"{cs.getDirectoryCount()}".encode()
+                )
+                for child in sorted(
+                    self.fs.listStatus(p),
+                    key=lambda c: c.getPath().getName(),
+                ):
+                    h.update(
+                        f"{child.getPath().getName()}:{child.getLen()}:"
+                        f"{child.getModificationTime()}".encode()
+                    )
+            else:
+                h.update(
+                    f"{st.getLen()}:{st.getModificationTime()}".encode()
+                )
         return h.hexdigest()
 
     # -- mutation -----------------------------------------------------------

@@ -232,34 +232,17 @@ def compact_lexical_epochs(spark: SparkSession, index_dir: str,
     return folded_post or folded_df
 
 
-def _foldable_epochs(fs: HadoopFS, ep_root: str,
-                     min_epochs: int) -> list[str] | None:
-    """Epoch dir names eligible for folding under ``ep_root`` after
-    writer-side crash recovery — None when below ``min_epochs``. The
-    highest-NUMBERED epoch is always excluded (replay-by-overwrite)."""
-    from ..foldswap import recover_fold
-
-    if fs.exists(ep_root):
-        recover_fold(fs, ep_root, "_compact")
-    if not fs.exists(ep_root):
-        return None
-    epochs = sorted(e for e in fs.listdir(ep_root) if e.startswith("epoch="))
-    numbered = [e for e in epochs if int(e.split("=", 1)[1]) >= 0]
-    if numbered:
-        trailing = max(numbered, key=lambda e: int(e.split("=", 1)[1]))
-        epochs = [e for e in epochs if e != trailing]
-    if len(epochs) < min_epochs:
-        return None
-    return epochs
-
-
 def _fold_posting_epochs(spark: SparkSession, index_dir: str,
                          min_epochs: int) -> bool:
-    from ..foldswap import commit_fold, write_fold_manifest
+    from ..foldswap import (
+        commit_fold,
+        foldable_epoch_names,
+        write_fold_manifest,
+    )
 
     fs = HadoopFS(spark, index_dir)
     ep_root = url_join(index_dir, "postings_epochs")
-    epochs = _foldable_epochs(fs, ep_root, min_epochs)
+    epochs = foldable_epoch_names(fs, ep_root, min_epochs)
     if epochs is None:
         return False
     stats = {"n_docs": 0, "sum_dl": 0}
@@ -287,11 +270,15 @@ def _fold_posting_epochs(spark: SparkSession, index_dir: str,
 
 def _fold_df_epochs(spark: SparkSession, index_dir: str,
                     min_epochs: int) -> bool:
-    from ..foldswap import commit_fold, write_fold_manifest
+    from ..foldswap import (
+        commit_fold,
+        foldable_epoch_names,
+        write_fold_manifest,
+    )
 
     fs = HadoopFS(spark, index_dir)
     ep_root = url_join(index_dir, "df_epochs")
-    epochs = _foldable_epochs(fs, ep_root, min_epochs)
+    epochs = foldable_epoch_names(fs, ep_root, min_epochs)
     if epochs is None:
         return False
     with_data = [
@@ -443,7 +430,28 @@ def bm25_scores_indexed(spark: SparkSession, index_dir: str,
         for f in df_frames[1:]:
             dft = dft.unionByName(f)
         dft = dft.groupBy("term").agg(F.sum("df").alias("df"))
-        postings = postings.join(F.broadcast(dft), "term")
+        # LEFT join + loud per-row guard, not an inner join: a matched
+        # posting whose term has no df row means the df tree is
+        # inconsistent with the postings tree (e.g. an epoch appended by
+        # a pre-df writer against a has_df index) — an inner join would
+        # silently DROP those postings from scoring, while this family's
+        # contract is to fail loudly (the _read_epoch_stats rule). Costs
+        # one null test per matched posting; never fires on a consistent
+        # index.
+        postings = postings.join(F.broadcast(dft), "term", "left")
+        postings = postings.withColumn(
+            "df",
+            F.when(
+                F.col("df").isNull(),
+                F.raise_error(F.concat(
+                    F.lit("lexical index df tree is missing term "),
+                    F.col("term"),
+                    F.lit(" present in the postings — re-append the "
+                          "epoch with the current writer or rebuild "
+                          "(lex-build)"),
+                )).cast("long"),
+            ).otherwise(F.col("df")),
+        )
     else:
         # pre-df index: the historical window over matched postings
         postings = postings.withColumn(

@@ -137,6 +137,7 @@ def write_bigram_lm(docs: DataFrame, lm_dir: str,
     (alpha mass over the true c_uni), never as out-of-vocabulary."""
     spark = docs.sparkSession
     fs = HadoopFS(spark, lm_dir)
+    _purge_vocab_memo(lm_dir)
     uni, bg, stats = _count_tables(docs, n_buckets, min_count)
     meta_path = url_join(lm_dir, _META)
     if fs.exists(meta_path):
@@ -201,6 +202,7 @@ def append_epoch_to_bigram_lm(new_docs: DataFrame, lm_dir: str,
             "appendable; prune only as a terminal step on a frozen model"
         )
     fs = HadoopFS(spark, lm_dir)
+    _purge_vocab_memo(lm_dir)
     ep_dir = url_join(lm_dir, "epochs", f"epoch={int(epoch_id)}")
     # clear a previous attempt's stats first: a replay that crashes
     # before its own stats write must not leave the OLD attempt's stats
@@ -262,6 +264,22 @@ def _committed_epochs(fs: HadoopFS, lm_dir: str) -> list[str]:
 _VOCAB_MEMO: dict = {}
 
 
+def _purge_vocab_memo(lm_dir: str) -> None:
+    """Drop memo entries for one model dir — called by every SAME-PROCESS
+    writer mutation (rebuild / append / compact), closing the residual
+    stale-hit window where a rebuild plus a fresh-checkpoint epoch-id
+    reset reproduces the full (base stats, epoch name, epoch stats) key
+    with different underlying counts. A writer in ANOTHER process cannot
+    purge this one's memo; that deployment shape should score in fresh
+    sessions (the driver/CLI pattern) or restart the scoring session
+    after out-of-band retrains."""
+    from ..fsio import normalize_store_url
+
+    key = normalize_store_url(lm_dir)
+    for k in [k for k in _VOCAB_MEMO if k[0] == key]:
+        del _VOCAB_MEMO[k]
+
+
 def merged_lm_state(spark: SparkSession, lm_dir: str):
     """(unigrams, bigrams, effective-stats) as of base + every appended
     epoch. With no epochs this is exactly the base read (no extra
@@ -308,8 +326,12 @@ def merged_lm_state(spark: SparkSession, lm_dir: str):
         spark, bg, _BG_SCHEMA, ("w1", "w2", "c_bg"),
         [url_join(ep_root, e, "bigrams") for e in epochs],
     ).groupBy("w1", "w2").agg(F.sum("c_bg").alias("c_bg"))
-    memo_key = (lm_dir, int(meta["vocab"]), int(meta["n_tokens"]),
-                int(meta["n_docs"]), tuple(ep_fp))
+    from ..fsio import normalize_store_url
+
+    # normalized dir in the key so writer purges and reader lookups agree
+    # on relative-vs-absolute spellings of the same model dir
+    memo_key = (normalize_store_url(lm_dir), int(meta["vocab"]),
+                int(meta["n_tokens"]), int(meta["n_docs"]), tuple(ep_fp))
     if memo_key not in _VOCAB_MEMO:
         if len(_VOCAB_MEMO) >= 256:  # bound a long-lived session's memo
             _VOCAB_MEMO.clear()
@@ -337,20 +359,17 @@ def compact_lm_epochs(spark: SparkSession, lm_dir: str,
     overwriting its own epoch dir by name), but the fold is a
     groupBy-SUM merge, not a concatenation: the same (w1, w2) recurs
     across epochs and the folded table must carry the summed count."""
-    from ..foldswap import commit_fold, recover_fold, write_fold_manifest
+    from ..foldswap import (
+        commit_fold,
+        foldable_epoch_names,
+        write_fold_manifest,
+    )
 
     fs = HadoopFS(spark, lm_dir)
+    _purge_vocab_memo(lm_dir)
     ep_root = url_join(lm_dir, "epochs")
-    if fs.exists(ep_root):
-        recover_fold(fs, ep_root, "_compact")
-    if not fs.exists(ep_root):
-        return False
-    epochs = sorted(e for e in fs.listdir(ep_root) if e.startswith("epoch="))
-    numbered = [e for e in epochs if int(e.split("=", 1)[1]) >= 0]
-    if numbered:
-        trailing = max(numbered, key=lambda e: int(e.split("=", 1)[1]))
-        epochs = [e for e in epochs if e != trailing]
-    if len(epochs) < min_epochs:
+    epochs = foldable_epoch_names(fs, ep_root, min_epochs)
+    if epochs is None:
         return False
     stats = {"n_tokens": 0, "n_docs": 0}
     for e in epochs:

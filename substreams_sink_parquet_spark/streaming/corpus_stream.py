@@ -879,21 +879,18 @@ def compact_index(spark: SparkSession, out_dir: str, min_epochs: int = 2) -> boo
     ``_compact`` first; the commit phase (delete sources, rename into
     place) is idempotent and re-runnable via ``recover_index_compact``,
     which is also invoked automatically here."""
+    from ..foldswap import foldable_epoch_names
+
     fs = HadoopFS(spark, out_dir)
     recover_index_compact(fs, out_dir)
     did = False
     for root_name, cols, mode in _INDEX_ROOTS:
         index_root = url_join(out_dir, root_name)
-        if not fs.exists(index_root):
-            continue
-        epochs = sorted(
-            e for e in fs.listdir(index_root) if e.startswith("epoch=")
-        )
-        numbered = [e for e in epochs if int(e.split("=", 1)[1]) >= 0]
-        if numbered:
-            trailing = max(numbered, key=lambda e: int(e.split("=", 1)[1]))
-            epochs = [e for e in epochs if e != trailing]
-        if len(epochs) < min_epochs:
+        # recover=False: recover_index_compact above already repaired
+        # every root in one pass
+        epochs = foldable_epoch_names(fs, index_root, min_epochs,
+                                      recover=False)
+        if epochs is None:
             continue
         merged = spark.read.parquet(
             *[url_join(index_root, e) for e in epochs]

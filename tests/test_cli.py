@@ -1192,7 +1192,7 @@ def test_cli_release_stale_receipt_and_content_invalidation(
     # (2) mutate the dataset IN PLACE (append one more parquet file):
     # same path, same args — every stage recomputes and sees the new doc
     docs.filter(F.col("doc_id") == 1).withColumn(
-        "doc_id", F.lit(99_999_999)
+        "doc_id", F.lit(99_999_999).cast("long")
     ).write.mode("append").parquet(docs_p)
     assert main(argv("en=0.6,fr=0.4")) == 0
     captured = capsys.readouterr()

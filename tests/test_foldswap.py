@@ -94,3 +94,54 @@ def test_torn_manifest_treated_as_unarmed(fs, tmp_path):
     assert tolerant_epoch_names(fs, str(tmp_path)) == [
         "epoch=0", "epoch=2"
     ]
+
+
+def test_persistent_manifest_read_failure_raises_while_tmp_exists(
+        fs, tmp_path):
+    """When the manifest read keeps failing but the tmp dir is STILL
+    THERE, the fold's state is unknowable — the reader must raise, not
+    fall back to a bare listing that would silently drop an armed
+    fold's rows (the race this helper exists to close)."""
+    _mk(tmp_path, "epoch=2")
+    _arm(tmp_path, ["epoch=0", "epoch=1"])
+
+    class FlakyFS:
+        def __init__(self, real):
+            self._real = real
+
+        def exists(self, url):
+            return self._real.exists(url)
+
+        def listdir(self, url):
+            return self._real.listdir(url)
+
+        def read_bytes(self, url):
+            if url.endswith(MANIFEST):
+                raise IOError("transient store failure")
+            return self._real.read_bytes(url)
+
+    with pytest.raises(IOError, match="unknowable"):
+        tolerant_epoch_names(FlakyFS(fs), str(tmp_path))
+
+
+def test_foldable_epoch_names_shared_rules(fs, tmp_path):
+    """The writer-side foldable set: recover first, trailing numbered
+    epoch excluded, None below min_epochs, epoch=-1 always foldable."""
+    from substreams_sink_parquet_spark.foldswap import foldable_epoch_names
+
+    assert foldable_epoch_names(fs, str(tmp_path / "nope"), 1) is None
+    _mk(tmp_path, "epoch=-1", "epoch=0", "epoch=1", "epoch=2")
+    assert foldable_epoch_names(fs, str(tmp_path), 2) == [
+        "epoch=-1", "epoch=0", "epoch=1"
+    ]
+    assert foldable_epoch_names(fs, str(tmp_path), 4) is None
+    # an armed crash is recovered (writer side) before listing
+    _arm(tmp_path, ["epoch=0", "epoch=1"])
+    import shutil
+
+    shutil.rmtree(tmp_path / "epoch=0")
+    shutil.rmtree(tmp_path / "epoch=1")
+    got = foldable_epoch_names(fs, str(tmp_path), 1)
+    # recover committed the fold: epoch=-1 holds it; trailing epoch=2 out
+    assert got == ["epoch=-1"]
+    assert not (tmp_path / "_compact").exists()

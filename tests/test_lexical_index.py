@@ -536,3 +536,26 @@ def test_df_deltas_sum_merge_to_rebuild_exactly(spark, sf_dir, tmp_path):
                                  f"{idx}/df_epochs/epoch=-1",
                                  f"{idx}/df_epochs/epoch=2"])
     assert got_folded == want
+
+
+def test_missing_df_twin_fails_loudly_not_silently(spark, sf_dir,
+                                                   tmp_path):
+    """A committed postings epoch with no df twin (e.g. appended by a
+    pre-df writer against a has_df index) is an INCONSISTENT index: an
+    inner df join would silently drop that epoch's unique terms from
+    scoring. The serve path left-joins and raises per-row instead —
+    the family's loud-failure contract (_read_epoch_stats rule)."""
+    import shutil
+
+    docs = _docs(spark, sf_dir)
+    qs = _queries(spark)
+    idx = str(tmp_path / "lex")
+    # empty base: every matched term lives only in the appended epoch,
+    # so stripping that epoch's df twin leaves NO df row for any of them
+    L.write_lexical_index(docs.filter(F.lit(False)), idx, n_buckets=16)
+    L.append_epoch_to_lexical_index(docs, idx, epoch_id=0)
+    assert L.bm25_scores_indexed(spark, idx, qs).count() > 0
+    # strip the epoch's df twin, leaving a fully-committed postings epoch
+    shutil.rmtree(tmp_path / "lex" / "df_epochs" / "epoch=0")
+    with pytest.raises(Exception, match="df tree is missing term"):
+        L.bm25_scores_indexed(spark, idx, qs).collect()

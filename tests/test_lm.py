@@ -503,3 +503,32 @@ def test_min_count_pruning_bounds_table_not_vocabulary(spark, tmp_path):
     full_score = {r.doc_id: r.neg_avg_logprob
                   for r in L.score_with_lm(spark, full_dir, probe).collect()}
     assert got[2] > full_score[2]
+
+
+def test_writer_mutations_purge_vocab_memo(spark, tmp_path):
+    """Every same-process writer mutation (rebuild / append / compact)
+    purges the merged-vocab memo for its model dir — closing the stale
+    hit where a rebuild plus a fresh-checkpoint epoch-id reset could
+    reproduce the (base stats, epoch stats) key over different counts."""
+    lm_dir = str(tmp_path / "lm")
+    base, extra = _train(spark), _extra(spark)
+    L.write_bigram_lm(base, lm_dir, n_buckets=4)
+    L.append_epoch_to_bigram_lm(
+        extra.filter(F.col("doc_id") < 300), lm_dir, epoch_id=0
+    )
+    from substreams_sink_parquet_spark.fsio import normalize_store_url
+
+    key_dir = normalize_store_url(lm_dir)
+    L.merged_lm_state(spark, lm_dir)
+    assert any(k[0] == key_dir for k in L._VOCAB_MEMO)
+    L.write_bigram_lm(base, lm_dir, n_buckets=4)
+    assert not any(k[0] == key_dir for k in L._VOCAB_MEMO)
+    L.append_epoch_to_bigram_lm(
+        extra.filter(F.col("doc_id") < 300), lm_dir, epoch_id=0
+    )
+    L.merged_lm_state(spark, lm_dir)
+    assert any(k[0] == key_dir for k in L._VOCAB_MEMO)
+    L.append_epoch_to_bigram_lm(
+        extra.filter(F.col("doc_id") >= 300), lm_dir, epoch_id=1
+    )
+    assert not any(k[0] == key_dir for k in L._VOCAB_MEMO)

@@ -330,3 +330,40 @@ def test_bloom_filter_columns_written(spark, tmp_path):
         )
         sizes[label] = os.path.getsize(os.path.join(out, "0000000000-0000001000.parquet"))
     assert sizes["on"] > sizes["off"] + 1000, sizes
+
+
+def test_content_fingerprint_detects_change_and_globs(spark, tmp_path):
+    """The release-resume change detector: stable across reads, changes
+    on append/rewrite/delete, resolves GLOB paths (a glob --docs must
+    not silently fingerprint as 'absent' — that would defeat the
+    in-place-mutation invalidation entirely), and costs a bounded
+    number of gateway calls (content summary + one top-level listing),
+    never a per-file walk."""
+    import time
+
+    from substreams_sink_parquet_spark.fsio import HadoopFS
+
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "a.parquet").write_text("aa")
+    (d / "b.parquet").write_text("bbb")
+    fs = HadoopFS(spark, str(tmp_path))
+
+    f_dir = fs.content_fingerprint(str(d))
+    f_glob = fs.content_fingerprint(str(d / "*.parquet"))
+    assert f_dir not in ("absent",) and f_glob not in ("absent",)
+    assert fs.content_fingerprint(str(d)) == f_dir          # stable
+    assert fs.content_fingerprint(str(d / "zz*")) == "absent"
+
+    time.sleep(0.01)
+    (d / "c.parquet").write_text("c")                       # append
+    f_dir2 = fs.content_fingerprint(str(d))
+    assert f_dir2 != f_dir
+    assert fs.content_fingerprint(str(d / "*.parquet")) != f_glob
+
+    (d / "a.parquet").write_text("aaaa")                    # rewrite
+    assert fs.content_fingerprint(str(d)) != f_dir2
+
+    (d / "c.parquet").unlink()                              # delete
+    f_dir3 = fs.content_fingerprint(str(d))
+    assert f_dir3 not in (f_dir, f_dir2)
