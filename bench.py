@@ -102,6 +102,59 @@ EXTENDED = [
 
 SINK_BLOCKS = 20_000  # reference worked example is 15k blocks (README.md:28-29)
 
+# Recorded-solo references for the contended flag, measured on an idle
+# round-7 dev box (local[32], min of 3 timed passes after warm-up, no
+# co-running Spark) at the bench TAIL — after the full catalog + sink
+# sweep, in the same long-lived session (see the calibration comment in
+# main() for why position matters).
+CAL_JVM_SOLO_REF = 0.176
+CAL_PY_SOLO_REF = 1.35
+
+
+def contended_verdict(calibration: float, calibration_py: float,
+                      pre_plain: list, post_plain: list,
+                      cal_ref: float = CAL_JVM_SOLO_REF,
+                      cal_py_ref: float = CAL_PY_SOLO_REF):
+    """The contention flag as a PURE function of the four measured inputs,
+    so a pytest can pin its behavior on synthetic sample sets (VERDICT
+    r10, Next #2) — the flag has decided whether a round's headline is
+    comparable for three rounds running, which makes its logic part of
+    the measured surface, not incidental plumbing.
+
+    Two calibration signals (either probe >1.3x its recorded-solo
+    reference; the 1.3x is the uniform contention factor measured on
+    this host) and two sink signals on plain-mode samples:
+
+    * within-PRE spread >2x — instability across identical warmed
+      passes before any sweep debt exists (a genuinely co-tenant box;
+      the JIT ramp that used to mimic this shape is gone now that the
+      sink warms up at full size before timing);
+    * steady-state LEVEL drop, best-pre vs best-post >2x — the session
+      degraded for good mid-bench (the r4 collapse shape), while a lone
+      slow post pass (GC debt) leaves the post max intact and must NOT
+      flag.
+
+    Returns (contended, reasons, sink_spread_ratio, sink_post_drop_ratio).
+    """
+    sink_spread_ratio = round(
+        max(pre_plain) / max(min(pre_plain), 1e-9), 2)
+    sink_post_drop_ratio = round(
+        max(pre_plain) / max(max(post_plain), 1e-9), 2)
+    reasons = []
+    if calibration > 1.3 * cal_ref:
+        reasons.append(
+            f"jvm_calibration {calibration} > 1.3x solo {cal_ref}")
+    if calibration_py > 1.3 * cal_py_ref:
+        reasons.append(
+            f"py_calibration {calibration_py} > 1.3x solo {cal_py_ref}")
+    if sink_spread_ratio > 2.0:
+        reasons.append(
+            f"sink pre-sweep sample spread {sink_spread_ratio}x > 2x")
+    if sink_post_drop_ratio > 2.0:
+        reasons.append(
+            f"sink post-sweep steady-state drop {sink_post_drop_ratio}x > 2x")
+    return bool(reasons), reasons, sink_spread_ratio, sink_post_drop_ratio
+
 
 def bench_sink(spark, plain_only: bool = False) -> dict:
     """Blocks/sec through the full ingest path: staged raw parquet →
@@ -158,12 +211,6 @@ def bench_sink(spark, plain_only: bool = False) -> dict:
                 spark, in_dir,
                 synth_blocks(spec, range(c * chunk, (c + 1) * chunk), payload),
             )
-        # untimed warm-up: first run through the decode+dynamic-partition-write
-        # path pays one-time JVM/Python-worker setup (~2s) that a long-running
-        # sink amortizes to nothing
-        warm_in = os.path.join(work, "warm_in")
-        warm_out = os.path.join(work, "warm_out")
-        os.makedirs(warm_out)
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         # write_tasks deliberately OFF here: this 20k-block micro-batch is
         # DECODE-dominated (decode_stage_sec ~0.65 of a ~1s job), so
@@ -172,13 +219,6 @@ def bench_sink(spark, plain_only: bool = False) -> dict:
         # The knob's win case is the write-dominated catch-up batch, which
         # bench_catchup_write measures explicitly.
         wopts = WriterOptions(partition_size=5000)
-        stage_raw_blocks(spark, warm_in, synth_blocks(spec, range(1000), payload))
-        write_ranges(
-            # repartition(cpus): the warm-up must spawn the WHOLE Python
-            # worker pool, or the timed run pays ~3s of worker startup
-            decode_payloads(spark.read.parquet(warm_in).repartition(cpus), spec),
-            warm_out, wopts, ranges=[0],
-        )
 
         from substreams_sink_parquet_spark.partition import range_start_col
         from substreams_sink_parquet_spark.sink.explode import explode_all
@@ -201,6 +241,23 @@ def bench_sink(spark, plain_only: bool = False) -> dict:
             decoded = decode_payloads(raw, spec)
             write_ranges(decoded, out_dir, wopts, ranges=ranges)
             return SINK_BLOCKS / (time.time() - t0)
+
+        # untimed FULL-SIZE warm-up passes, until throughput stabilizes
+        # (two consecutive passes within 1.3x, capped at 4): the old
+        # 1,000-block single-range warm-up left the first timed samples
+        # mid-JIT-ramp — BENCH_r10's pre-sweep read 3.5k → 3.3k → 8.1k
+        # blocks/s while the SAME code measured 21-27k post-sweep, and
+        # the ramp tripped the >2x spread contention flag on what was an
+        # idle box, eating the round's like-for-like comparison for the
+        # second round running (VERDICT r10, Wrong #2 / Next #2). Warming
+        # the exact timed job (full size, all ranges) also spawns the
+        # whole Python worker pool, which the small warm-up existed for.
+        prev = None
+        for wi in range(4):
+            cur = run_plain(os.path.join(work, f"warm{wi}"))
+            if prev is not None and cur < 1.3 * prev:
+                break
+            prev = cur
 
         # exploded ingest — the reference's flagship mode (README.md:33-41):
         # main table + one table per root repeated field, decode persisted
@@ -555,54 +612,20 @@ def main() -> None:
     _calibrate_py()  # warm-up (Arrow serializer + worker reuse paths)
     calibration_py = round(min(_calibrate_py() for _ in range(3)), 3)
 
-    # Recorded-solo references for the contended flag, measured on an idle
-    # round-7 dev box (local[32], min of 3 timed passes after warm-up, no
-    # co-running Spark) AT THIS POSITION — after the full catalog + sink
-    # sweep, in the same long-lived session. Position matters: the first
-    # cut of the Python reference (0.90) was measured in a fresh dev
-    # session and the probe then read a stable 1.31-1.35 at the bench
-    # tail on the same idle box (two consecutive solo runs), tripping the
-    # flag on every clean run — a Python-worker pool that has served 160+
-    # queries is simply slower to feed than a fresh one. The flag trips
-    # at 1.3x because the uniform contention factor measured on this host
-    # was exactly ~1.3-1.4x; a different host baseline shows up as BOTH
-    # probes off by the same stable factor round over round, which the
-    # verdict can re-baseline.
-    CAL_JVM_SOLO_REF = 0.176
-    CAL_PY_SOLO_REF = 1.35
-    # sink spread: plain-mode samples come from identical code on
-    # identical input, but pre- and post-sweep samples are NOT one
-    # population — the first post-sweep pass routinely pays the
-    # 550-query sweep's accumulated JVM debt even on an idle box
-    # (measured solo, both calibrations clean: pre 15.4/16.0/20.3k,
-    # post 4.7/13.1/13.8k — pooling those flagged a clean run). Two
-    # separate contention signals instead of one pooled ratio:
-    #   * within-PRE spread >2x — instability before any sweep debt
-    #     exists (the r6 shape: 4,874-19,335 inside one artifact);
-    #   * steady-state LEVEL drop, best-pre vs best-post >2x — the
-    #     session degraded for good mid-bench (the r4 collapse: fresh
-    #     16.4k vs post-sweep 5.8k steady), while a lone slow post pass
-    #     (GC debt) leaves the post max intact and does not flag.
-    pre_plain = sink_pre["samples"]["plain"]
-    post_plain = sink_post["samples"]["plain"]
-    sink_spread_ratio = round(
-        max(pre_plain) / max(min(pre_plain), 1e-9), 2)
-    sink_post_drop_ratio = round(
-        max(pre_plain) / max(max(post_plain), 1e-9), 2)
-    contended_reasons = []
-    if calibration > 1.3 * CAL_JVM_SOLO_REF:
-        contended_reasons.append(
-            f"jvm_calibration {calibration} > 1.3x solo {CAL_JVM_SOLO_REF}")
-    if calibration_py > 1.3 * CAL_PY_SOLO_REF:
-        contended_reasons.append(
-            f"py_calibration {calibration_py} > 1.3x solo {CAL_PY_SOLO_REF}")
-    if sink_spread_ratio > 2.0:
-        contended_reasons.append(
-            f"sink pre-sweep sample spread {sink_spread_ratio}x > 2x")
-    if sink_post_drop_ratio > 2.0:
-        contended_reasons.append(
-            f"sink post-sweep steady-state drop {sink_post_drop_ratio}x > 2x")
-    contended = bool(contended_reasons)
+    # Calibration-reference position note: the first cut of the Python
+    # reference (0.90) was measured in a fresh dev session and the probe
+    # then read a stable 1.31-1.35 at the bench tail on the same idle box
+    # (two consecutive solo runs), tripping the flag on every clean run —
+    # a Python-worker pool that has served 160+ queries is simply slower
+    # to feed than a fresh one; hence the refs are recorded AT THIS
+    # POSITION. A different host baseline shows up as BOTH probes off by
+    # the same stable factor round over round, which the verdict can
+    # re-baseline. Thresholds, signals, and the why live on
+    # contended_verdict (module level, pytest-pinned).
+    contended, contended_reasons, sink_spread_ratio, sink_post_drop_ratio = \
+        contended_verdict(calibration, calibration_py,
+                          sink_pre["samples"]["plain"],
+                          sink_post["samples"]["plain"])
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
     pre = sink_pre["samples"]
@@ -631,6 +654,17 @@ def main() -> None:
         # one-time postings-index build at this SF; the two *_indexed
         # query timings are serve-only passes against this artifact
         "lex_index_build_sec": lex_build_sec,
+        # serve-only {sec, jobs} for the indexed-retrieval family, named
+        # explicitly (VERDICT r10, Wrong #3): these are min-of-3 passes
+        # of the SERVE closures above against the prebuilt index — zero
+        # build jobs included — so a df-tree or partition-pruning
+        # regression in the serve plan shows as a job-count step, not
+        # a diluted mixed number. The serve job floor is pytest-pinned
+        # (tests/test_lexical_index.py).
+        "serve_only_indexed": {
+            n: {"sec": timings[n], "jobs": jobs[n]}
+            for n in ("q_text_bm25_indexed", "q_retrieval_hybrid_indexed")
+        },
         "stalled_passes": stalled,
         "calibration_sec": calibration,
         "calibration_py_sec": calibration_py,
@@ -647,6 +681,14 @@ def main() -> None:
     print(json.dumps({
         "metric": "headline_jobs",
         "jobs": {n: jobs[n] for n in HEADLINE},
+        # serve-only job counts for the indexed-retrieval family (zero
+        # index-build jobs — the serve closures hit the prebuilt index),
+        # kept in the tail so a serve-plan regression survives the
+        # driver's 2,000-char stdout window
+        "serve_jobs": {
+            n: jobs[n]
+            for n in ("q_text_bm25_indexed", "q_retrieval_hybrid_indexed")
+        },
         "compact": True,
     }))
     # The driver keeps only the last 2,000 chars of stdout; the enriched

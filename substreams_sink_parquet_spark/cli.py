@@ -699,7 +699,14 @@ def cmd_release(args: argparse.Namespace) -> int:
     executor storage pinned for the command's lifetime), and the
     mixture is materialized ONCE — its narrow (mix_id, doc_id, copy,
     grp) rows are written, counted from the artifact, and re-joined to
-    text only inside the export job."""
+    text only inside the export job.
+
+    Operability: ``--status`` walks the same chain computing the same
+    fingerprints but runs and mutates NOTHING — it prints each stage's
+    receipt state (complete / invalidated / stale / torn / absent) plus
+    the exact resume point a rerun would start at; ``--no-resume``
+    recomputes every stage, the escape hatch for the content
+    fingerprint's documented blind spot (ADVICE r10)."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -736,7 +743,21 @@ def cmd_release(args: argparse.Namespace) -> int:
     fs = HadoopFS(spark, args.out_dir)
     st_root = url_join(args.out_dir, "_stages")
     report: dict = {}
-    state = {"fp": "", "resume": True, "skipped": []}
+    # --no-resume: recompute every stage (stale receipts are deleted
+    # stage-by-stage by the protocol's delete-first rule and rewritten
+    # fresh) — the operator's escape hatch for the content fingerprint's
+    # documented blind spot (a nested rewrite preserving total bytes,
+    # file/dir counts, and every top-level status; fsio.py
+    # content_fingerprint), which would otherwise need manual _stages
+    # surgery (ADVICE r10)
+    state = {"fp": "", "resume": not getattr(args, "no_resume", False),
+             "skipped": [],
+             # --status: walk the same stage chain computing the same
+             # fingerprints, but execute nothing and mutate nothing —
+             # just classify each stage's receipt; the resume machinery
+             # is the release path's backbone and operators need to SEE
+             # it (VERDICT r10, Next #5)
+             "status": [] if getattr(args, "status", False) else None}
 
     def _content(path: str) -> str:
         return HadoopFS(spark, path).content_fingerprint(path)
@@ -757,6 +778,7 @@ def cmd_release(args: argparse.Namespace) -> int:
         returns the receipt payload), and commit the receipt LAST."""
         state["fp"] = _fp(name, params, state["fp"])
         receipt_path = url_join(st_root, name, "_STAGE.json")
+        torn = False
         try:
             r = (_json.loads(fs.read_bytes(receipt_path))
                  if fs.exists(receipt_path) else None)
@@ -765,6 +787,27 @@ def cmd_release(args: argparse.Namespace) -> int:
             # absent (the recompute path deletes and rewrites it) rather
             # than wedging every future resume on a parse error
             r = None
+            torn = True
+        if state["status"] is not None:
+            # status walk: classify and return — no deletes, no writes,
+            # no recompute. "complete" = a rerun with these args would
+            # skip it; "invalidated" = its own receipt matches but an
+            # upstream recompute (or --no-resume) forces it anyway;
+            # "stale" = receipt fingerprint disagrees with these args /
+            # inputs; "torn" = truncated receipt (crash mid-write).
+            fp_ok = bool(r) and r.get("fp") == state["fp"]
+            entry = {"stage": name,
+                     "state": ("complete" if fp_ok and state["resume"]
+                               else "invalidated" if fp_ok
+                               else "torn" if torn
+                               else "stale" if r is not None
+                               else "absent")}
+            if r is not None:
+                entry.update({k: v for k, v in r.items() if k != "fp"})
+            state["status"].append(entry)
+            if entry["state"] != "complete":
+                state["resume"] = False
+            return
         if state["resume"] and r and r.get("fp") == state["fp"]:
             from_receipt(r)
             state["skipped"].append(name)
@@ -811,6 +854,8 @@ def cmd_release(args: argparse.Namespace) -> int:
             report[report_key] = int(r["count"])
 
         _run_stage(name, params, _from_receipt, _recompute)
+        if state["status"] is not None:
+            return  # status walk: the ids artifact may not exist
         docs = docs0.join(spark.read.parquet(ids_dir), "doc_id")
 
     if args.quality_gate:
@@ -897,11 +942,12 @@ def cmd_release(args: argparse.Namespace) -> int:
             "mixture": args.mixture, "budget": args.budget_tokens,
             "seed": args.seed, "id": args.mixture_id,
         }, _mix_from_receipt, _mix_recompute)
-        export_df = (
-            spark.read.parquet(rows_dir)
-            .join(docs0.select("doc_id", "text"), "doc_id")
-            .select("mix_id", "text")
-        )
+        if state["status"] is None:
+            export_df = (
+                spark.read.parquet(rows_dir)
+                .join(docs0.select("doc_id", "text"), "doc_id")
+                .select("mix_id", "text")
+            )
         id_col = "mix_id"
 
     def _export_recompute() -> dict:
@@ -934,6 +980,17 @@ def cmd_release(args: argparse.Namespace) -> int:
         "tokenizer_content": (_content(args.tokenizer)
                               if args.tokenizer else None),
     }, _export_from_receipt, _export_recompute)
+    if state["status"] is not None:
+        first = next((e["stage"] for e in state["status"]
+                      if e["state"] != "complete"), None)
+        print(_json.dumps({
+            "stages": state["status"],
+            "complete": first is None,
+            # the exact stage a rerun with these arguments would start
+            # recomputing at; null means every stage would be skipped
+            "resume_point": first,
+        }))
+        return 0
     if state["skipped"]:
         print(f"release: resumed — skipped completed stages "
               f"{state['skipped']}", file=sys.stderr)
@@ -1972,6 +2029,17 @@ def main(argv: list[str] | None = None) -> int:
     rel_p.add_argument("--tokenizer", default=None,
                        help="frozen bpe-train model dir (token arrays in "
                             "the shards)")
+    rel_p.add_argument("--no-resume", action="store_true",
+                       help="ignore committed stage receipts and "
+                            "recompute every stage (receipts are "
+                            "rewritten fresh) — use when an input was "
+                            "rewritten in place without changing its "
+                            "size/mtime fingerprint")
+    rel_p.add_argument("--status", action="store_true",
+                       help="report per-stage receipt state (complete / "
+                            "stale / absent) and the resume point for "
+                            "the current arguments, running nothing and "
+                            "mutating nothing")
     rel_p.set_defaults(fn=cmd_release)
 
     lmt_p = sub.add_parser(

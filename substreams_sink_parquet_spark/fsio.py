@@ -87,6 +87,18 @@ class HadoopFS:
             return []
         return sorted(st.getPath().getName() for st in self.fs.listStatus(p))
 
+    def file_stamp(self, url: str) -> tuple[int, int] | None:
+        """(byte length, modification time ms) of one file — ONE
+        ``getFileStatus`` RPC; ``None`` if absent. Cheap-enough-per-call
+        change detector for memo keys (the vocab memo stats the LM meta
+        file on every lookup so an out-of-band rebuild that reproduces
+        the logical key still misses the memo)."""
+        p = self.jpath(url)
+        if not self.fs.exists(p):
+            return None
+        st = self.fs.getFileStatus(p)
+        return int(st.getLen()), int(st.getModificationTime())
+
     def list_sizes(self, url: str) -> dict[str, int]:
         """{child name: byte size} for plain files under a directory URL."""
         p = self.jpath(url)

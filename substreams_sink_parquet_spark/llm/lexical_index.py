@@ -426,6 +426,18 @@ def bm25_scores_indexed(spark: SparkSession, index_dir: str,
                     df_frames.append(_pruned_df(
                         spark.read.schema(_DF_SCHEMA).parquet(ep_dir)
                     ))
+        if not df_frames:
+            # meta promises a df tree but neither df/ nor any committed
+            # df_epochs/ exists (manual prune, partial restore): the
+            # family's contract is the loud, actionable error — indexing
+            # df_frames[0] would raise a bare IndexError instead
+            raise FileNotFoundError(
+                f"lexical index at {index_dir!r} has has_df set but no "
+                "df/ tree and no committed df_epochs/ — the document-"
+                "frequency state was removed out of band; rebuild "
+                "(lex-build) or re-append an epoch with the current "
+                "writer to restore it"
+            )
         dft = df_frames[0]
         for f in df_frames[1:]:
             dft = dft.unionByName(f)

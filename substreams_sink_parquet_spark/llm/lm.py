@@ -256,11 +256,13 @@ def _committed_epochs(fs: HadoopFS, lm_dir: str) -> list[str]:
 # an eager shuffle+count job, and the corpus-stream fluency gate calls
 # score_with_lm once PER MICRO-BATCH against the same grown model — without
 # the memo every batch pays that job before its scoring plan even starts.
-# Keyed on (lm_dir, base-meta stats, per-epoch (name, stats) fingerprint):
-# an epoch append/compact/replay changes the committed-epoch set or its
-# stats deltas, so a stale hit would need an epoch whose dir name AND both
-# count totals survived a content change — excluded by the append protocol
-# (replay overwrites an epoch by name only to converge to identical counts).
+# Keyed on (lm_dir, base-meta stats, per-epoch (name, stats) fingerprint,
+# meta-file (bytes, mtime) stamp): an epoch append/compact/replay changes
+# the committed-epoch set or its stats deltas, so a stale hit would need an
+# epoch whose dir name AND both count totals survived a content change —
+# excluded by the append protocol (replay overwrites an epoch by name only
+# to converge to identical counts) — and an out-of-band rebuild from
+# another process rewrites the meta file, changing its stamp.
 _VOCAB_MEMO: dict = {}
 
 
@@ -270,9 +272,10 @@ def _purge_vocab_memo(lm_dir: str) -> None:
     stale-hit window where a rebuild plus a fresh-checkpoint epoch-id
     reset reproduces the full (base stats, epoch name, epoch stats) key
     with different underlying counts. A writer in ANOTHER process cannot
-    purge this one's memo; that deployment shape should score in fresh
-    sessions (the driver/CLI pattern) or restart the scoring session
-    after out-of-band retrains."""
+    purge this one's memo, but the memo key also carries the meta file's
+    (bytes, mtime) stamp — a rebuild rewrites meta, so cross-process
+    staleness requires a same-length same-millisecond meta rewrite on
+    top of the logical-key collision."""
     from ..fsio import normalize_store_url
 
     key = normalize_store_url(lm_dir)
@@ -329,9 +332,16 @@ def merged_lm_state(spark: SparkSession, lm_dir: str):
     from ..fsio import normalize_store_url
 
     # normalized dir in the key so writer purges and reader lookups agree
-    # on relative-vs-absolute spellings of the same model dir
+    # on relative-vs-absolute spellings of the same model dir; the meta
+    # file's (bytes, mtime) stamp — one getFileStatus RPC per lookup —
+    # makes CROSS-PROCESS staleness practically unreachable: an
+    # out-of-band rebuild that reproduces the full logical key (base
+    # stats + epoch names + epoch stats, e.g. a retrain plus a
+    # fresh-checkpoint epoch-id reset) still rewrites meta and so misses
+    # the memo (ADVICE r10)
     memo_key = (normalize_store_url(lm_dir), int(meta["vocab"]),
-                int(meta["n_tokens"]), int(meta["n_docs"]), tuple(ep_fp))
+                int(meta["n_tokens"]), int(meta["n_docs"]), tuple(ep_fp),
+                fs.file_stamp(url_join(lm_dir, _META)))
     if memo_key not in _VOCAB_MEMO:
         if len(_VOCAB_MEMO) >= 256:  # bound a long-lived session's memo
             _VOCAB_MEMO.clear()

@@ -218,6 +218,18 @@ def ranked_order_buckets(scored: DataFrame, grp_col: str,
         lambda b: (b.score > F.col(score_col))
         | ((b.score == F.col(score_col)) & (b.doc_id < F.col(id_col))),
     ))
+    # null scores: excluded from boundary candidates above, and the
+    # membership predicate evaluates null against them (F.filter drops
+    # those elements), so without the branch every null-score row lands
+    # in bucket 0 — while DESC ordering sorts nulls LAST, silently
+    # breaking the bucket-monotone-along-order invariant that makes
+    # salted_running_sum exact (ADVICE r10). All boundaries have non-null
+    # scores, hence strictly precede every null-score row in the
+    # (score DESC, id ASC) order: the LAST bucket — size(boundaries) —
+    # is the one that preserves monotonicity.
+    before = F.when(
+        F.col(score_col).isNull(), F.size(barr)
+    ).otherwise(before)
     return (
         scored.join(F.broadcast(bnd), grp_col, "left")
         .withColumn("_salt_bucket", before)

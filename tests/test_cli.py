@@ -1199,3 +1199,113 @@ def test_cli_release_stale_receipt_and_content_invalidation(
     grown = json.loads(captured.out.strip().splitlines()[-1])
     assert grown["input_docs"] == ref["input_docs"] + 1
     assert "skipped completed stages" not in captured.err
+
+
+def test_cli_release_status_and_no_resume(tmp_path, spark, capsys, sf_dir,
+                                          monkeypatch):
+    """Operability of the resume machinery (VERDICT r10, Next #5 + ADVICE):
+    --status walks the fingerprint chain RUNNING NOTHING and MUTATING
+    NOTHING, names the exact stage a rerun would resume at after a
+    mid-pipeline crash, says complete on a finished dir, and classifies
+    a deleted mid-chain receipt as absent with everything downstream
+    invalidated; --no-resume recomputes every stage even when all
+    receipts match, converging to the identical report."""
+    import json
+
+    import pytest
+
+    import substreams_sink_parquet_spark.llm.export as export_mod
+    from substreams_sink_parquet_spark.cli import main
+
+    docs_p = f"{sf_dir}/documents.parquet"
+    out = str(tmp_path / "rel")
+
+    def argv(*extra):
+        return [
+            "release", out, "--docs", docs_p, "--quality-gate",
+            "--mixture", "lang:en=0.6,fr=0.4", "--budget-tokens", "20000",
+            "--context-len", "256", "--n-shards", "4", *extra,
+        ]
+
+    def status():
+        capsys.readouterr()
+        assert main(argv("--status")) == 0
+        st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        return st, {e["stage"]: e["state"] for e in st["stages"]}
+
+    # empty dir: every stage absent, resume point is the first stage,
+    # and the status walk created NOTHING
+    st, states = status()
+    assert st["complete"] is False and st["resume_point"] == "00_input"
+    assert set(states.values()) == {"absent"}
+    assert not (tmp_path / "rel").exists()
+
+    # crash mid-export: status names 06_export as the resume point and
+    # reports the committed stages' counts from their receipts
+    monkeypatch.setattr(
+        export_mod, "write_pretrain_export",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom-export")),
+    )
+    with pytest.raises(RuntimeError, match="boom-export"):
+        main(argv())
+    monkeypatch.undo()
+    stage_dir = tmp_path / "rel" / "_stages"
+    receipts_before = {
+        p.relative_to(stage_dir): p.read_bytes()
+        for p in stage_dir.rglob("_STAGE.json")
+    }
+    st, states = status()
+    assert st["resume_point"] == "06_export"
+    assert states["02_dedup"] == "complete"
+    assert states["06_export"] == "absent"
+    assert any("count" in e for e in st["stages"])
+    # status never mutates: every receipt byte-identical after the walk
+    assert {
+        p.relative_to(stage_dir): p.read_bytes()
+        for p in stage_dir.rglob("_STAGE.json")
+    } == receipts_before
+
+    # finish the run; status now reads complete end to end
+    capsys.readouterr()
+    assert main(argv()) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    st, states = status()
+    assert st["complete"] is True and st["resume_point"] is None
+    assert set(states.values()) == {"complete"}
+
+    # deleted mid-chain receipt: that stage reads absent; downstream
+    # receipts still MATCH their fingerprints but an upstream recompute
+    # forces them — classified invalidated, resume point at the hole
+    (stage_dir / "02_dedup" / "_STAGE.json").unlink()
+    st, states = status()
+    assert st["resume_point"] == "02_dedup"
+    assert states["01_quality"] == "complete"
+    assert states["02_dedup"] == "absent"
+    assert states["05_mixture"] == "invalidated"
+    assert states["06_export"] == "invalidated"
+
+    # changed stage argument: that stage and downstream read stale
+    capsys.readouterr()
+    assert main(argv()) == 0  # repair the hole first
+    capsys.readouterr()
+    assert main([
+        "release", out, "--docs", docs_p, "--quality-gate",
+        "--mixture", "lang:en=0.5,fr=0.5", "--budget-tokens", "20000",
+        "--context-len", "256", "--n-shards", "4", "--status",
+    ]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    states = {e["stage"]: e["state"] for e in st["stages"]}
+    assert states["02_dedup"] == "complete"
+    assert states["05_mixture"] == "stale"
+    assert states["06_export"] == "stale"
+    assert st["resume_point"] == "05_mixture"
+
+    # --no-resume: every stage recomputes (nothing skipped), identical
+    # report, and the receipts end fresh (status reads complete)
+    capsys.readouterr()
+    assert main(argv("--no-resume")) == 0
+    captured = capsys.readouterr()
+    assert "skipped completed stages" not in captured.err
+    assert json.loads(captured.out.strip().splitlines()[-1]) == report
+    st, states = status()
+    assert st["complete"] is True

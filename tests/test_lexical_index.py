@@ -559,3 +559,50 @@ def test_missing_df_twin_fails_loudly_not_silently(spark, sf_dir,
     shutil.rmtree(tmp_path / "lex" / "df_epochs" / "epoch=0")
     with pytest.raises(Exception, match="df tree is missing term"):
         L.bm25_scores_indexed(spark, idx, qs).collect()
+
+
+def test_df_tree_fully_pruned_fails_actionably(spark, sf_dir, tmp_path):
+    """has_df set but NEITHER df/ nor any committed df_epochs/ present
+    (manual prune, partial restore): the loud FileNotFoundError with the
+    rebuild/re-append hint — not the bare IndexError that indexing an
+    empty frame list used to raise (ADVICE r10)."""
+    import shutil
+
+    docs = _docs(spark, sf_dir)
+    qs = _queries(spark)
+    idx = str(tmp_path / "lex")
+    L.write_lexical_index(docs, idx, n_buckets=16)
+    shutil.rmtree(tmp_path / "lex" / "df")
+    with pytest.raises(FileNotFoundError, match="rebuild"):
+        L.bm25_scores_indexed(spark, idx, qs)
+
+
+# serve-path driver-action ceiling: 7 measured at local[4]/sf0.001,
+# 8 in BENCH_r10 at local[32]/sf0.1 (AQE query stages vary by layout);
+# pin the larger observed value — the signal is a STEP (a new eager
+# action), not a one-stage wobble
+SERVE_JOB_BUDGET = 8
+
+
+def test_serve_path_job_count_pinned(spark, sf_dir, tmp_path):
+    """Serve-only job budget for the indexed family (VERDICT r10,
+    Wrong #3): scoring a built index end-to-end costs a BOUNDED number
+    of driver actions — a regression that adds a job (an eager df-tree
+    rebuild, a lost broadcast, a partition-pruning fallback rescan)
+    fails here before it dilutes BENCH's serve_only_indexed numbers."""
+    docs = _docs(spark, sf_dir)
+    qs = _queries(spark)
+    idx = str(tmp_path / "lex")
+    L.write_lexical_index(docs, idx, n_buckets=16)
+    sc = spark.sparkContext
+    sc.setJobGroup("lex-serve-jobs", "bm25_scores_indexed serve actions")
+    try:
+        L.bm25_scores_indexed(spark, idx, qs).write.format("noop").mode(
+            "overwrite").save()
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("lex-serve-jobs")
+    assert len(jobs) <= SERVE_JOB_BUDGET, (
+        f"serve path grew to {len(jobs)} jobs (budget "
+        f"{SERVE_JOB_BUDGET}): {jobs}"
+    )

@@ -532,3 +532,47 @@ def test_writer_mutations_purge_vocab_memo(spark, tmp_path):
         extra.filter(F.col("doc_id") >= 300), lm_dir, epoch_id=1
     )
     assert not any(k[0] == key_dir for k in L._VOCAB_MEMO)
+
+
+def test_vocab_memo_misses_after_out_of_band_rebuild(spark, tmp_path):
+    """Cross-process staleness is practically unreachable (ADVICE r10):
+    the memo key carries the meta file's (bytes, mtime) stamp, so a
+    rebuild + epoch replay that reproduces the ENTIRE logical key (same
+    base stats, same epoch name, same epoch stats — exactly what
+    retraining on the same corpus does) still misses a memo populated
+    before the rebuild. Simulated by snapshotting the memo across the
+    rebuild — a writer in another process cannot purge this process's
+    memo, so its entries would survive exactly like the snapshot."""
+    import time as _time
+
+    lm_dir = str(tmp_path / "lm")
+    base, extra = _train(spark), _extra(spark)
+    L.write_bigram_lm(base, lm_dir, n_buckets=4)
+    L.append_epoch_to_bigram_lm(
+        extra.filter(F.col("doc_id") < 300), lm_dir, epoch_id=0
+    )
+    _, _, first = L.merged_lm_state(spark, lm_dir)
+    snapshot = dict(L._VOCAB_MEMO)
+    assert snapshot
+    # out-of-band retrain on the SAME corpus + same epoch replay: every
+    # logical key component converges to identical values; only the meta
+    # file's stamp differs (the sleep clears local-FS mtime granularity)
+    _time.sleep(0.02)
+    L.write_bigram_lm(base, lm_dir, n_buckets=4)
+    L.append_epoch_to_bigram_lm(
+        extra.filter(F.col("doc_id") < 300), lm_dir, epoch_id=0
+    )
+    L._VOCAB_MEMO.clear()
+    L._VOCAB_MEMO.update(snapshot)  # the other process's surviving memo
+    sc = spark.sparkContext
+    sc.setJobGroup("vocab-stamp-probe", "post-out-of-band-rebuild read")
+    try:
+        _, _, again = L.merged_lm_state(spark, lm_dir)
+    finally:
+        sc.setJobGroup("", "")
+    # a memo HIT would have launched zero jobs (the memoized-read pin
+    # above); the stamp forces a miss, so the vocab count job ran
+    assert list(
+        sc.statusTracker().getJobIdsForGroup("vocab-stamp-probe")
+    ) != []
+    assert again == first  # same corpus — same truth, freshly computed

@@ -607,3 +607,59 @@ def test_ranked_order_buckets_single_job(spark):
     assert bucketed.filter(F.col("source") == "web").select(
         "_salt_bucket"
     ).distinct().count() > 1
+
+
+def test_ranked_order_buckets_null_scores_keep_monotone_order(spark):
+    """Null scores sort LAST under (score DESC, id ASC) — Spark's desc
+    default — but they are excluded from boundary candidates and the
+    boundary-membership predicate evaluates null against them, which
+    used to drop every null-score row into bucket 0: order-contiguity
+    silently broken on exactly the rows the DESC order puts last
+    (ADVICE r10). Pinned: null-score rows land in the LAST bucket, and
+    salted == unsalted row for row on a frame containing nulls."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from substreams_sink_parquet_spark.llm.sampling import (
+        ranked_order_buckets, salted_running_sum,
+    )
+
+    df = (
+        spark.range(2000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 8 < 7, "web").otherwise("books")
+            .alias("source"),
+            (F.col("id") % 11 + 1).alias("n_tokens"),
+            # every 9th row: null score (e.g. an unmeasurable doc)
+            F.when(F.col("id") % 9 == 0, F.lit(None).cast("double"))
+            .otherwise((F.col("id") % 5).cast("double") / 10)
+            .alias("score"),
+        )
+    )
+    bucketed = ranked_order_buckets(df, "source", n_buckets=16)
+    per_row = {
+        r.doc_id: (r.source, r.score, r._salt_bucket)
+        for r in bucketed.collect()
+    }
+    for src in ("web", "books"):
+        null_buckets = {b for _, (s, sc, b) in per_row.items()
+                        if s == src and sc is None}
+        scored_buckets = {b for _, (s, sc, b) in per_row.items()
+                          if s == src and sc is not None}
+        assert len(null_buckets) == 1, (src, null_buckets)
+        assert min(null_buckets) >= max(scored_buckets), (src, per_row)
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r.doc_id: r.cum
+        for r in df.withColumn("cum", F.sum("n_tokens").over(w)).collect()
+    }
+    got = salted_running_sum(
+        bucketed, ["source"], [F.col("score").desc(), F.col("doc_id")],
+        "n_tokens", F.col("_salt_bucket"),
+    ).collect()
+    assert {r.doc_id: r.cum for r in got} == want

@@ -61,9 +61,26 @@ def frame_key(df, strict_floats: bool = True):
     return cols, rows
 
 
+# Rows-only-BY-DESIGN queries whose correctness claim lives in a
+# hash-gated delta companion (the companion makes each engine check its
+# own sketches/builtins against its own exact math and hashes the
+# verdict): the pairing is ASSERTED here, so "rows-only by design" can
+# never silently outlive its justification — a run that covers the
+# rows-only id fails unless its companion is also present AND green
+# (VERDICT r10, Next #6).
+NO_ORACLE_COMPANIONS = {
+    "q_agg_approx": "q_agg_approx_delta",
+    "q_agg_stats_builtin": "q_agg_stats_delta",
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # selecting a paired rows-only id pulls its companion into the run
+    if only:
+        only |= {NO_ORACLE_COMPANIONS[n] for n in only
+                 if n in NO_ORACLE_COMPANIONS}
 
     import duckdb
 
@@ -130,6 +147,22 @@ def main() -> int:
                 print(f"OK    {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]")
         else:
             failures.append(name)
+    # mechanical coupling: each paired rows-only id demands its hash-gated
+    # companion present and green in THIS run
+    for ro, comp in NO_ORACLE_COMPANIONS.items():
+        if ro not in names:
+            continue
+        if comp not in names:
+            print(f"FAIL  {ro}: rows-only by design, but its hash-gated "
+                  f"companion {comp} is not in this run")
+            failures.append(ro)
+        elif comp in failures:
+            print(f"FAIL  {ro}: rows-only by design, but its hash-gated "
+                  f"companion {comp} is red")
+            failures.append(ro)
+        else:
+            print(f"pair  {ro}: rows-only by design — justified by "
+                  f"hash-green companion {comp}")
     print(f"\n{len(names)-len(failures)}/{len(names)} pass ({len(rows_only)} rows-only"
           + (f", {len(tol_pass)} float-tolerance" if tol_pass else "") + ")")
     if tol_pass:
