@@ -242,20 +242,24 @@ def bench_sink(spark, plain_only: bool = False) -> dict:
             write_ranges(decoded, out_dir, wopts, ranges=ranges)
             return SINK_BLOCKS / (time.time() - t0)
 
-        # untimed FULL-SIZE warm-up passes, until throughput stabilizes
-        # (two consecutive passes within 1.3x, capped at 4): the old
-        # 1,000-block single-range warm-up left the first timed samples
-        # mid-JIT-ramp — BENCH_r10's pre-sweep read 3.5k → 3.3k → 8.1k
-        # blocks/s while the SAME code measured 21-27k post-sweep, and
-        # the ramp tripped the >2x spread contention flag on what was an
-        # idle box, eating the round's like-for-like comparison for the
-        # second round running (VERDICT r10, Wrong #2 / Next #2). Warming
-        # the exact timed job (full size, all ranges) also spawns the
-        # whole Python worker pool, which the small warm-up existed for.
+        # untimed FULL-SIZE warm-up passes — minimum 3, then keep going
+        # (capped at 5) while throughput still improves >15% pass over
+        # pass: the old 1,000-block single-range warm-up left the first
+        # timed samples mid-JIT-ramp — BENCH_r10's pre-sweep read
+        # 3.5k → 3.3k → 8.1k blocks/s while the SAME code measured
+        # 21-27k post-sweep, and the ramp tripped the >2x spread
+        # contention flag on what was an idle box, eating the round's
+        # like-for-like comparison for the second round running (VERDICT
+        # r10, Wrong #2 / Next #2). The 3-pass floor matters: that r10
+        # box ramped THROUGH a noise dip (3.5 → 3.3 → 8.1), so any
+        # adaptive rule consulting only the first pair quits inside the
+        # ramp. Warming the exact timed job (full size, all ranges) also
+        # spawns the whole Python worker pool, which the small warm-up
+        # existed for.
         prev = None
-        for wi in range(4):
+        for wi in range(5):
             cur = run_plain(os.path.join(work, f"warm{wi}"))
-            if prev is not None and cur < 1.3 * prev:
+            if wi >= 2 and cur < 1.15 * prev:
                 break
             prev = cur
 
