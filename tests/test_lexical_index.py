@@ -582,6 +582,7 @@ def test_df_tree_fully_pruned_fails_actionably(spark, sf_dir, tmp_path):
 # pin the larger observed value — the signal is a STEP (a new eager
 # action), not a one-stage wobble
 SERVE_JOB_BUDGET = 8
+HYBRID_SERVE_JOB_BUDGET = 12
 
 
 def test_serve_path_job_count_pinned(spark, sf_dir, tmp_path):
@@ -605,4 +606,37 @@ def test_serve_path_job_count_pinned(spark, sf_dir, tmp_path):
     assert len(jobs) <= SERVE_JOB_BUDGET, (
         f"serve path grew to {len(jobs)} jobs (budget "
         f"{SERVE_JOB_BUDGET}): {jobs}"
+    )
+
+
+def test_hybrid_serve_path_job_count_pinned(spark, sf_dir, tmp_path):
+    """Same serve-only job budget pin for the hybrid (BM25 + cosine +
+    RRF) retrieval against a built index: 11 measured at
+    local[4]/sf0.001, 12 in BENCH_r10 at local[32]/sf0.1 — pin the
+    larger observed value; a step above it means a new eager action
+    crept into the fused serve plan."""
+    from substreams_sink_parquet_spark.llm.similarity import (
+        _HYBRID_BATCH, _HYBRID_K, retrieve_hybrid_indexed,
+    )
+    from substreams_sink_parquet_spark.tables import load
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "lex")
+    L.write_lexical_index(docs, idx, n_buckets=16)
+    qtbl = spark.createDataFrame(
+        list(_HYBRID_BATCH), "query_id int, query string, vec_id bigint"
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    sc = spark.sparkContext
+    sc.setJobGroup("hybrid-serve-jobs", "retrieve_hybrid_indexed actions")
+    try:
+        retrieve_hybrid_indexed(
+            spark, idx, qtbl, emb, k=_HYBRID_K, top=10
+        ).write.format("noop").mode("overwrite").save()
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("hybrid-serve-jobs")
+    assert len(jobs) <= HYBRID_SERVE_JOB_BUDGET, (
+        f"hybrid serve path grew to {len(jobs)} jobs (budget "
+        f"{HYBRID_SERVE_JOB_BUDGET}): {jobs}"
     )
