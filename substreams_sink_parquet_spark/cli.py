@@ -983,12 +983,21 @@ def cmd_release(args: argparse.Namespace) -> int:
     if state["status"] is not None:
         first = next((e["stage"] for e in state["status"]
                       if e["state"] != "complete"), None)
+        visited = {e["stage"] for e in state["status"]}
         print(_json.dumps({
             "stages": state["status"],
             "complete": first is None,
             # the exact stage a rerun with these arguments would start
             # recomputing at; null means every stage would be skipped
             "resume_point": first,
+            # receipts the CURRENT flag set never visits (e.g. a dir cut
+            # with --eval, inspected without it): harmless — the
+            # fingerprint chain ignores them — but an operator should
+            # see that the artifact was produced by a different pipeline
+            # shape than the one being asked about
+            "orphaned": sorted(
+                set(fs.listdir(st_root)) - visited
+            ) if fs.exists(st_root) else [],
         }))
         return 0
     if state["skipped"]:

@@ -1309,3 +1309,13 @@ def test_cli_release_status_and_no_resume(tmp_path, spark, capsys, sf_dir,
     assert json.loads(captured.out.strip().splitlines()[-1]) == report
     st, states = status()
     assert st["complete"] is True
+    assert st["orphaned"] == []
+
+    # a receipt the current flag set never visits (a dir produced by a
+    # different pipeline shape) surfaces as orphaned, not silently hidden
+    orphan = stage_dir / "03_decontam"
+    orphan.mkdir()
+    (orphan / "_STAGE.json").write_text('{"fp": "x", "count": 1}')
+    st, states = status()
+    assert st["orphaned"] == ["03_decontam"]
+    assert st["complete"] is True  # the chain itself is untouched
