@@ -703,8 +703,9 @@ def cmd_release(args: argparse.Namespace) -> int:
 
     Operability: ``--status`` walks the same chain computing the same
     fingerprints but runs and mutates NOTHING — it prints each stage's
-    receipt state (complete / invalidated / stale / torn / absent) plus
-    the exact resume point a rerun would start at; ``--no-resume``
+    receipt state (complete / artifact-missing / invalidated / stale /
+    torn / absent), receipts orphaned by a different flag set, and the
+    exact resume point a rerun would start at; ``--no-resume``
     recomputes every stage, the escape hatch for the content
     fingerprint's documented blind spot (ADVICE r10)."""
     import json as _json
@@ -769,13 +770,21 @@ def cmd_release(args: argparse.Namespace) -> int:
             [stage, params, prev], sort_keys=True
         ).encode()).hexdigest()
 
-    def _run_stage(name: str, params: dict, from_receipt, recompute) -> None:
+    def _run_stage(name: str, params: dict, from_receipt, recompute,
+                   artifact: str | None = None) -> None:
         """THE stage protocol (every stage goes through here — a fix to
         the resume rules lands once): advance the fingerprint chain;
-        skip when a committed receipt matches it (``from_receipt``
-        restores the report entries); otherwise delete the stale receipt
-        FIRST, run ``recompute`` (which writes the stage artifact and
-        returns the receipt payload), and commit the receipt LAST."""
+        skip when a committed receipt matches it AND the stage's written
+        ``artifact`` still exists (``from_receipt`` restores the report
+        entries); otherwise delete the stale receipt FIRST, run
+        ``recompute`` (which writes the stage artifact and returns the
+        receipt payload), and commit the receipt LAST. The artifact
+        existence check keeps a receipt honest after out-of-band artifact
+        deletion: the protocol writes artifact-before-receipt, so a
+        receipt normally implies its artifact — but a cleanup script
+        removing ids/ while leaving _STAGE.json would otherwise make the
+        resume skip a stage whose output the next stage then fails to
+        read."""
         state["fp"] = _fp(name, params, state["fp"])
         receipt_path = url_join(st_root, name, "_STAGE.json")
         torn = False
@@ -788,16 +797,22 @@ def cmd_release(args: argparse.Namespace) -> int:
             # than wedging every future resume on a parse error
             r = None
             torn = True
+        art_ok = artifact is None or fs.exists(artifact)
         if state["status"] is not None:
             # status walk: classify and return — no deletes, no writes,
             # no recompute. "complete" = a rerun with these args would
-            # skip it; "invalidated" = its own receipt matches but an
-            # upstream recompute (or --no-resume) forces it anyway;
-            # "stale" = receipt fingerprint disagrees with these args /
-            # inputs; "torn" = truncated receipt (crash mid-write).
+            # skip it; "artifact-missing" = receipt matches but the stage
+            # output it vouches for is gone (deleted out of band);
+            # "invalidated" = its own receipt matches but an upstream
+            # recompute (or --no-resume) forces it anyway; "stale" =
+            # receipt fingerprint disagrees with these args / inputs;
+            # "torn" = truncated receipt (crash mid-write).
             fp_ok = bool(r) and r.get("fp") == state["fp"]
             entry = {"stage": name,
                      "state": ("complete" if fp_ok and state["resume"]
+                               and art_ok
+                               else "artifact-missing" if fp_ok
+                               and state["resume"]
                                else "invalidated" if fp_ok
                                else "torn" if torn
                                else "stale" if r is not None
@@ -808,7 +823,8 @@ def cmd_release(args: argparse.Namespace) -> int:
             if entry["state"] != "complete":
                 state["resume"] = False
             return
-        if state["resume"] and r and r.get("fp") == state["fp"]:
+        if (state["resume"] and r and r.get("fp") == state["fp"]
+                and art_ok):
             from_receipt(r)
             state["skipped"].append(name)
             return
@@ -853,7 +869,8 @@ def cmd_release(args: argparse.Namespace) -> int:
         def _from_receipt(r: dict) -> None:
             report[report_key] = int(r["count"])
 
-        _run_stage(name, params, _from_receipt, _recompute)
+        _run_stage(name, params, _from_receipt, _recompute,
+                   artifact=ids_dir)
         if state["status"] is not None:
             return  # status walk: the ids artifact may not exist
         docs = docs0.join(spark.read.parquet(ids_dir), "doc_id")
@@ -941,7 +958,7 @@ def cmd_release(args: argparse.Namespace) -> int:
         _run_stage("05_mixture", {
             "mixture": args.mixture, "budget": args.budget_tokens,
             "seed": args.seed, "id": args.mixture_id,
-        }, _mix_from_receipt, _mix_recompute)
+        }, _mix_from_receipt, _mix_recompute, artifact=rows_dir)
         if state["status"] is None:
             export_df = (
                 spark.read.parquet(rows_dir)
@@ -974,12 +991,17 @@ def cmd_release(args: argparse.Namespace) -> int:
     def _export_from_receipt(r: dict) -> None:
         report["export"] = r["export"]
 
+    from .llm.export import _MANIFEST as _EXPORT_MANIFEST
+
     _run_stage("06_export", {
         "context_len": args.context_len, "n_shards": args.n_shards,
         "seed": args.seed, "tokenizer": args.tokenizer,
         "tokenizer_content": (_content(args.tokenizer)
                               if args.tokenizer else None),
-    }, _export_from_receipt, _export_recompute)
+    }, _export_from_receipt, _export_recompute,
+        # the export's own commit marker (written LAST by
+        # write_pretrain_export) stands in for the shards artifact
+        artifact=url_join(args.out_dir, _EXPORT_MANIFEST))
     if state["status"] is not None:
         first = next((e["stage"] for e in state["status"]
                       if e["state"] != "complete"), None)
@@ -2046,9 +2068,10 @@ def main(argv: list[str] | None = None) -> int:
                             "size/mtime fingerprint")
     rel_p.add_argument("--status", action="store_true",
                        help="report per-stage receipt state (complete / "
-                            "stale / absent) and the resume point for "
-                            "the current arguments, running nothing and "
-                            "mutating nothing")
+                            "artifact-missing / invalidated / stale / "
+                            "torn / absent), orphaned receipts, and the "
+                            "resume point for the current arguments, "
+                            "running nothing and mutating nothing")
     rel_p.set_defaults(fn=cmd_release)
 
     lmt_p = sub.add_parser(

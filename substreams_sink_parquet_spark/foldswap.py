@@ -124,9 +124,18 @@ def tolerant_epoch_names(fs: HadoopFS, root: str,
         # Wrong #1). The happy path — agreeing first snapshots — never
         # sleeps.
         time.sleep(0.05 * (_attempt + 1))
-    # retries exhausted (a compactor is actively folding): use the last
-    # snapshot WITH its armed-tmp handling — the manifest-named sources
-    # and the fold never both disappear from a single consistent pair
+    # retries exhausted (a compactor is actively folding): take one
+    # FRESH snapshot after the final backoff and use it WITH armed-tmp
+    # handling — the last in-loop snapshot predates that sleep, and a
+    # fold committing DURING it would leave a stale epoch list naming a
+    # _compact dir the commit just renamed away (the caller's read then
+    # aborts on a missing path — the exact spurious failure the backoff
+    # exists to avoid). The manifest-named sources and the fold never
+    # both disappear from a single snapshot, so one fresh pairless read
+    # is still drop-safe.
+    if not fs.exists(root):
+        return []
+    manifest, names = _snapshot()
     if manifest is _TRANSIENT:
         manifest, names = _snapshot()
     if manifest is _TRANSIENT:

@@ -89,14 +89,19 @@ class HadoopFS:
 
     def file_stamp(self, url: str) -> tuple[int, int] | None:
         """(byte length, modification time ms) of one file — ONE
-        ``getFileStatus`` RPC; ``None`` if absent. Cheap-enough-per-call
-        change detector for memo keys (the vocab memo stats the LM meta
-        file on every lookup so an out-of-band rebuild that reproduces
-        the logical key still misses the memo)."""
-        p = self.jpath(url)
-        if not self.fs.exists(p):
+        ``getFileStatus`` RPC, straight to the status call so a writer
+        deleting the file between a separate exists() probe and the stat
+        (the rebuild protocol deletes meta first) reads as ``None``
+        instead of an opaque Java FileNotFoundException. ``None`` (absent
+        or mid-rewrite) still keys a memo entry distinctly from every
+        real stamp. Cheap-enough-per-call change detector for memo keys
+        (the vocab memo stats the LM meta file on every lookup so an
+        out-of-band rebuild that reproduces the logical key still misses
+        the memo)."""
+        try:
+            st = self.fs.getFileStatus(self.jpath(url))
+        except Exception:
             return None
-        st = self.fs.getFileStatus(p)
         return int(st.getLen()), int(st.getModificationTime())
 
     def list_sizes(self, url: str) -> dict[str, int]:

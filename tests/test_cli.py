@@ -1319,3 +1319,22 @@ def test_cli_release_status_and_no_resume(tmp_path, spark, capsys, sf_dir,
     st, states = status()
     assert st["orphaned"] == ["03_decontam"]
     assert st["complete"] is True  # the chain itself is untouched
+
+    # a stage artifact deleted OUT OF BAND under an intact receipt:
+    # status reports artifact-missing at that stage (not a false
+    # complete), and a real rerun recomputes from there instead of
+    # skipping into a crash on the missing ids path
+    import shutil as _shutil
+
+    _shutil.rmtree(stage_dir / "02_dedup" / "ids")
+    st, states = status()
+    assert states["02_dedup"] == "artifact-missing"
+    assert states["05_mixture"] == "invalidated"
+    assert st["resume_point"] == "02_dedup"
+    capsys.readouterr()
+    assert main(argv()) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    ) == report
+    st, states = status()
+    assert st["complete"] is True

@@ -201,3 +201,52 @@ def test_no_sleep_on_happy_path(fs, tmp_path, monkeypatch):
     _arm(tmp_path, ["epoch=0"])
     assert tolerant_epoch_names(fs, str(tmp_path)) == ["epoch=1", "_compact"]
     assert sleeps == []
+
+
+def test_fold_committing_during_final_backoff_reads_fresh(
+        fs, tmp_path, monkeypatch):
+    """All three snapshot pairs disagree (a genuinely slow fold) and the
+    commit lands during the LAST backoff sleep: the reader must take a
+    FRESH snapshot after that sleep — the pre-sleep view names a
+    _compact dir the commit just renamed away, and returning it would
+    abort the caller's read on a missing path (the exact spurious
+    failure the backoff exists to avoid)."""
+    from substreams_sink_parquet_spark import foldswap
+
+    _mk(tmp_path, "epoch=2")
+    _arm(tmp_path, ["epoch=0", "epoch=1"])
+
+    sleeps = []
+
+    def _sleep(s):
+        sleeps.append(s)
+        if len(sleeps) == 3:  # the commit lands inside the final backoff
+            recover_fold(fs, str(tmp_path), "_compact")
+
+    monkeypatch.setattr(foldswap.time, "sleep", _sleep)
+
+    class AlwaysDisagreeing:
+        """Injects a phantom epoch on the first listdir of each of the
+        three in-loop snapshot pairs, so every pair disagrees; the
+        post-backoff fresh snapshot reads the truth."""
+
+        def __init__(self, real):
+            self._real = real
+            self._n = 0
+
+        def exists(self, url):
+            return self._real.exists(url)
+
+        def read_bytes(self, url):
+            return self._real.read_bytes(url)
+
+        def listdir(self, url):
+            out = self._real.listdir(url)
+            self._n += 1
+            if self._n <= 6 and self._n % 2 == 1:
+                return list(out) + ["epoch=phantom"]
+            return out
+
+    got = tolerant_epoch_names(AlwaysDisagreeing(fs), str(tmp_path))
+    assert got == [FOLDED_EPOCH, "epoch=2"]
+    assert len(sleeps) == 3

@@ -367,3 +367,27 @@ def test_content_fingerprint_detects_change_and_globs(spark, tmp_path):
     (d / "c.parquet").unlink()                              # delete
     f_dir3 = fs.content_fingerprint(str(d))
     assert f_dir3 not in (f_dir, f_dir2)
+
+
+def test_file_stamp_single_stat_change_detector(spark, tmp_path):
+    """file_stamp: (bytes, mtime) of one file, None for absent — and the
+    stat goes straight to getFileStatus (no exists() pre-probe), so a
+    file deleted by a racing writer reads as None rather than an opaque
+    Java exception. A rewrite changes the stamp (the vocab-memo staleness
+    guard relies on that)."""
+    import time
+
+    from substreams_sink_parquet_spark.fsio import HadoopFS
+
+    fs = HadoopFS(spark, str(tmp_path))
+    p = tmp_path / "meta.json"
+    assert fs.file_stamp(str(p)) is None
+    p.write_text('{"a": 1}')
+    s1 = fs.file_stamp(str(p))
+    assert s1 is not None and s1[0] == len('{"a": 1}')
+    time.sleep(0.02)
+    p.write_text('{"a": 1}')  # same bytes, later mtime
+    s2 = fs.file_stamp(str(p))
+    assert s2 != s1 and s2[0] == s1[0]
+    p.unlink()
+    assert fs.file_stamp(str(p)) is None

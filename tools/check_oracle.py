@@ -150,8 +150,8 @@ def main() -> int:
     # mechanical coupling: each paired rows-only id demands its hash-gated
     # companion present and green in THIS run
     for ro, comp in NO_ORACLE_COMPANIONS.items():
-        if ro not in names:
-            continue
+        if ro not in names or ro in failures:
+            continue  # absent from the run, or already red on its own
         if comp not in names:
             print(f"FAIL  {ro}: rows-only by design, but its hash-gated "
                   f"companion {comp} is not in this run")
