@@ -636,12 +636,23 @@ def test_ranked_order_buckets_null_scores_keep_monotone_order(spark):
             .otherwise((F.col("id") % 5).cast("double") / 10)
             .alias("score"),
         )
+        # plus a group whose scores are ALL null: boundaries empty,
+        # every row must land in (the only) bucket 0
+        .unionByName(
+            spark.range(2000, 2050).select(
+                F.col("id").alias("doc_id"),
+                F.lit("nulls").alias("source"),
+                (F.col("id") % 11 + 1).alias("n_tokens"),
+                F.lit(None).cast("double").alias("score"),
+            )
+        )
     )
     bucketed = ranked_order_buckets(df, "source", n_buckets=16)
     per_row = {
         r.doc_id: (r.source, r.score, r._salt_bucket)
         for r in bucketed.collect()
     }
+    assert {b for _, (s, _, b) in per_row.items() if s == "nulls"} == {0}
     for src in ("web", "books"):
         null_buckets = {b for _, (s, sc, b) in per_row.items()
                         if s == src and sc is None}
