@@ -431,9 +431,14 @@ def ann_topk(spark: SparkSession, index_dir: str, queries: DataFrame,
         joined.select("q_id", "vec_id", _adc_score(m).alias("adc"))
         .dropDuplicates(["q_id", "vec_id"])
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    # the pq_topk null rule: corrupt probes score null against every row
+    # (corpus-side corruption never reaches the index — pq_encode drops
+    # null / wrong-dimension / null-element vectors at build time)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc").asc_nulls_last(), F.col("vec_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter((F.col("rank") <= k) & F.col("adc").isNotNull())
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank")
     )

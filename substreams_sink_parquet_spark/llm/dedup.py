@@ -613,11 +613,9 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
             F.col("b.sig").alias("sig_b"),
         )
     )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / F.lit(num_hashes)
+    # the shared signature-overlap estimator (also the incremental
+    # screen's), not an inline re-derivation that could silently diverge
+    est = _sig_overlap_est(F.col("sig_a"), F.col("sig_b"), num_hashes)
     # estimate + threshold BEFORE the pair-dedup: est is identical for every
     # band-duplicate of a pair, so the dedup exchange carries only passing
     # (doc_a, doc_b, est) triples instead of every candidate with both
@@ -867,6 +865,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20,
     labels = edges.select(F.col("a").alias("doc_id")).distinct().withColumn(
         "canonical", F.col("doc_id")
     ).localCheckpoint(eager=True)
+    changed = 0  # an empty round budget is trivially converged
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc_id)
@@ -897,6 +896,20 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20,
         if changed == 0:
             break
     pairs.unpersist()
+    if changed != 0:
+        # the cc_star rule: min-label propagation moves the minimum one
+        # hop per round, so a component deeper than max_iter exits the
+        # loop with non-minimal canonicals — wrong keeper assignments.
+        # Raise rather than silently return them (chain-shaped duplicate
+        # components from drifting re-crawls are exactly the shape that
+        # exceeds a fixed round budget; cc_star's O(log n) contraction is
+        # the tool for those)
+        raise RuntimeError(
+            f"dedup_clusters did not reach a fixpoint in {max_iter} "
+            "rounds (labels still changing) — the pair graph has a "
+            "component deeper than max_iter; raise max_iter or use "
+            "cc_star, refusing to return unconverged labels"
+        )
     return labels
 
 

@@ -186,7 +186,7 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
 
 
 def _seed_rows(embeddings: DataFrame, vec_col: str, k: int,
-               id_col: str = "vec_id") -> list:
+               id_col: str = "vec_id", dim: int | None = None) -> list:
     """k deterministic pseudo-random seed vectors (list of Rows with ``.v``).
 
     Ordering by ``xxhash64(id)`` (id tie-break) and taking k compiles to
@@ -198,18 +198,27 @@ def _seed_rows(embeddings: DataFrame, vec_col: str, k: int,
     staying exactly reproducible across runs and partitionings: this IS
     the 'seeded TABLESAMPLE' move, expressed without a sample-rate guess
     that could under-fill k on a small input."""
-    return _seed_plan(embeddings, vec_col, k, id_col).collect()
+    return _seed_plan(embeddings, vec_col, k, id_col, dim).collect()
 
 
 def _seed_plan(embeddings: DataFrame, vec_col: str, k: int,
-               id_col: str = "vec_id") -> DataFrame:
+               id_col: str = "vec_id", dim: int | None = None) -> DataFrame:
     """The seeding plan itself (separate so a pytest can pin its physical
-    shape: TakeOrderedAndProject, never a global Sort)."""
+    shape: TakeOrderedAndProject, never a global Sort). Null / null-element
+    vectors are excluded — plus wrong-dimension ones when the caller knows
+    ``dim`` — a no-op on a clean corpus (identical seeds), but on a
+    corrupt one the driver-side numpy fit would otherwise die on a ragged
+    sample matrix instead of training on the valid rows."""
+    vec = F.col(vec_col)
+    valid = vec.isNotNull() & ~F.exists(vec, lambda x: x.isNull())
+    if dim is not None:
+        valid = valid & (F.size(vec) == dim)
     return (
         embeddings
+        .filter(valid)
         .select(
             F.col(id_col).alias("__sid"),
-            F.col(vec_col).cast("array<double>").alias("v"),
+            vec.cast("array<double>").alias("v"),
         )
         .orderBy(F.xxhash64("__sid"), F.col("__sid"))
         .limit(k)
@@ -229,7 +238,17 @@ def embedding_dim(spark: SparkSession, sf_dir: str) -> int:
     passes explicitly (lsh_topk takes ``dim``)."""
     if sf_dir not in _DIM_CACHE:
         emb = load(spark, sf_dir, "embeddings")
-        _DIM_CACHE[sf_dir] = len(emb.select("embedding").limit(1).first()[0])
+        row = emb.select("embedding").limit(1).first()
+        if row is None or row[0] is None:
+            # raise BEFORE caching: a loud, actionable error instead of
+            # "'NoneType' object is not subscriptable", and a later-fixed
+            # fixture dir probes fresh rather than serving a poisoned hit
+            raise ValueError(
+                f"embeddings table in {sf_dir!r} is empty or its first "
+                "embedding is null — cannot probe the dimension; fix the "
+                "fixture or pass dim explicitly"
+            )
+        _DIM_CACHE[sf_dir] = len(row[0])
     return _DIM_CACHE[sf_dir]
 
 
@@ -334,6 +353,16 @@ def ivf_centroids(embeddings: DataFrame, vec_col: str = "embedding",
         return [(i + 1, list(r.v)) for i, r in enumerate(seeds)]
     cap = train_cap if train_cap is not None else 256 * n_centroids
     rows = _seed_rows(embeddings, vec_col, max(n_centroids, cap))
+    if rows:
+        # this operator takes no dim parameter, so wrong-dimension rows
+        # (already null-filtered by _seed_plan) are dropped by modal
+        # sample length — deterministic (hash-ordered sample, first-seen
+        # length wins Counter ties) and a no-op on a clean corpus; a
+        # ragged matrix would otherwise kill np.asarray
+        from collections import Counter
+
+        dim_mode = Counter(len(r.v) for r in rows).most_common(1)[0][0]
+        rows = [r for r in rows if len(r.v) == dim_mode]
     X = np.asarray([r.v for r in rows], dtype=np.float64)
     k_eff = min(n_centroids, len(X))
     if k_eff == 0:
@@ -379,10 +408,15 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     scored = joined.select(
         "q_id", "vec_id", cosine("q_vec", "embedding").alias("cos")
     ).dropDuplicates(["q_id", "vec_id"])  # nprobe cells may overlap
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("vec_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        # the cosine_topk null contract: a null/wrong-dim embedding's
+        # null cosine is excluded even when the probed cell holds fewer
+        # than k valid candidates (rank alone would emit it then)
+        .filter((F.col("rank") <= k) & F.col("cos").isNotNull())
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank")
     )
 
@@ -529,12 +563,21 @@ def embedding_neardup_pairs_lsh(embeddings: DataFrame, threshold: float, dim: in
     in lsh_topk_multiprobe). Every emitted pair still passes the exact
     cosine threshold — bucketing only bounds the candidate set, so output
     is a high-precision subset of the all-pairs result."""
-    a = lsh_bucket(embeddings, "embedding", dim, n_planes).select(
+    # bucket ONCE and self-join the cached frame: the n_planes x dim
+    # interpreted-HOF signature pass is the dominant map-side cost, and
+    # two independent lsh_bucket plans would pay it twice over the full
+    # corpus (the same cost class semantic_dedup persists against). The
+    # cache backs the returned frame's lineage, so it is not unpersisted
+    # here — the semantic_dedup rule.
+    bucketed = lsh_bucket(embeddings, "embedding", dim, n_planes).select(
+        "vec_id", "embedding", "bucket"
+    ).persist()
+    a = bucketed.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
         "bucket",
     )
-    b = lsh_bucket(embeddings, "embedding", dim, n_planes).select(
+    b = bucketed.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
         "bucket",
@@ -910,15 +953,25 @@ def pq_codebooks(embeddings: DataFrame, dim: int, m: int = 8, k: int = 16,
     """
     import numpy as np
 
+    if dim % m:
+        # FAISS raises on this misconfiguration too: dim // m silently
+        # drops the last dim % m dimensions from encoding AND from every
+        # ADC distance — two vectors differing only there become
+        # indistinguishable, degrading recall with no signal
+        raise ValueError(
+            f"PQ requires dim divisible by m: dim={dim}, m={m} would "
+            f"leave the last {dim % m} dimensions unquantized and "
+            "unscored — pick m dividing the embedding dimension"
+        )
     dsub = dim // m
     if refine_iters <= 0:
-        seed_rows = _seed_rows(embeddings, vec_col, k)
+        seed_rows = _seed_rows(embeddings, vec_col, k, dim=dim)
         return [
             [list(r.v[s * dsub:(s + 1) * dsub]) for r in seed_rows]
             for s in range(m)
         ]
     cap = train_cap if train_cap is not None else 256 * k
-    rows = _seed_rows(embeddings, vec_col, max(k, cap))
+    rows = _seed_rows(embeddings, vec_col, max(k, cap), dim=dim)
     X = np.asarray([r.v for r in rows], dtype=np.float64)
     return [
         [[float(x) for x in row] for row in C]
@@ -976,14 +1029,28 @@ def pq_encode(embeddings: DataFrame, cbs: list[list[list[float]]],
     m, k = len(cbs), len(cbs[0])
     dsub = len(cbs[0][0])
     lit3 = F.lit(cbs)
+    vec = F.col(vec_col)
+    # the cosine_topk null contract, enforced at the encode chokepoint
+    # every PQ-family path (pq/ivfpq/opq_topk, the persisted ANN index)
+    # funnels through: a null / wrong-dimension / null-element vector
+    # yields null sub-distances, null-first struct ordering then encodes
+    # it as codes=[0]*m, and the corrupt row scores a REAL finite ADC
+    # distance — eligible to rank 1 as a "neighbor". Exact operators
+    # exclude such rows via the null score; ADC must exclude them here,
+    # before the score exists.
+    valid = (
+        vec.isNotNull()
+        & (F.size(vec) == m * dsub)
+        & ~F.exists(vec, lambda x: x.isNull())
+    )
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda s: _nearest_code(
-            F.slice(F.col(vec_col).cast("array<double>"), s * dsub + 1, dsub),
+            F.slice(vec.cast("array<double>"), s * dsub + 1, dsub),
             lit3, s, k,
         ),
     )
-    return embeddings.select(*keep, codes.alias("codes"))
+    return embeddings.filter(valid).select(*keep, codes.alias("codes"))
 
 
 def _adc_table(vec_expr: Column, cbs: list[list[list[float]]]) -> Column:
@@ -1057,10 +1124,15 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     probes = queries.select("q_id", dt.alias("dt"))
     joined = corpus.join(F.broadcast(probes), corpus.vec_id != probes.q_id)
     scored = joined.select("q_id", "vec_id", _adc_score(m).alias("adc"))
-    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    # asc_nulls_last + isNotNull: a corrupt PROBE vector's ADC table is
+    # null for every row (corpus-side corruption is filtered at encode) —
+    # plain asc would rank those nulls FIRST and push valid neighbors out
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc").asc_nulls_last(), F.col("vec_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter((F.col("rank") <= k) & F.col("adc").isNotNull())
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank")
     )
 
@@ -1092,8 +1164,14 @@ def opq_rotation(embeddings: DataFrame, dim: int, m: int = 8, k: int = 16,
     distances — only the quantizer's view of the axes."""
     import numpy as np
 
+    if dim % m:
+        raise ValueError(  # the pq_codebooks rule, checked before training
+            f"PQ requires dim divisible by m: dim={dim}, m={m} would "
+            f"leave the last {dim % m} dimensions unquantized and "
+            "unscored — pick m dividing the embedding dimension"
+        )
     cap = train_cap if train_cap is not None else 256 * k
-    rows = _seed_rows(embeddings, vec_col, max(k, cap))
+    rows = _seed_rows(embeddings, vec_col, max(k, cap), dim=dim)
     eye = np.eye(dim)
     if not rows:
         return [[float(x) for x in r] for r in eye], []
@@ -1428,10 +1506,13 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
         joined.select("q_id", "vec_id", _adc_score(m).alias("adc"))
         .dropDuplicates(["q_id", "vec_id"])  # nprobe cells may overlap
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    # the pq_topk null rule: corrupt probes score null against every row
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc").asc_nulls_last(), F.col("vec_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter((F.col("rank") <= k) & F.col("adc").isNotNull())
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank")
     )
 
@@ -1576,7 +1657,15 @@ def cosine_rank(emb: DataFrame, qv: DataFrame, k: int) -> DataFrame:
     )
     top = scored.orderBy(F.col("cos6").desc(), F.col("doc_id")).limit(k)
     w = Window.orderBy(F.col("cos6").desc(), F.col("doc_id"))
-    return top.select("doc_id", F.row_number().over(w).alias("rank"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        # the cosine_topk null contract, matching cosine_rank_batch: a
+        # null-cosine (corrupt) row inside the k cut — possible when the
+        # corpus holds < k valid embeddings — is ranked last then dropped,
+        # never handed to rrf_fuse as a retrieved document
+        .filter(F.col("cos6").isNotNull())
+        .select("doc_id", "rank")
+    )
 
 
 def _hybrid_oracle() -> str:

@@ -534,3 +534,130 @@ def test_opq_topk_identity_rotation_equals_pq(spark, sf_dir):
         for r in pq_topk(emb, queries, dim=dim, k=5).collect()
     )
     assert a == b
+
+
+def test_pq_and_ivf_exclude_corrupt_embeddings(spark):
+    """The cosine_topk null contract extended to the quantized family
+    (code review r11): a null / wrong-dimension / null-element corpus
+    vector used to encode as codes=[0]*m (null sub-distances, null-first
+    struct ordering) and then scored a REAL finite ADC distance —
+    eligible to be returned as a top neighbor. pq_encode now drops it at
+    the chokepoint every PQ path shares; ivf_topk's post-window filter
+    drops null cosines even when the probed cell holds < k valid
+    candidates; and a corrupt PROBE vector yields zero rows, not k
+    arbitrary ones (null ADC would otherwise rank FIRST under plain
+    asc)."""
+    from substreams_sink_parquet_spark.llm.similarity import (
+        ivf_topk, pq_encode, pq_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.5, 0.5, 0.5, 0.5]),
+            (1, [1.0, 0.0, 0.0, 0.5]),
+            (2, [0.0, 2.0, 1.0, 3.0]),
+            (3, None),                      # corrupt: null vector
+            (4, [5.0]),                     # corrupt: wrong dimension
+            (5, [1.0, None, 0.0, 2.0]),     # corrupt: null element
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter("vec_id = 0").selectExpr(
+        "vec_id as q_id", "embedding as q_vec"
+    )
+    # k exceeding the valid count: corrupt rows never backfill
+    got = {
+        r.neighbor_id
+        for r in pq_topk(emb, q, dim=4, k=5, m=2, n_codes=2).collect()
+    }
+    assert got == {1, 2}
+    # the encode chokepoint itself (the persisted-index build path)
+    cbs = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [2.0, 2.0]]]
+    assert {r.vec_id for r in pq_encode(emb, cbs).collect()} == {0, 1, 2}
+    got_ivf = {
+        r.neighbor_id
+        for r in ivf_topk(emb, q, k=5, n_centroids=1, nprobe=1).collect()
+    }
+    assert got_ivf == {1, 2}
+    bad_q = spark.createDataFrame(
+        [(9, None)], "q_id long, q_vec array<double>"
+    )
+    assert pq_topk(emb, bad_q, dim=4, k=3, m=2, n_codes=2).count() == 0
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    """dim % m != 0 silently truncated the last dimensions from encoding
+    AND ADC scoring (two vectors differing only there were
+    indistinguishable); FAISS raises on this misconfiguration and so do
+    we — at train time, before any corpus pass."""
+    import pytest
+
+    from substreams_sink_parquet_spark.llm.similarity import (
+        opq_rotation, pq_codebooks,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codebooks(emb, dim=5, m=2)
+    with pytest.raises(ValueError, match="divisible"):
+        opq_rotation(emb, dim=5, m=2)
+
+
+def test_cosine_rank_excludes_null_cosines(spark):
+    """The single-query retrieval ranker mirrors its batch twin's null
+    contract: a corrupt corpus row inside the k cut (possible when the
+    corpus holds < k valid embeddings) is dropped, never handed to
+    rrf_fuse as a retrieved document."""
+    from substreams_sink_parquet_spark.llm.similarity import cosine_rank
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.5, 0.5]),
+            (3, None),
+            (4, [7.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    qv = spark.createDataFrame([([1.0, 0.0],)], "q_vec array<double>")
+    got = cosine_rank(emb, qv, k=4).orderBy("rank").collect()
+    assert [r.doc_id for r in got] == [1, 2]
+    assert [r.rank for r in got] == [1, 2]
+
+
+def test_embedding_dim_empty_table_is_loud(spark, tmp_path):
+    """An empty or null-first-row embeddings fixture raises an actionable
+    error instead of \"'NoneType' object is not subscriptable\" — and
+    nothing is cached, so a later-fixed dir probes fresh."""
+    import pytest
+
+    from substreams_sink_parquet_spark.llm.similarity import embedding_dim
+
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    with pytest.raises(ValueError, match="empty"):
+        embedding_dim(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="empty"):  # still not cached
+        embedding_dim(spark, str(tmp_path))
+
+
+def test_dedup_clusters_raises_on_nonconvergence(spark):
+    """The cc_star rule, applied to the min-label sibling: a component
+    deeper than max_iter exits the loop with non-minimal canonicals —
+    wrong keeper assignments — and must raise, not silently return
+    (code review r11)."""
+    import pytest
+
+    from substreams_sink_parquet_spark.llm.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        dedup_clusters(chain, max_iter=2, local_threshold=0)
+    labels = dedup_clusters(chain, max_iter=10, local_threshold=0)
+    assert {r.canonical for r in labels.collect()} == {0}
