@@ -146,8 +146,24 @@ def salted_running_sum(df: DataFrame, grp_cols: list[str], order_cols: list,
         Window.partitionBy(*grp_cols, "_salt_bucket").orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # NULL-SAFE join keys (<=>), not the name-list equi-join: a NULL
+    # group key never matches itself under plain equality, so every
+    # row of a null-keyed group would be silently DROPPED — while
+    # Window.partitionBy (the unsalted form this function promises to
+    # equal row for row) treats NULL as an ordinary partition. A missing
+    # 'source' on an ingested corpus is NULL by design, so this is a
+    # reachable shape, not a hypothetical. <=> keys still hash-join.
+    keys = [*grp_cols, "_salt_bucket"]
+    off = offsets
+    for i, c in enumerate(keys):
+        off = off.withColumnRenamed(c, f"__k{i}")
+    cond = None
+    for i, c in enumerate(keys):
+        e = bucketed[c].eqNullSafe(F.col(f"__k{i}"))
+        cond = e if cond is None else cond & e
     return (
-        bucketed.join(F.broadcast(offsets), [*grp_cols, "_salt_bucket"])
+        bucketed.join(F.broadcast(off), cond)
+        .drop(*[f"__k{i}" for i in range(len(keys))])
         .withColumn(out_col, F.sum(val_col).over(local_w) + F.col("_offset"))
         .drop("_salt_bucket", "_offset")
     )
@@ -1136,9 +1152,14 @@ def materialize_mixture(docs: DataFrame, plan: DataFrame,
         )
     kept = plan.filter(F.col("n_copies") > 0)
     if id_strategy == "arith":
+        # min/max compared separately — F.abs(-2^63) itself overflows
+        # int64 under ANSI (the hazard the arith-mode docstring names),
+        # so an abs-based guard would crash with ARITHMETIC_OVERFLOW on
+        # exactly the hash-range ids it exists to refuse descriptively
         guard = plan.agg(
             F.max("n_copies").alias("m"),
-            F.max(F.abs(F.col("doc_id"))).alias("mid"),
+            F.max("doc_id").alias("hi"),
+            F.min("doc_id").alias("lo"),
         ).collect()[0]
         if guard.m is not None and guard.m >= stride:
             raise ValueError(
@@ -1147,9 +1168,11 @@ def materialize_mixture(docs: DataFrame, plan: DataFrame,
                 "doc_id*stride+copy must not collide)"
             )
         id_cap = (1 << 63) // stride
-        if guard.mid is not None and guard.mid >= id_cap:
+        mid = (max(abs(guard.hi), abs(guard.lo))
+               if guard.hi is not None else None)
+        if mid is not None and mid >= id_cap:
             raise ValueError(
-                f"materialize_mixture: |doc_id| up to {guard.mid} >= "
+                f"materialize_mixture: |doc_id| up to {mid} >= "
                 f"2^63/stride = {id_cap}; mix_id = doc_id*stride+copy "
                 "would overflow int64 (hash-range ids, e.g. xxhash64 "
                 "doc_ids from WARC ingest, always do). Pass "

@@ -54,7 +54,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars_calc"),
         F.size(words).alias("n_words"),
         n_punct.cast("long").alias("n_punct"),
-        (n_punct.cast("double") / F.length("text")).alias("punct_ratio"),
+        # try_divide: an empty text's 0/0 is NULL, matching DuckDB's
+        # divide-by-zero semantics — plain division ABORTS the whole
+        # query under ANSI (the session default) on one empty document
+        F.try_divide(n_punct.cast("double"), F.length("text"))
+        .alias("punct_ratio"),
         F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).alias("n_stopwords"),
         (
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
@@ -353,7 +357,13 @@ def quality_verdict_expr(text_col: str = "text") -> Column:
     )
     dup_frac = F.lit(1) - n_distinct.cast("double") / n_words
     return (
-        F.when(n_words < 30, "too_short")
+        # fail CLOSED on a null text: every numeric rule evaluates NULL
+        # (condition false) against it, so without this rule the cascade
+        # fell through to 'keep' — a contentless document passing the
+        # quality gate (ingest yields NULL text for a missing 'text' key
+        # on an otherwise-clean JSONL line, so this is reachable)
+        F.when(F.col(text_col).isNull(), "null_text")
+        .when(n_words < 30, "too_short")
         .when(n_words > 100000, "too_long")
         .when((awl < 3) | (awl > 12), "word_len")
         .when(n_stop < 1, "no_stopwords")
@@ -369,6 +379,7 @@ def quality_verdict_expr(text_col: str = "text") -> Column:
     """
     WITH s AS (
         SELECT doc_id,
+               text IS NULL AS is_null,
                len(str_split(text, ' ')) AS n_words,
                len(list_distinct(str_split(text, ' '))) AS n_distinct,
                CAST(length(replace(text, ' ', '')) AS DOUBLE)
@@ -381,7 +392,8 @@ def quality_verdict_expr(text_col: str = "text") -> Column:
         FROM documents
     )
     SELECT doc_id,
-           CASE WHEN n_words < 30 THEN 'too_short'
+           CASE WHEN is_null THEN 'null_text'
+                WHEN n_words < 30 THEN 'too_short'
                 WHEN n_words > 100000 THEN 'too_long'
                 WHEN awl < 3 OR awl > 12 THEN 'word_len'
                 WHEN n_stop < 1 THEN 'no_stopwords'
@@ -519,6 +531,46 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i").alias("chunk_id"),
             F.length(chunk).cast("long").alias("chunk_chars"),
             F.md5(chunk).alias("chunk_hash"),
+        )
+    )
+
+
+def chunk_documents(docs: DataFrame, size_chars: int = 200,
+                    stride: int = 160,
+                    text_col: str = "text") -> DataFrame:
+    """Sliding-window chunking of a documents frame — the pre-export
+    escape hatch the export module names: greedy ``pack_sequences`` never
+    splits a document, so a corpus with documents longer than the context
+    budget chunks HERE first. Returns every input column except
+    ``text_col`` unchanged, plus ``chunk_id`` (0-based window index) and
+    the chunk text under the original column name; the caller derives a
+    chunk-level id from (doc_id, chunk_id). Map-only (sequence + explode
+    over per-row window counts — no shuffle, no UDF), the q_text_chunk
+    construction: 1 + ceil(max(len - size, 0) / stride) windows covers
+    the whole document including a final partial window; overlapping
+    windows (stride < size) preserve cross-boundary context."""
+    if stride <= 0 or size_chars <= 0:
+        raise ValueError(
+            f"chunk_documents: size_chars={size_chars}, stride={stride} "
+            "must both be positive"
+        )
+    n_extra = F.greatest(F.length(text_col) - size_chars, F.lit(0))
+    n_chunks = 1 + F.floor((n_extra + (stride - 1)) / stride)
+    chunk = F.col(text_col).substr(
+        (F.col("__ci") * stride + 1).cast("int"), F.lit(size_chars)
+    )
+    keep = [c for c in docs.columns if c != text_col]
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .withColumn(
+            "__ci",
+            F.explode(F.sequence(F.lit(0).cast("long"),
+                                 (n_chunks - 1).cast("long"))),
+        )
+        .select(
+            *keep,
+            F.col("__ci").alias("chunk_id"),
+            chunk.alias(text_col),
         )
     )
 
@@ -1585,12 +1637,19 @@ def q_text_hashing_tf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_out = q_text_hashing_tf(spark, sf_dir)
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     words = F.split(F.lower("text"), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(-1))),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
+    # guard, not greatest(…, -1): sequence(0, -1) DESCENDS in Spark
+    # ([0, -1]), so a single-word doc would call element_at(words, 0)
+    # and element_at(words, 2) — both ANSI errors — instead of an empty
+    # bigram list (the when(size >= 2) rule every sibling uses)
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     expected = docs.select(
         "doc_id",
         F.greatest(F.size(words) - 1, F.lit(0)).cast("long").alias("n_bigrams"),

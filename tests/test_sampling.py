@@ -674,3 +674,61 @@ def test_ranked_order_buckets_null_scores_keep_monotone_order(spark):
         "n_tokens", F.col("_salt_bucket"),
     ).collect()
     assert {r.doc_id: r.cum for r in got} == want
+
+
+def test_salted_running_sum_keeps_null_group_rows(spark):
+    """NULL group keys form an ordinary window partition (a missing
+    'source' on an ingested corpus is NULL by design), but the old
+    name-list equi-join against the bucket-offset broadcast never
+    matches NULL — silently dropping every row of the null-keyed group
+    and violating the 'identical to Window.partitionBy, row for row'
+    contract (code review r11). Null-safe (<=>) join keys fix it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from substreams_sink_parquet_spark.llm.sampling import (
+        ranked_order_buckets, salted_running_sum,
+    )
+
+    df = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("web")).alias("source"),
+        (F.col("id") % 7 + 1).alias("n_tokens"),
+        (F.col("id") % 5).cast("double").alias("score"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r.doc_id: r.cum
+        for r in df.withColumn("cum", F.sum("n_tokens").over(w)).collect()
+    }
+    bucketed = ranked_order_buckets(df, "source", n_buckets=8)
+    got = salted_running_sum(
+        bucketed, ["source"], [F.col("score").desc(), F.col("doc_id")],
+        "n_tokens", F.col("_salt_bucket"),
+    ).collect()
+    assert len(got) == 600  # no silent drop of the null group
+    assert {r.doc_id: r.cum for r in got} == want
+
+
+def test_materialize_mixture_arith_guard_handles_int64_min(spark):
+    """doc_id = -2^63 is in-range for the hash-range ids the arith guard
+    exists to refuse, but F.abs(-2^63) itself overflows under ANSI — the
+    guard must raise its DESCRIPTIVE error, not ARITHMETIC_OVERFLOW."""
+    import pytest
+
+    from substreams_sink_parquet_spark.llm.sampling import (
+        materialize_mixture, mixture_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(-(1 << 63), "en", "tok " * 6), (5, "en", "tok " * 6)],
+        "doc_id long, lang string, text string",
+    )
+    plan = mixture_plan(docs, {"en": 1.0}, 100)
+    with pytest.raises(ValueError, match="id_strategy='hash'"):
+        materialize_mixture(docs, plan)

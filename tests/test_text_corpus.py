@@ -1365,3 +1365,81 @@ def test_sink_restart_repairs_crashed_index_compact(spark, tmp_path):
     )
     got = {r.doc_id for r in corpus_docs(spark, out).collect()}
     assert got == {1, 2, 3, 11}
+
+
+def test_quality_gate_fails_closed_on_null_text(spark):
+    """A NULL text (ingest yields one for a missing 'text' key on an
+    otherwise-clean JSONL line) used to fall through every numeric rule
+    (NULL conditions are false) to 'keep' — a contentless document
+    passing the Gopher gate. It now names its drop reason (code review
+    r11); the DuckDB oracle CASE carries the same first rule."""
+    from pyspark.sql import functions as F
+
+    from substreams_sink_parquet_spark.llm.text import quality_verdict_expr
+
+    good = " ".join(f"word{i}" for i in range(30)) + " the end is here"
+    df = spark.createDataFrame(
+        [(1, None), (2, good)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.v
+        for r in df.select(
+            "doc_id", quality_verdict_expr().alias("v")
+        ).collect()
+    }
+    assert got[1] == "null_text"
+    assert got[2] == "keep"
+
+
+def test_text_stats_and_hashing_tf_survive_degenerate_docs(spark, tmp_path):
+    """Single-word and empty-text documents are in-contract: the bigram
+    index expression used sequence(0, -1) — which DESCENDS in Spark —
+    and crashed with INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI; the
+    punct_ratio division by length('') aborted with DIVIDE_BY_ZERO.
+    Both now degrade exactly like their DuckDB oracles (empty bigram
+    list; NULL ratio)."""
+    from substreams_sink_parquet_spark.catalog import registry
+
+    spark.createDataFrame(
+        [(1, "en", "solo"), (2, "en", ""), (3, "en", "two words here")],
+        "doc_id long, lang string, text string",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    reg = registry()
+    tf = {r.doc_id: r for r in
+          reg["q_text_hashing_tf_delta"].fn(spark, str(tmp_path)).collect()}
+    assert set(tf) == {1, 2, 3}
+    assert all(r.tf_mass_ok for r in tf.values())
+    assert tf[1].n_bigrams == 0 and tf[3].n_bigrams == 2
+    stats = {r.doc_id: r for r in
+             reg["q_text_stats"].fn(spark, str(tmp_path)).collect()}
+    assert stats[2].punct_ratio is None  # 0/0 -> NULL, the DuckDB value
+    assert stats[1].punct_ratio == 0.0
+
+
+def test_chunk_documents_covers_and_preserves_columns(spark):
+    """The pre-export chunker the export module's docstring names: full
+    sliding-window coverage (1 + ceil(max(len-size,0)/stride) windows),
+    every non-text column carried through, chunk length bounded by
+    size_chars, null-text rows dropped."""
+    import pytest
+
+    from substreams_sink_parquet_spark.llm.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a" * 500), (2, "fr", "short"), (3, "de", None)],
+        "doc_id long, lang string, text string",
+    )
+    out = chunk_documents(docs, size_chars=200, stride=160).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc.get(2, [])) == 1
+    assert by_doc[2][0].text == "short" and by_doc[2][0].lang == "fr"
+    chunks = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [c.chunk_id for c in chunks] == [0, 1, 2]
+    assert all(len(c.text) <= 200 for c in chunks)
+    assert chunks[-1].chunk_id * 160 + 200 >= 500  # final window covers
+    assert "".join(c.text[:160] for c in chunks[:-1]) == "a" * 320
+    assert 3 not in by_doc  # null text: no chunks
+    with pytest.raises(ValueError, match="positive"):
+        chunk_documents(docs, size_chars=0)
