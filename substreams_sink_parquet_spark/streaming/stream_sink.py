@@ -321,6 +321,32 @@ class StreamingSink:
         ranges = self._live_ranges(idx) if force else self._ready_ranges(idx)
         if not ranges:
             return
+        # crash-replay guard (code review r11): a range whose FINAL file
+        # already exists was completely finalized by a pre-crash pass —
+        # one that may have merged EARLIER epochs' live rows the replayed
+        # batch does not carry. Re-finalizing from the replay's live dirs
+        # alone would OVERWRITE the complete file with a subset
+        # (HadoopFS.rename is delete-dst-first), silently losing the
+        # earlier epochs' rows. The replayed live rows are a subset of
+        # what that finalize already wrote, so drop them and skip the
+        # range. The undo path never collides with this rule: demotion
+        # deletes the finalized file before re-feeding the range.
+        from ..sink.writer import file_name
+
+        fresh = []
+        for rs in ranges:
+            base = file_name(rs, self._range_end(rs), self.opts.pad)
+            if self._fs.exists(url_join(table_dir, base)) or self._fs.exists(
+                url_join(table_dir,
+                         base[: -len(".parquet")] + "-part0000.parquet")
+            ):
+                for d in self._range_dirs(idx, live, rs):
+                    self._fs.delete(d, recursive=True)
+            else:
+                fresh.append(rs)
+        ranges = fresh
+        if not ranges:
+            return
         srcs = [d for rs in ranges for d in self._range_dirs(idx, live, rs)]
         # mergeSchema: epochs may span an additive schema upgrade (allowed
         # by ensure_schema_compatible) — without it Spark reads ONE file's
@@ -465,6 +491,26 @@ class StreamingSink:
 
     def _undo_live(self, table_dir: str, last_valid_block: int) -> None:
         live = url_join(table_dir, "_live")
+        # repair stranded rewrite staging from a crashed prior undo (code
+        # review r11): the tmp dir is "_"-prefixed so every reader —
+        # live_index's range_start= prefix filter AND Spark/Hadoop's
+        # hidden-path rule — skips it, but a crash in the delete→rename
+        # window leaves the kept rows ONLY there. src missing → the tmp
+        # is a complete committed rewrite (the delete only runs after the
+        # write returns): rename it into place and let this undo re-derive
+        # from it; src present → the original survived, drop the tmp.
+        if self._fs.exists(live):
+            for e in self._fs.listdir(live):
+                ep = url_join(live, e)
+                for name in self._fs.listdir(ep):
+                    if not name.startswith("_rewrite_range_start="):
+                        continue
+                    src = url_join(
+                        ep, name[len("_rewrite_"):])
+                    if self._fs.exists(src):
+                        self._fs.delete(url_join(ep, name), recursive=True)
+                    else:
+                        self._fs.rename(url_join(ep, name), src)
         idx = self._live_index(live)
         for rs in self._live_ranges(idx):
             for src in self._range_dirs(idx, live, rs):
@@ -492,7 +538,14 @@ class StreamingSink:
                     # zero-row staging dir finalize would trip over
                     self._fs.delete(src, recursive=True)
                     continue
-                tmp = src + "_rewrite"
+                # "_"-prefixed sibling, NOT src + "_rewrite": a dir named
+                # range_start=N_rewrite matches live_index's prefix filter
+                # and int()-poisons every later listing if a crash strands
+                # it — while an underscore prefix is invisible to both
+                # live_index and Spark's hidden-path rule, and the repair
+                # pre-pass above converges it on the next undo run
+                parent, base = src.rsplit("/", 1)
+                tmp = url_join(parent, "_rewrite_" + base)
                 writer = kept.write.mode("overwrite")
                 for k, v in parquet_write_options(self.opts).items():
                     writer = writer.option(k, v)
@@ -506,6 +559,30 @@ class StreamingSink:
             parsed = _split_range_name(name)
             if parsed is not None:
                 groups.setdefault((parsed[0], parsed[1]), []).append(name)
+        # the _undo_live rule applied to the finalized path (code review
+        # r11): an offline undo_lake run with a defaulted/mismatched
+        # --partition-size would demote a spanning file's rows onto the
+        # WRONG native grid, and the restarted stream re-finalizes them
+        # into misnamed overlapping files. Every finalized range start
+        # must sit on the opts grid — tiered files start on native
+        # boundaries, so this holds for them too. (Residual: a grid whose
+        # native size divides the mistaken one passes; always pass the
+        # lake's real --partition-size to offline undo.)
+        off_grid = sorted(
+            rs for rs, _re in groups
+            if (rs - self.opts.start_block) % self.opts.partition_size
+        )
+        if off_grid and any(
+            rs <= last_valid_block < re_ - 1 for rs, re_ in groups
+        ):
+            raise ValueError(
+                f"undo: finalized range starts {off_grid[:5]} are not on "
+                f"the (start_block={self.opts.start_block}, "
+                f"partition_size={self.opts.partition_size}) grid — the "
+                "spanning-file demotion would stage rows under wrong "
+                "native ranges. Pass the lake's actual --partition-size "
+                "/ --start-block to the undo command"
+            )
         for (rs, re_), names in sorted(groups.items()):
             if re_ - 1 <= last_valid_block:
                 continue  # fully below the fork — untouched
@@ -581,6 +658,12 @@ def undo_lake(
     for table_dir in lake_table_dirs(sink._fs, out_dir):
         sink._undo_finalized(table_dir, last_valid_block)
         sink._undo_live(table_dir, last_valid_block)
+    # keep _rollup/ in lockstep too (code review r11): _retract_rollup
+    # reloads the persisted _SPEC.json precisely so this offline path can
+    # retract without a RollupSpec in hand — skipping it left the rollup
+    # serving bucket totals that still included the retracted blocks, and
+    # the restarted stream's re-fed partials then double-counted them
+    sink._retract_rollup(last_valid_block)
 
 
 def run_pipeline(

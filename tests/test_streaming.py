@@ -663,3 +663,157 @@ def test_stream_finalize_subsplits_with_write_tasks(spark, tmp_path):
         assert blocks == sorted(blocks)  # name order == block order
     total = sum(pq.read_table(os.path.join(out_dir, f)).num_rows for f in files)
     assert total == 200  # ranges [0,100) and [100,200) finalized complete
+
+
+def test_replay_after_multi_epoch_finalize_keeps_all_rows(spark, tmp_path):
+    """A finalize may merge SEVERAL epochs' live rows into one final file;
+    if the process crashes before that batch's checkpoint commit, the
+    replayed batch re-appends only ITS OWN epoch's rows — and used to
+    re-finalize the range from them alone, overwriting the complete file
+    with a subset (rename is delete-dst-first). The guard skips a range
+    whose final file already exists and drops the replayed live subset
+    (code review r11)."""
+    from substreams_sink_parquet_spark.streaming.stream_sink import (
+        StreamingSink,
+    )
+
+    from .test_sink_writer import _blocks_df
+
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    opts = WriterOptions(partition_size=10, start_block=0)
+    sink = StreamingSink(spark=spark, spec=BLOCK, out_dir=out_dir,
+                         opts=opts, undo_holdback=0)
+    sink.process_batch(_blocks_df(spark, [0, 1, 2]), epoch_id=0)
+    # epoch 1 pushes the horizon past range [0,10): finalize merges BOTH
+    # epochs' live rows into the final file
+    sink.process_batch(_blocks_df(spark, [3, 4, 15]), epoch_id=1)
+    final = [n for n in _final_files(out_dir) if n.startswith("00")]
+    assert len(final) == 1
+    fpath = os.path.join(out_dir, final[0])
+    assert spark.read.parquet(fpath).count() == 5
+
+    # crash-replay: a FRESH sink (restarted process) replays epoch 1 only
+    sink2 = StreamingSink(spark=spark, spec=BLOCK, out_dir=out_dir,
+                          opts=opts, undo_holdback=0)
+    sink2.process_batch(_blocks_df(spark, [3, 4, 15]), epoch_id=1)
+    got = sorted(
+        r.block_number for r in spark.read.parquet(fpath).collect()
+    )
+    assert got == [0, 1, 2, 3, 4]  # epoch 0's rows survived the replay
+    # and the replayed live subset for the finalized range is gone
+    live = os.path.join(out_dir, "_live")
+    if os.path.exists(live):
+        live_blocks = {
+            r.block_number for r in spark.read.parquet(live).collect()
+        }
+        assert live_blocks == {15}
+
+
+def test_undo_live_crash_mid_rewrite_recovers(spark, tmp_path):
+    """Crash between the rewrite's delete(src) and rename strands the kept
+    rows in the staging dir. The old src+'_rewrite' name int()-poisoned
+    every later live_index listing; the '_'-prefixed staging name is
+    invisible to listings and the next undo's repair pre-pass renames a
+    complete orphan back into place before retracting (code review r11)."""
+    import shutil
+
+    from substreams_sink_parquet_spark.streaming.stream_sink import (
+        StreamingSink,
+    )
+
+    from .test_sink_writer import _blocks_df
+
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    sink = StreamingSink(
+        spark=spark, spec=BLOCK, out_dir=out_dir,
+        opts=WriterOptions(partition_size=100, start_block=0),
+        undo_holdback=1000,
+    )
+    sink.process_batch(_blocks_df(spark, [0, 1, 2, 3, 4, 5]), epoch_id=0)
+    src = os.path.join(out_dir, "_live", "epoch=0", "range_start=0")
+    stranded = os.path.join(out_dir, "_live", "epoch=0",
+                            "_rewrite_range_start=0")
+    # simulate the crash window: rewrite committed, src deleted, rename
+    # never ran — the only copy of the rows sits in the staging dir
+    shutil.move(src, stranded)
+    assert sink._live_index(os.path.join(out_dir, "_live")) == {
+        "epoch=0": []
+    } or "epoch=0" in sink._live_index(os.path.join(out_dir, "_live"))
+    sink.undo(last_valid_block=3)
+    live_blocks = sorted(
+        r.block_number
+        for r in spark.read.parquet(os.path.join(out_dir, "_live")).collect()
+    )
+    assert live_blocks == [0, 1, 2, 3]
+    assert not os.path.exists(stranded)
+
+
+def test_undo_lake_refuses_off_grid_partition_size(spark, tmp_path):
+    """The offline undo CLI with a defaulted/mismatched --partition-size
+    would demote a spanning file's rows onto the wrong native grid (the
+    hazard _undo_live already defends against from the data); the
+    finalized path now validates the finalized names against the opts
+    grid and refuses loudly (code review r11)."""
+    import pytest
+
+    from substreams_sink_parquet_spark.streaming.stream_sink import (
+        StreamingSink, undo_lake,
+    )
+
+    from .test_sink_writer import _blocks_df
+
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    opts = WriterOptions(partition_size=10, start_block=0)
+    sink = StreamingSink(spark=spark, spec=BLOCK, out_dir=out_dir,
+                         opts=opts, undo_holdback=0)
+    sink.process_batch(_blocks_df(spark, list(range(0, 20)) + [35]),
+                       epoch_id=0)
+    assert len([n for n in _final_files(out_dir)]) == 2  # 0-10, 10-20
+
+    with pytest.raises(ValueError, match="grid"):
+        undo_lake(spark, out_dir, 12)  # defaulted partition_size=5000
+
+    # with the lake's real opts the spanning demote works
+    undo_lake(spark, out_dir, 12, opts=opts)
+    names = _final_files(out_dir)
+    assert all(not n.startswith("0000000010") for n in names)
+    demoted = spark.read.parquet(
+        os.path.join(out_dir, "_live", "epoch=-2", "range_start=10")
+    )
+    assert sorted(r.block_number for r in demoted.collect()) == [10, 11, 12]
+
+
+def test_undo_lake_retracts_rollup_too(spark, tmp_path):
+    """The offline undo path retracts _rollup/ in lockstep (it reloads
+    _SPEC.json), instead of leaving bucket totals that still include the
+    retracted blocks for the re-fed stream to double-count against
+    (code review r11)."""
+    from substreams_sink_parquet_spark.fsio import url_join
+    from substreams_sink_parquet_spark.streaming.rollup import (
+        RollupSpec, read_rollup,
+    )
+    from substreams_sink_parquet_spark.streaming.stream_sink import (
+        run_pipeline, undo_lake,
+    )
+
+    spec = RollupSpec(
+        bucket_col="block_number", bucket_size=10,
+        measures={"n_rows": ("count", "*"), "hi": ("max", "block_number")},
+    )
+    in_dir, out, ckpt = (str(tmp_path / "in"), str(tmp_path / "lake"),
+                         str(tmp_path / "ck"))
+    _stage_blocks(spark, in_dir, list(range(0, 25)), 0)
+    opts = WriterOptions(partition_size=10, start_block=0)
+    q, _ = run_pipeline(spark, in_dir, out, BLOCK, ckpt, opts=opts,
+                        undo_holdback=0, rollup_spec=spec)
+    q.awaitTermination(120)
+
+    undo_lake(spark, out, 14, opts=opts)
+    got = {
+        r.bucket: (r.n_rows, r.hi)
+        for r in read_rollup(spark, url_join(out, "_rollup"), spec).collect()
+    }
+    assert got == {0: (10, 9), 10: (5, 14)}  # 15..24 retracted offline
