@@ -160,9 +160,11 @@ class CorpusSink:
     # (run_corpus_pipeline passes the checkpoint path) arms the same
     # ``_STREAM_ID`` guard the rollup and sink-profile histories carry:
     # a FRESH checkpoint restarts epoch ids at 0 and must not silently
-    # overwrite recorded history one dir at a time. The corpus/doc dirs
-    # themselves don't need it — a fresh checkpoint re-feeding there is
-    # screened by the content indexes, not destroyed by them.
+    # overwrite recorded history one dir at a time. The guard covers the
+    # corpus root too (process_batch): a fresh checkpoint's epoch
+    # overwrites would destroy old epochs' docs/_index WHILE the re-fed
+    # copies are being rejected against those same indexes — the content
+    # indexes screen duplicates, they do not make the doc dirs safe.
     profile: bool = False
     stream_id: str | None = None
 
@@ -311,32 +313,70 @@ class CorpusSink:
         ]
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        clean, bad = split_quarantine(batch)
-        bad.write.mode("overwrite").parquet(
-            url_join(self.out_dir, "_quarantine", f"epoch={epoch_id}")
-        )
-        # A parseable line missing doc_id or text is schema drift, not a
-        # document: without this filter its text_hash would be written to
-        # the index while the null key drops the doc itself from the
-        # admitted join — permanently blocking a later, corrected re-crawl
-        # of the same text.
-        clean = clean.filter(
-            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
-        )
-        index_dirs = self._index_dirs("_index", exclude_epoch=int(epoch_id))
-        if index_dirs:
-            index = self.spark.read.parquet(*index_dirs)
-        else:
-            index = self.spark.createDataFrame([], "text_hash string")
-        # clean feeds the dedup (scan 1) and the admitted-doc join (scan 2);
-        # without a persist the JSONL parse of the batch runs twice more
-        # than needed across the write actions below. With the quality
-        # gate on, the GRADED frame is what persists (parse + verdict
-        # computed once, cached with the verdict column); the rejects
-        # write and the keep-side filter are then cheap cache reads.
-        to_unpersist: list[DataFrame] = []
+        from pyspark.sql import Window
+
+        from .rollup import guard_stream_id
+
+        # fresh-checkpoint guard (code review r11): epoch ids restart at 0
+        # under a lost/recreated checkpoint, and the epoch-keyed overwrites
+        # below would destroy old epochs' docs/_index one dir at a time
+        # WHILE the re-fed copies are being rejected against those same
+        # indexes — documents permanently lost with no record anywhere.
+        # The content indexes screen duplicates; they do not make the doc
+        # dirs safe against a different stream's epoch numbering.
+        guard_stream_id(self._fs, self.out_dir, self.stream_id,
+                        what="corpus")
+        # persist the PARSED batch before any action: the quarantine and
+        # drift writes below are full actions, and without this each paid
+        # its own JSONL/WARC parse of the whole staged input — the
+        # dominant per-batch cost at crawl scale (code review r11)
+        batch = batch.persist()
+        to_unpersist: list[DataFrame] = [batch]
         line_postings = None
         try:
+            clean, bad = split_quarantine(batch)
+            bad.write.mode("overwrite").parquet(
+                url_join(self.out_dir, "_quarantine", f"epoch={epoch_id}")
+            )
+            # A parseable line missing doc_id or text is schema drift, not
+            # a document: its text_hash must not reach the index (the null
+            # key drops the doc itself from the admitted join, permanently
+            # blocking a later, corrected re-crawl of the same text). And
+            # two in-batch rows sharing one doc_id would BOTH survive the
+            # admitted-id join, double-counting postings and n_docs in the
+            # lexical/LM appends whose contracts require caller-side
+            # doc_id dedup. Both are recorded to _drift_rejects, then
+            # dropped — the visible-reject policy every other stage here
+            # follows; neither drop is silent (code review r11).
+            drift = clean.filter(
+                F.col("doc_id").isNull() | F.col("text").isNull()
+            ).select("doc_id", "lang", "source",
+                     F.lit("null_key").alias("reason"))
+            clean = clean.filter(
+                F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+            ).withColumn(
+                "__rn",
+                F.row_number().over(
+                    # deterministic keeper under replay: lowest text hash
+                    Window.partitionBy("doc_id").orderBy(F.md5("text"))
+                ),
+            )
+            drift = drift.unionByName(
+                clean.filter(F.col("__rn") > 1)
+                .select("doc_id", "lang", "source",
+                        F.lit("dup_doc_id_in_batch").alias("reason"))
+            )
+            drift.write.mode("overwrite").parquet(
+                url_join(self.out_dir, "_drift_rejects",
+                         f"epoch={epoch_id}")
+            )
+            clean = clean.filter(F.col("__rn") == 1).drop("__rn")
+            index_dirs = self._index_dirs(
+                "_index", exclude_epoch=int(epoch_id))
+            if index_dirs:
+                index = self.spark.read.parquet(*index_dirs)
+            else:
+                index = self.spark.createDataFrame([], "text_hash string")
             if self.line_dedup_min_docs is not None:
                 clean = clean.persist()
                 to_unpersist.append(clean)
@@ -345,12 +385,21 @@ class CorpusSink:
                 # space-trim would hash the CRLF and LF variants of one
                 # footer differently and keep \r-only "blank" lines
                 stripped = F.regexp_replace("line", r"^\s+|\s+$", "")
-                lines = clean.select(
+                # ALL lines ride to the reconstruction; blank lines are
+                # exempt from hotness (lh NULL — never counted, never
+                # hot, never cut), so the stage's only mutation is the
+                # advertised one: cutting lines that appear in >= N docs.
+                # The previous filter-then-rebuild silently deleted every
+                # blank line (and the trailing newline) from every
+                # document even when NO line was hot — destroying
+                # paragraph structure corpus-wide and making the exact-
+                # dedup hash depend on whether line-dedup was configured
+                # (code review r11).
+                all_lines = clean.select(
                     "doc_id",
                     F.posexplode(F.split("text", "\n")).alias("pos", "line"),
-                ).filter(stripped != "").withColumn(
-                    "lh", F.md5(stripped)
-                )
+                ).withColumn("lh", F.when(stripped != "", F.md5(stripped)))
+                lines = all_lines.filter(F.col("lh").isNotNull())
                 line_postings = lines.select("doc_id", "lh")
                 batch_counts = lines.groupBy("lh").agg(
                     F.countDistinct("doc_id").cast("long").alias("n_docs")
@@ -376,7 +425,8 @@ class CorpusSink:
                     .filter(F.col("n_docs") >= self.line_dedup_min_docs)
                     .select("lh", F.lit(True).alias("is_hot"))
                 )
-                tagged = lines.join(hot, "lh", "left").withColumn(
+                # null lh (blank lines) never matches a hot row: kept
+                tagged = all_lines.join(hot, "lh", "left").withColumn(
                     "is_hot", F.coalesce("is_hot", F.lit(False))
                 )
                 rebuilt = tagged.groupBy("doc_id").agg(
@@ -394,7 +444,18 @@ class CorpusSink:
                             lambda s: s.line,
                         ),
                     ).alias("__clean_text"),
-                ).filter(F.col("__clean_text") != "").persist()
+                    # whitespace-only and fully-boilerplate docs still get
+                    # recorded-then-dropped: with blanks now preserved,
+                    # "no content survived" means no non-blank kept line,
+                    # not an empty reconstruction string
+                    F.max(
+                        F.when(
+                            ~F.col("is_hot") & F.col("lh").isNotNull(), 1
+                        ).otherwise(0)
+                    ).alias("__has_content"),
+                ).filter(F.col("__has_content") == 1).drop(
+                    "__has_content"
+                ).persist()
                 to_unpersist.append(rebuilt)
                 # whitespace-only and boilerplate-emptied docs: recorded,
                 # then dropped — the stage must never vanish a document
@@ -650,8 +711,15 @@ def corpus_docs(spark: SparkSession, out_dir: str,
         from ..sources.text_corpus import DOC_SCHEMA
         from pyspark.sql import types as T
 
+        # epoch (the partition column a populated corpus carries) is part
+        # of the schema here too, so epoch-based plans built before the
+        # first batch commits resolve instead of throwing
+        # UNRESOLVED_COLUMN only on the empty case (code review r11)
         return spark.createDataFrame(
-            [], T.StructType([f for f in DOC_SCHEMA.fields if f.name != CORRUPT_COL])
+            [], T.StructType(
+                [f for f in DOC_SCHEMA.fields if f.name != CORRUPT_COL]
+                + [T.StructField("epoch", T.IntegerType())]
+            )
         )
     # mergeSchema: a corpus written across engine versions can mix epochs
     # with and without the optional embedding column; without the merge,

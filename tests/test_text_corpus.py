@@ -1443,3 +1443,111 @@ def test_chunk_documents_covers_and_preserves_columns(spark):
     assert 3 not in by_doc  # null text: no chunks
     with pytest.raises(ValueError, match="positive"):
         chunk_documents(docs, size_chars=0)
+
+
+_DDL_R11 = ("doc_id long, text string, lang string, source string, "
+            f"n_chars long, {CORRUPT_COL} string")
+
+
+def test_fresh_checkpoint_refuses_existing_corpus(spark, tmp_path):
+    """A lost/recreated checkpoint restarts epoch ids at 0: its epoch
+    overwrites would destroy old epochs' docs/_index one dir at a time
+    WHILE the re-fed copies are rejected against those same indexes —
+    documents permanently lost with no record (code review r11). The
+    _STREAM_ID guard refuses the mismatched stream loudly."""
+    import pytest
+
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        CorpusSink, corpus_docs,
+    )
+
+    out = str(tmp_path / "out")
+    rows = [(1, "alpha doc", "en", "w", 9, None)]
+    a = CorpusSink(spark=spark, out_dir=out, stream_id="ckpt-a")
+    a.process_batch(spark.createDataFrame(rows, _DDL_R11), 3)
+    with pytest.raises(RuntimeError, match="built by stream"):
+        CorpusSink(spark=spark, out_dir=out, stream_id="ckpt-b") \
+            .process_batch(spark.createDataFrame(rows, _DDL_R11), 0)
+    # the original stream continues fine; corpus intact
+    a.process_batch(
+        spark.createDataFrame([(2, "beta doc", "en", "w", 8, None)],
+                              _DDL_R11), 4)
+    assert {r.doc_id for r in corpus_docs(spark, out).collect()} == {1, 2}
+    # a sink without a stream_id (ad-hoc/test usage) is unguarded
+    CorpusSink(spark=spark, out_dir=str(tmp_path / "out2")) \
+        .process_batch(spark.createDataFrame(rows, _DDL_R11), 0)
+
+
+def test_drift_and_in_batch_dup_rejects_are_visible(spark, tmp_path):
+    """Null-key schema drift and in-batch doc_id collisions are recorded
+    to _drift_rejects with a reason, then dropped — previously the null
+    filter was the pipeline's only SILENT drop, and duplicate in-batch
+    doc_ids sailed through the admitted-id join as duplicate corpus rows
+    (double-counting lexical/LM append stats)."""
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        CorpusSink, corpus_docs,
+    )
+
+    out = str(tmp_path / "out")
+    sink = CorpusSink(spark=spark, out_dir=out)
+    sink.process_batch(spark.createDataFrame(
+        [
+            (1, "alpha doc", "en", "w", 9, None),
+            (1, "alpha doc", "en", "w", 9, None),      # in-batch dup id
+            (None, "orphan text", "en", "w", 11, None),  # null key
+            (7, None, "en", "w", 0, None),               # null text
+            (2, "beta doc", "en", "w", 8, None),
+        ], _DDL_R11), 0)
+    docs = corpus_docs(spark, out).collect()
+    assert sorted(r.doc_id for r in docs) == [1, 2]  # each exactly once
+    rej = spark.read.parquet(out + "/_drift_rejects").collect()
+    reasons = sorted(((r.doc_id, r.reason) for r in rej),
+                     key=lambda t: (t[0] is not None, t[0] or 0, t[1]))
+    assert reasons == [(None, "null_key"), (1, "dup_doc_id_in_batch"),
+                       (7, "null_key")]
+
+
+def test_line_dedup_preserves_blank_lines_and_trailing_newline(
+        spark, tmp_path):
+    """The stage's only mutation is the advertised one — cutting lines
+    that appear in >= N docs. Blank lines (paragraph structure) and the
+    trailing newline survive reconstruction; previously every blank line
+    was silently deleted corpus-wide even with no hot line, making the
+    exact-dedup hash depend on whether line-dedup was configured
+    (code review r11)."""
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        CorpusSink, corpus_docs,
+    )
+
+    out = str(tmp_path / "out")
+    sink = CorpusSink(spark=spark, out_dir=out, line_dedup_min_docs=3)
+    footer = "all rights reserved"
+    rows = [
+        (1, f"para one\n\npara two\n{footer}\n", "en", "w", 0, None),
+        (2, f"second doc\n\nmore text\n{footer}", "en", "w", 0, None),
+        (3, f"third doc\n{footer}", "en", "w", 0, None),
+        (4, "\n \n", "en", "w", 0, None),  # whitespace-only: rejected
+    ]
+    sink.process_batch(spark.createDataFrame(rows, _DDL_R11), 0)
+    got = {r.doc_id: r.text for r in corpus_docs(spark, out).collect()}
+    # hot footer cut, blank lines and trailing newline preserved
+    assert got[1] == "para one\n\npara two\n"
+    assert got[2] == "second doc\n\nmore text"
+    assert got[3] == "third doc"
+    assert 4 not in got
+    rej = spark.read.parquet(out + "/_line_rejects").collect()
+    assert {r.doc_id for r in rej} == {4}
+
+
+def test_corpus_docs_empty_root_carries_epoch_column(spark, tmp_path):
+    """The empty-corpus frame has the same schema as a populated one —
+    epoch included — so epoch-based plans resolve before the first batch
+    commits instead of throwing UNRESOLVED_COLUMN only on the empty
+    case."""
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        corpus_docs,
+    )
+
+    df = corpus_docs(spark, str(tmp_path / "nope"), as_of_epoch=5)
+    assert "epoch" in df.columns
+    assert df.select("doc_id", "epoch").count() == 0
