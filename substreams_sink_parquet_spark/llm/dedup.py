@@ -827,7 +827,10 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20,
 
     The returned frame is the final iteration's local checkpoint —
     already materialized, so the caller's first action reads blocks, not
-    lineage.
+    lineage. If a component is deeper than ``max_iter`` (a chain-shaped
+    duplicate run), the function warns and falls back to :func:`cc_star`
+    automatically instead of aborting — same (doc_id, canonical) contract,
+    O(log n) rounds on any shape.
     """
     # pairs is consumed by BOTH union branches below; without a persist the
     # whole upstream pair computation (e.g. the shingle self-join) runs
@@ -865,10 +868,9 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20,
     labels = edges.select(F.col("a").alias("doc_id")).distinct().withColumn(
         "canonical", F.col("doc_id")
     ).localCheckpoint(eager=True)
-    changed = 0  # an empty round budget is trivially converged
-    for _ in range(max_iter):
+    def _round(cur: DataFrame) -> tuple[DataFrame, int]:
         neighbor_min = (
-            edges.join(labels, edges.b == labels.doc_id)
+            edges.join(cur, edges.b == cur.doc_id)
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("canonical").alias("nbr_min"))
         )
@@ -878,7 +880,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20,
         # checkpoint is LAZY: the changed-count below is the materializing
         # action, so each round runs one job, not an extra eager count()
         cand = (
-            labels.join(neighbor_min, "doc_id", "left")
+            cur.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.col("canonical").alias("old_canonical"),
@@ -888,28 +890,42 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20,
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            cand.filter(F.col("canonical") != F.col("old_canonical"))
-            .count()
-        )
-        labels = cand.select("doc_id", "canonical")
+        n = cand.filter(F.col("canonical") != F.col("old_canonical")).count()
+        return cand.select("doc_id", "canonical"), n
+
+    changed = 0  # an empty round budget is trivially converged
+    for _ in range(max_iter):
+        labels, changed = _round(labels)
         if changed == 0:
             break
-    pairs.unpersist()
     if changed != 0:
-        # the cc_star rule: min-label propagation moves the minimum one
-        # hop per round, so a component deeper than max_iter exits the
-        # loop with non-minimal canonicals — wrong keeper assignments.
-        # Raise rather than silently return them (chain-shaped duplicate
-        # components from drifting re-crawls are exactly the shape that
-        # exceeds a fixed round budget; cc_star's O(log n) contraction is
-        # the tool for those)
-        raise RuntimeError(
+        # the budget's FINAL round may have BEEN the converging one
+        # (changed > 0, but the labels it produced are already minimal) —
+        # one verification round distinguishes "done on the buzzer" from
+        # "still propagating" before escalating (ADVICE r11)
+        labels, changed = _round(labels)
+    if changed != 0:
+        # min-label propagation moves the minimum one hop per round, so a
+        # component deeper than max_iter is still propagating — returning
+        # its labels would assign wrong keepers. Chain-shaped duplicate
+        # components (doc A ~ B ~ C ... from drifting re-crawls) are
+        # exactly that shape and are plausible at crawl scale, so don't
+        # abort the pipeline: fall back to cc_star's star contraction,
+        # which converges in O(log n) rounds on ANY component shape and
+        # honors the same output contract (ADVICE r11 — previously a
+        # RuntimeError here crashed previously-completing pipelines).
+        import warnings
+
+        warnings.warn(
             f"dedup_clusters did not reach a fixpoint in {max_iter} "
-            "rounds (labels still changing) — the pair graph has a "
-            "component deeper than max_iter; raise max_iter or use "
-            "cc_star, refusing to return unconverged labels"
+            "rounds — the pair graph has a component deeper than the "
+            "round budget; falling back to cc_star star contraction",
+            RuntimeWarning,
+            stacklevel=2,
         )
+        # cc_star unpersists `pairs` itself when it finishes
+        return cc_star(pairs, local_threshold=local_threshold)
+    pairs.unpersist()
     return labels
 
 

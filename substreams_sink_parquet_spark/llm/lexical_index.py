@@ -151,6 +151,12 @@ def write_lexical_index(docs: DataFrame, index_dir: str,
         ep_root = url_join(index_dir, stale)
         if fs.exists(ep_root):
             fs.delete(ep_root, recursive=True)
+    # a rebuild also releases the old stream's epoch-history binding: the
+    # superseding epochs are gone, so a NEW stream may append from epoch 0
+    # without tripping the corpus-stream guard (code review r12)
+    stream_marker = url_join(index_dir, "_STREAM_ID")
+    if fs.exists(stream_marker):
+        fs.delete(stream_marker, recursive=False)
     post_dir = url_join(index_dir, "postings")
     post.write.mode("overwrite").partitionBy("term_bucket").parquet(post_dir)
     _df_from_postings(spark, post_dir).write.mode("overwrite").partitionBy(
@@ -432,7 +438,7 @@ def bm25_scores_indexed(spark: SparkSession, index_dir: str,
             # family's contract is the loud, actionable error — indexing
             # df_frames[0] would raise a bare IndexError instead
             raise FileNotFoundError(
-                f"lexical index at {index_dir!r} has has_df set but no "
+                f"lexical index at {index_dir!r}: has_df is set but no "
                 "df/ tree and no committed df_epochs/ — the document-"
                 "frequency state was removed out of band; rebuild "
                 "(lex-build) or re-append an epoch with the current "

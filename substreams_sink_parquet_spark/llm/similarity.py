@@ -551,6 +551,23 @@ def q_sim_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def release_persisted(df: DataFrame) -> None:
+    """Unpersist the cached frames backing an operator result's lineage.
+
+    Operators that cache a shared intermediate (the LSH-bucketed corpus in
+    :func:`embedding_neardup_pairs_lsh`, the centroid assignment in
+    :func:`semantic_dedup`) must leave the cache alive — it backs the
+    returned frame's lineage — but a long-lived session calling them
+    repeatedly would accumulate unbounded executor storage (ADVICE r11).
+    Such operators attach their caches to the result as ``persisted_deps``;
+    call this once the result has been fully consumed or written out.
+    No-op for frames without attached deps, so it is safe to call
+    unconditionally. (``spark.catalog.clearCache()`` remains the blunt
+    session-wide alternative — bench.py uses it between measurements.)"""
+    for dep in getattr(df, "persisted_deps", ()):
+        dep.unpersist()
+
+
 def embedding_neardup_pairs_lsh(embeddings: DataFrame, threshold: float, dim: int,
                                 n_planes: int = 6) -> DataFrame:
     """Embedding near-dup pairs blocked by LSH bucket — the 100 TB block key.
@@ -568,7 +585,10 @@ def embedding_neardup_pairs_lsh(embeddings: DataFrame, threshold: float, dim: in
     # two independent lsh_bucket plans would pay it twice over the full
     # corpus (the same cost class semantic_dedup persists against). The
     # cache backs the returned frame's lineage, so it is not unpersisted
-    # here — the semantic_dedup rule.
+    # here; it is ATTACHED to the result as ``persisted_deps`` so a
+    # long-lived session can release the executor storage via
+    # :func:`release_persisted` once the result is consumed (ADVICE r11 —
+    # repeated calls otherwise accumulate unbounded cached blocks).
     bucketed = lsh_bucket(embeddings, "embedding", dim, n_planes).select(
         "vec_id", "embedding", "bucket"
     ).persist()
@@ -586,7 +606,9 @@ def embedding_neardup_pairs_lsh(embeddings: DataFrame, threshold: float, dim: in
     scored = pairs.select(
         "id_a", "id_b", F.round(cosine("emb_a", "emb_b"), 4).alias("cos4")
     )
-    return scored.filter(F.col("cos4") >= threshold).select("id_a", "id_b")
+    out = scored.filter(F.col("cos4") >= threshold).select("id_a", "id_b")
+    out.persisted_deps = (bucketed,)
+    return out
 
 
 @register(
@@ -849,9 +871,9 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.7,
     # three times. At 100 TB the same move is writing the assignment out
     # bucketed by cent_id — an explicitly materialized, reusable index.
     # The cache backs the RETURNED frame's lineage, so it is not unpersisted
-    # here; callers that are done with the result may
-    # ``spark.catalog.clearCache()`` (bench.py does, between measurements) —
-    # the same contract dedup_clusters documents for its cached labels.
+    # here; it is attached to the result as ``persisted_deps`` for
+    # :func:`release_persisted` (``spark.catalog.clearCache()`` remains the
+    # blunt alternative — bench.py uses it between measurements).
     assigned = _nearest_centroid(
         embeddings.select("vec_id", "embedding"), cents, "embedding",
         keep=["vec_id", "embedding"], with_score=True,
@@ -881,11 +903,13 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.7,
         .otherwise(F.greatest("id_a", "id_b"))  # tie: lower id wins
         .alias("vec_id")
     ).distinct()
-    return (
+    out = (
         assigned.select("vec_id", "cent_id")
         .join(pruned.withColumn("keep", F.lit(False)), "vec_id", "left")
         .withColumn("keep", F.coalesce("keep", F.lit(True)))
     )
+    out.persisted_deps = (assigned,)
+    return out
 
 
 @register(

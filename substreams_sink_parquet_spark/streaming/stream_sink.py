@@ -305,6 +305,94 @@ class StreamingSink:
             if self._max_seen >= self._range_end(rs) + self.undo_holdback - 1
         ]
 
+    def _repair_stranded_finalize(self, table_dir: str) -> None:
+        """Converge a finalize that crashed mid-flight (code review r12).
+
+        ``_finalize``/``_split_oversize`` rename staged files over an
+        UNORDERED thread pool (fsio.rename_all), so a crash can leave
+        ``-part0000.parquet`` in the lake while later parts still sit in
+        ``_staging``/``_staging_resplit`` — a final-looking name that is
+        actually a subset. Staging is deleted as _finalize's last step and
+        the live source dirs only after it returns, so a surviving staging
+        root PROVES the live dirs still hold every row of the crashed
+        pass. Recovery: drop the partially-renamed final files for every
+        stranded range plus the staging roots, and let the normal holdback
+        finalize rebuild them from the intact live dirs. Without this, the
+        replay guard would read part0000 as "complete", delete the live
+        sources, and the next finalize's overwrite of _staging would
+        destroy the stranded parts — silent row loss."""
+        prefix = "__range_start="
+        roots = [
+            url_join(table_dir, "_staging"),
+            url_join(table_dir, "_staging_resplit"),
+        ]
+        stranded: set[int] = set()
+        found = False
+        for root in roots:
+            if not self._fs.exists(root):
+                continue
+            found = True
+            for d in self._fs.listdir(root):
+                if d.startswith(prefix):
+                    stranded.add(int(d[len(prefix):]))
+        if not found:
+            return
+        if stranded:
+            for name in self._fs.listdir(table_dir):
+                parsed = _split_range_name(name)
+                if parsed is not None and parsed[0] in stranded:
+                    self._fs.delete(url_join(table_dir, name), recursive=False)
+        for root in roots:
+            self._fs.delete(root, recursive=True)
+
+    def _undo_marker_dir(self, table_dir: str) -> str:
+        return url_join(table_dir, "_undo_markers")
+
+    def _repair_undo_markers(self, table_dir: str) -> None:
+        """Finish a demotion that crashed mid-flight (code review r12).
+
+        ``_undo_finalized`` writes a per-group marker (fork + file names)
+        BEFORE mutating the group, demotes the kept rows to ``epoch=-2``,
+        deletes the group's files, then drops the marker. A surviving
+        marker therefore means the group is in one of two states:
+
+        - every listed file still present → the deletion phase never began,
+          so the demotion may be incomplete. Re-demote from the intact
+          files using the marker's fork (idempotent overwrite), then
+          delete them.
+        - some listed file already gone → deletion only starts after the
+          demotion completed, so the ``epoch=-2`` dirs are whole; just
+          delete the remaining stale files. (Reading the SURVIVING subset
+          to re-demote here would overwrite the complete epoch=-2 dirs
+          with a partial group's rows — the one wrong move.)
+
+        Without this repair, a restart after an undo crash leaves the
+        stale pre-reorg file in place and the replay guard would discard
+        the demoted + re-fed live rows, serving reorged blocks forever."""
+        markers_dir = self._undo_marker_dir(table_dir)
+        if not self._fs.exists(markers_dir):
+            return
+        import json
+
+        for name in sorted(self._fs.listdir(markers_dir)):
+            marker = url_join(markers_dir, name)
+            meta = json.loads(self._fs.read_bytes(marker).decode("utf-8"))
+            files = meta["files"]
+            fork = meta["fork"]
+            present = [
+                n for n in files
+                if self._fs.exists(url_join(table_dir, n))
+            ]
+            spanning = _split_range_name(files[0])[0] <= fork
+            if spanning and len(present) == len(files):
+                self._demote_group(
+                    table_dir, [url_join(table_dir, n) for n in files], fork
+                )
+            for n in present:
+                self._fs.delete(url_join(table_dir, n), recursive=False)
+            self._fs.delete(marker, recursive=False)
+        self._fs.delete(markers_dir, recursive=True)
+
     def _finalize_ready(self, table_dir: str, force: bool = False) -> None:
         """Compact every fully-past range to one sorted padded-name file — in
         ONE Spark job for the whole ready set, however many ranges it holds.
@@ -316,6 +404,16 @@ class StreamingSink:
         file per range, parallel renames, target_file_bytes splitting) does
         the rest. ``force`` finalizes every remaining live range regardless
         of the holdback horizon — terminal drain only (Close parity)."""
+        # crash repairs BEFORE the existence guard below (code review r12):
+        # a stranded _staging means the pre-crash finalize never finished
+        # its renames (its live sources are intact — they are deleted only
+        # after _finalize returns, which deletes _staging first), so a
+        # final part file the guard would probe may be an incomplete
+        # SUBSET; a stranded _undo_markers entry means a demotion crashed
+        # and the probed file may be a STALE pre-reorg file. Both repairs
+        # converge the lake so the guard's existence probe is trustworthy.
+        self._repair_stranded_finalize(table_dir)
+        self._repair_undo_markers(table_dir)
         live = url_join(table_dir, "_live")
         idx = self._live_index(live)
         ranges = self._live_ranges(idx) if force else self._ready_ranges(idx)
@@ -329,8 +427,10 @@ class StreamingSink:
         # (HadoopFS.rename is delete-dst-first), silently losing the
         # earlier epochs' rows. The replayed live rows are a subset of
         # what that finalize already wrote, so drop them and skip the
-        # range. The undo path never collides with this rule: demotion
-        # deletes the finalized file before re-feeding the range.
+        # range. The undo path cannot collide with this rule: demotion
+        # writes a marker before touching the range, and the marker repair
+        # above deletes the stale finalized file (re-demoting first when
+        # the crash predates the demotion) before this probe runs.
         from ..sink.writer import file_name
 
         fresh = []
@@ -436,10 +536,12 @@ class StreamingSink:
         range and re-finalizes it through the normal holdback path. Applied
         to the main table and every exploded child, keeping them in lockstep.
 
-        Demotion writes the kept rows before deleting the finalized file: a
-        crash in between leaves a duplicate that the idempotent re-run of
-        ``undo(same fork)`` converges (epoch dir overwritten, file deleted),
-        never a loss."""
+        Crash safety: each retracted group is covered by a marker under
+        ``_undo_markers/`` written before any mutation and removed after
+        the group's files are deleted, so a crash at ANY point converges —
+        on the next undo run, the next finalize pass, or a plain stream
+        restart — via :meth:`_repair_undo_markers`, never a loss and never
+        a stale pre-reorg file left serving (code review r12)."""
         for table_dir in [self.out_dir] + self._child_dirs():
             self._undo_finalized(table_dir, last_valid_block)
             self._undo_live(table_dir, last_valid_block)
@@ -553,7 +655,51 @@ class StreamingSink:
                 self._fs.delete(src, recursive=True)
                 self._fs.rename(tmp, src)
 
+    def _demote_group(self, table_dir: str, paths: list[str],
+                      last_valid_block: int) -> None:
+        """Stage a spanning finalized group's surviving rows back into the
+        live area under ``epoch=-2``, split onto NATIVE partition_size
+        ranges — a tiered file (tier_finalized) spans several native
+        ranges, and staging them all under the file's own start would
+        re-finalize into a misnamed file that breaks name-keyed pruning.
+        Idempotent (per-range overwrite) — the marker repair re-runs it."""
+        kept = self.spark.read.parquet(*paths).filter(
+            F.col("block_number") <= last_valid_block
+        ).persist()
+        try:
+            starts = [
+                r[0]
+                for r in kept.select(
+                    range_start_col(
+                        "block_number", self.opts.start_block,
+                        self.opts.partition_size,
+                    ).alias("rs")
+                ).distinct().collect()
+            ]
+            for s in sorted(starts):
+                dst = url_join(
+                    table_dir, "_live",
+                    f"epoch={self.RETRACT_EPOCH}", f"range_start={s}",
+                )
+                part = kept.filter(
+                    (F.col("block_number") >= s)
+                    & (F.col("block_number") < s + self.opts.partition_size)
+                )
+                writer = part.write.mode("overwrite")
+                for k, v in parquet_write_options(self.opts).items():
+                    writer = writer.option(k, v)
+                writer.parquet(dst)
+        finally:
+            kept.unpersist()
+
     def _undo_finalized(self, table_dir: str, last_valid_block: int) -> None:
+        # converge any previously-crashed finalize/undo first: a stranded
+        # _staging's partially-renamed final parts would otherwise be read
+        # as demotable groups (duplicating rows the intact live dirs still
+        # hold), and a stranded marker's group must finish its crashed
+        # demotion before new groups are computed (code review r12)
+        self._repair_stranded_finalize(table_dir)
+        self._repair_undo_markers(table_dir)
         groups: dict[tuple[int, int], list[str]] = {}
         for name in self._fs.listdir(table_dir):
             parsed = _split_range_name(name)
@@ -583,46 +729,33 @@ class StreamingSink:
                 "native ranges. Pass the lake's actual --partition-size "
                 "/ --start-block to the undo command"
             )
+        import json
+
+        markers_dir = self._undo_marker_dir(table_dir)
         for (rs, re_), names in sorted(groups.items()):
             if re_ - 1 <= last_valid_block:
                 continue  # fully below the fork — untouched
             paths = [url_join(table_dir, n) for n in names]
+            # per-group marker BEFORE any mutation (code review r12): a
+            # crash anywhere between here and the marker delete leaves a
+            # record that _repair_undo_markers can complete — re-demote
+            # from the still-intact files, or finish the deletes. Written
+            # after the grid validation above so a repair re-demotion
+            # never stages onto an unvalidated grid.
+            marker = url_join(markers_dir, f"{rs}-{re_}.json")
+            self._fs.write_bytes(
+                marker,
+                json.dumps(
+                    {"fork": last_valid_block, "files": sorted(names)}
+                ).encode("utf-8"),
+            )
             if rs <= last_valid_block:
-                # spanning range: demote surviving rows to the live area,
-                # split into NATIVE partition_size ranges — a tiered file
-                # (tier_finalized) spans several native ranges, and staging
-                # them all under the file's own start would re-finalize into
-                # a misnamed file that breaks name-keyed pruning
-                kept = self.spark.read.parquet(*paths).filter(
-                    F.col("block_number") <= last_valid_block
-                ).persist()
-                try:
-                    starts = [
-                        r[0]
-                        for r in kept.select(
-                            range_start_col(
-                                "block_number", self.opts.start_block,
-                                self.opts.partition_size,
-                            ).alias("rs")
-                        ).distinct().collect()
-                    ]
-                    for s in sorted(starts):
-                        dst = url_join(
-                            table_dir, "_live",
-                            f"epoch={self.RETRACT_EPOCH}", f"range_start={s}",
-                        )
-                        part = kept.filter(
-                            (F.col("block_number") >= s)
-                            & (F.col("block_number") < s + self.opts.partition_size)
-                        )
-                        writer = part.write.mode("overwrite")
-                        for k, v in parquet_write_options(self.opts).items():
-                            writer = writer.option(k, v)
-                        writer.parquet(dst)
-                finally:
-                    kept.unpersist()
+                self._demote_group(table_dir, paths, last_valid_block)
             for p in paths:
                 self._fs.delete(p, recursive=False)
+            self._fs.delete(marker, recursive=False)
+        if self._fs.exists(markers_dir) and not self._fs.listdir(markers_dir):
+            self._fs.delete(markers_dir, recursive=True)
 
 
 def lake_table_dirs(fs: HadoopFS, out_dir: str) -> list[str]:

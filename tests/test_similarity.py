@@ -645,11 +645,13 @@ def test_embedding_dim_empty_table_is_loud(spark, tmp_path):
         embedding_dim(spark, str(tmp_path))
 
 
-def test_dedup_clusters_raises_on_nonconvergence(spark):
-    """The cc_star rule, applied to the min-label sibling: a component
-    deeper than max_iter exits the loop with non-minimal canonicals —
-    wrong keeper assignments — and must raise, not silently return
-    (code review r11)."""
+def test_dedup_clusters_falls_back_to_cc_star_on_nonconvergence(spark):
+    """A component deeper than max_iter exits the loop with non-minimal
+    canonicals — wrong keeper assignments. Instead of silently returning
+    them (pre-r11) or aborting the pipeline (r11's raise), the operator
+    now falls back to cc_star's O(log n) contraction with a warning, so
+    chain-shaped duplicate runs at crawl scale still complete with
+    CORRECT labels (ADVICE r11)."""
     import pytest
 
     from substreams_sink_parquet_spark.llm.dedup import dedup_clusters
@@ -657,7 +659,51 @@ def test_dedup_clusters_raises_on_nonconvergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
     )
-    with pytest.raises(RuntimeError, match="fixpoint"):
-        dedup_clusters(chain, max_iter=2, local_threshold=0)
+    with pytest.warns(RuntimeWarning, match="cc_star"):
+        labels = dedup_clusters(chain, max_iter=1, local_threshold=0)
+    assert {r.canonical for r in labels.collect()} == {0}  # still minimal
     labels = dedup_clusters(chain, max_iter=10, local_threshold=0)
     assert {r.canonical for r in labels.collect()} == {0}
+
+
+def test_dedup_clusters_on_the_buzzer_convergence_is_not_escalated(spark):
+    """False-positive guard (ADVICE r11): when the budget's FINAL round is
+    the converging one (changed > 0 but the labels it produced are already
+    minimal), one verification round must confirm the fixpoint instead of
+    escalating to the fallback."""
+    import warnings
+
+    from substreams_sink_parquet_spark.llm.dedup import dedup_clusters
+
+    # chain 0-1-2 needs exactly 2 adopting rounds; round 2 still reports
+    # changed=1, so max_iter=2 exits the loop "unconverged" while the
+    # labels are in fact minimal
+    chain = spark.createDataFrame(
+        [(0, 1), (1, 2)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # any warn = fail
+        labels = dedup_clusters(chain, max_iter=2, local_threshold=0)
+    assert {r.canonical for r in labels.collect()} == {0}
+
+
+def test_release_persisted_frees_attached_caches(spark):
+    """Operators that cache a shared intermediate attach it to the result
+    as persisted_deps; release_persisted unpersists them so a long-lived
+    session calling the operator repeatedly does not accumulate unbounded
+    executor storage (ADVICE r11). Safe no-op on plain frames."""
+    from substreams_sink_parquet_spark.llm.similarity import (
+        embedding_neardup_pairs_lsh, release_persisted,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    out = embedding_neardup_pairs_lsh(emb, threshold=0.99, dim=2)
+    out.count()
+    dep = out.persisted_deps[0]
+    assert dep.storageLevel.useMemory  # cache armed
+    release_persisted(out)
+    assert not dep.storageLevel.useMemory  # released
+    release_persisted(emb)  # no deps attached: no-op, no raise

@@ -817,3 +817,161 @@ def test_undo_lake_retracts_rollup_too(spark, tmp_path):
         for r in read_rollup(spark, url_join(out, "_rollup"), spec).collect()
     }
     assert got == {0: (10, 9), 10: (5, 14)}  # 15..24 retracted offline
+
+
+def test_finalize_crash_mid_rename_recovers_from_live(spark, tmp_path):
+    """ADVICE r11 (high): _finalize renames staged parts over an UNORDERED
+    thread pool, so a crash can leave -part0000 in the lake while later
+    parts still sit in _staging. The r11 replay guard read part0000 as a
+    complete finalize and deleted the intact live sources; the next
+    finalize's mode('overwrite') on _staging then destroyed the stranded
+    parts — silent row loss. The repair pre-pass instead drops the partial
+    final parts plus the staging roots and re-finalizes from the intact
+    live dirs (code review r12)."""
+    import glob
+    import shutil
+
+    from substreams_sink_parquet_spark.streaming.stream_sink import (
+        StreamingSink,
+    )
+
+    from .test_sink_writer import _blocks_df
+
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    opts = WriterOptions(partition_size=10, start_block=0)
+    sink = StreamingSink(spark=spark, spec=BLOCK, out_dir=out_dir,
+                         opts=opts, undo_holdback=1000)
+    sink.process_batch(_blocks_df(spark, list(range(10))), epoch_id=0)
+    assert _final_files(out_dir) == []  # holdback keeps everything live
+
+    # simulate the crash state: a pre-crash finalize split [0,10) in two,
+    # renamed only part0000 (a SUBSET), and died with the remainder still
+    # in _staging — the live sources are intact (they are deleted only
+    # after _finalize returns, which deletes _staging first)
+    src = os.path.join(out_dir, "_live", "epoch=0", "range_start=0")
+    subset = spark.read.parquet(src).filter(F.col("block_number") <= 4)
+    subset.coalesce(1).write.parquet(str(tmp_path / "subset"))
+    pf = glob.glob(str(tmp_path / "subset" / "part-*.parquet"))[0]
+    shutil.copy(
+        pf, os.path.join(out_dir, "0000000000-0000000010-part0000.parquet")
+    )
+    stranded = os.path.join(out_dir, "_staging", "__range_start=0")
+    os.makedirs(stranded)
+    shutil.copy(pf, os.path.join(stranded, "part-00001.parquet"))
+
+    # restarted process: a new batch pushes the horizon past the range
+    sink2 = StreamingSink(spark=spark, spec=BLOCK, out_dir=out_dir,
+                          opts=opts, undo_holdback=0)
+    sink2.process_batch(_blocks_df(spark, [15]), epoch_id=1)
+
+    finals = [n for n in _final_files(out_dir) if n.startswith("0000000000")]
+    got = sorted(
+        b
+        for n in finals
+        for b in pq.read_table(
+            os.path.join(out_dir, n)
+        ).column("block_number").to_pylist()
+    )
+    assert got == list(range(10))  # every row survived, exactly once
+    assert not os.path.exists(os.path.join(out_dir, "_staging"))
+
+
+def test_undo_crash_before_demotion_self_heals_on_restart(spark, tmp_path):
+    """ADVICE r11 (medium): a crash between undo's demotion staging and the
+    finalized-file delete used to leave BOTH; a restart without re-running
+    undo then served the stale pre-reorg file forever while the guard
+    discarded the demoted + re-fed live rows. The per-group marker is now
+    written BEFORE any mutation, so the worst crash point (marker written,
+    demotion never ran) re-demotes from the still-intact file on the next
+    finalize pass and deletes the stale file (code review r12)."""
+    import json
+
+    from substreams_sink_parquet_spark.streaming.stream_sink import (
+        StreamingSink,
+    )
+
+    from .test_sink_writer import _blocks_df
+
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    opts = WriterOptions(partition_size=10, start_block=0)
+    sink = StreamingSink(spark=spark, spec=BLOCK, out_dir=out_dir,
+                         opts=opts, undo_holdback=0)
+    sink.process_batch(_blocks_df(spark, list(range(10)) + [15]), epoch_id=0)
+    final = "0000000000-0000000010.parquet"
+    assert final in _final_files(out_dir)
+
+    # crash IMMEDIATELY after the marker write: no demotion, no delete
+    os.makedirs(os.path.join(out_dir, "_undo_markers"))
+    with open(os.path.join(out_dir, "_undo_markers", "0-10.json"), "w") as f:
+        json.dump({"fork": 7, "files": [final]}, f)
+
+    # restart WITHOUT re-running undo; any batch triggers the repair
+    sink2 = StreamingSink(spark=spark, spec=BLOCK, out_dir=out_dir,
+                          opts=opts, undo_holdback=0)
+    sink2.process_batch(_blocks_df(spark, [25]), epoch_id=0)
+
+    finals = [n for n in _final_files(out_dir) if n.startswith("0000000000")]
+    got = sorted(
+        b
+        for n in finals
+        for b in pq.read_table(
+            os.path.join(out_dir, n)
+        ).column("block_number").to_pylist()
+    )
+    assert got == list(range(8))  # blocks 8,9 retracted; 0..7 re-finalized
+    assert not os.path.exists(os.path.join(out_dir, "_undo_markers"))
+
+
+def test_undo_crash_after_delete_trusts_demoted_rows(spark, tmp_path):
+    """The other side of the marker contract: deletion only begins after
+    the demotion completed, so a marker whose files are (partly) gone must
+    TRUST the epoch=-2 dirs — re-demoting from the surviving subset would
+    overwrite complete demoted rows with a partial group's
+    (code review r12)."""
+    import json
+
+    from substreams_sink_parquet_spark.streaming.stream_sink import (
+        StreamingSink,
+    )
+
+    from .test_sink_writer import _blocks_df
+
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    opts = WriterOptions(partition_size=10, start_block=0)
+    sink = StreamingSink(spark=spark, spec=BLOCK, out_dir=out_dir,
+                         opts=opts, undo_holdback=0)
+    sink.process_batch(_blocks_df(spark, list(range(10)) + [15]), epoch_id=0)
+    final = "0000000000-0000000010.parquet"
+    fpath = os.path.join(out_dir, final)
+
+    # simulate: demotion complete (epoch=-2 holds blocks 0..7), file
+    # deleted, crash before the marker delete
+    kept = spark.read.parquet(fpath).filter(F.col("block_number") <= 7)
+    kept.write.parquet(
+        os.path.join(out_dir, "_live", "epoch=-2", "range_start=0")
+    )
+    os.remove(fpath)
+    for crc in [os.path.join(out_dir, "." + final + ".crc")]:
+        if os.path.exists(crc):
+            os.remove(crc)
+    os.makedirs(os.path.join(out_dir, "_undo_markers"))
+    with open(os.path.join(out_dir, "_undo_markers", "0-10.json"), "w") as f:
+        json.dump({"fork": 7, "files": [final]}, f)
+
+    sink2 = StreamingSink(spark=spark, spec=BLOCK, out_dir=out_dir,
+                          opts=opts, undo_holdback=0)
+    sink2.process_batch(_blocks_df(spark, [25]), epoch_id=0)
+
+    finals = [n for n in _final_files(out_dir) if n.startswith("0000000000")]
+    got = sorted(
+        b
+        for n in finals
+        for b in pq.read_table(
+            os.path.join(out_dir, n)
+        ).column("block_number").to_pylist()
+    )
+    assert got == list(range(8))
+    assert not os.path.exists(os.path.join(out_dir, "_undo_markers"))
