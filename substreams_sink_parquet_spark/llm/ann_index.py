@@ -151,6 +151,12 @@ def write_ann_index(
     ep_root = url_join(index_dir, "codes_epochs")
     if fs.exists(ep_root):
         fs.delete(ep_root, recursive=True)
+    # release the old stream's epoch-history binding with the epochs it
+    # covered — a retrain adopts the index for whatever appends next
+    # (code review r12)
+    stream_marker = url_join(index_dir, "_STREAM_ID")
+    if fs.exists(stream_marker):
+        fs.delete(stream_marker, recursive=False)
     codes.write.mode("overwrite").partitionBy("cent_id").parquet(
         url_join(index_dir, "codes")
     )

@@ -153,8 +153,11 @@ def write_pretrain_export(docs: DataFrame, out_dir: str,
     spark = docs.sparkSession
     fs = HadoopFS(spark, out_dir)
     manifest_path = url_join(out_dir, _MANIFEST)
+    tmp_manifest = url_join(out_dir, "." + _MANIFEST + ".tmp")
     if fs.exists(manifest_path):
         fs.delete(manifest_path, recursive=False)
+    if fs.exists(tmp_manifest):  # stale tmp from a crashed prior export
+        fs.delete(tmp_manifest, recursive=False)
     shards_dir = url_join(out_dir, "shards")
     plan = plan_pretrain_export(
         docs, context_len=context_len, n_shards=n_shards, seed=seed,
@@ -203,7 +206,13 @@ def write_pretrain_export(docs: DataFrame, out_dir: str,
             for r in sorted(stats, key=lambda r: r.shard_id)
         },
     }
-    fs.write_bytes(manifest_path, json.dumps(manifest).encode())
+    # tmp + rename, not a direct write: the manifest is the COMMIT MARKER,
+    # and a crash mid-write_bytes would otherwise leave a torn JSON that
+    # read_export_manifest rejects with a bare JSONDecodeError instead of
+    # the documented loud "uncommitted" contract (code review r12). The
+    # dot-prefix keeps the tmp invisible to directory listings and Spark.
+    fs.write_bytes(tmp_manifest, json.dumps(manifest).encode())
+    fs.rename(tmp_manifest, manifest_path)
     return manifest
 
 
@@ -217,7 +226,14 @@ def read_export_manifest(spark: SparkSession, out_dir: str) -> dict:
             "`export-pretrain`) or an export crashed mid-write; re-export "
             "before training on it"
         )
-    return json.loads(fs.read_bytes(manifest_path))
+    try:
+        return json.loads(fs.read_bytes(manifest_path))
+    except ValueError as e:  # torn/corrupt marker (legacy direct writes)
+        raise ValueError(
+            f"pre-training export at {out_dir!r} has a corrupt {_MANIFEST} "
+            f"({e}) — an export crashed mid-commit or the file was damaged "
+            "out of band; re-export before training on it"
+        ) from e
 
 
 def read_pretrain_export(spark: SparkSession, out_dir: str,

@@ -147,6 +147,12 @@ def write_bigram_lm(docs: DataFrame, lm_dir: str,
     ep_root = url_join(lm_dir, "epochs")
     if fs.exists(ep_root):
         fs.delete(ep_root, recursive=True)
+    # release the old stream's epoch-history binding with the epochs it
+    # covered — a retrain adopts the model for whatever appends next
+    # (code review r12)
+    stream_marker = url_join(lm_dir, "_STREAM_ID")
+    if fs.exists(stream_marker):
+        fs.delete(stream_marker, recursive=False)
     uni.write.mode("overwrite").partitionBy("w_bucket").parquet(
         url_join(lm_dir, "unigrams")
     )

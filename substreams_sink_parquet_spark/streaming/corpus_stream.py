@@ -637,6 +637,18 @@ class CorpusSink:
             if self.ann_index_dir is not None:
                 from ..llm.ann_index import append_epoch_to_ann_index
 
+                # the _profile guard's rule, extended to the EXTERNAL
+                # epoch-keyed artifacts (code review r12): the corpus-root
+                # guard at the top of process_batch protects this stream's
+                # own restarts, but a NEW stream pointed at a RECYCLED
+                # index/LM dir from another corpus would pass it and then
+                # overwrite that artifact's epoch=0.. deltas one batch at
+                # a time — silent count/posting corruption with no record
+                guard_stream_id(
+                    HadoopFS(self.spark, self.ann_index_dir),
+                    self.ann_index_dir, self.stream_id,
+                    what="ann-index epoch history",
+                )
                 # only embeddable docs enter the serving index (null /
                 # wrong-dim embeddings have no vector to serve); the
                 # epoch-keyed overwrite makes a replayed batch converge
@@ -671,6 +683,11 @@ class CorpusSink:
             if self.lexical_index_dir is not None:
                 from ..llm.lexical_index import append_epoch_to_lexical_index
 
+                guard_stream_id(
+                    HadoopFS(self.spark, self.lexical_index_dir),
+                    self.lexical_index_dir, self.stream_id,
+                    what="lexical-index epoch history",
+                )
                 # index the text AS ADMITTED (post line-dedup cleaning) —
                 # retrieval must rank what the corpus serves, and the
                 # epoch-keyed overwrite makes a replayed batch converge
@@ -681,6 +698,11 @@ class CorpusSink:
             if self.lm_dir is not None:
                 from ..llm.lm import append_epoch_to_bigram_lm
 
+                guard_stream_id(
+                    HadoopFS(self.spark, self.lm_dir),
+                    self.lm_dir, self.stream_id,
+                    what="bigram-LM epoch history",
+                )
                 # count the text AS ADMITTED, same rule as the lexical
                 # append: the fluency model must reflect what the corpus
                 # serves, and the epoch-keyed overwrite makes a replayed

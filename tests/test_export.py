@@ -352,3 +352,44 @@ def test_export_mixture_composition_plan_keeps_both_scale_shapes(
     # survives the composition
     assert len(re.findall(
         r"Arguments: hashpartitioning\(shard_id", rep.text)) == 1, rep.text
+
+
+def test_export_manifest_commit_is_atomic_and_torn_marker_is_loud(spark, tmp_path):
+    """The manifest is the COMMIT MARKER: it is committed via tmp+rename
+    (a crash mid-write leaves only a hidden .tmp the next export sweeps),
+    and a torn/corrupt marker raises an actionable error instead of a bare
+    JSONDecodeError (code review r12)."""
+    import os
+
+    import pytest
+
+    from substreams_sink_parquet_spark.llm.export import (
+        read_export_manifest, write_pretrain_export,
+    )
+
+    out = str(tmp_path / "exp")
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w w w") for i in range(20)], "doc_id long, text string"
+    )
+    write_pretrain_export(docs, out, context_len=8, n_shards=2)
+    assert not os.path.exists(
+        os.path.join(out, "._EXPORT_MANIFEST.json.tmp")
+    )
+
+    # torn marker (crash mid-commit on a store without atomic rename, or
+    # out-of-band damage): loud and actionable
+    mpath = os.path.join(out, "_EXPORT_MANIFEST.json")
+    with open(mpath, "w") as f:
+        f.write('{"context_len": 8, "n_sha')  # truncated JSON
+    crc = os.path.join(out, "._EXPORT_MANIFEST.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)  # hadoop local FS checksum sidecar
+    with pytest.raises(ValueError, match="re-export"):
+        read_export_manifest(spark, out)
+
+    # a stale tmp from a crashed export is swept by the next one
+    with open(os.path.join(out, "._EXPORT_MANIFEST.json.tmp"), "w") as f:
+        f.write("garbage")
+    m = write_pretrain_export(docs, out, context_len=8, n_shards=2)
+    assert m["total_docs"] == 20
+    assert read_export_manifest(spark, out)["total_docs"] == 20

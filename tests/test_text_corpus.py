@@ -1551,3 +1551,40 @@ def test_corpus_docs_empty_root_carries_epoch_column(spark, tmp_path):
     df = corpus_docs(spark, str(tmp_path / "nope"), as_of_epoch=5)
     assert "epoch" in df.columns
     assert df.select("doc_id", "epoch").count() == 0
+
+
+def test_recycled_external_artifact_dir_refuses_foreign_stream(spark, tmp_path):
+    """The corpus-root guard (r11) protects THIS corpus's restarts, but a
+    NEW stream pointed at a RECYCLED external LM/index dir passed it —
+    its epoch-0 append overwrote the other stream's epoch-0 count deltas
+    silently. The epoch-keyed external artifacts now carry their own
+    _STREAM_ID binding, released by a full retrain (code review r12)."""
+    import pytest
+
+    from substreams_sink_parquet_spark.llm.lm import write_bigram_lm
+    from substreams_sink_parquet_spark.streaming.corpus_stream import (
+        CorpusSink,
+    )
+
+    lm_dir = str(tmp_path / "lm")
+    docs = spark.createDataFrame(
+        [(100, "seed words here")], "doc_id long, text string"
+    )
+    write_bigram_lm(docs, lm_dir, n_buckets=4)
+
+    rows = [(1, "alpha doc words", "en", "w", 15, None)]
+    a = CorpusSink(spark=spark, out_dir=str(tmp_path / "outA"),
+                   stream_id="ckpt-a", lm_dir=lm_dir)
+    a.process_batch(spark.createDataFrame(rows, _DDL_R11), 0)
+
+    # a DIFFERENT stream (fresh corpus root, so the corpus guard passes)
+    # must not adopt the LM's epoch history
+    b = CorpusSink(spark=spark, out_dir=str(tmp_path / "outB"),
+                   stream_id="ckpt-b", lm_dir=lm_dir)
+    with pytest.raises(RuntimeError, match="built by stream"):
+        b.process_batch(spark.createDataFrame(rows, _DDL_R11), 0)
+
+    # a retrain supersedes (and deletes) the epoch history — the marker is
+    # released with it, so the new stream appends cleanly from epoch 0
+    write_bigram_lm(docs, lm_dir, n_buckets=4)
+    b.process_batch(spark.createDataFrame(rows, _DDL_R11), 0)
