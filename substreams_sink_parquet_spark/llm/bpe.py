@@ -264,12 +264,18 @@ def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_text_bpe_delta",
     r"""
+    WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(COALESCE(text, ''), '\s+', ' ', 'g'))
+                   AS norm
+        FROM documents
+    )
     SELECT doc_id,
-           CAST(len(str_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
-               AS BIGINT) AS n_words,
+           CAST(CASE WHEN norm = '' THEN 0
+                     ELSE len(str_split(norm, ' ')) END AS BIGINT) AS n_words,
            TRUE AS word_count_match,
            TRUE AS roundtrip_ok
-    FROM documents
+    FROM n
     """,
     doc="HASHABLE companion for the learned-merge BPE tokenizer (the "
         "approx-delta pattern): the merge table is a trained artifact, "
@@ -285,9 +291,19 @@ def q_text_bpe_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     merges = train_bpe(docs, num_merges=200)
     toks = bpe_tokenize(docs, merges, keep_tokens=True)
-    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    # null/empty-text contract (code review r12): the SQL split of an
+    # empty string is [''] (size 1), but the tokenizer correctly sees 0
+    # words — without the empty guard a contentless doc reported
+    # word_count_match=false (and a NULL text made both verdicts NULL)
+    # against an oracle that claims TRUE, so one hostile row would
+    # hash-fail the whole query
+    norm = F.trim(
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", " ")
+    )
     joined = toks.join(docs.select("doc_id", "text"), "doc_id")
-    n_words_sql = F.size(F.split(norm, " ")).cast("long")
+    n_words_sql = F.when(norm == "", F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))
+    ).cast("long")
     return joined.select(
         "doc_id",
         n_words_sql.alias("n_words"),
@@ -308,7 +324,9 @@ def write_bpe_model(spark: SparkSession, merges: list[tuple[str, str]],
     applied everywhere (an export whose token boundaries depend on when
     the tokenizer was retrained is not reproducible). The file is the
     whole model (merges are KBs at 200, low MBs at a production 100k),
-    written atomically enough for its size; rebuilding overwrites."""
+    committed via tmp+rename so a crash mid-write never leaves a torn
+    model a later apply would fail confusingly on (code review r12);
+    rebuilding overwrites."""
     import json
 
     from ..fsio import HadoopFS, url_join
@@ -321,7 +339,9 @@ def write_bpe_model(spark: SparkSession, merges: list[tuple[str, str]],
         "end_marker": END,
         "merges": [[a, b] for a, b in merges],
     }
-    fs.write_bytes(url_join(model_dir, _MODEL), json.dumps(meta).encode())
+    tmp = url_join(model_dir, "." + _MODEL + ".tmp")
+    fs.write_bytes(tmp, json.dumps(meta).encode())
+    fs.rename(tmp, url_join(model_dir, _MODEL))
     return meta
 
 

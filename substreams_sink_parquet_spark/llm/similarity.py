@@ -25,6 +25,30 @@ from ..catalog import register
 from ..tables import load
 
 
+def valid_emb_sql(col: str, dim_of: str | None = None,
+                  require_norm: bool = True) -> str:
+    """DuckDB predicate mirroring the engine's corrupt-vector exclusion
+    contract (code review r12): a vector participates in similarity math
+    iff it is non-null, has no null elements, has positive norm (an
+    all-zero vector has no direction), and — when ``dim_of`` names the
+    other side — matches its dimension. On the Spark side the same four
+    cases fall out of the expression algebra (zip_with padding, aggregate
+    null propagation, try_divide), but DuckDB's list_cosine_similarity
+    ERRORS on null elements and dim mismatches, so its oracles must
+    exclude explicitly. ``require_norm=False`` is the L2 form: a zero
+    vector has no cosine but a perfectly defined Euclidean distance."""
+    dim_clause = f" AND len({col}) = len({dim_of})" if dim_of else ""
+    norm_clause = (
+        f" AND list_sum(list_transform(CAST({col} AS DOUBLE[]),"
+        f" x -> x * x)) > 0" if require_norm else ""
+    )
+    return (
+        f"({col} IS NOT NULL"
+        f" AND len(list_filter({col}, x -> x IS NULL)) = 0"
+        f"{norm_clause}{dim_clause})"
+    )
+
+
 def _dot(a: str | Column, b: str | Column) -> Column:
     """JVM-side double-precision dot product of two array<float> columns."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -40,7 +64,14 @@ def _norm(a: str | Column) -> Column:
 
 
 def cosine(a: str | Column, b: str | Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide, not /: a ZERO-NORM (all-zero) vector has no direction —
+    # its cosine is undefined, and under ANSI (the driver session default)
+    # the plain division 0/0 ABORTS the whole query on one corrupt row
+    # (code review r12, hostile-fixture find). NULL routes it into the
+    # same exclusion contract as null / wrong-dim / null-element vectors:
+    # nulls-last ranking + isNotNull filters keep it off every result.
+    # Same expression cost — try_divide is the one-branch ANSI form.
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
@@ -104,14 +135,16 @@ def l2_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
 
 @register(
     "q_sim_topk",
-    """
+    f"""
     WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
-               FROM embeddings WHERE vec_id < 8),
+               FROM embeddings
+               WHERE vec_id < 8 AND {valid_emb_sql('embedding')}),
          scored AS (
              SELECT q.q_id, e.vec_id,
                     list_cosine_similarity(q.q_vec, CAST(e.embedding AS DOUBLE[])) AS cos
              FROM embeddings e, q
              WHERE e.vec_id <> q.q_id
+               AND {valid_emb_sql('e.embedding', dim_of='q.q_vec')}
          )
     SELECT q_id, vec_id AS neighbor_id,
            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
@@ -464,11 +497,13 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float,
 
 @register(
     "q_dedup_embedding",
-    """
+    f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+    WHERE {valid_emb_sql('a.embedding')}
+      AND {valid_emb_sql('b.embedding', dim_of='a.embedding')}
+      AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                        CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
     """,
     doc="Embedding-cosine near-dup pairs within label blocks (cos >= 0.4)",
@@ -798,20 +833,28 @@ def semantic_decontaminate(train: DataFrame, eval_set: DataFrame,
 
 @register(
     "q_decontaminate_semantic",
-    """
+    f"""
     WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-               WHERE vec_id % 7 = 0),
+               WHERE vec_id % 7 = 0 AND {valid_emb_sql('embedding')}),
+         t_all AS (SELECT vec_id FROM embeddings WHERE vec_id % 7 <> 0),
          t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings WHERE vec_id % 7 <> 0)
-    SELECT t.vec_id,
-           MAX(ROUND(list_cosine_similarity(t.v, e.v), 4)) AS max_cos,
-           CAST(SUM(CASE WHEN ROUND(list_cosine_similarity(t.v, e.v), 4)
-                              >= 0.4 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_eval_hits,
-           MAX(ROUND(list_cosine_similarity(t.v, e.v), 4)) >= 0.4
-               AS contaminated
-    FROM t, e
-    GROUP BY t.vec_id
+               FROM embeddings
+               WHERE vec_id % 7 <> 0 AND {valid_emb_sql('embedding')}),
+         h AS (
+             SELECT t.vec_id,
+                    MAX(ROUND(list_cosine_similarity(t.v, e.v), 4))
+                        AS max_cos,
+                    CAST(SUM(CASE WHEN ROUND(list_cosine_similarity(t.v, e.v), 4)
+                                       >= 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_eval_hits
+             FROM t, e
+             WHERE len(e.v) = len(t.v)
+             GROUP BY t.vec_id
+         )
+    SELECT t_all.vec_id, h.max_cos,
+           COALESCE(h.n_eval_hits, 0) AS n_eval_hits,
+           COALESCE(h.max_cos >= 0.4, FALSE) AS contaminated
+    FROM t_all LEFT JOIN h USING (vec_id)
     """,
     doc="Semantic (embedding-space) benchmark decontamination: flags "
         "training vectors whose max rounded cosine against the eval split "
@@ -1235,9 +1278,28 @@ def rotate_expr(vec_col: str | Column, R: list[list[float]]) -> Column:
     def _rot_fn(s):
         if len(s) == 0:
             return pd.Series([], dtype=object)
-        X = np.asarray([np.asarray(v, dtype=np.float64) for v in s])
-        Y = X @ Rm
-        return pd.Series([row.tolist() for row in Y])
+        # corrupt rows (null / wrong-dim / null-element vectors) rotate to
+        # None instead of killing the whole batch with a ragged-matrix
+        # ValueError (code review r12, hostile-fixture find) — the
+        # downstream pq_encode validity filter then drops them under the
+        # family's shared corrupt-vector contract. Valid rows still go
+        # through ONE BLAS matmul per Arrow batch.
+        dim = Rm.shape[0]
+        vecs, idx = [], []
+        for i, v in enumerate(s):
+            if v is None or len(v) != dim:
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if np.isnan(a).any():  # null elements arrive as NaN
+                continue
+            vecs.append(a)
+            idx.append(i)
+        out = [None] * len(s)
+        if vecs:
+            Y = np.asarray(vecs) @ Rm
+            for i, row in zip(idx, Y):
+                out[i] = row.tolist()
+        return pd.Series(out, dtype=object)
 
     # real annotation objects: the module's `from __future__ import
     # annotations` would stringify inline hints past the UDF inferencer
@@ -1298,15 +1360,19 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ann_recall",
-    """
+    f"""
     WITH q AS (SELECT vec_id + 10000 AS q_id,
                       CAST(embedding AS DOUBLE[]) AS q_vec
-               FROM embeddings WHERE vec_id >= 100 AND vec_id < 108),
+               FROM embeddings
+               WHERE vec_id >= 100 AND vec_id < 108
+                 AND {valid_emb_sql('embedding', require_norm=False)}),
          scored AS (
              SELECT q.q_id, e.vec_id,
                     list_distance(q.q_vec, CAST(e.embedding AS DOUBLE[])) AS d
              FROM embeddings e, q
              WHERE e.vec_id <> q.q_id
+               AND {valid_emb_sql('e.embedding', dim_of='q.q_vec',
+                                  require_norm=False)}
          )
     SELECT q_id, vec_id AS neighbor_id,
            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rank,
@@ -1344,15 +1410,19 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_opq_recall",
-    """
+    f"""
     WITH q AS (SELECT vec_id + 10000 AS q_id,
                       CAST(embedding AS DOUBLE[]) AS q_vec
-               FROM embeddings WHERE vec_id >= 100 AND vec_id < 108),
+               FROM embeddings
+               WHERE vec_id >= 100 AND vec_id < 108
+                 AND {valid_emb_sql('embedding', require_norm=False)}),
          scored AS (
              SELECT q.q_id, e.vec_id,
                     list_distance(q.q_vec, CAST(e.embedding AS DOUBLE[])) AS d
              FROM embeddings e, q
              WHERE e.vec_id <> q.q_id
+               AND {valid_emb_sql('e.embedding', dim_of='q.q_vec',
+                                  require_norm=False)}
          )
     SELECT q_id, vec_id AS neighbor_id,
            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rank,
@@ -1395,15 +1465,18 @@ def _recall_audit(brute: DataFrame, approx: DataFrame, k: int,
     )
 
 
-_SELF_RECALL_COSINE_ORACLE = """
+_SELF_RECALL_COSINE_ORACLE = f"""
     WITH q AS (SELECT vec_id + 10000 AS q_id,
                       CAST(embedding AS DOUBLE[]) AS q_vec
-               FROM embeddings WHERE vec_id >= 100 AND vec_id < 108),
+               FROM embeddings
+               WHERE vec_id >= 100 AND vec_id < 108
+                 AND {valid_emb_sql('embedding')}),
          scored AS (
              SELECT q.q_id, e.vec_id,
                     list_cosine_similarity(q.q_vec, CAST(e.embedding AS DOUBLE[])) AS cos
              FROM embeddings e, q
              WHERE e.vec_id <> q.q_id
+               AND {valid_emb_sql('e.embedding', dim_of='q.q_vec')}
          )
     SELECT q_id, vec_id AS neighbor_id,
            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank,
@@ -1564,19 +1637,25 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT vec_id,
                CAST(embedding AS DOUBLE[]) AS v,
+               (embedding IS NOT NULL AND len(embedding) > 0
+                AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+                   AS is_valid,
                greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]),
                                                 x -> abs(x))), 1e-12) / 127.0
                    AS scale
         FROM embeddings
     )
     SELECT vec_id,
-           scale,
-           CAST(len(v) AS INTEGER) AS n_dims,
-           CAST(list_sum(list_transform(v, x -> floor(x / scale + 0.5)))
-                AS BIGINT) AS qsum,
-           list_sum(list_transform(v,
-               x -> pow(x - floor(x / scale + 0.5) * scale, 2))) / len(v)
-               AS mse
+           CASE WHEN is_valid THEN scale END AS scale,
+           CAST(CASE WHEN v IS NULL THEN NULL
+                     ELSE len(v) END AS INTEGER) AS n_dims,
+           CAST(CASE WHEN is_valid THEN
+                list_sum(list_transform(v, x -> floor(x / scale + 0.5)))
+                END AS BIGINT) AS qsum,
+           CASE WHEN is_valid THEN
+               list_sum(list_transform(v,
+                   x -> pow(x - floor(x / scale + 0.5) * scale, 2))) / len(v)
+               END AS mse
     FROM s
     """,
     doc="Symmetric int8 vector quantization (per-vector absmax scale): the "
@@ -1595,24 +1674,37 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(127.0)
     ).alias("scale")
-    s = emb.select("vec_id", v.alias("v"), scale)
+    # explicit validity gate, spelled identically in the oracle (code
+    # review r12, hostile-fixture find): an EMPTY vector divided mse by
+    # size 0 (ANSI abort), and null-element vectors hit engine-specific
+    # null-skipping in max/sum — a corrupt vector now reports NULL
+    # quantization outputs on BOTH engines instead of crashing or
+    # drifting. n_dims stays raw (0 for empty — the audit signal).
+    is_valid = (
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
+        & (F.size(F.filter("embedding", lambda x: x.isNull())) == 0)
+    )
+    s = emb.select("vec_id", v.alias("v"), is_valid.alias("is_valid"), scale)
     sc = F.col("scale")
     q_of = lambda x: F.floor(x / sc + F.lit(0.5))
+    valid = F.col("is_valid")
     return s.select(
         "vec_id",
-        "scale",
-        F.size("v").alias("n_dims"),
-        F.aggregate(
+        F.when(valid, F.col("scale")).alias("scale"),
+        F.when(F.col("v").isNotNull(), F.size("v"))
+        .cast("int").alias("n_dims"),
+        F.when(valid, F.aggregate(
             "v", F.lit(0).cast("long"), lambda acc, x: acc + q_of(x)
-        ).alias("qsum"),
-        (
+        )).alias("qsum"),
+        F.when(valid, (
             F.aggregate(
                 "v",
                 F.lit(0.0),
                 lambda acc, x: acc + F.pow(x - q_of(x) * sc, F.lit(2.0)),
             )
             / F.size("v")
-        ).alias("mse"),
+        )).alias("mse"),
     )
 
 
@@ -1738,6 +1830,7 @@ def _hybrid_oracle() -> str:
                    vec_id
                ) AS rank
         FROM embeddings e CROSS JOIN qv
+        WHERE {valid_emb_sql('e.embedding', dim_of='qv.v')}
         QUALIFY rank <= {_HYBRID_K}
     ),
     fused AS (
@@ -1996,6 +2089,7 @@ def _hybrid_batch_oracle() -> str:
                    e.vec_id
                ) AS rank
         FROM embeddings e CROSS JOIN qv
+        WHERE {valid_emb_sql('e.embedding', dim_of='qv.v')}
         QUALIFY rank <= {_HYBRID_K}
     ),
     fused AS (

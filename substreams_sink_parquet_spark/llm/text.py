@@ -238,7 +238,20 @@ def q_text_ngram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, NGram, Tokenizer
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # input contract: NULL-safe, whitespace-NORMALIZED text (code review
+    # r12, hostile-fixture find). MLlib's Tokenizer NPEs on NULL (scala
+    # toLowerCase on null — one corrupt row kills the whole job), and its
+    # Java split("\\s") drops trailing empties where the SQL-expressible
+    # single-space split keeps them — so on hostile whitespace the two
+    # tokenizations (and the delta's mass claim) diverge. Normalizing
+    # (coalesce + trim + \s+ -> ' ') makes them provably identical on any
+    # input, which is also just correct featurization practice.
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.trim(F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), r"\s+", " "
+        )).alias("text"),
+    )
     toks = Tokenizer(inputCol="text", outputCol="words").transform(docs)
     grams = NGram(n=2, inputCol="words", outputCol="grams").transform(toks)
     tf = HashingTF(inputCol="grams", outputCol="tf_vec", numFeatures=1 << 12)
@@ -815,7 +828,8 @@ _TRAP_TEXT = ("spam page spam page spam page spam page spam page spam page "
         SELECT source,
                md5(text) AS th,
                len(str_split(text, ' ')) AS n_words,
-               CASE WHEN len(str_split(text, ' ')) < 30 THEN 0
+               CASE WHEN text IS NULL THEN 0
+                    WHEN len(str_split(text, ' ')) < 30 THEN 0
                     WHEN len(str_split(text, ' ')) > 100000 THEN 0
                     WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
                          / len(str_split(text, ' ')) < 3
@@ -1327,7 +1341,13 @@ def winnow_fingerprints(docs: DataFrame, k: int = 12, w: int = 4) -> DataFrame:
     return _winnow_selected(docs, k, w).select(
         "doc_id",
         F.size("fps").cast("long").alias("n_fingerprints"),
-        F.md5(F.array_join("fps", ",")).alias("fp_digest"),
+        # a doc too short (or too null) to yield any fingerprint digests
+        # to NULL — "nothing to fingerprint" must stay distinguishable
+        # from a real digest, and md5('') differed across engines anyway
+        # (DuckDB's array_to_string([]) is NULL; code review r12)
+        F.when(
+            F.size("fps") > 0, F.md5(F.array_join("fps", ","))
+        ).alias("fp_digest"),
     )
 
 
@@ -1610,9 +1630,12 @@ def q_decontaminate_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_text_hashing_tf_delta",
-    """
+    r"""
     WITH w AS (
-        SELECT doc_id, str_split(lower(text), ' ') AS ws FROM documents
+        SELECT doc_id,
+               str_split(lower(trim(regexp_replace(
+                   COALESCE(text, ''), '\s+', ' ', 'g'))), ' ') AS ws
+        FROM documents
     )
     SELECT doc_id,
            CAST(GREATEST(len(ws) - 1, 0) AS BIGINT) AS n_bigrams,
@@ -1635,7 +1658,15 @@ def q_decontaminate_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_hashing_tf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_out = q_text_hashing_tf(spark, sf_dir)
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # the SAME null-safe whitespace normalization q_text_hashing_tf
+    # applies at its input — the mass claim is only engine-independent
+    # on normalized text (code review r12)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.trim(F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), r"\s+", " "
+        )).alias("text"),
+    )
     words = F.split(F.lower("text"), " ")
     # guard, not greatest(…, -1): sequence(0, -1) DESCENDS in Spark
     # ([0, -1]), so a single-word doc would call element_at(words, 0)

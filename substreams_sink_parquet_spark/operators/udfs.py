@@ -25,7 +25,11 @@ def _normalize_text(s: pd.Series) -> pd.Series:
 
 @F.pandas_udf(LongType())
 def _vowel_count(s: pd.Series) -> pd.Series:
-    return s.str.count(r"[aeiou]").astype("int64")
+    # nullable Int64, not int64: a NULL text's count is NaN, and the
+    # non-nullable cast aborted the whole batch on one such row (code
+    # review r12, hostile-fixture find) — the contract is NULL in, NULL
+    # out, matching the SQL oracle's length(regexp_replace(NULL, ...))
+    return s.str.count(r"[aeiou]").astype("Int64")
 
 
 @register(
@@ -63,13 +67,18 @@ def q_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
 
     def corpus_stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        toks = pdf["text"].str.split(" ").str.len().astype("int64")
+        # NULL texts are skipped by the aggregates, never crash the cast
+        # (code review r12): sum(min_count=1)/max mirror SQL's SUM/MAX —
+        # null rows excluded, NULL result when the whole group is null
+        toks = pdf["text"].str.split(" ").str.len()
+        total = toks.sum(min_count=1)
+        ml = pdf["text"].str.len().max()
         return pd.DataFrame(
             {
                 "lang": [pdf["lang"].iloc[0]],
                 "n_docs": [len(pdf)],
-                "total_tokens": [int(toks.sum())],
-                "max_len": [int(pdf["text"].str.len().max())],
+                "total_tokens": [None if pd.isna(total) else int(total)],
+                "max_len": [None if pd.isna(ml) else int(ml)],
             }
         )
 

@@ -201,20 +201,39 @@ def recover_tier_leftovers(fs: HadoopFS, out_dir: str) -> dict[str, str]:
 
 def _commit_tier(fs: HadoopFS, out_dir: str, tmp: str, m: dict) -> None:
     """Idempotent commit: delete the source range files, move the merged
-    part file into its padded tier name, drop the tmp dir. Replayable from
-    any crash point (deletes are no-ops; the rename is guarded)."""
+    part file(s) into their padded tier name(s), drop the tmp dir.
+    Replayable from any crash point (deletes are no-ops; each rename is
+    guarded by a per-target mapping pinned in the manifest).
+
+    The manifest's ``parts`` maps each staged part file to its final
+    name (code review r12): repartition(1) promises one part, but a
+    session-level ``spark.sql.files.maxRecordsPerFile`` splits a task's
+    output into several — the old single-part commit renamed the FIRST
+    and deleted the rest with the tmp dir, silent row loss. With the
+    mapping, every part lands under a deterministic ``-partNNNN`` name
+    (block order == name order: one task wrote them in sequence), and a
+    replay renames only what is still staged. Pre-r12 manifests (no
+    ``parts``) fall back to the single-part path."""
     for s in m["sources"]:
         fs.delete(url_join(out_dir, s), recursive=False)
-    dst = url_join(out_dir, m["name"])
-    if not fs.exists(dst):
-        part = next(
-            (n for n in fs.listdir(tmp)
-             if n.endswith(".parquet") and not n.startswith(("_", "."))),
-            None,
-        )
-        if part is None:  # crashed after a previous replay moved it
-            raise FileNotFoundError(f"tier commit for {m['name']}: no part file in {tmp}")
-        fs.rename(url_join(tmp, part), dst)
+    if "parts" in m:
+        for part, name in m["parts"]:
+            src = url_join(tmp, part)
+            if fs.exists(src):
+                fs.rename(src, url_join(out_dir, name))
+    else:
+        dst = url_join(out_dir, m["name"])
+        if not fs.exists(dst):
+            part = next(
+                (n for n in fs.listdir(tmp)
+                 if n.endswith(".parquet") and not n.startswith(("_", "."))),
+                None,
+            )
+            if part is None:  # crashed after a previous replay moved it
+                raise FileNotFoundError(
+                    f"tier commit for {m['name']}: no part file in {tmp}"
+                )
+            fs.rename(url_join(tmp, part), dst)
     fs.delete(tmp, recursive=True)
 
 
@@ -309,7 +328,27 @@ def tier_finalized(
             writer = writer.option("compression", compression)
         writer.parquet(tmp)
         name = file_name(t, t + tier_blocks, pad)
-        manifest = {"name": name, "sources": [n for _rs, _re, n in members]}
+        # pin the staged-part -> final-name mapping BEFORE the commit
+        # phase: one part gets the plain tier name; a maxRecordsPerFile
+        # split (one task, so name order == block order) gets contiguous
+        # -partNNNN names the lake's readers already understand
+        staged = sorted(
+            n for n in fs.listdir(tmp)
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+        if len(staged) == 1:
+            parts = [[staged[0], name]]
+        else:
+            base = name[: -len(".parquet")]
+            parts = [
+                [p, f"{base}-part{i:04d}.parquet"]
+                for i, p in enumerate(staged)
+            ]
+        manifest = {
+            "name": name,
+            "sources": [n for _rs, _re, n in members],
+            "parts": parts,
+        }
         fs.write_bytes(
             url_join(tmp, _TIER_MANIFEST), json.dumps(manifest).encode()
         )

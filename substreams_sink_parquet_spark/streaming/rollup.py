@@ -88,8 +88,13 @@ class RollupSpec:
         )
 
     def bucket_expr(self):
+        # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+        # bucket_col value would land in the bucket ABOVE it (-5 % 10 = -5
+        # → bucket 0 instead of -10); pmod gives floor semantics for any
+        # sign and is identical for the non-negative common case
+        # (code review r12)
         b = F.col(self.bucket_col).cast("long")
-        return (b - (b % F.lit(self.bucket_size))).alias("bucket")
+        return (b - F.pmod(b, F.lit(self.bucket_size))).alias("bucket")
 
     def partial_aggs(self) -> list:
         out = []
@@ -145,6 +150,20 @@ def write_rollup_partial(
     spec_file = url_join(rollup_dir, "_SPEC.json")
     if not fs.exists(spec_file):
         fs.write_bytes(spec_file, spec.to_json().encode())
+    else:
+        # refuse a CHANGED spec against accumulated partials (code review
+        # r12): epoch dirs written under a different grouping/measure set
+        # are schema-heterogeneous, and the merge read (no mergeSchema)
+        # would silently drop or misread measure columns from the older
+        # epochs instead of failing. One tiny JSON read per micro-batch.
+        prev = fs.read_bytes(spec_file).decode()
+        if RollupSpec.from_json(prev) != spec:
+            raise ValueError(
+                f"rollup at {rollup_dir} was built with a different spec "
+                f"({prev}) — partials under mixed specs cannot merge. "
+                "Compact and archive the old rollup (or delete the dir) "
+                "before writing with the new spec."
+            )
     guard_stream_id(fs, rollup_dir, stream_id, what="rollup")
     partial = df.groupBy(spec.bucket_expr(), *spec.group_cols).agg(
         *spec.partial_aggs()

@@ -380,3 +380,32 @@ def test_read_rechecks_manifest_that_appears_mid_scan(spark, tmp_path, monkeypat
 
     monkeypatch.setattr(HadoopFS, "exists", racing_exists)
     assert _view(spark, d) == before  # re-snapshot saw tmp + manifest
+
+
+def test_rollup_refuses_changed_spec_and_floors_negative_buckets(spark, tmp_path):
+    """Two review closures (r12): (1) partials written under a CHANGED spec
+    are schema-heterogeneous and the merge read would silently drop/misread
+    older epochs' measure columns — the writer now refuses a spec mismatch
+    loudly; (2) bucket_expr uses pmod so a negative bucket value floors to
+    the bucket BELOW it instead of bucket 0."""
+    import pytest
+
+    from substreams_sink_parquet_spark.streaming.rollup import (
+        RollupSpec, read_rollup, write_rollup_partial,
+    )
+
+    d = str(tmp_path / "ru")
+    spec = RollupSpec(bucket_col="bn", bucket_size=10,
+                      measures={"n": ("count", "bn")})
+    df = spark.createDataFrame([(-5,), (3,), (15,)], "bn long")
+    write_rollup_partial(df, d, spec, epoch_id=0)
+    got = {r.bucket: r.n for r in read_rollup(spark, d, spec).collect()}
+    assert got == {-10: 1, 0: 1, 10: 1}  # -5 floors to -10, never 0
+
+    changed = RollupSpec(bucket_col="bn", bucket_size=10,
+                         measures={"n": ("count", "bn"),
+                                   "hi": ("max", "bn")})
+    with pytest.raises(ValueError, match="different spec"):
+        write_rollup_partial(df, d, changed, epoch_id=1)
+    # the SAME spec keeps appending fine
+    write_rollup_partial(df, d, spec, epoch_id=1)

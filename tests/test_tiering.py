@@ -203,3 +203,46 @@ def test_run_pipeline_recovers_tier_leftovers(spark, tmp_path):
     assert not fs.exists(tmp)
     assert fs.exists(url_join(out, "0000000000-0000000030.parquet"))
     assert read_lake(spark, out).count() == n_total + 10
+
+
+def test_tier_survives_max_records_per_file_split(spark, tmp_path):
+    """A session-level spark.sql.files.maxRecordsPerFile splits the tier's
+    repartition(1) output into several part files; the old single-part
+    commit renamed the FIRST and deleted the rest with the tmp dir —
+    silent row loss. The manifest now pins a part->name mapping, every
+    part lands as a block-ordered -partNNNN sibling, and the replay is
+    idempotent (code review r12)."""
+    out = _lake(spark, tmp_path, list(range(0, 60)))
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "25")
+    try:
+        done = tier_finalized(spark, out, tier_blocks=30)
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    assert set(done) == {
+        "0000000000-0000000030.parquet", "0000000030-0000000060.parquet",
+    }
+    names = sorted(n for n in os.listdir(out) if n.endswith(".parquet"))
+    # 30 rows per tier at 25 rows/file = 2 parts per tier
+    assert names == [
+        "0000000000-0000000030-part0000.parquet",
+        "0000000000-0000000030-part0001.parquet",
+        "0000000030-0000000060-part0000.parquet",
+        "0000000030-0000000060-part0001.parquet",
+    ]
+    got = []
+    for n in names:
+        got += pq.read_table(os.path.join(out, n)).column(
+            "block_number"
+        ).to_pylist()
+    assert sorted(got) == list(range(60))  # every row survived
+    # per-file block order holds across the -part split
+    first = pq.read_table(os.path.join(out, names[0])).column(
+        "block_number"
+    ).to_pylist()
+    second = pq.read_table(os.path.join(out, names[1])).column(
+        "block_number"
+    ).to_pylist()
+    assert first == sorted(first) and second == sorted(second)
+    assert max(first) < min(second)  # name order == block order
+    # read_lake pruning still works on the -part siblings
+    assert read_lake(spark, out, 0, 29).count() == 30
