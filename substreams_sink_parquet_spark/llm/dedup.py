@@ -108,7 +108,14 @@ def incremental_dedup(new_docs: DataFrame, corpus_index: DataFrame,
     broadcast shortcut does not apply: LEFT ANTI builds on the corpus
     side, which is the huge one.)
     """
-    hashed = new_docs.select("doc_id", F.md5("text").alias(hash_col))
+    # a NULL text has no content hash and must not be ADMITTED through a
+    # dedup gate (fail-closed, code review r12): the anti join cannot
+    # match a null key, so such a row sailed through as "new" — the
+    # corpus builder quarantines contentless rows upstream, and this
+    # operator's contract now matches
+    hashed = new_docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.md5("text").alias(hash_col)
+    )
     keepers = hashed.groupBy(hash_col).agg(F.min("doc_id").alias("doc_id"))
     return keepers.join(
         corpus_index.select(hash_col).distinct(), hash_col, "left_anti"
@@ -1542,8 +1549,11 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE s.doc_id IS NULL
     )
     SELECT d.doc_id,
-           COALESCE(string_agg(k.wd, ' ' ORDER BY k.j), '') AS clean_text,
-           CAST(COUNT(k.j) AS BIGINT) AS n_words_kept
+           CASE WHEN BOOL_OR(d.text IS NULL) THEN NULL
+                ELSE COALESCE(string_agg(k.wd, ' ' ORDER BY k.j), '') END
+               AS clean_text,
+           CAST(CASE WHEN BOOL_OR(d.text IS NULL) THEN NULL
+                     ELSE COUNT(k.j) END AS BIGINT) AS n_words_kept
     FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
     GROUP BY d.doc_id
     """,

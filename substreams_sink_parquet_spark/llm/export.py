@@ -346,7 +346,7 @@ def _mixture_oracle_cte() -> str:
                CASE lang {cases} END AS w,
                md5(CAST(doc_id AS VARCHAR) || ':42') AS mk
         FROM documents
-        WHERE lang IN ({langs})
+        WHERE lang IN ({langs}) AND text IS NOT NULL
     ),
     tot AS (SELECT grp, SUM(n_tokens) AS grp_tokens FROM base GROUP BY grp),
     staged AS (

@@ -107,6 +107,13 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                 chunk = pdf.iloc[start : start + batch_size]
                 rows = []
                 for doc_id, payload in zip(chunk["doc_id"], chunk["payload"]):
+                    if payload is None:
+                        # corrupt row: a NULL payload has no features —
+                        # emit nulls instead of killing the whole batch
+                        # with bytes(None) (code review r12, hostile-
+                        # fixture find)
+                        rows.append((int(doc_id), None, None, None))
+                        continue
                     # vectorized byte stats — the honest production shape for
                     # a featurizer (no per-element Python inside the batch);
                     # argmax of bincount = most frequent byte, ties to the
@@ -173,7 +180,8 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN strlen(d.text) >= 1
                 THEN CAST(ascii(substring(d.text, 1, 1)) AS BIGINT)
            END AS first_byte,
-           CAST(COALESCE(m.b, 0) AS BIGINT) AS byte_mode
+           CAST(CASE WHEN d.text IS NULL THEN NULL
+                     ELSE COALESCE(m.b, 0) END AS BIGINT) AS byte_mode
     FROM documents d LEFT JOIN mode m USING (doc_id)
     """,
     doc="mapInPandas feature extraction over binary payloads (stubbed "
@@ -185,7 +193,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = to_media_table(load(spark, sf_dir, "documents"))
     feats = extract_features(media)
     return feats.select(
-        "doc_id", "n_bytes", F.col("head_bytes")[0].alias("first_byte"), "byte_mode"
+        "doc_id", "n_bytes",
+        # try_element_at: an EMPTY payload's head is [] and plain [0]
+        # indexing ANSI-aborts on it; NULL mirrors the oracle's CASE
+        F.try_element_at("head_bytes", F.lit(1)).alias("first_byte"),
+        "byte_mode",
     )
 
 
@@ -220,6 +232,8 @@ def sample_frames(media: DataFrame, frame_bytes: int = 256,
         for pdf in batches:
             out_doc, out_idx, out_md5 = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # corrupt row: no payload, no frames
                 raw = bytes(payload)
                 n_frames = max((len(raw) + frame_bytes - 1) // frame_bytes, 0)
                 for i in range(0, n_frames, stride):
@@ -296,6 +310,13 @@ def resize_media(media: DataFrame, width: int = 8, height: int = 8,
         for pdf in batches:
             out_doc, out_md5 = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # corrupt row: nothing to resize — a NULL digest row
+                    # keeps the doc visible to audits without inventing a
+                    # thumb for absent bytes (code review r12)
+                    out_doc.append(int(doc_id))
+                    out_md5.append(None)
+                    continue
                 raw = bytes(payload)
                 if have_pil:
                     try:

@@ -63,6 +63,11 @@ def train_quality_model(
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF, Tokenizer
 
+    # null-safe model input (code review r12, hostile-fixture find):
+    # MLlib's Tokenizer NPEs on a NULL text; the weak label is already
+    # fail-closed ('null_text' != keep), so '' keeps the label while the
+    # featurizer sees an empty token list
+    docs = docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     labeled = weak_quality_labels(docs, text_col)
     if sample_mod > 1:
         labeled = labeled.where(F.pmod(F.xxhash64("doc_id"), sample_mod) == 0)
@@ -87,7 +92,12 @@ def score_quality(model, docs: DataFrame, text_col: str = "text") -> DataFrame:
     Probability extraction stays JVM-side (vector_to_array), no Python UDF."""
     from pyspark.ml.functions import vector_to_array
 
-    scored = model.transform(docs.select("doc_id", text_col))
+    scored = model.transform(
+        docs.select(
+            "doc_id",
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        )
+    )
     return scored.select(
         "doc_id",
         vector_to_array("probability")[1].alias("p_keep"),
@@ -126,7 +136,8 @@ def q_text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     lab AS (
-        SELECT CASE WHEN n_words < 30 OR n_words > 100000
+        SELECT CASE WHEN n_words IS NULL THEN 0
+                    WHEN n_words < 30 OR n_words > 100000
                          OR awl < 3 OR awl > 12 OR n_stop < 1
                          OR punct_ratio > 0.1
                          OR 1 - CAST(n_distinct AS DOUBLE) / n_words > 0.5

@@ -386,6 +386,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
                    / len(str_split(text, ' ')) AS score
         FROM documents
+        WHERE text IS NOT NULL
     )
     SELECT doc_id,
            CAST(n_words AS BIGINT) AS n_words,
@@ -403,7 +404,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "proportionally more often, without sorting or sampling state",
 )
 def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # null-text docs carry no quality signal and their NULL word counts
+    # poison the long output columns (code review r12) — a sampler never
+    # selects a contentless doc, so exclude them on both engines
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     words = F.split(F.col("text"), " ")
     staged = docs.select(
         "doc_id",
@@ -430,6 +436,7 @@ def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
                    / len(str_split(text, ' ')) AS score
         FROM documents
+        WHERE text IS NOT NULL
     ),
     ranked AS (
         SELECT source, doc_id, n_tokens,
@@ -457,7 +464,12 @@ def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "plan-pinned)",
 )
 def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # the quality_weighted rule: a token-budget selection is over docs
+    # WITH text — NULL n_tokens would poison the running sums and the
+    # long output dtypes (code review r12)
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     words = F.split(F.col("text"), " ")
     scored = docs.select(
         "source",
@@ -793,7 +805,7 @@ def dsir_select(docs: DataFrame, is_target: F.Column, k: int,
     "q_sample_dsir",
     f"""
     WITH toks AS (
-        SELECT doc_id, lang = 'fr' AS is_t,
+        SELECT doc_id, COALESCE(lang = 'fr', FALSE) AS is_t,
                UNNEST(list_concat(
                    str_split(text, ' '),
                    list_transform(
@@ -833,8 +845,17 @@ def dsir_select(docs: DataFrame, is_target: F.Column, k: int,
         "fold per document",
 )
 def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    return dsir_logweights(docs, F.col("lang") == "fr")
+    # a contentless doc has no features and no defined importance weight —
+    # the oracle's UNNEST drops it naturally; exclude it here too rather
+    # than emitting a featureless row (code review r12)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).filter(F.col("text").isNotNull())
+    # COALESCE: a NULL lang is NOT the target — fail-closed on both
+    # engines instead of a NULL is_target verdict
+    return dsir_logweights(
+        docs, F.coalesce(F.col("lang") == "fr", F.lit(False))
+    )
 
 
 def cluster_balanced_sample(emb: DataFrame, n_centroids: int = 16,
@@ -1039,7 +1060,11 @@ def mixture_plan(docs: DataFrame, weights: dict[str, float],
             w_expr
         )
     key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
-    base = docs.select(
+    # null-text docs are EXCLUDED (code review r12, hostile-fixture find):
+    # they carry zero tokens toward any quota, and their NULL n_tokens
+    # would otherwise poison the per-group running sums and replicate
+    # token-less rows full_epochs times into the materialized mixture
+    base = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.col(group_col).alias("grp"),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
@@ -1086,6 +1111,7 @@ def mixture_plan(docs: DataFrame, weights: dict[str, float],
                md5(CAST(doc_id AS VARCHAR) || ':42') AS k
         FROM documents
         WHERE lang IN ({', '.join(f"'{g}'" for g, _ in _MIX_WEIGHTS)})
+          AND text IS NOT NULL
     ),
     tot AS (SELECT grp, SUM(n_tokens) AS grp_tokens FROM base GROUP BY grp),
     staged AS (

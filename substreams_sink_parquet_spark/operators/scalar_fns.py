@@ -26,9 +26,9 @@ from ..tables import load
            upper(lang) AS lang_up,
            length(text) AS n_chars2,
            substring(text, 1, 20) AS head20,
-           concat(source, ':', lang) AS src_lang,
+           concat_ws(':', source, lang) AS src_lang,
            regexp_extract(text, '[a-z]+') AS first_word,
-           split_part(text, ' ', 2) AS second_word,
+           str_split(text, ' ')[2] AS second_word,
            trim(lower(source)) AS src_norm,
            regexp_replace(text, 'data', 'D', 'g') AS masked_len_src,
            TRUE AS has_text
@@ -45,7 +45,10 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 20).alias("head20"),
         F.concat_ws(":", "source", "lang").alias("src_lang"),
         F.regexp_extract("text", "[a-z]+", 0).alias("first_word"),
-        F.element_at(F.split("text", " "), 2).alias("second_word"),
+        # try_element_at: a single-word doc ANSI-aborted the whole query
+        # on the out-of-range index (code review r12, hostile-fixture
+        # find); NULL-on-missing matches DuckDB's list indexing
+        F.try_element_at(F.split("text", " "), F.lit(2)).alias("second_word"),
         F.trim(F.lower("source")).alias("src_norm"),
         F.regexp_replace("text", "data", "D").alias("masked_len_src"),
         F.lit(True).alias("has_text"),
@@ -157,7 +160,7 @@ def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(words) AS n_words,
            words[1] AS first_word,
            words[-1] AS last_word,
-           list_contains(words, 'data') AS has_data,
+           COALESCE(list_contains(words, 'data'), FALSE) AS has_data,
            array_to_string(list_sort(words)[1:5], ',') AS first5_sorted,
            len(list_filter(words, w -> length(w) > 4)) AS n_long_words,
            CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS total_word_chars,
@@ -175,7 +178,9 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("words").alias("n_words"),
         F.element_at("words", 1).alias("first_word"),
         F.element_at("words", -1).alias("last_word"),
-        F.array_contains("words", "data").alias("has_data"),
+        F.coalesce(
+            F.array_contains("words", "data"), F.lit(False)
+        ).alias("has_data"),
         F.array_join(F.slice(F.sort_array("words"), 1, 5), ",").alias("first5_sorted"),
         F.size(F.filter("words", lambda w: F.length(w) > 4)).alias("n_long_words"),
         F.aggregate(
@@ -277,10 +282,12 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_regex",
     """
     SELECT doc_id,
-           array_to_string(list_sort(regexp_extract_all(text, '[a-z]{5,}')), ',')
-               AS long_words,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(
+                    list_sort(regexp_extract_all(text, '[a-z]{5,}')), ','), '')
+                END AS long_words,
            len(regexp_extract_all(text, 'a')) AS n_a,
-           regexp_matches(text, '^[A-Z]') AS starts_upper,
+           COALESCE(regexp_matches(text, '^[A-Z]'), FALSE) AS starts_upper,
            regexp_replace(text, '[0-9]+', '#', 'g') AS digits_masked
     FROM documents
     """,
@@ -295,7 +302,12 @@ def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.regexp_extract_all("text", F.lit("[a-z]{5,}"), 0)), ","
         ).alias("long_words"),
         F.regexp_count("text", F.lit("a")).alias("n_a"),
-        F.col("text").rlike("^[A-Z]").alias("starts_upper"),
+        # fail-closed: "starts uppercase" of NO text is false — and a
+        # null boolean renders differently across the engines' pandas
+        # conversions (None vs NaN), so the verdict must never be null
+        F.coalesce(
+            F.col("text").rlike("^[A-Z]"), F.lit(False)
+        ).alias("starts_upper"),
         F.regexp_replace("text", "[0-9]+", "#").alias("digits_masked"),
     )
 
@@ -335,7 +347,7 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            md5(text) AS text_md5,
            sha256(text) AS text_sha256,
-           md5(concat(CAST(doc_id AS VARCHAR), ':', text)) AS keyed_md5
+           md5(CAST(doc_id AS VARCHAR) || ':' || text) AS keyed_md5
     FROM documents
     """,
     doc="Cryptographic hash functions: md5 / sha2-256, incl. keyed concat",
@@ -372,11 +384,13 @@ def q_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_url",
     """
     SELECT doc_id,
-           concat('https://', source, '.example.com/docs/', CAST(doc_id AS VARCHAR),
-                  '?lang=', lang) AS url,
-           concat(source, '.example.com') AS host,
-           concat('/docs/', CAST(doc_id AS VARCHAR)) AS path,
-           concat('lang=', lang) AS query,
+           'https://' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url,
+           CASE WHEN lang IS NOT NULL
+                THEN source || '.example.com' END AS host,
+           CASE WHEN lang IS NOT NULL
+                THEN '/docs/' || CAST(doc_id AS VARCHAR) END AS path,
+           'lang=' || lang AS query,
            lang AS lang_param
     FROM documents
     """,

@@ -252,7 +252,10 @@ def q_agg_topk_sketch_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS all_counts_exact,
                COUNT(flat.word) = COUNT(*) AS full_coverage
         FROM exact LEFT JOIN flat
-          ON exact.lang = flat.lang AND exact.word = flat.word
+          -- null-safe lang key: a NULL-lang group never matches itself
+          -- under plain equality, so its own sketch rows would read as
+          -- missing and the verdicts would fail open to FALSE
+          ON exact.lang <=> flat.lang AND exact.word = flat.word
         GROUP BY exact.lang
     """)
 
