@@ -29,8 +29,10 @@ def valid_emb_sql(col: str, dim_of: str | None = None,
                   require_norm: bool = True) -> str:
     """DuckDB predicate mirroring the engine's corrupt-vector exclusion
     contract (code review r12): a vector participates in similarity math
-    iff it is non-null, has no null elements, has positive norm (an
-    all-zero vector has no direction), and — when ``dim_of`` names the
+    iff it is non-null, has no null or NaN elements (NaN compares
+    GREATER than any double in both engines — one poisoned vector would
+    rank first everywhere), has positive norm (an all-zero vector has no
+    direction), and — when ``dim_of`` names the
     other side — matches its dimension. On the Spark side the same four
     cases fall out of the expression algebra (zip_with padding, aggregate
     null propagation, try_divide), but DuckDB's list_cosine_similarity
@@ -44,7 +46,7 @@ def valid_emb_sql(col: str, dim_of: str | None = None,
     )
     return (
         f"({col} IS NOT NULL"
-        f" AND len(list_filter({col}, x -> x IS NULL)) = 0"
+        f" AND len(list_filter({col}, x -> x IS NULL OR isnan(x))) = 0"
         f"{norm_clause}{dim_clause})"
     )
 
@@ -67,11 +69,16 @@ def cosine(a: str | Column, b: str | Column) -> Column:
     # try_divide, not /: a ZERO-NORM (all-zero) vector has no direction —
     # its cosine is undefined, and under ANSI (the driver session default)
     # the plain division 0/0 ABORTS the whole query on one corrupt row
-    # (code review r12, hostile-fixture find). NULL routes it into the
-    # same exclusion contract as null / wrong-dim / null-element vectors:
-    # nulls-last ranking + isNotNull filters keep it off every result.
-    # Same expression cost — try_divide is the one-branch ANSI form.
-    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+    # (code review r12, hostile-fixture find). nanvl on top: a NaN
+    # ELEMENT survives every null check, and NaN compares GREATER than
+    # any double in Spark's ordering — one NaN-poisoned vector would
+    # otherwise become EVERY query's rank-1 neighbor. Both map to NULL,
+    # which the family's exclusion contract (nulls-last ranking +
+    # isNotNull filters) already keeps off every result.
+    return F.nanvl(
+        F.try_divide(_dot(a, b), _norm(a) * _norm(b)),
+        F.lit(None).cast("double"),
+    )
 
 
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
@@ -115,7 +122,13 @@ def l2_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     )
     scored = joined.select(
         "q_id", "vec_id",
-        F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x).alias("d2"),
+        # nanvl (the cosine rule): a NaN element's distance is undefined —
+        # NULL keeps the corrupt vector off every rank instead of letting
+        # it fill trailing top-k slots on a sparse corpus
+        F.nanvl(
+            F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x),
+            F.lit(None).cast("double"),
+        ).alias("d2"),
     )
     # a null or wrong-dimension embedding yields NULL d2 (zip_with pads
     # with nulls) — excluded AFTER the window: nulls-last ordering keeps
@@ -243,7 +256,10 @@ def _seed_plan(embeddings: DataFrame, vec_col: str, k: int,
     corrupt one the driver-side numpy fit would otherwise die on a ragged
     sample matrix instead of training on the valid rows."""
     vec = F.col(vec_col)
-    valid = vec.isNotNull() & ~F.exists(vec, lambda x: x.isNull())
+    valid = (
+        vec.isNotNull()
+        & ~F.exists(vec, lambda x: x.isNull() | F.isnan(x))
+    )
     if dim is not None:
         valid = valid & (F.size(vec) == dim)
     return (
@@ -1638,7 +1654,8 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id,
                CAST(embedding AS DOUBLE[]) AS v,
                (embedding IS NOT NULL AND len(embedding) > 0
-                AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+                AND len(list_filter(embedding,
+                                    x -> x IS NULL OR isnan(x))) = 0)
                    AS is_valid,
                greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]),
                                                 x -> abs(x))), 1e-12) / 127.0
@@ -1683,7 +1700,9 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_valid = (
         F.col("embedding").isNotNull()
         & (F.size("embedding") > 0)
-        & (F.size(F.filter("embedding", lambda x: x.isNull())) == 0)
+        & (F.size(F.filter(
+            "embedding", lambda x: x.isNull() | F.isnan(x)
+        )) == 0)
     )
     s = emb.select("vec_id", v.alias("v"), is_valid.alias("is_valid"), scale)
     sc = F.col("scale")

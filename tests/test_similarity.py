@@ -707,3 +707,28 @@ def test_release_persisted_frees_attached_caches(spark):
     release_persisted(out)
     assert not dep.storageLevel.useMemory  # released
     release_persisted(emb)  # no deps attached: no-op, no raise
+
+
+def test_nan_poisoned_vector_is_never_a_neighbor(spark):
+    """NaN compares GREATER than any double in Spark's ordering, so a
+    single NaN-element vector used to become EVERY query's rank-1 cosine
+    neighbor (and could fill trailing L2 slots) — the worst corrupt-input
+    class the hostile fixture surfaced (code review r12). cosine()/l2
+    now nanvl corrupt scores to NULL, joining the null/zero-norm/
+    wrong-dim exclusion contract."""
+    from substreams_sink_parquet_spark.llm.similarity import (
+        cosine_topk, l2_topk,
+    )
+
+    rows = [(i, [float(i % 5 + 1), 1.0, 0.5]) for i in range(10)]
+    rows.append((99, [float("nan"), 1.0, 0.5]))  # the poison
+    rows.append((98, [0.0, 0.0, 0.0]))           # zero norm
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cos_n = {r.neighbor_id for r in cosine_topk(emb, qs, k=11).collect()}
+    assert 99 not in cos_n and 98 not in cos_n
+    l2_n = {r.neighbor_id for r in l2_topk(emb, qs, k=11).collect()}
+    assert 99 not in l2_n
+    assert 98 in l2_n  # zero norm is a VALID Euclidean neighbor

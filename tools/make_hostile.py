@@ -20,6 +20,9 @@ embeddings (vec_id 9001+):
   - an embedding containing a NULL element
   - the all-zero vector (zero norm: cosine 0/0)
   - an empty array
+  - an embedding containing a NaN element (NaN compares greater than any
+    double in BOTH engines, so an unguarded ranking would hand the
+    poisoned vector rank 1 for every query)
 
 Usage: python tools/make_hostile.py [src_sf_dir] [out_dir]
 Defaults: /root/testdata/sf0.01 -> testdata-hostile/sf0.01
@@ -55,6 +58,8 @@ HOSTILE_EMB = [
     (9003, None, 1),  # placeholder; null element injected below
     (9004, None, 2),  # placeholder; zero vector injected below
     (9005, [], 3),
+    (9006, None, 4),  # placeholder; NaN element injected below (NaN
+    # compares GREATER than any double — the rank-1-everywhere poison)
 ]
 
 
@@ -89,6 +94,9 @@ def main() -> None:
             emb[dim // 2] = None  # null element mid-vector
         elif vec_id == 9004:
             emb = [0.0] * dim  # zero norm
+        elif vec_id == 9006:
+            emb = [0.1] * dim
+            emb[0] = float("nan")  # NaN element
         emb_rows.append((vec_id, emb, label))
     for name in sorted(os.listdir(src)):
         if not name.endswith(".parquet"):
