@@ -173,6 +173,7 @@ def bpe_tokenize(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     keep_tokens: bool = True,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Tokenize the corpus with learned merges — map-only, broadcast ranks.
 
@@ -182,13 +183,27 @@ def bpe_tokenize(
     at ``_MEMO_CAP`` entries so hash-dense corpora (near-unique "words")
     cannot grow it past a few hundred MB per worker. No shuffle, no state:
     tokenization parallelism equals scan parallelism.
+
+    ``passthrough`` names input columns carried through to the output
+    unchanged (``"text"`` refers to the ``text_col`` input). Without it a
+    caller that needs the text beside the tokens must self-join the corpus
+    on doc_id — a corpus-sized shuffle of BOTH sides that this map-only
+    operator exists to avoid (code review r12: the pre-training export's
+    BPE path paid exactly that join).
     """
     ranks = {p: i for i, p in enumerate(merges)}
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(ranks)
-    cols = docs.select("doc_id", F.col(text_col).alias("text"))
+    extra = [c for c in passthrough if c != "text"]
+    cols = docs.select(
+        "doc_id", F.col(text_col).alias("text"), *[F.col(c) for c in extra]
+    )
+    out_schema = StructType(
+        list(_BPE_OUT.fields) + [cols.schema[c] for c in passthrough]
+    )
     encode = _make_encoder()  # closure, shipped by value — no package import
     end, ws_re, memo_cap = END, _WS, _MEMO_CAP
+    passthru = tuple(passthrough)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import re
@@ -217,16 +232,18 @@ def bpe_tokenize(
                 out_tokens.append(toks)
                 out_n.append(len(toks))
                 out_w.append(len(ws))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_tokens": pd.array(out_n, dtype="int32"),
-                    "n_words": pd.array(out_w, dtype="int32"),
-                    "tokens": out_tokens if keep_tokens else [[] for _ in out_n],
-                }
-            )
+            # dict built in output-schema column order
+            out = {
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pd.array(out_n, dtype="int32"),
+                "n_words": pd.array(out_w, dtype="int32"),
+                "tokens": out_tokens if keep_tokens else [[] for _ in out_n],
+            }
+            for c in passthru:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return cols.mapInPandas(run, schema=_BPE_OUT)
+    return cols.mapInPandas(run, schema=out_schema)
 
 
 def detokenize_expr(tokens_col: str = "tokens"):

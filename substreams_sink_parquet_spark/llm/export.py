@@ -80,12 +80,23 @@ def plan_pretrain_export(docs: DataFrame, context_len: int = 2048,
     shard_id is seed-INDEPENDENT (universal hash of doc_id) so epochs with
     different seeds reshuffle order without moving docs between shards;
     pos/seq_id derive from the seeded md5 sort key. seq packing is the
-    greedy per-shard running sum over that order."""
+    greedy per-shard running sum over that order.
+
+    Null contract (code review r12, matching the r11 sampler/dedup rule —
+    a contentless doc is never selected, admitted, or kept): rows with a
+    null id or null text are EXCLUDED. A null id has no deterministic
+    (shard, pos) coordinate — before the filter it landed in a
+    shard_id=__HIVE_DEFAULT_PARTITION__ dir whose manifest key crashed
+    every reader doing int(shard) — and a null text has no tokens, so its
+    null n_tokens poisoned pos-neighbors' seq_id into NULL. Upstream
+    corpus admission already quarantines both classes (_drift_rejects /
+    the quality gate); this filter makes the public operator honor the
+    same contract on raw frames."""
     cols = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("text"),
         *[F.col(c) for c in keep_cols],  # metadata riders (lang, source…)
-    )
+    ).where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
     if merges is None:
         counted = cols.withColumn(
             "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
@@ -93,11 +104,18 @@ def plan_pretrain_export(docs: DataFrame, context_len: int = 2048,
     else:
         from .bpe import bpe_tokenize
 
-        toks = bpe_tokenize(cols, merges, text_col="text").select(
+        # passthrough keeps this map-only: the historical
+        # cols.join(toks, "doc_id") form shuffled the ENTIRE corpus twice
+        # (both join sides) just to reunite tokens with text — at 100 TB
+        # that join, not the export's own repartition, would have been the
+        # dominant exchange (code review r12)
+        counted = bpe_tokenize(
+            cols, merges, text_col="text",
+            passthrough=("text", *keep_cols),
+        ).select(
             "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
-            "tokens",
+            "tokens", "text", *keep_cols,
         )
-        counted = cols.join(toks, "doc_id")
     # sampling.uhash pmod-reduces doc_id BEFORE the multiply: real corpus
     # doc_ids are xxhash64 digests (full-range signed longs,
     # warc_corpus.py), for which the naive (doc_id * A + B) % M form
@@ -107,7 +125,16 @@ def plan_pretrain_export(docs: DataFrame, context_len: int = 2048,
     shard = F.pmod(uhash(F.col("doc_id")), F.lit(n_shards)).cast("long")
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}")))
     w = Window.partitionBy("shard_id").orderBy("sort_key")
-    run = F.sum("n_tokens").over(
+    # the packing increment is clamped to >= 1: a BPE-tokenized empty or
+    # whitespace-only doc counts 0 tokens, and an unclamped running sum
+    # stacks EVERY such doc into the same seq_id — at crawl scale (where
+    # empty docs number in the millions) that one sequence group would OOM
+    # materialize_sequences' collect_list (code review r12). With the
+    # clamp a bin holds at most context_len docs; n_tokens itself stays
+    # the true count, and the whitespace tokenizer (always >= 1 token)
+    # is bit-for-bit unchanged, so the SQL oracles need no clamp.
+    tok_slot = F.greatest(F.col("n_tokens"), F.lit(1).cast("long"))
+    run = F.sum(tok_slot).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = (
@@ -123,7 +150,7 @@ def plan_pretrain_export(docs: DataFrame, context_len: int = 2048,
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .withColumn(
             "seq_id",
-            F.floor((run - F.col("n_tokens")) / context_len).cast("long"),
+            F.floor((run - tok_slot) / context_len).cast("long"),
         )
     )
     keep = ["shard_id", "pos", "seq_id", "doc_id", "n_tokens", "text",
@@ -280,6 +307,7 @@ _EXPORT_CTX = 512
                     AS BIGINT) AS shard_id,
                md5(CAST(doc_id AS VARCHAR) || ':42') AS k
         FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
     ),
     o AS (
         SELECT shard_id, n_tokens,
@@ -347,6 +375,7 @@ def _mixture_oracle_cte() -> str:
                md5(CAST(doc_id AS VARCHAR) || ':42') AS mk
         FROM documents
         WHERE lang IN ({langs}) AND text IS NOT NULL
+          AND doc_id IS NOT NULL
     ),
     tot AS (SELECT grp, SUM(n_tokens) AS grp_tokens FROM base GROUP BY grp),
     staged AS (
@@ -473,10 +502,28 @@ def verify_pretrain_export(spark: SparkSession, out_dir: str) -> dict:
             F.countDistinct("seq_id").alias("n_seqs"),
             F.max("pos").alias("max_pos"),
             F.countDistinct("pos").alias("n_pos"),
+            F.countDistinct("doc_id").alias("n_ids"),
         ).collect()
     }
     issues: list[str] = []
-    want = {int(sid): s for sid, s in man["shards"].items()}
+    # legacy artifacts (pre null-id exclusion) can carry a null-shard
+    # partition; it would make the int() below and the sorted() set math
+    # crash the AUDIT — the one tool that must never die on a degraded
+    # artifact (code review r12)
+    if None in got:
+        issues.append(
+            f"{got.pop(None).n_docs} rows with null shard_id on disk "
+            "(null-doc_id rows from a pre-r12 export) — re-export"
+        )
+    want: dict[int, dict] = {}
+    for sid, s in man["shards"].items():
+        try:
+            want[int(sid)] = s
+        except (TypeError, ValueError):
+            issues.append(
+                f"manifest shard key {sid!r} is not an integer — corrupt "
+                "or pre-r12 manifest; re-export"
+            )
     for sid in sorted(set(want) - set(got)):
         issues.append(f"shard {sid}: in manifest but has no rows on disk")
     for sid in sorted(set(got) - set(want)):
@@ -494,6 +541,12 @@ def verify_pretrain_export(spark: SparkSession, out_dir: str) -> dict:
                 f"shard {sid}: pos not dense 1..{g.n_docs} "
                 f"(max_pos={g.max_pos}, distinct={g.n_pos}) — rows lost "
                 "or duplicated inside the shard"
+            )
+        if g.n_ids != g.n_docs:
+            issues.append(
+                f"shard {sid}: {g.n_docs - g.n_ids} duplicate doc_id(s) "
+                "— the (doc_id, seed) -> (shard, pos) determinism "
+                "contract does not hold; dedup upstream and re-export"
             )
     return {"ok": not issues, "issues": issues,
             "shards_checked": len(set(want) | set(got))}
@@ -550,6 +603,7 @@ def read_pretrain_sequences(spark: SparkSession, out_dir: str,
                     AS BIGINT) AS shard_id,
                md5(CAST(doc_id AS VARCHAR) || ':42') AS k
         FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
     ),
     o AS (
         SELECT shard_id, doc_id, n_tokens, k,

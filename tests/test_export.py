@@ -283,9 +283,9 @@ def test_export_plan_one_exchange_pinned(spark, sf_dir):
     (VERDICT r8 Wrong #2): the whitespace export's only shuffle is the
     shard_id hash repartition — both windows and the partitioned write
     reuse it, so someone adding a second shuffle (or a window that
-    re-keys) fails here, not on a cluster bill. The BPE variant adds
-    exactly the doc_id tokenize-join and nothing else: still ONE
-    shard_id exchange; at fixture scale the join broadcasts."""
+    re-keys) fails here, not on a cluster bill. The BPE variant is
+    map-only tokenization (passthrough, code review r12 — it used to pay
+    a corpus self-join): the SAME one exchange and ZERO joins."""
     import re
 
     from substreams_sink_parquet_spark.plans import plan_report
@@ -306,13 +306,11 @@ def test_export_plan_one_exchange_pinned(spark, sf_dir):
         merges=[("a", "b"), ("ab", "c")],
     ))
     assert shard_exchanges(rep_bpe.text) == 1, rep_bpe.text
-    # the tokenize join is the ONLY added wiring: corpus-sized side never
-    # re-shuffles on shard_id twice; at this scale the join broadcasts,
-    # so the shuffle count stays 1 (a scale run may shuffle the join —
-    # that is the join's own cost, not a lost window reuse)
-    assert rep_bpe.shuffle_exchanges <= 3, rep_bpe.text
+    # tokenization is a mapInPandas stage on the scan side of the one
+    # exchange — no join, no second shuffle, at ANY scale
+    assert rep_bpe.shuffle_exchanges == 1, rep_bpe.text
     assert rep_bpe.broadcast_joins + rep_bpe.sortmerge_joins \
-        + rep_bpe.hash_joins == 1, rep_bpe.text
+        + rep_bpe.hash_joins == 0, rep_bpe.text
 
 
 def test_export_mixture_composition_plan_keeps_both_scale_shapes(
@@ -352,6 +350,86 @@ def test_export_mixture_composition_plan_keeps_both_scale_shapes(
     # survives the composition
     assert len(re.findall(
         r"Arguments: hashpartitioning\(shard_id", rep.text)) == 1, rep.text
+
+
+def test_null_id_and_null_text_rows_excluded(spark, tmp_path):
+    """The export's null contract (code review r12): a row with a null id
+    has no deterministic (shard, pos) coordinate — before the filter it
+    landed in a __HIVE_DEFAULT_PARTITION__ dir whose manifest key 'None'
+    crashed int(shard) in every reader — and a null text has no tokens
+    (its NULL n_tokens turned pos-neighbors' seq_id NULL). Both are
+    excluded, in the whitespace AND the BPE variant, and the committed
+    artifact audits clean."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (None, "orphan text"), (2, None), (3, "d e")],
+        "doc_id long, text string",
+    )
+    for merges in (None, [("a", "b")]):
+        out = str(tmp_path / f"exp_{'bpe' if merges else 'ws'}")
+        man = E.write_pretrain_export(
+            docs, out, context_len=8, n_shards=2, merges=merges
+        )
+        assert man["total_docs"] == 2
+        back = E.read_pretrain_export(spark, out)
+        assert {r.doc_id for r in back.select("doc_id").collect()} == {1, 3}
+        assert back.filter(
+            F.col("seq_id").isNull() | F.col("n_tokens").isNull()
+        ).count() == 0
+        rep = E.verify_pretrain_export(spark, out)
+        assert rep["ok"], rep["issues"]
+
+
+def test_verify_detects_duplicate_doc_id(spark, tmp_path):
+    """A duplicated doc_id inside a shard silently breaks the
+    (doc_id, seed) -> (shard, pos) determinism contract even when every
+    count and the pos density still line up — the audit must name it."""
+    import pathlib
+
+    import pyarrow as pa
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x y z") for i in range(40)], "doc_id long, text string"
+    )
+    out = tmp_path / "exp"
+    E.write_pretrain_export(docs, str(out), context_len=16, n_shards=2)
+    d = next(p for p in (out / "shards").glob("shard_id=*"))
+    f = next(p for p in pathlib.Path(d).iterdir()
+             if p.name.endswith(".parquet"))
+    t = pq.read_table(f)
+    ids = t["doc_id"].to_pylist()
+    assert len(ids) >= 2
+    ids[1] = ids[0]  # same counts, same dense pos — only the ids collide
+    t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                     pa.array(ids, type=pa.int64()))
+    pq.write_table(t, f)
+    crc = f.parent / f".{f.name}.crc"
+    if crc.exists():
+        crc.unlink()  # hadoop local FS checksum sidecar
+    rep = E.verify_pretrain_export(spark, str(out))
+    assert not rep["ok"]
+    assert any("duplicate doc_id" in i for i in rep["issues"])
+
+
+def test_zero_token_docs_cannot_unbound_a_packing_bin(spark):
+    """A BPE-tokenized empty doc counts 0 tokens; unclamped greedy packing
+    stacked EVERY such doc into one seq_id — at crawl scale that one
+    collect_list group OOMs materialize_sequences. The clamp gives each
+    doc a >= 1-token slot, so a bin holds at most context_len docs, while
+    n_tokens itself stays the true zero count."""
+    ctx = 4
+    docs = spark.createDataFrame(
+        [(i, "") for i in range(30)], "doc_id long, text string"
+    )
+    rows = E.plan_pretrain_export(
+        docs, context_len=ctx, n_shards=1, merges=[("a", "b")]
+    ).collect()
+    assert len(rows) == 30
+    assert all(r.n_tokens == 0 for r in rows)  # true count preserved
+    per_seq = {}
+    for r in rows:
+        per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + 1
+    assert max(per_seq.values()) <= ctx
+    assert len(per_seq) > 1  # actually split, not one bin
 
 
 def test_export_manifest_commit_is_atomic_and_torn_marker_is_loud(spark, tmp_path):
