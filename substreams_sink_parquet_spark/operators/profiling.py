@@ -53,9 +53,26 @@ def _repr_expr(dtype: str, c: Column) -> Column:
     across engines), timestamps through a fixed date_format (unit and
     zone-suffix conventions differ); everything else is a plain string
     cast, which integers and strings render identically everywhere.
+
+    Non-finite and decimal-overflow doubles get explicit reprs (code
+    review r12): NaN / +-Infinity abort the decimal cast under ANSI in
+    BOTH engines — and NaN compares greatest in both, so it IS the max
+    of any column containing one — and a finite value past 10^16
+    overflows DECIMAL(18,2) the same way. The profile of a column must
+    describe poisoned data, never crash on it: NaN/Infinity label
+    themselves, an overflowing finite value falls back to the plain
+    double repr (its exactness matters less than the profile surviving).
     """
     if dtype in ("double", "float"):
-        return c.cast("decimal(18,2)").cast("string")
+        return (
+            F.when(F.isnan(c), F.lit("NaN"))
+            .when(c == F.lit(float("inf")), F.lit("Infinity"))
+            .when(c == F.lit(float("-inf")), F.lit("-Infinity"))
+            .otherwise(F.coalesce(
+                c.try_cast("decimal(18,2)").cast("string"),
+                c.cast("string"),
+            ))
+        )
     if dtype.startswith("timestamp"):
         return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
     return c.cast("string")
@@ -111,15 +128,21 @@ def numeric_histogram(df: DataFrame, col: str, lo: float, hi: float,
     (bin, bin_lo, bin_hi, cnt), empty bins omitted. Rows outside the
     bounds clamp into the edge bins (bin 0 / n_bins-1) rather than
     vanishing — a profiler that silently drops outliers would hide
-    exactly the rows worth seeing; NULLs are excluded. Map-only binning
-    (bounds are literals) into a ≤``n_bins``-group aggregate."""
+    exactly the rows worth seeing; NULLs and NaNs are excluded. NaN is
+    not an outlier, it is a non-value: Spark's floor(NaN) lands it in
+    bin 0 while DuckDB's NaN-sorts-greatest clamps it to the TOP bin —
+    silently skewing opposite tails of the histogram — so it joins the
+    corpus-wide NaN-exclusion contract instead (code review r12; the
+    similarity/quantizer family's rule). +-Infinity is orderable and
+    still clamps into its edge bin. Map-only binning (bounds are
+    literals) into a ≤``n_bins``-group aggregate."""
     if not (hi > lo and n_bins > 0):
         raise ValueError(f"need hi > lo and n_bins > 0, got [{lo}, {hi}) x {n_bins}")
     w = (hi - lo) / n_bins
     b = F.floor((F.col(col) - F.lit(lo)) / F.lit(w))
     b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1)).cast("long")
     return (
-        df.filter(F.col(col).isNotNull())
+        df.filter(F.col(col).isNotNull() & ~F.isnan(F.col(col)))
         .groupBy(b.alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
@@ -515,7 +538,8 @@ def _hist_oracle() -> str:
         SELECT CAST(LEAST(GREATEST(
                    FLOOR((o_totalprice - {_HIST_LO}) / {w}), 0),
                {_HIST_BINS - 1}) AS BIGINT) AS bin
-        FROM orders WHERE o_totalprice IS NOT NULL
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
     ) b
     GROUP BY bin
     """

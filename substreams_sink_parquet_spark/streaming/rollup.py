@@ -261,7 +261,12 @@ def read_rollup(
         parts = spark.read.parquet(*(_resolve() or [url_join(rollup_dir, "epoch=*")]))
     merged = parts.groupBy("bucket", *spec.group_cols).agg(*spec.merge_aggs())
     for name, (s, c) in (derived or {}).items():
-        merged = merged.withColumn(name, F.col(s) / F.col(c))
+        # try_divide: a count measure over a column whose values are all
+        # null in some bucket merges to 0, and a plain division would
+        # abort the whole read under ANSI (the driver default) — the
+        # bucket's average is correctly 'nothing to average' (NULL), not
+        # an error (code review r12)
+        merged = merged.withColumn(name, F.try_divide(F.col(s), F.col(c)))
     return merged
 
 

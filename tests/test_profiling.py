@@ -246,3 +246,48 @@ def test_drift_all_null_column_is_quiet_not_permanently_flagged(spark):
     r = {x.column: x for x in P.profile_drift(p, p).collect()}
     assert r["opt"].drifted is False and r["opt"].range_changed is False
     assert r["k"].drifted is False
+
+
+def test_profile_survives_nan_inf_and_overflow_under_ansi(spark):
+    """The profile of a poisoned double column must DESCRIBE the poison,
+    not crash on it (code review r12): NaN/+-Infinity abort the
+    DECIMAL(18,2) repr cast under ANSI in both engines, and a finite
+    value past 10^16 overflows it the same way. NaN compares greatest in
+    Spark, so it IS the max of any column containing one."""
+    df = spark.createDataFrame(
+        [(float("nan"),), (float("inf"),), (float("-inf"),),
+         (1e18,), (5.0,), (None,)],
+        "v double",
+    )
+    ansi_was = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        r = P.profile_table(df, ["v"], exact_distinct=True).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_was)
+    assert (r.n_rows, r.n_nulls) == (6, 1)
+    assert r.min_repr == "-Infinity"
+    assert r.max_repr == "NaN"  # NaN sorts greatest — it IS the max
+    # an overflowing finite max falls back to the plain double repr
+    r2 = P.profile_table(
+        spark.createDataFrame([(1e18,), (2.0,)], "v double"), ["v"],
+        exact_distinct=True,
+    ).collect()[0]
+    assert r2.min_repr == "2.00" and r2.max_repr == "1.0E18"
+
+
+def test_histogram_excludes_nan_like_null(spark):
+    """NaN is a non-value, not an outlier: Spark's floor(NaN) binned it
+    at 0 while DuckDB's NaN-sorts-greatest clamps it to the TOP bin —
+    silently skewing OPPOSITE tails per engine. It now joins the
+    corpus-wide NaN-exclusion contract; infinities stay orderable and
+    clamp into their edge bins (code review r12)."""
+    df = spark.createDataFrame(
+        [(float("nan",),), (float("inf"),), (float("-inf"),),
+         (5.0,), (None,)],
+        "v double",
+    )
+    rows = {r.bin: r.cnt for r in
+            P.numeric_histogram(df, "v", 0.0, 10.0, 4).collect()}
+    assert sum(rows.values()) == 3          # NaN and null both excluded
+    assert rows == {0: 1, 2: 1, 3: 1}       # -inf->0, 5.0->2, +inf->3

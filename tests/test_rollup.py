@@ -409,3 +409,31 @@ def test_rollup_refuses_changed_spec_and_floors_negative_buckets(spark, tmp_path
         write_rollup_partial(df, d, changed, epoch_id=1)
     # the SAME spec keeps appending fine
     write_rollup_partial(df, d, spec, epoch_id=1)
+
+
+def test_derived_ratio_is_null_not_ansi_error_on_zero_count(spark, tmp_path):
+    """A count measure over a COLUMN (not *) merges to 0 in a bucket whose
+    values are all null; the derived avg must be NULL under ANSI, not a
+    DIVIDE_BY_ZERO abort of the whole read (code review r12)."""
+    d = str(tmp_path / "ru0")
+    spec = RollupSpec(
+        bucket_col="bn", bucket_size=10,
+        measures={"s": ("sum", "amount"), "n": ("count", "amount")},
+    )
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (12, 4)], "bn long, amount long"
+    )
+    write_rollup_partial(df, d, spec, epoch_id=0)
+    ansi_was = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        got = {
+            r.bucket: (r.n, r.avg)
+            for r in read_rollup(
+                spark, d, spec, derived={"avg": ("s", "n")}
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_was)
+    assert got[0] == (0, None)   # nothing to average — not an error
+    assert got[10] == (1, 4.0)
