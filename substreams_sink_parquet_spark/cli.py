@@ -1486,6 +1486,13 @@ def cmd_curate(args: argparse.Namespace) -> int:
         print("curate: input needs doc_id and text columns", file=sys.stderr)
         return 2
     report: dict = {"input_docs": docs.count()}
+    # null text fails CLOSED at entry (code review r12, the r11 admission
+    # rule): the quality gate and line-dedup stages each reject it, but a
+    # bare exact-dedup run hashed every null-text doc into one NULL group
+    # and ADMITTED the min-doc_id keeper — a contentless doc in the
+    # curated corpus. The count keeps the drop visible in the report.
+    docs = docs.filter(F.col("text").isNotNull())
+    report["null_text_dropped"] = report["input_docs"] - docs.count()
 
     # stage frames persist so each count doesn't recompute the chain, but
     # a predecessor's cache is RELEASED as soon as its successor is

@@ -242,13 +242,25 @@ def profile_quantiles(df: DataFrame, cols: list[str],
     switches to the KLL-style ``percentile_approx`` sketch whose state is
     fixed-size regardless of cardinality — the scale default for
     continuous columns on a crawl. Values round to 6 dp (interpolation
-    arithmetic is the only float in play; see catalog.py rules)."""
+    arithmetic is the only float in play; see catalog.py rules).
+
+    NaN values in double/float columns are excluded like NULLs (code
+    review r12, the numeric_histogram contract): NaN sorts greatest, so
+    one poisoned row otherwise turns every upper quantile of the column
+    into NaN."""
     if not cols:
         raise ValueError("profile_quantiles needs at least one column")
+    dtypes = dict(df.dtypes)
     plist = [float(p) for p in probs]
+
+    def _src(c: str):
+        if dtypes.get(c) in ("double", "float"):
+            return F.when(~F.isnan(F.col(c)), F.col(c))
+        return F.col(c)
+
     aggs = [
-        (F.percentile(c, F.lit(plist)) if exact
-         else F.percentile_approx(c, plist, 10000)).alias(f"__q_{c}")
+        (F.percentile(_src(c), F.lit(plist)) if exact
+         else F.percentile_approx(_src(c), plist, 10000)).alias(f"__q_{c}")
         for c in cols
     ]
     wide = df.agg(*aggs)

@@ -1338,3 +1338,31 @@ def test_cli_release_status_and_no_resume(tmp_path, spark, capsys, sf_dir,
     ) == report
     st, states = status()
     assert st["complete"] is True
+
+
+def test_cli_curate_bare_dedup_fails_closed_on_null_text(tmp_path, spark, capsys):
+    """Without --quality-gate or --line-dedup (which each reject null
+    text), the bare exact-dedup path hashed every null-text doc into one
+    NULL md5 group and ADMITTED the min-doc_id keeper — a contentless doc
+    in the curated corpus. Null text now fails closed at entry, with the
+    drop counted in the report (code review r12)."""
+    import json
+
+    from substreams_sink_parquet_spark.cli import main
+
+    rows = [
+        (1, "a real document with words", "en"),
+        (2, None, "en"),
+        (3, None, "en"),
+        (4, "a real document with words", "en"),  # exact dup of 1
+    ]
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "curated")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string")\
+        .write.parquet(src)
+    assert main(["curate", src, out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["input_docs"] == 4
+    assert rep["null_text_dropped"] == 2
+    assert rep["after_exact_dedup"] == 1
+    assert [r.doc_id for r in spark.read.parquet(out).collect()] == [1]

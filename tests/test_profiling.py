@@ -291,3 +291,19 @@ def test_histogram_excludes_nan_like_null(spark):
             P.numeric_histogram(df, "v", 0.0, 10.0, 4).collect()}
     assert sum(rows.values()) == 3          # NaN and null both excluded
     assert rows == {0: 1, 2: 1, 3: 1}       # -inf->0, 5.0->2, +inf->3
+
+
+def test_quantiles_exclude_nan_like_null(spark):
+    """One NaN row otherwise turns every upper quantile of the column
+    into NaN (NaN sorts greatest in both engines) — it is excluded like
+    NULL, per the histogram/similarity contract (code review r12)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,), (float("nan"),), (None,)],
+        "v double",
+    )
+    rows = {r.p: r.q for r in
+            P.profile_quantiles(df, ["v"], probs=(0.5, 0.95)).collect()}
+    assert not any(math.isnan(q) for q in rows.values())
+    assert rows[0.5] == 2.5  # median of the four FINITE values
