@@ -174,8 +174,20 @@ def write_ann_index(
 
 
 def read_ann_meta(spark: SparkSession, index_dir: str) -> dict:
+    """Load the index metadata; refuses a missing marker with the
+    index-family's loud, actionable error. The module docstring promises
+    'codes without meta fail loudly' (the rebuild crash window) — before
+    this guard the failure was an opaque Java FileNotFoundException from
+    the raw open() instead of naming the builder (code review r12)."""
     fs = HadoopFS(spark, index_dir)
-    return json.loads(fs.read_bytes(url_join(index_dir, _META)))
+    meta_path = url_join(index_dir, _META)
+    if not fs.exists(meta_path):
+        raise FileNotFoundError(
+            f"ANN index at {index_dir!r} has no {_META} — either it was "
+            "never built (write_ann_index / `ann-build`) or a rebuild "
+            "crashed mid-overwrite; rebuild before querying"
+        )
+    return json.loads(fs.read_bytes(meta_path))
 
 
 def _encode_frozen(new_vectors: DataFrame, meta: dict, vec_col: str,

@@ -191,7 +191,9 @@ def test_rebuild_crash_fails_loudly_and_rebuild_recovers(spark, tmp_path):
     probe = spark.createDataFrame(
         [(1, [1.0, 1.0, 1.0, 1.0])], "q_id long, q_vec array<float>"
     )
-    with pytest.raises(Exception):
+    # loud AND actionable: the family contract names the builder, not an
+    # opaque Java FileNotFoundException from the raw open (code review r12)
+    with pytest.raises(FileNotFoundError, match="rebuild before querying"):
         A.ann_topk(spark, idx, probe, k=3)  # loud, not garbage neighbors
 
     # completed rebuild: meta restored, stale epoch appends cleared
