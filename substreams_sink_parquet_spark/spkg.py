@@ -36,7 +36,18 @@ def _iter_fields(buf: bytes):
         fnum, wt = tag >> 3, tag & 7
         if wt == WT_LEN:
             ln, pos = read_varint(buf, pos)
-            yield fnum, wt, buf[pos : pos + ln]
+            payload = buf[pos : pos + ln]
+            if len(payload) != ln:
+                # a truncated .spkg (partial download) otherwise yields a
+                # silently-short payload whose downstream parse fails with
+                # an unrelated error instead of naming the real problem
+                # (code review r12)
+                raise ValueError(
+                    f"truncated length-delimited field {fnum}: declared "
+                    f"{ln} bytes, {len(payload)} remain — incomplete or "
+                    "corrupt package file"
+                )
+            yield fnum, wt, payload
             pos += ln
         elif wt == WT_VARINT:
             v, pos = read_varint(buf, pos)

@@ -93,3 +93,22 @@ def test_cli_endpoint_mode_is_explicit_stub(tmp_path):
         main(common + ["--endpoint", "grpc.example:443"])
     with pytest.raises(SystemExit, match="mainnet.streamingfast.io:443"):
         main(common + ["--network", "mainnet"])
+
+
+def test_truncated_spkg_fails_loudly():
+    """A partially-downloaded .spkg must name the real problem (truncated
+    field), not fail downstream with an unrelated descriptor-parse error
+    on a silently-short payload (code review r12)."""
+    import pytest
+
+    from substreams_sink_parquet_spark.protowire import (
+        K_INT64, FieldSpec, MessageSpec, build_file_descriptor_set,
+    )
+    from substreams_sink_parquet_spark.spkg import build_spkg, parse_spkg
+
+    spec = MessageSpec("pkg.Block", (FieldSpec("number", 1, K_INT64),))
+    full = build_spkg(build_file_descriptor_set("pkg", [spec]),
+                      network="mainnet", modules={"map_blocks": "proto:pkg.Block"})
+    assert parse_spkg(full).network == "mainnet"  # intact round-trips
+    with pytest.raises(ValueError, match="truncated|incomplete"):
+        parse_spkg(full[:-5])
