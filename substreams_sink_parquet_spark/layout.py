@@ -73,15 +73,19 @@ def zorder_key(cols: list[tuple[str, int, int]], bits: int = 16):
     key = F.lit(0).cast("long")
     for j, (c, lo, hi) in enumerate(cols):
         span = max(hi - lo, 1)
-        # scale to [0, 2^bits): (v - lo) * (2^bits - 1) / span, clamped
-        cell = F.least(
-            F.greatest(
-                ((F.col(c).cast("long") - F.lit(lo)) * ((1 << bits) - 1) / F.lit(span))
-                .cast("long"),
-                F.lit(0),
-            ),
-            F.lit((1 << bits) - 1),
+        # clamp INTO [lo, hi] BEFORE scaling, and scale through double:
+        # the old (v - lo) * (2^bits - 1) long multiply overflowed int64 —
+        # an ANSI abort of the whole clustered write — for one corrupt
+        # value far outside the declared bounds, exactly the row a stats
+        # pass's bounds won't cover (code review r12). Double precision is
+        # ample for a 16-bit cell id at any span.
+        v = F.least(
+            F.greatest(F.col(c).cast("long"), F.lit(lo)), F.lit(hi)
         )
+        cell = (
+            (v - F.lit(lo)).cast("double")
+            * ((1 << bits) - 1) / F.lit(span)
+        ).cast("long")
         for i in range(bits):
             bit = F.shiftright(cell, i).bitwiseAND(F.lit(1))
             key = key + F.shiftleft(bit, i * n + j)

@@ -56,3 +56,32 @@ def test_zorder_files_tight_on_both_dims(spark, tmp_path):
     # linear clustering is tight on its sort column but NOT on the other dim
     assert _avg_span(lpath, "user_id") < 0.3 * full_u
     assert _avg_span(lpath, "tsec") > 0.9 * full_t
+
+
+def test_zorder_key_survives_out_of_bounds_values_under_ansi(spark):
+    """One corrupt value far outside the declared bounds (a garbage block
+    number near 2^62) overflowed the pre-clamp long multiply and
+    ANSI-aborted the whole clustered write; values now clamp into
+    [lo, hi] BEFORE scaling (code review r12)."""
+    from pyspark.sql import functions as F
+
+    from substreams_sink_parquet_spark.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(1 << 62, 5), (50, 5), (-(1 << 62), 5), (100, 5)], "a long, b long"
+    )
+    ansi_was = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        keys = [r.z for r in df.select(
+            zorder_key([("a", 0, 100), ("b", 0, 10)]).alias("z")
+        ).collect()]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_was)
+    assert len(keys) == 4 and all(k is not None for k in keys)
+    # the oversized value clamps to the top cell, the negative to the
+    # bottom — same keys as the in-bounds extremes would get
+    top = df.filter(F.col("a") == 100).select(
+        zorder_key([("a", 0, 100), ("b", 0, 10)]).alias("z")
+    ).collect()[0].z
+    assert keys[0] == top
