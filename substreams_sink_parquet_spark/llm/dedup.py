@@ -604,7 +604,18 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
     The band join partitions on (band_id, band_hash): high cardinality, no
     skew concentration, no pairwise blow-up outside candidate buckets.
     """
-    banded = banded_minhash(docs, n=n, num_hashes=num_hashes, bands=bands)
+    # persist the banded signatures (optimization r13, guide §2.4/§5): the
+    # self-join's two sides are distinct plan subtrees, and ReuseExchange
+    # did NOT fire (the r13 before-plan shows the full shingle-explode +
+    # 32-min aggregate pipeline TWICE — Exchanges 3/6 and 11/14), so the
+    # most expensive per-row work in the query ran twice. One executor-
+    # storage materialization makes both join sides read the same cache.
+    # Same contract as embedding_neardup_pairs_lsh's bucket cache: the
+    # cache backs the result's lineage, so it ships on the result as
+    # persisted_deps for similarity.release_persisted (bench.py
+    # clearCache()s between measurements).
+    banded = banded_minhash(docs, n=n, num_hashes=num_hashes,
+                            bands=bands).persist()
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -627,12 +638,14 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
     # band-duplicate of a pair, so the dedup exchange carries only passing
     # (doc_a, doc_b, est) triples instead of every candidate with both
     # 32-long signatures — map-side filter, minimal shuffle payload
-    return (
+    out = (
         cands.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    out.persisted_deps = (banded,)
+    return out
 
 
 @register(

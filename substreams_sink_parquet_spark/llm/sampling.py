@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import register
+from ..operators._helpers import dense_lit
 from ..tables import load
 
 _M = (1 << 31) - 1  # Mersenne prime 2^31-1: products of 31-bit values < 2^62
@@ -749,7 +750,7 @@ def dsir_logweights(docs: DataFrame, is_target: F.Column,
     lr_arr = [0.0] * _DSIR_B
     for r in fitted:
         lr_arr[r.b] = float(r.lr9)
-    lr_lit = F.lit(lr_arr)
+    lr_lit = dense_lit(lr_arr)
     zero = F.lit(0).cast("decimal(24,9)")
     score = F.aggregate(
         F.col("bs"),

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import register
+from ..operators._helpers import dense_lit
 from ..tables import load
 
 
@@ -198,7 +199,7 @@ def lsh_bucket(df: DataFrame, vec_col: str, dim: int, n_planes: int = 12) -> Dat
     walks the planes highest-index first so ``acc*2 + bit`` lands plane i
     on bit i — identical buckets to the previous shift-and-add."""
     planes = _hyperplanes(dim, n_planes)
-    matrix = F.lit([[float(w) for w in plane] for plane in reversed(planes)])
+    matrix = dense_lit([[float(w) for w in plane] for plane in reversed(planes)])
     bits = F.transform(
         matrix, lambda p: (_dot(F.col(vec_col), p) > 0).cast("long")
     )
@@ -332,8 +333,8 @@ def _nearest_centroid(vecs: DataFrame, cent_rows: list[tuple[int, list[float]]],
     2-D literal matters on the DRIVER too: the previous per-element
     ``F.lit`` built n_centroids x dim Column objects (~1.6 s of py4j
     round-trips per call at 16x64); two literals cross py4j once."""
-    ids = F.lit([int(cid) for cid, _ in cent_rows])
-    quant = F.lit([[float(x) for x in vec] for _, vec in cent_rows])
+    ids = dense_lit([int(cid) for cid, _ in cent_rows])
+    quant = dense_lit([[float(x) for x in vec] for _, vec in cent_rows])
     cands = F.zip_with(
         quant,
         ids,
@@ -614,7 +615,13 @@ def release_persisted(df: DataFrame) -> None:
     call this once the result has been fully consumed or written out.
     No-op for frames without attached deps, so it is safe to call
     unconditionally. (``spark.catalog.clearCache()`` remains the blunt
-    session-wide alternative — bench.py uses it between measurements.)"""
+    session-wide alternative — bench.py uses it between measurements.)
+
+    MUST be called on the EXACT object the operator returned (ADVICE r12):
+    ``persisted_deps`` is a plain Python attribute, and any transformation
+    (``.select``/``.filter``/``.join``) yields a NEW DataFrame without it,
+    silently turning this into a no-op. Keep a reference to the operator's
+    return value for the release even when downstream code transforms it."""
     for dep in getattr(df, "persisted_deps", ()):
         dep.unpersist()
 
@@ -1006,7 +1013,7 @@ def _nearest_code(sub: Column, lit3: Column, s: Column | int, k: int) -> Column:
     s1 = (s + 1) if isinstance(s, int) else (s + F.lit(1))
     cands = F.zip_with(
         F.element_at(lit3, s1),
-        F.lit(list(range(k))),
+        dense_lit(list(range(k))),
         lambda c, j: F.struct(_l2sq(sub, c).alias("d"), j.alias("j")),
     )
     return F.array_min(cands)["j"]
@@ -1111,7 +1118,7 @@ def pq_encode(embeddings: DataFrame, cbs: list[list[list[float]]],
     literal."""
     m, k = len(cbs), len(cbs[0])
     dsub = len(cbs[0][0])
-    lit3 = F.lit(cbs)
+    lit3 = dense_lit(cbs)
     vec = F.col(vec_col)
     # the cosine_topk null contract, enforced at the encode chokepoint
     # every PQ-family path (pq/ivfpq/opq_topk, the persisted ANN index)
@@ -1142,7 +1149,7 @@ def _adc_table(vec_expr: Column, cbs: list[list[list[float]]]) -> Column:
     JVM expression over the codebook literal (no driver-side math), ready
     to broadcast with the probe row."""
     m, dsub = len(cbs), len(cbs[0][0])
-    lit3 = F.lit(cbs)
+    lit3 = dense_lit(cbs)
     return F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda s: F.transform(
@@ -1171,8 +1178,8 @@ def _centroid_lookup(cents: list[tuple[int, list[float]]]):
     """cent_id column -> centroid vector column, via two literals (id list
     + 2-D matrix; one py4j crossing each) and an array_position lookup —
     handles non-contiguous cent_ids (a Lloyd iteration can empty a cell)."""
-    ids_lit = F.lit([int(cid) for cid, _ in cents])
-    cmat = F.lit([[float(x) for x in vec] for _, vec in cents])
+    ids_lit = dense_lit([int(cid) for cid, _ in cents])
+    cmat = dense_lit([[float(x) for x in vec] for _, vec in cents])
 
     def lookup(cent_col: Column) -> Column:
         return F.element_at(cmat, F.array_position(ids_lit, cent_col).cast("int"))
@@ -1320,7 +1327,15 @@ def rotate_expr(vec_col: str | Column, R: list[list[float]]) -> Column:
     # real annotation objects: the module's `from __future__ import
     # annotations` would stringify inline hints past the UDF inferencer
     _rot_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    _rot = pandas_udf(_rot_fn, "array<double>")
+    # asNondeterministic (optimization r13, guide §4.4): pq_encode filters
+    # on validity of the ROTATED vector, and the optimizer's filter
+    # pushdown then evaluated this UDF twice per corpus row (two
+    # ArrowEvalPython nodes in the q_sim_topk_opq plan — once below the
+    # pushed filter, once in the output projection). The rotation is
+    # genuinely deterministic; the flag only tells the optimizer it may
+    # not duplicate or reorder it, which collapses the plan to ONE
+    # ArrowEvalPython (plans/r13/q_sim_topk_opq_{before,after}.txt).
+    _rot = pandas_udf(_rot_fn, "array<double>").asNondeterministic()
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return _rot(v.cast("array<double>"))
 
@@ -1333,8 +1348,17 @@ def opq_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     tables, per-query window. Because R is orthogonal, true L2 ranks are
     identical to the raw space; only quantization error (and therefore
     recall) differs. Composition over modification: OPQ = rotate ∘ PQ."""
+    from .dedup import spread_if_narrow
+
     R, _ = opq_rotation(embeddings, dim, m=m, k=n_codes, iters=opq_iters)
-    emb_r = embeddings.select(
+    # spread BEFORE rotating (optimization r13, guide §2/§4): the corpus
+    # arrives as one narrow scan in tests/bench, and rotating below the
+    # spread ran the per-batch BLAS matmul inside that single task while
+    # every other core idled — the Exchange sat between the
+    # ArrowEvalPython and the encode in the r13 before-plan. At cluster
+    # scale the scan is already wide and spread_if_narrow is a no-op, so
+    # the order change is free there.
+    emb_r = spread_if_narrow(embeddings.select("vec_id", "embedding")).select(
         "vec_id", rotate_expr("embedding", R).alias("embedding")
     )
     q_r = queries.select("q_id", rotate_expr("q_vec", R).alias("q_vec"))

@@ -92,7 +92,15 @@ class RollupSpec:
         # bucket_col value would land in the bucket ABOVE it (-5 % 10 = -5
         # → bucket 0 instead of -10); pmod gives floor semantics for any
         # sign and is identical for the non-negative common case
-        # (code review r12)
+        # (code review r12).
+        # MIGRATION NOTE (ADVICE r12): this was a code-semantics change the
+        # _SPEC.json guard cannot see — a rollup dir whose partials were
+        # bucketed under the pre-r12 % semantics passes the spec check, and
+        # merge-on-read then mixes floor and truncate bucketing for
+        # NEGATIVE keys in one result. Harmless for non-negative bucket
+        # columns (block numbers — every in-tree producer); rollups over
+        # signed bucket columns built before r12 must be compacted or
+        # rebuilt before appending post-r12 partials.
         b = F.col(self.bucket_col).cast("long")
         return (b - F.pmod(b, F.lit(self.bucket_size))).alias("bucket")
 

@@ -374,11 +374,39 @@ class StreamingSink:
             return
         import json
 
+        import warnings
+
         for name in sorted(self._fs.listdir(markers_dir)):
             marker = url_join(markers_dir, name)
-            meta = json.loads(self._fs.read_bytes(marker).decode("utf-8"))
-            files = meta["files"]
-            fork = meta["fork"]
+            if name.startswith("."):
+                # uncommitted tmp from a crash mid-marker-write: the commit
+                # rename never happened, so the group was never mutated —
+                # drop it and let the undo be re-issued
+                self._fs.delete(marker, recursive=False)
+                continue
+            payload = self._fs.read_bytes(marker).decode("utf-8", "replace")
+            try:
+                meta = json.loads(payload)
+                files = list(meta["files"])
+                fork = int(meta["fork"])
+                if not files or any(
+                    _split_range_name(n) is None for n in files
+                ):
+                    raise ValueError(f"malformed files list: {files[:3]!r}")
+            except (ValueError, KeyError, TypeError) as e:
+                # A torn/garbled marker can only come from the pre-r13
+                # non-atomic write, and that write happened BEFORE any
+                # mutation — the group is untouched, so the marker is safe
+                # to drop (ADVICE r12: one torn marker must not wedge
+                # every subsequent finalize/undo behind a JSONDecodeError).
+                warnings.warn(
+                    f"dropping unparseable undo marker {marker} ({e}); it "
+                    "predates any mutation of its group — re-issue the "
+                    "undo if the demotion is still wanted",
+                    stacklevel=2,
+                )
+                self._fs.delete(marker, recursive=False)
+                continue
             present = [
                 n for n in files
                 if self._fs.exists(url_join(table_dir, n))
@@ -742,13 +770,19 @@ class StreamingSink:
             # from the still-intact files, or finish the deletes. Written
             # after the grid validation above so a repair re-demotion
             # never stages onto an unvalidated grid.
+            # tmp + rename (ADVICE r12): the marker is a commit record the
+            # repair json.loads()es at the start of every later pass — a
+            # crash mid-write_bytes must leave an ignorable dot-tmp, never
+            # a torn committed marker that wedges the stream.
             marker = url_join(markers_dir, f"{rs}-{re_}.json")
+            tmp_marker = url_join(markers_dir, f".{rs}-{re_}.json.tmp")
             self._fs.write_bytes(
-                marker,
+                tmp_marker,
                 json.dumps(
                     {"fork": last_valid_block, "files": sorted(names)}
                 ).encode("utf-8"),
             )
+            self._fs.rename(tmp_marker, marker)
             if rs <= last_valid_block:
                 self._demote_group(table_dir, paths, last_valid_block)
             for p in paths:

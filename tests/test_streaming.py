@@ -975,3 +975,98 @@ def test_undo_crash_after_delete_trusts_demoted_rows(spark, tmp_path):
     )
     assert got == list(range(8))
     assert not os.path.exists(os.path.join(out_dir, "_undo_markers"))
+
+
+def test_torn_undo_marker_does_not_wedge_the_stream(spark, tmp_path):
+    """ADVICE r12 (medium): the marker used to be committed with a plain
+    write_bytes, so a crash mid-write left torn JSON that json.loads()
+    raised on at the start of EVERY later batch — no data loss (the marker
+    precedes all mutation) but a permanently wedged stream. The marker is
+    now committed tmp+rename, and the repair drops an unparseable marker
+    (provably pre-mutation under the old writer) with a warning instead of
+    raising. A stale dot-tmp from a crash mid-write is likewise swept."""
+    import json
+
+    from substreams_sink_parquet_spark.streaming.stream_sink import (
+        StreamingSink,
+    )
+
+    from .test_sink_writer import _blocks_df
+
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    opts = WriterOptions(partition_size=10, start_block=0)
+    sink = StreamingSink(spark=spark, spec=BLOCK, out_dir=out_dir,
+                         opts=opts, undo_holdback=0)
+    sink.process_batch(_blocks_df(spark, list(range(10)) + [15]), epoch_id=0)
+    final = "0000000000-0000000010.parquet"
+    assert final in _final_files(out_dir)
+
+    markers = os.path.join(out_dir, "_undo_markers")
+    os.makedirs(markers)
+    # torn committed marker (legacy non-atomic write, crashed mid-write)
+    with open(os.path.join(markers, "0-10.json"), "w") as f:
+        f.write('{"fork": 7, "fil')
+    # uncommitted tmp from the new atomic path, crashed before the rename
+    with open(os.path.join(markers, ".10-20.json.tmp"), "w") as f:
+        json.dump({"fork": 7, "files": [final]}, f)
+    # committed marker with a malformed files list (not a range name)
+    with open(os.path.join(markers, "20-30.json"), "w") as f:
+        json.dump({"fork": 7, "files": ["not-a-range-file"]}, f)
+
+    # restart: the next batch must converge, not raise
+    sink2 = StreamingSink(spark=spark, spec=BLOCK, out_dir=out_dir,
+                          opts=opts, undo_holdback=0)
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        sink2.process_batch(_blocks_df(spark, [25]), epoch_id=0)
+    assert any("undo marker" in str(r.message) for r in rec)
+
+    # markers swept, finalized data untouched (markers predate mutation)
+    assert not os.path.exists(markers)
+    got = sorted(
+        pq.read_table(os.path.join(out_dir, final))
+        .column("block_number").to_pylist()
+    )
+    assert got == list(range(10))
+
+
+def test_undo_marker_commit_is_atomic(tmp_path, spark):
+    """The marker write itself goes through tmp+rename: after a successful
+    undo there is never a bare-written marker, and mid-protocol the only
+    non-final name ever present is the dot-tmp (ignored by the repair)."""
+    from substreams_sink_parquet_spark.fsio import HadoopFS
+    from substreams_sink_parquet_spark.streaming.stream_sink import (
+        StreamingSink,
+    )
+
+    from .test_sink_writer import _blocks_df
+
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    opts = WriterOptions(partition_size=10, start_block=0)
+    sink = StreamingSink(spark=spark, spec=BLOCK, out_dir=out_dir,
+                         opts=opts, undo_holdback=0)
+    sink.process_batch(_blocks_df(spark, list(range(20)) + [25]), epoch_id=0)
+
+    renames: list[tuple[str, str]] = []
+    orig_rename = HadoopFS.rename
+
+    def spy(self, src, dst, overwrite=True):
+        renames.append((src, dst))
+        return orig_rename(self, src, dst, overwrite)
+
+    HadoopFS.rename = spy
+    try:
+        sink.undo(last_valid_block=14)
+    finally:
+        HadoopFS.rename = orig_rename
+    marker_renames = [
+        (s, d) for s, d in renames if "_undo_markers" in d
+    ]
+    assert marker_renames, "undo must commit its marker via tmp+rename"
+    for src, dst in marker_renames:
+        assert "/." in src and src.endswith(".tmp")
+        assert dst.endswith(".json")
