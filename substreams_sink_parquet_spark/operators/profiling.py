@@ -100,15 +100,37 @@ def profile_table(df: DataFrame, cols: list[str],
         raise ValueError(f"columns not in table: {missing}")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
-        nd = (F.count_distinct(F.col(c)) if exact_distinct
-              else F.approx_count_distinct(c, rsd))
         aggs += [
             F.count(F.col(c)).alias(f"__nn_{c}"),
-            nd.alias(f"__nd_{c}"),
             F.min(F.col(c)).alias(f"__mn_{c}"),
             F.max(F.col(c)).alias(f"__mx_{c}"),
         ]
-    wide = df.agg(*aggs)
+    if exact_distinct:
+        # Exact mode: the distinct counts run as their OWN aggregate and
+        # the two 1-row results cross-join (optimization r13, guide §2.3/
+        # §7.2). Folding COUNT(DISTINCT c1..cN) into the same Aggregate as
+        # the min/max/count stats planned as Expand(N+1 copies of every
+        # row) -> Sort -> SortAggregate: min/max over STRING columns have
+        # immutable buffer types, which forces the whole expanded stream
+        # through sort-based aggregation (plans/r13/
+        # q_profile_columns_before.txt, nodes 2-10). Split, the distinct
+        # half stays a hash aggregate over the Expand and the stats half
+        # is a single-group aggregate with no Expand at all — measured
+        # 2.58 s -> 0.86 s on orders at sf0.1, identical results. The
+        # second scan re-reads only the profiled columns (columnar), and
+        # both exchanges carry the same per-task-distinct partials as
+        # before — at lake scale the removed full-table sort dwarfs one
+        # extra pruned scan.
+        nd_aggs = [
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}") for c in cols
+        ]
+        wide = df.agg(*aggs).crossJoin(df.agg(*nd_aggs))
+    else:
+        # approx mode: HLL sketches are hash-friendly fixed-width buffers —
+        # one single-pass aggregate stays the right plan
+        for c in cols:
+            aggs.append(F.approx_count_distinct(c, rsd).alias(f"__nd_{c}"))
+        wide = df.agg(*aggs)
     entries = F.array(*[
         F.struct(
             F.lit(c).alias("column"),
