@@ -416,13 +416,24 @@ def banded_minhash(docs: DataFrame, n: int = 3, num_hashes: int = 32,
     band-collide and "overlap" 100% with every other — two completely
     different two-word titles must not be near-duplicates of each other.
     Short docs are exact-dedup territory; MinHash has nothing to measure."""
-    rows = num_hashes // bands
     docs = spread_if_narrow(
         docs.select("doc_id", "text").filter(
             F.size(F.split("text", " ")) >= n
         )
     )
     sigs = minhash_signatures(docs, n=n, num_hashes=num_hashes)
+    return _band_rows(sigs, num_hashes=num_hashes, bands=bands)
+
+
+def _band_rows(sigs: DataFrame, num_hashes: int = 32,
+               bands: int = 8) -> DataFrame:
+    """(doc_id, sig) signatures → the banded (doc_id, sig, band_id,
+    band_hash) rows — the cheap posexplode tail of :func:`banded_minhash`,
+    split out so a caller can persist the COMPACT signature table (one
+    32-long row per doc) and re-derive the 8 band rows per consumer
+    instead of caching the band expansion with its 8 duplicated ``sig``
+    copies (optimization r13, guide §5 cache-footprint rule)."""
+    rows = num_hashes // bands
     return sigs.select(
         "doc_id",
         "sig",
@@ -604,18 +615,28 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
     The band join partitions on (band_id, band_hash): high cardinality, no
     skew concentration, no pairwise blow-up outside candidate buckets.
     """
-    # persist the banded signatures (optimization r13, guide §2.4/§5): the
+    # persist the SIGNATURES (optimization r13, guide §2.4/§5): the
     # self-join's two sides are distinct plan subtrees, and ReuseExchange
     # did NOT fire (the r13 before-plan shows the full shingle-explode +
     # 32-min aggregate pipeline TWICE — Exchanges 3/6 and 11/14), so the
     # most expensive per-row work in the query ran twice. One executor-
     # storage materialization makes both join sides read the same cache.
-    # Same contract as embedding_neardup_pairs_lsh's bucket cache: the
-    # cache backs the result's lineage, so it ships on the result as
-    # persisted_deps for similarity.release_persisted (bench.py
-    # clearCache()s between measurements).
-    banded = banded_minhash(docs, n=n, num_hashes=num_hashes,
-                            bands=bands).persist()
+    # The cached unit is the COMPACT (doc_id, sig) table — one 32-long row
+    # per doc — with the 8 band rows re-derived per consumer by
+    # ``_band_rows`` (a posexplode of 8 xxhash64s): caching the band
+    # expansion instead stored every signature 8x and measured SLOWER
+    # (5-pass interleaved mins at sf0.1: sigs-cache 1.64 s, banded-cache
+    # 1.72 s, no cache 1.92 s); at corpus scale the cache footprint drops
+    # from ~2 KB/doc to ~280 B/doc. Same contract as
+    # embedding_neardup_pairs_lsh's bucket cache: the cache backs the
+    # result's lineage, so it ships on the result as persisted_deps for
+    # similarity.release_persisted (bench.py clearCache()s between
+    # measurements).
+    base = spread_if_narrow(
+        docs.select("doc_id", "text").filter(F.size(F.split("text", " ")) >= n)
+    )
+    sigs = minhash_signatures(base, n=n, num_hashes=num_hashes).persist()
+    banded = _band_rows(sigs, num_hashes=num_hashes, bands=bands)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -644,7 +665,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
         .select("doc_a", "doc_b", "est_jaccard")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    out.persisted_deps = (banded,)
+    out.persisted_deps = (sigs,)
     return out
 
 
