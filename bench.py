@@ -458,8 +458,10 @@ def main() -> None:
         from substreams_sink_parquet_spark.llm.lexical_index import (
             bm25_scores_indexed)
 
-        queries_df = spark.createDataFrame(
-            list(_BM25_BATCH_QUERIES), "query_id int, query string"
+        from substreams_sink_parquet_spark.operators._helpers import tiny_df
+
+        queries_df = tiny_df(
+            spark, list(_BM25_BATCH_QUERIES), "query_id int, query string"
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("bm25").desc(), "doc_id")
@@ -470,8 +472,10 @@ def main() -> None:
         )
 
     def _serve_hybrid_indexed(spark, sf_dir):
-        qtbl = spark.createDataFrame(
-            list(_HYBRID_BATCH), "query_id int, query string, vec_id bigint"
+        from substreams_sink_parquet_spark.operators._helpers import tiny_df
+
+        qtbl = tiny_df(
+            spark, list(_HYBRID_BATCH), "query_id int, query string, vec_id bigint"
         )
         return retrieve_hybrid_indexed(
             spark, lex_dir, qtbl, load(spark, sf_dir, "embeddings"),

@@ -1300,8 +1300,10 @@ def cmd_retrieve_index(args: argparse.Namespace) -> int:
             print("retrieve-index: --query must contain at least one term",
                   file=sys.stderr)
             return 2
-        qtbl = spark.createDataFrame(
-            [(0, args.query)], "query_id int, query string")
+        from .operators._helpers import tiny_df
+
+        qtbl = tiny_df(
+            spark, [(0, args.query)], "query_id int, query string")
     scored = bm25_scores_indexed(
         spark, args.index_dir, qtbl, max_doc_freq=args.max_doc_freq)
     w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import register
+from ..operators._helpers import tiny_df
 from ..tables import load
 
 # -- partitioning helper ---------------------------------------------------
@@ -559,8 +560,8 @@ def incremental_neardup(new_docs: DataFrame, band_index: DataFrame,
         )
     }
     spark = new_docs.sparkSession
-    corpus_gone = spark.createDataFrame(
-        [(d,) for d in sorted(hit_corpus)], "doc_id long"
+    corpus_gone = tiny_df(
+        spark, [(d,) for d in sorted(hit_corpus)], "doc_id long"
     )
     survivors = batch.join(corpus_gone, "doc_id", "left_anti")
     pair_df = (
@@ -580,8 +581,8 @@ def incremental_neardup(new_docs: DataFrame, band_index: DataFrame,
     )
     inb = _exact_inbatch_rejected(pair_df)
     if inb is not None:
-        rej_df = spark.createDataFrame(
-            [(d,) for d in sorted(hit_corpus | inb)], "doc_id long"
+        rej_df = tiny_df(
+            spark, [(d,) for d in sorted(hit_corpus | inb)], "doc_id long"
         )
     else:
         # pathological pair volume: LEFT SEMI short-circuits at each row's
@@ -902,7 +903,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20,
             T.StructField("doc_id", edges.schema["a"].dataType),
             T.StructField("canonical", edges.schema["b"].dataType),
         ])
-        labels = spark.createDataFrame(sorted(comp.items()), sch).cache()
+        labels = tiny_df(spark, sorted(comp.items()), sch).cache()
         labels.count()
         pairs.unpersist()
         return labels
@@ -1156,7 +1157,7 @@ def cc_star(pairs: DataFrame, max_iter: int = 25,
             T.StructField("doc_id", edges.schema["u"].dataType),
             T.StructField("canonical", edges.schema["v"].dataType),
         ])
-        edge_labels = spark.createDataFrame(sorted(comp.items()), sch)
+        edge_labels = tiny_df(spark, sorted(comp.items()), sch)
         labels = edge_labels.unionByName(
             selfs.join(edge_labels.select("doc_id"), "doc_id", "left_anti")
             .select("doc_id", F.col("doc_id").alias("canonical"))

@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import register
 from ..fsio import HadoopFS, url_join
+from ..operators._helpers import tiny_df
 from ..tables import load
 
 from .sampling import uhash, uhash_sql
@@ -347,8 +348,8 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             (int(sid), s["n_docs"], s["n_tokens"], s["n_seqs"])
             for sid, s in manifest["shards"].items()
         ]
-        return spark.createDataFrame(
-            rows,
+        return tiny_df(
+            spark, rows,
             "shard_id long, n_docs long, n_tokens long, n_seqs long",
         )
     finally:
@@ -466,8 +467,8 @@ def q_export_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             (int(sid), s["n_docs"], s["n_tokens"], s["n_seqs"])
             for sid, s in manifest["shards"].items()
         ]
-        return spark.createDataFrame(
-            rows,
+        return tiny_df(
+            spark, rows,
             "shard_id long, n_docs long, n_tokens long, n_seqs long",
         )
     finally:

@@ -557,8 +557,10 @@ def q_text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         docs = load(spark, sf_dir, "documents").select("doc_id", "text")
         write_lexical_index(docs, index_dir, n_buckets=64)
-        queries = spark.createDataFrame(
-            list(_BM25_BATCH_QUERIES), "query_id int, query string"
+        from ..operators._helpers import tiny_df
+
+        queries = tiny_df(
+            spark, list(_BM25_BATCH_QUERIES), "query_id int, query string"
         )
         scored = bm25_scores_indexed(spark, index_dir, queries)
         w = Window.partitionBy("query_id").orderBy(
@@ -575,6 +577,8 @@ def q_text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize the bounded top-k (|queries| x 10 rows) BEFORE the
         # finally removes the index the lazy plan would read from — each
         # catalog/bench invocation previously leaked its mkdtemp dir
-        return spark.createDataFrame(out.collect(), out.schema)
+        from ..operators._helpers import collected_df
+
+        return collected_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)

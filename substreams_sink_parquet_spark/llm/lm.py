@@ -556,6 +556,8 @@ def q_text_perplexity_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
                             docs.select("doc_id", "text"), alpha=_LM_ALPHA)
         # bounded: one row per doc at catalog SF; materialize before the
         # finally removes the artifact the lazy plan reads
-        return spark.createDataFrame(out.collect(), out.schema)
+        from ..operators._helpers import collected_df
+
+        return collected_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(lm_dir, ignore_errors=True)

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import register
-from ..operators._helpers import dense_lit
+from ..operators._helpers import dense_lit, tiny_df
 from ..tables import load
 
 _M = (1 << 31) - 1  # Mersenne prime 2^31-1: products of 31-bit values < 2^62
@@ -221,8 +221,8 @@ def ranked_order_buckets(scored: DataFrame, grp_col: str,
         rows.append((r[0], bs))
     spark = scored.sparkSession
     grp_t = scored.schema[grp_col].dataType.simpleString()
-    bnd = spark.createDataFrame(
-        rows,
+    bnd = tiny_df(
+        spark, rows,
         f"{grp_col} {grp_t}, "
         "_barr array<struct<score:double, doc_id:bigint>>",
     )
@@ -1003,8 +1003,8 @@ def q_sample_cluster_balanced_audit(spark: SparkSession,
     totals = sum(r.n_kept for r in summary) == sum(
         min(r.n_total, _CBAL_CAP) for r in summary
     )
-    return spark.createDataFrame(
-        [(colocated, saturated, caps, undersized, totals)],
+    return tiny_df(
+        spark, [(colocated, saturated, caps, undersized, totals)],
         "planted_copies_colocated boolean, planted_cell_saturated boolean,"
         " caps_enforced boolean, undersized_intact boolean,"
         " totals_match boolean",

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import register
-from ..operators._helpers import dense_lit
+from ..operators._helpers import dense_lit, tiny_df
 from ..tables import load
 
 
@@ -755,8 +755,8 @@ def incremental_embedding_neardup(
         )
     }
     spark = new_docs.sparkSession
-    corpus_gone = spark.createDataFrame(
-        [(d,) for d in sorted(hit_corpus)], "doc_id long"
+    corpus_gone = tiny_df(
+        spark, [(d,) for d in sorted(hit_corpus)], "doc_id long"
     )
     survivors = batch.join(corpus_gone, "doc_id", "left_anti")
     surv_probes = probes.join(corpus_gone, "doc_id", "left_anti")
@@ -773,8 +773,8 @@ def incremental_embedding_neardup(
     )
     inb = _exact_inbatch_rejected(pair_df)
     if inb is not None:
-        rej_df = spark.createDataFrame(
-            [(d,) for d in sorted(hit_corpus | inb)], "doc_id long"
+        rej_df = tiny_df(
+            spark, [(d,) for d in sorted(hit_corpus | inb)], "doc_id long"
         )
     else:
         # pathological pair volume: LEFT SEMI short-circuits at each row's
@@ -2172,8 +2172,10 @@ def _hybrid_batch_oracle() -> str:
 def q_retrieval_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     emb = load(spark, sf_dir, "embeddings")
-    qtbl = spark.createDataFrame(
-        list(_HYBRID_BATCH), "query_id int, query string, vec_id bigint"
+    from ..operators._helpers import tiny_df
+
+    qtbl = tiny_df(
+        spark, list(_HYBRID_BATCH), "query_id int, query string, vec_id bigint"
     )
     return retrieve_hybrid_batch(docs, qtbl, emb, k=_HYBRID_K, top=10)
 
@@ -2200,15 +2202,19 @@ def q_retrieval_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex_dir = tempfile.mkdtemp(prefix="lexidx_hyb_")
     try:
         write_lexical_index(docs, lex_dir, n_buckets=64)
-        qtbl = spark.createDataFrame(
-            list(_HYBRID_BATCH), "query_id int, query string, vec_id bigint"
+        from ..operators._helpers import tiny_df
+
+        qtbl = tiny_df(
+            spark, list(_HYBRID_BATCH), "query_id int, query string, vec_id bigint"
         )
         out = retrieve_hybrid_indexed(spark, lex_dir, qtbl, emb,
                                       k=_HYBRID_K, top=10)
         # materialize the bounded fuse (|queries| x top rows) before the
         # finally removes the index the lazy plan reads — each catalog/
         # bench invocation previously leaked its mkdtemp dir
-        return spark.createDataFrame(out.collect(), out.schema)
+        from ..operators._helpers import collected_df
+
+        return collected_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(lex_dir, ignore_errors=True)
 

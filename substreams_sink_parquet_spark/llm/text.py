@@ -1262,8 +1262,10 @@ def q_text_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_if_narrow(
         load(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    queries = spark.createDataFrame(
-        list(_BM25_BATCH_QUERIES), "query_id int, query string"
+    from ..operators._helpers import tiny_df
+
+    queries = tiny_df(
+        spark, list(_BM25_BATCH_QUERIES), "query_id int, query string"
     )
     scored = bm25_scores_batch(docs, queries)
     w = Window.partitionBy("query_id").orderBy(

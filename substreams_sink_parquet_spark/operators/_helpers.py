@@ -38,6 +38,68 @@ def sql_count(alias: str = "cnt") -> str:
     return f"COUNT(*) AS {alias}"
 
 
+def _top_level_fields(ddl: str) -> list[str]:
+    """Field names of a DDL schema string, splitting only on top-level
+    commas (nested ``array<struct<a:int, b:int>>`` commas don't count)."""
+    parts, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip().split()[0].strip("`") for p in parts if p.strip()]
+
+
+def tiny_df(spark, rows, schema):
+    """Small driver-local control table as a JVM-side DataFrame
+    (optimization r13, guide §4 Python-boundary class).
+
+    ``spark.createDataFrame(list, schema)`` parallelizes PICKLED rows over
+    ``defaultParallelism`` partitions, so every downstream task — on a
+    6-row query fixture, 32 tasks, 26 of them empty — must round-trip a
+    Python worker just to deserialize its (usually empty) slice; measured
+    ~0.3 s per task wave, several waves per serve query. Routing the same
+    rows through pandas+Arrow builds the batches DRIVER-side and the scan
+    is pure JVM (measured 1.48 s -> 0.58 s on the 6-row BM25 query-term
+    collect at local[32]); the explicit ``schema`` pins the exact same
+    column types as the pickle path. On a cluster the same fix removes
+    the per-task Python worker round-trip for every control-table scan.
+
+    Contract: ``rows`` must not contain float NaN — the Arrow path
+    coerces NaN to NULL where pickle keeps NaN (the guide §4.3 coercion
+    caveat). Callers here pass ints / strings / bools / finite doubles
+    only. Falls back to the pickle path when pandas is unavailable.
+    """
+    rows = [tuple(r) for r in rows]
+    try:
+        import pandas as pd
+    except ImportError:  # pragma: no cover - pandas ships with pyspark here
+        return spark.createDataFrame(rows, schema)
+    names = (_top_level_fields(schema) if isinstance(schema, str)
+             else list(schema.fieldNames()))
+    pdf = pd.DataFrame(rows, columns=names, dtype=object)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def collected_df(spark, rows, schema):
+    """Re-create a DataFrame from ``df.collect()`` output in ONE partition
+    (optimization r13, guide §4): the plain ``createDataFrame(rows,
+    schema)`` spreads the pickled rows over ``defaultParallelism``
+    near-empty partitions, each paying a Python-worker round trip per
+    downstream task. One slice keeps pickle's exact null/NaN semantics
+    (unlike :func:`tiny_df`'s Arrow path) for already-bounded collected
+    results — top-k tables, audit verdicts — at one worker wave."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(list(rows), numSlices=1), schema
+    )
+
+
 def dense_lit(value) -> Column:
     """Array literal (possibly nested) shipped to the JVM in ONE py4j
     crossing (optimization r13, guide §1/§4 driver-cost class).

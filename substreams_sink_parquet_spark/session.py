@@ -41,6 +41,18 @@ def get_spark(app_name: str = "substreams-sink-parquet-spark",
         # effect). A long-running production session wants hot plans to
         # stay compiled; entries are class bytecode, kilobytes each.
         .config("spark.sql.codegen.cache.maxEntries", "5000")
+        # Allow shuffled-hash join where its size conditions hold instead
+        # of always sort-merging (optimization r13, guide §3.1/§9): SHJ
+        # skips both sides' sorts when the per-partition build side fits a
+        # hash map. Planner-gated (canBuildLocalHashMap uses size
+        # estimates), so corpus-scale sides still degrade to sort-merge
+        # gracefully — this flips the DEFAULT preference, it does not
+        # force anything. Measured on the 8 join/shuffle-heavy bench
+        # queries at sf0.1: median total 10.1 s vs 12.2 s with the
+        # default. Env-overridable for clusters that prefer SMJ's
+        # spill-anything robustness.
+        .config("spark.sql.join.preferSortMergeJoin",
+                os.environ.get("SPARK_PREFER_SMJ", "false"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
