@@ -879,6 +879,34 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20,
     # twice when edges first materializes — measured as the bulk of this
     # operator's cost at sf0.1
     pairs = pairs.persist()
+    # Size probe on the RAW pair list (optimization r13, guide §2.4): the
+    # symmetrize+distinct edge build below exists for the DISTRIBUTED
+    # rounds, but union-find is direction- and duplicate-insensitive, so
+    # the local path can consume the pairs directly — the old code paid
+    # the union(2x)+distinct exchange and an eager localCheckpoint just
+    # to then collect the result to the driver (three extra stages,
+    # ~12 MB shuffled at sf0.1, stage profile in OPTIMIZATION_r13.md).
+    # Policy note: the probe now counts RAW pairs where it counted
+    # distinct symmetrized edges (/2) before — every catalog producer
+    # emits distinct pairs (groupBy doc_a, doc_b), so the routing is
+    # unchanged there, and a duplicate-heavy producer merely routes to
+    # the distributed path early; BOTH paths produce identical labels
+    # (pinned by pytest via local_threshold=0).
+    if pairs.count() <= local_threshold:
+        comp = _local_components(
+            (r.doc_a, r.doc_b) for r in pairs.collect()
+        )
+        spark = pairs.sparkSession
+        from pyspark.sql import types as T
+
+        sch = T.StructType([
+            T.StructField("doc_id", pairs.schema["doc_a"].dataType),
+            T.StructField("canonical", pairs.schema["doc_b"].dataType),
+        ])
+        labels = tiny_df(spark, sorted(comp.items()), sch).cache()
+        labels.count()
+        pairs.unpersist()
+        return labels
     # localCheckpoint (NOT cache) for the per-round frames: each round's
     # plan nests the previous round's, and nested InMemoryRelations carry
     # their full AQE subtrees — CacheManager's plan handling (string
@@ -892,21 +920,6 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20,
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # edges is SYMMETRIZED (2 rows per undirected pair), so double the
-    # threshold to keep one size policy with cc_star's oriented count
-    if edges.count() <= 2 * local_threshold:
-        comp = _local_components((r.a, r.b) for r in edges.collect())
-        spark = pairs.sparkSession
-        from pyspark.sql import types as T
-
-        sch = T.StructType([
-            T.StructField("doc_id", edges.schema["a"].dataType),
-            T.StructField("canonical", edges.schema["b"].dataType),
-        ])
-        labels = tiny_df(spark, sorted(comp.items()), sch).cache()
-        labels.count()
-        pairs.unpersist()
-        return labels
     labels = edges.select(F.col("a").alias("doc_id")).distinct().withColumn(
         "canonical", F.col("doc_id")
     ).localCheckpoint(eager=True)

@@ -731,19 +731,35 @@ def dsir_logweights(docs: DataFrame, is_target: F.Column,
             F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("c_t"),
         )
     )
-    totals = model.agg(F.sum("c_raw").alias("t_raw"), F.sum("c_t").alias("t_t"))
+    # ONE bounded collect of the raw model (≤ _DSIR_B rows of three
+    # longs), then the log-ratio is evaluated over a DRIVER-LOCAL copy
+    # (optimization r13, guide §2.4/§7.1): the previous
+    # crossJoin(broadcast(totals)) launched the totals aggregate as a
+    # SEPARATE eager broadcast job that raced the model collect for the
+    # not-yet-populated feats cache — the stage profile showed the whole
+    # featurization map stage running twice (15.3 s + 7.3 s task time at
+    # sf0.1, OPTIMIZATION_r13.md). Totals are exact integer sums, so
+    # Python reproduces them bit-for-bit; LN is still evaluated by the
+    # SAME Spark expression over the same long inputs (now a tiny local
+    # relation), so every lr9 value — and the DuckDB hash-match — is
+    # unchanged.
+    mrows = model.collect()
+    t_raw = sum(r.c_raw for r in mrows)
+    t_t = sum(r.c_t for r in mrows)
+    # explicit long casts on the total literals: a near-int32 total would
+    # otherwise land as IntegerType and the +_DSIR_B could ANSI-overflow;
+    # the old column form was long + int -> long, reproduced exactly here
     lr = F.log(
         (F.col("c_t") + F.lit(1)).cast("double")
-        / (F.col("t_t") + F.lit(_DSIR_B)).cast("double")
+        / (F.lit(t_t).cast("long") + F.lit(_DSIR_B)).cast("double")
     ) - F.log(
         (F.col("c_raw") + F.lit(1)).cast("double")
-        / (F.col("t_raw") + F.lit(_DSIR_B)).cast("double")
+        / (F.lit(t_raw).cast("long") + F.lit(_DSIR_B)).cast("double")
     )
-    # one bounded collect: (bucket, 9dp-rounded log-ratio) — LN evaluated
-    # by the same Spark expression path the joined formulation used, so
-    # the values (and the DuckDB hash-match) are unchanged
     fitted = (
-        model.crossJoin(F.broadcast(totals))
+        tiny_df(docs.sparkSession,
+                [(r.b, r.c_raw, r.c_t) for r in mrows],
+                "b long, c_raw long, c_t long")
         .select("b", F.round(lr, 9).alias("lr9"))
         .collect()
     )
