@@ -1358,11 +1358,27 @@ def opq_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     # ArrowEvalPython and the encode in the r13 before-plan. At cluster
     # scale the scan is already wide and spread_if_narrow is a no-op, so
     # the order change is free there.
+    #
+    # persist the ROTATED corpus (optimization r13, guide §4/§5): inside
+    # pq_topk, the codebook fit's seed TakeOrdered evaluates the rotation
+    # for every row (the take's projection runs before the take), and the
+    # encode pass then evaluated it all again — two full corpus passes
+    # through the ArrowEvalPython boundary (stage profile: 12.7 s + 19.0 s
+    # task time at sf0.1, OPTIMIZATION_r13.md). One executor-storage
+    # materialization makes both consumers read the same rotated batches —
+    # results bit-identical by construction (same UDF outputs, computed
+    # once). Cache footprint is the corpus's own width (dim doubles/row);
+    # a deployment preferring storage over memory would stage it to the
+    # lake instead, the dsir_logweights staging_dir pattern. Ships as
+    # persisted_deps for release_persisted (bench clearCache()s between
+    # passes).
     emb_r = spread_if_narrow(embeddings.select("vec_id", "embedding")).select(
         "vec_id", rotate_expr("embedding", R).alias("embedding")
-    )
+    ).persist()
     q_r = queries.select("q_id", rotate_expr("q_vec", R).alias("q_vec"))
-    return pq_topk(emb_r, q_r, dim=dim, k=k, m=m, n_codes=n_codes)
+    out = pq_topk(emb_r, q_r, dim=dim, k=k, m=m, n_codes=n_codes)
+    out.persisted_deps = (emb_r,)
+    return out
 
 
 @register(
