@@ -1642,7 +1642,10 @@ def decontaminate(
     train_g = spread_if_narrow(train).select(
         "doc_id", F.explode(grams).alias("gram")
     )
-    eval_g = eval_set.select(
+    # spread the eval side too (optimization r13, guide §2.5): the gram
+    # explode feeding the broadcast build otherwise runs in the narrow
+    # scan's single task — same class as the winnow_decontaminate fix
+    eval_g = spread_if_narrow(eval_set).select(
         F.col("doc_id").alias("eval_doc"), F.explode(grams).alias("gram")
     )
     return (
@@ -1913,7 +1916,7 @@ def decontaminate_eval_report(train: DataFrame, eval_set: DataFrame,
     aggregation keys on eval_doc — its input is matches only
     (contamination-sized, not corpus-sized)."""
     grams = shingle_array("text", n)
-    ev_g = eval_set.select(
+    ev_g = spread_if_narrow(eval_set).select(
         F.col("doc_id").alias("eval_doc"), F.explode(grams).alias("gram")
     )
     tr_g = spread_if_narrow(train).select(

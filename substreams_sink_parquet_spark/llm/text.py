@@ -1569,7 +1569,12 @@ def winnow_decontaminate(train: DataFrame, eval_set: DataFrame,
         )
 
     train_fp = fps_of(spread_if_narrow(train), "doc_id")
-    eval_fp = fps_of(eval_set, "eval_doc")
+    # spread the EVAL side too (optimization r13, guide §2.5): its
+    # fingerprint selection feeds the broadcast build, and an unspread
+    # single-file scan ran the whole md5-per-k-gram pass in ONE task
+    # (0.47 s serialized at sf0.1 in the stage profile) while the rest of
+    # the box idled — identical class to the train-side spread
+    eval_fp = fps_of(spread_if_narrow(eval_set), "eval_doc")
     return (
         train_fp.join(F.broadcast(eval_fp), "fp")
         .groupBy("doc_id")
