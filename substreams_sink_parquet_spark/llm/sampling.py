@@ -917,10 +917,17 @@ def cluster_balanced_sample(emb: DataFrame, n_centroids: int = 16,
     kept as the price of the salted rank. At 100 TB it is one extra
     columnar (id, embedding) read + zip_with math, embarrassingly
     parallel, vs. the single-task mega-cell sort it replaces."""
+    from .dedup import spread_if_narrow
     from .similarity import _nearest_centroid, ivf_centroids
 
     cents = ivf_centroids(emb, vec_col=vec_col, n_centroids=n_centroids,
                           refine_iters=refine_iters)
+    # spread a narrow scan before assigning (optimization r13, guide
+    # §2.5): the interpreted-HOF quantizer pass — which the salted rank
+    # deliberately runs twice, see below — otherwise executes inside the
+    # single scan task of a one-file corpus (2 x ~0.45 s serialized at
+    # sf0.1 in the stage profile); identity on a wide cluster scan
+    emb = spread_if_narrow(emb)
     assigned = _nearest_centroid(emb, cents, vec_col, keep=[id_col])
     key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":cbal")))
     ranked = salted_running_sum(
