@@ -1,8 +1,9 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
 on local[$SPARK_GRAFT_CPUS]. Prints the full JSON line:
 {"metric": "...", "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
-followed by a compact (<500 byte) summary JSON line repeating the
-verdict-critical numbers, so a 2,000-char stdout tail always captures them.
+followed by compact summary JSON lines (jobs + totals + a size-capped
+per-query dict) repeating the verdict-critical numbers, sized so a
+2,000-char stdout tail always captures them whole.
 
 Each query is forced end-to-end with the noop sink (computes every output
 column, no driver collection) after one untimed warm-up of the JVM/codegen.
@@ -418,6 +419,25 @@ def main() -> None:
 
     run("q_agg_basic")  # JVM / codegen warm-up, untimed
 
+    # IO-state calibration (VERDICT r13 Next #5 / r12 ADVICE #5): time a
+    # fixed full parquet re-read of the documents table BEFORE the
+    # headline passes — twice, so cold-vs-warm page cache is visible
+    # (the r13 session-start baseline ran on a cold cache and read 1.7x
+    # high with both existing calibrations green). Purely additive: the
+    # contended_verdict logic and every timed query are untouched; the
+    # second (warm) read doubles as the cache warm-up the first query
+    # pass used to pay implicitly.
+    def _calibrate_io() -> float:
+        from substreams_sink_parquet_spark.tables import load as _load
+
+        t0 = time.time()
+        _load(spark, sf_dir, "documents").write.format("noop").mode(
+            "overwrite").save()
+        return round(time.time() - t0, 3)
+
+    calibration_io = _calibrate_io()
+    calibration_io_warm = _calibrate_io()
+
     # Sink bench runs FIRST (after only the one-query warm-up) so the
     # headline ingest number is measured in a known JVM state; a second
     # pass after the sweep exposes drift/contention (r4's "collapse" never
@@ -684,6 +704,8 @@ def main() -> None:
         "stalled_passes": stalled,
         "calibration_sec": calibration,
         "calibration_py_sec": calibration_py,
+        "calibration_io_sec": calibration_io,
+        "calibration_io_warm_sec": calibration_io_warm,
         "sink_plain_spread_ratio": sink_spread_ratio,
         "sink_post_drop_ratio": sink_post_drop_ratio,
         "contended": contended,
@@ -692,9 +714,8 @@ def main() -> None:
     }))
     # Per-query job counts for the headline set as their OWN compact
     # line: they must survive into the driver's 2,000-char stdout tail
-    # (with the compact tail line below, ~650 bytes total) without
-    # pushing the tail line itself past its <500-byte budget.
-    print(json.dumps({
+    # alongside the final compact line below.
+    jobs_line = json.dumps({
         "metric": "headline_jobs",
         "jobs": {n: jobs[n] for n in HEADLINE},
         # serve-only job counts for the indexed-retrieval family (zero
@@ -706,26 +727,51 @@ def main() -> None:
             for n in ("q_text_bm25_indexed", "q_retrieval_hybrid_indexed")
         },
         "compact": True,
-    }))
+    })
+    print(jobs_line)
+
     # The driver keeps only the last 2,000 chars of stdout; the enriched
     # JSON above outgrew that in round 5, truncating the headline "value"
     # out of BENCH_r05.json (VERDICT r5, Wrong #1). This trailing compact
-    # line (<500 bytes) repeats the verdict-critical numbers so the tail
-    # always proves the gate on its own.
-    print(json.dumps({
-        "metric": "headline_queries_total_sec",
-        "value": total,
-        "unit": "sec",
-        "extended_total_sec": round(sum(timings[n] for n in EXTENDED), 3),
-        "sink_blocks_per_sec": max(pre["plain"]),
-        "sink_blocks_per_sec_exploded": max(pre["exploded"]),
-        "n_stalled_passes": sum(len(v) for v in stalled.values()),
-        "calibration_sec": calibration,
-        "calibration_py_sec": calibration_py,
-        "contended": contended,
-        "sf": sf,
-        "compact": True,
-    }))
+    # line repeats the verdict-critical numbers so the tail always proves
+    # the gate on its own. Round 14 (VERDICT r13, Next #2): it now also
+    # carries a per-query "queries" dict — every HEADLINE min (the
+    # round-over-round comparable set) plus as many of the most
+    # expensive EXTENDED mins as fit — sized so that this line plus the
+    # jobs line above stay within the driver's 2,000-char window, so
+    # PERF per_query / geomean / low-core scaling ratios stop coming
+    # back empty. Existing keys are unchanged; the dict is additive.
+    def _final_line(qdict: dict) -> str:
+        return json.dumps({
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": qdict,
+            "extended_total_sec": round(
+                sum(timings[n] for n in EXTENDED), 3),
+            "sink_blocks_per_sec": max(pre["plain"]),
+            "sink_blocks_per_sec_exploded": max(pre["exploded"]),
+            "n_stalled_passes": sum(len(v) for v in stalled.values()),
+            "calibration_sec": calibration,
+            "calibration_py_sec": calibration_py,
+            "calibration_io_sec": calibration_io,
+            "contended": contended,
+            "sf": sf,
+            "compact": True,
+        })
+
+    qtail = {n: timings[n] for n in HEADLINE}
+    ext_by_cost = sorted(EXTENDED, key=lambda q: -timings[q])
+    for n in ext_by_cost:
+        qtail[n] = timings[n]
+    while (len(_final_line(qtail)) + len(jobs_line) + 2 > 1900
+           and len(qtail) > len(HEADLINE)):
+        # shed the cheapest extended entry; headline entries never drop
+        for n in reversed(ext_by_cost):
+            if n in qtail:
+                del qtail[n]
+                break
+    print(_final_line(qtail))
     import shutil
 
     shutil.rmtree(lex_dir, ignore_errors=True)

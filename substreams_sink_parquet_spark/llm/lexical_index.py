@@ -80,13 +80,36 @@ _DF_SCHEMA = "term string, df long, term_bucket int"
 
 def _df_from_postings(spark: SparkSession, postings_dir: str) -> DataFrame:
     """(term, df, term_bucket) aggregated from a just-written postings
-    dir — reads the compact index artifact back, never re-tokenizes the
-    corpus; one row per (term, doc) pair in the dir, so count == df."""
+    dir — reads the compact index artifact back (COLUMN-PRUNED to the
+    two grouping columns), never re-tokenizes the corpus; one row per
+    (term, doc) pair in the dir, so count == df.
+
+    Deliberately NOT derived from a persisted copy of the postings frame
+    (optimization r14, tried and rejected with numbers): persisting the
+    postings across the partitioned write pins the cached plan's output
+    partitioning, so the write loses AQE partition coalescing and runs
+    at the full shuffle-partition count — 32 tasks x up-to-n_buckets
+    dynamic-partition files each instead of a handful — and the build
+    measured 7.7 s vs 2.2 s (interleaved min-of-5 at sf0.1) against
+    this read-back formulation. The artifact read is the cheaper side
+    of the trade at every scale: it scans two small columns of the
+    compressed index, not the corpus."""
     return (
         spark.read.schema(_POSTINGS_SCHEMA).parquet(postings_dir)
         .groupBy("term", "term_bucket")
         .agg(F.count("*").alias("df"))
         .select("term", "df", "term_bucket")
+    )
+
+
+def _present_buckets(fs: HadoopFS, part_dir: str) -> list[int]:
+    """Bucket ids physically present under a partitioned dir — ONE
+    listdir RPC; the build stores this as the meta manifest so serves
+    list only the probed buckets (guide §6: file listing)."""
+    return sorted(
+        int(c.split("=", 1)[1])
+        for c in fs.listdir(part_dir)
+        if c.startswith("term_bucket=")
     )
 
 
@@ -116,14 +139,43 @@ def _postings(docs: DataFrame, n_buckets: int,
     )
 
 
-def _doc_stats(docs: DataFrame, text_col: str) -> dict:
-    row = docs.agg(
-        F.count("*").alias("n_docs"),
-        F.coalesce(
-            F.sum(F.size(F.split(F.col(text_col), " "))), F.lit(0)
-        ).alias("sum_dl"),
-    ).collect()[0]
-    return {"n_docs": int(row.n_docs), "sum_dl": int(row.sum_dl)}
+def _observed_docs(docs: DataFrame, text_col: str):
+    """(docs-with-observation, Observation): corpus stats (n_docs,
+    sum_dl) ride the postings WRITE as observed metrics instead of
+    costing their own corpus scan (optimization r14, guide §2.4 —
+    same mechanism as the sink's holdback-horizon observed metric).
+    The metrics are exact integer count/sum over the same rows the
+    historical pre-flight aggregate scanned, so the meta values are
+    bit-identical; read them with :func:`_obs_stats` AFTER the write
+    action completes."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    return docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("sum_dl"),
+    ), obs
+
+
+def _obs_stats(obs, docs: DataFrame, text_col: str) -> dict:
+    """Read the observed (n_docs, sum_dl) after the write action. A
+    PROVABLY-empty input (the corpus-stream bootstrap builds over
+    ``filter(lit(False))``) lets the optimizer collapse the plan around
+    the CollectMetrics node, and the observation then yields a row the
+    py4j bridge cannot convert — for that case only, fall back to the
+    direct aggregate, which on the provably-empty relation is a
+    LocalTableScan, not a corpus scan."""
+    try:
+        row = obs.get
+        return {"n_docs": int(row["n_docs"]),
+                "sum_dl": int(row["sum_dl"] or 0)}
+    except Exception:
+        r = docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col(text_col), " "))).alias("sum_dl"),
+        ).collect()[0]
+        return {"n_docs": int(r["n_docs"]), "sum_dl": int(r["sum_dl"] or 0)}
 
 
 def write_lexical_index(docs: DataFrame, index_dir: str,
@@ -133,17 +185,36 @@ def write_lexical_index(docs: DataFrame, index_dir: str,
     """Tokenize the corpus once and lay the postings down partitioned by
     term bucket. Returns the metadata dict it persisted.
 
+    ONE corpus pass total (optimization r14, guide §2.4/§6): the corpus
+    stats (n_docs, sum_dl) ride the postings write as OBSERVED metrics
+    instead of a pre-flight aggregate scan; the df tree still derives
+    from a column-pruned read-back of the just-written compact artifact
+    (see _df_from_postings for why persisting instead measured 3.5x
+    slower). The meta additionally records ``buckets`` — the bucket
+    ids physically present — so serves list only the probed bucket dirs
+    (one listdir at build replaces n_buckets dir listings per serve).
+
     Commit-marker protocol (ann_index.write_ann_index): meta is deleted
-    only AFTER the stats aggregate succeeds and immediately BEFORE the
-    postings overwrite, so a run that merely fails leaves the old index
-    serving, while a crash mid-overwrite leaves postings without meta —
-    which every read path refuses loudly. A successful rebuild clears
-    any ``postings_epochs`` appends: they are superseded by the
-    full-corpus rebuild (the caller rebuilds FROM the grown corpus)."""
+    immediately BEFORE the postings overwrite, so a crash mid-overwrite
+    leaves postings without meta — which every read path refuses loudly.
+    The historical pre-flight stats scan doubled as a data validation
+    pass (a corpus-data error surfaced before any mutation); with the
+    stats observed on the write, such an error now aborts the build
+    mid-overwrite instead — the same loud-refusal state as any other
+    mid-write crash, for one full corpus scan less per build. Plan
+    analysis errors (missing/mistyped columns) still surface before any
+    deletion, when the postings expressions are resolved below. A
+    successful rebuild clears any ``postings_epochs`` appends: they are
+    superseded by the full-corpus rebuild (the caller rebuilds FROM the
+    grown corpus)."""
     spark = docs.sparkSession
     fs = HadoopFS(spark, index_dir)
-    stats = _doc_stats(docs, text_col)
-    post = _postings(docs, n_buckets, text_col, id_col)
+    observed, obs = _observed_docs(docs, text_col)
+    post = _postings(observed, n_buckets, text_col, id_col)
+    # resolve the plan driver-side before touching the old index: analysis
+    # errors (the historical pre-flight's schema-level protection) still
+    # abort with the old index intact
+    post.schema
     meta_path = url_join(index_dir, _META)
     if fs.exists(meta_path):
         fs.delete(meta_path, recursive=False)
@@ -159,10 +230,12 @@ def write_lexical_index(docs: DataFrame, index_dir: str,
         fs.delete(stream_marker, recursive=False)
     post_dir = url_join(index_dir, "postings")
     post.write.mode("overwrite").partitionBy("term_bucket").parquet(post_dir)
+    stats = _obs_stats(obs, docs, text_col)
     _df_from_postings(spark, post_dir).write.mode("overwrite").partitionBy(
         "term_bucket"
     ).parquet(url_join(index_dir, "df"))
-    meta = {"n_buckets": int(n_buckets), "has_df": True, **stats}
+    meta = {"n_buckets": int(n_buckets), "has_df": True,
+            "buckets": _present_buckets(fs, post_dir), **stats}
     fs.write_bytes(meta_path, json.dumps(meta).encode())
     return meta
 
@@ -191,15 +264,20 @@ def append_epoch_to_lexical_index(new_docs: DataFrame, index_dir: str,
     the batch's (n_docs, sum_dl) delta lands as ``_EPOCH_STATS.json``
     beside the postings — written LAST of the three, so an epoch whose
     postings or df crashed mid-write has no stats file and is refused by
-    name until the replay repairs all of it. Costs one extra tiny
-    aggregate job per micro-batch (the two delta numbers) plus one
-    aggregate over the epoch's own postings artifact (bytes-scale). The
-    caller owns doc_id dedup vs the base build and other epochs (the
-    corpus builder's screens do exactly that upstream)."""
+    name until the replay repairs all of it. ONE batch pass total
+    (optimization r14, mirroring the rebuild): the delta stats ride the
+    postings write as observed metrics, so the batch is never scanned
+    twice; the df delta stays an aggregate over the epoch's just-written
+    compact artifact (bytes-scale — see _df_from_postings for why the
+    persisted-frame alternative measured slower). The caller owns doc_id
+    dedup vs the base build and other epochs (the corpus builder's
+    screens do exactly that upstream)."""
     spark = new_docs.sparkSession
     meta = read_lexical_meta(spark, index_dir)
     fs = HadoopFS(spark, index_dir)
-    stats = _doc_stats(new_docs, text_col)
+    observed, obs = _observed_docs(new_docs, text_col)
+    post = _postings(observed, meta["n_buckets"], text_col, id_col)
+    post.schema  # analysis errors abort before any mutation (build parity)
     ep_dir = url_join(index_dir, "postings_epochs", f"epoch={int(epoch_id)}")
     # clear a previous attempt's stats first: a replay that crashes before
     # its own stats write must not leave the OLD attempt's stats beside
@@ -207,9 +285,8 @@ def append_epoch_to_lexical_index(new_docs: DataFrame, index_dir: str,
     stats_path = url_join(ep_dir, _EPOCH_STATS)
     if fs.exists(stats_path):
         fs.delete(stats_path, recursive=False)
-    _postings(new_docs, meta["n_buckets"], text_col, id_col).write.mode(
-        "overwrite"
-    ).partitionBy("term_bucket").parquet(ep_dir)
+    post.write.mode("overwrite").partitionBy("term_bucket").parquet(ep_dir)
+    stats = _obs_stats(obs, new_docs, text_col)
     if meta.get("has_df"):
         _df_from_postings(spark, ep_dir).write.mode("overwrite").partitionBy(
             "term_bucket"
@@ -380,9 +457,25 @@ def bm25_scores_indexed(spark: SparkSession, index_dir: str,
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
         ).select("term", "doc_id", "dl", "tf")
 
+    def _any_hit(present: list[int] | None) -> bool:
+        """True when the tree MAY hold a probed bucket. ``present`` is
+        the build-time meta manifest (base trees; None on a pre-r14
+        index = assume hits) or the per-epoch listdir parse the stats
+        check already paid for. A tree with no probed bucket is skipped
+        without constructing its scan — an OOV-heavy query then never
+        lists or plans that tree at all. Reading the HIT trees stays a
+        single-root scan + static isin: the explicit-paths alternative
+        (one read rooted at each probed bucket dir) was measured 0.05-
+        0.25 s SLOWER per serve at local[32] — per-path driver listing
+        overhead exceeds the saved recursive listing on a local FS —
+        and was rejected (optimization r14; numbers in
+        OPTIMIZATION_r14.md)."""
+        return present is None or bool(set(present) & set(buckets))
+
+    manifest = meta.get("buckets")  # pre-r14 index: None -> assume hits
     frames = []
     post_dir = url_join(index_dir, "postings")
-    if fs.exists(post_dir):
+    if fs.exists(post_dir) and _any_hit(manifest):
         # explicit schema: an index built over an empty seed corpus (the
         # corpus-stream bootstrap) has a postings dir with no files to
         # infer from
@@ -400,8 +493,13 @@ def bm25_scores_indexed(spark: SparkSession, index_dir: str,
             s = _read_epoch_stats(fs, ep_dir, e)
             n_docs += s["n_docs"]
             sum_dl += s["sum_dl"]
-            if any(c.startswith("term_bucket=")
-                   for c in fs.listdir(ep_dir)):
+            # one listdir per epoch (the postings-present check needs it
+            # anyway); its parse doubles as the epoch's bucket manifest
+            present = sorted(
+                int(c.split("=", 1)[1]) for c in fs.listdir(ep_dir)
+                if c.startswith("term_bucket=")
+            )
+            if present and _any_hit(present):
                 frames.append(_pruned(
                     spark.read.schema(_POSTINGS_SCHEMA).parquet(ep_dir)
                 ))
@@ -418,21 +516,31 @@ def bm25_scores_indexed(spark: SparkSession, index_dir: str,
                 F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
             ).select("term", "df")
 
+        df_tree_present = False
         base_df = url_join(index_dir, "df")
         if fs.exists(base_df):
-            df_frames.append(_pruned_df(
-                spark.read.schema(_DF_SCHEMA).parquet(base_df)
-            ))
+            df_tree_present = True
+            # the df tree derives from the same postings the manifest
+            # describes, so the build manifest's early-out applies
+            if _any_hit(manifest):
+                df_frames.append(_pruned_df(
+                    spark.read.schema(_DF_SCHEMA).parquet(base_df)
+                ))
         df_root = url_join(index_dir, "df_epochs")
         if fs.exists(df_root):
             for e in tolerant_epoch_names(fs, df_root):
                 ep_dir = url_join(df_root, e)
-                if any(c.startswith("term_bucket=")
-                       for c in fs.listdir(ep_dir)):
-                    df_frames.append(_pruned_df(
-                        spark.read.schema(_DF_SCHEMA).parquet(ep_dir)
-                    ))
-        if not df_frames:
+                present = sorted(
+                    int(c.split("=", 1)[1]) for c in fs.listdir(ep_dir)
+                    if c.startswith("term_bucket=")
+                )
+                if present:
+                    df_tree_present = True
+                    if _any_hit(present):
+                        df_frames.append(_pruned_df(
+                            spark.read.schema(_DF_SCHEMA).parquet(ep_dir)
+                        ))
+        if not df_tree_present:
             # meta promises a df tree but neither df/ nor any committed
             # df_epochs/ exists (manual prune, partial restore): the
             # family's contract is the loud, actionable error — indexing
@@ -444,6 +552,13 @@ def bm25_scores_indexed(spark: SparkSession, index_dir: str,
                 "(lex-build) or re-append an epoch with the current "
                 "writer to restore it"
             )
+        if not df_frames:
+            # trees exist but hold none of the probed buckets while the
+            # postings DID match some — an inconsistent index; the empty
+            # df side routes every matched posting into the LEFT-join
+            # null guard below, preserving the historical loud failure
+            df_frames.append(
+                spark.createDataFrame([], "term string, df long"))
         dft = df_frames[0]
         for f in df_frames[1:]:
             dft = dft.unionByName(f)

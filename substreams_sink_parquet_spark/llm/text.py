@@ -596,21 +596,64 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     bigrams (low = fluent/common phrasing, high = rare/garbled — the
     perplexity-filter signal used to screen pre-training text).
 
-    Scale shape: the "model" is two count tables keyed by bigram and by
-    word — vocabulary-scale, so they are JOINED (shuffle partitioned by the
-    high-cardinality key), never broadcast or collected. Stopword bigrams
-    make hot keys; AQE skew-join splits them. The final agg shuffles on
-    doc_id once.
+    Scale shape (optimization r14, guide §2.3/§2.4): the "model" is ONE
+    count table. A single tokenize pass emits every token occurrence as
+    (w1, next-token-or-NULL) — the NULL sentinel marks each doc's last
+    token (real tokens are never null), so grouping that stream by
+    (w1, w2) yields the bigram counts AND, summed per w1 over a window
+    sharing no extra occurrence-scale exchange, the exact unigram counts
+    (every occurrence of w is w1 of exactly one emitted row). The
+    historical formulation tokenized the corpus THREE times (unigram
+    explode, bigram-count explode, probe explode) and shuffled the
+    occurrence stream three times (bigram agg, probe join by (w1,w2),
+    everything re-shuffled by w1 for the unigram join); this one
+    tokenizes twice (count stream without doc_id — narrower bytes into
+    the exchange — and the per-doc probe) and shuffles occurrences
+    twice (count agg, probe join against the prejoined vocabulary-scale
+    log-prob table). Stopword hot keys ride AQE skew splitting on the
+    (w1, w2) probe join; the w1 window is vocabulary-scale (distinct
+    successors per word), never occurrence-scale.
 
     Hash stability: each ln() is rounded to 9 dp first (absorbing the
     <=1-ulp libm difference between engines), then summed as DECIMAL so
     accumulation order cannot change the result, then the average is
-    rounded to 6 dp.
+    rounded to 6 dp. Counts are exact integers computed over the same
+    multisets as the historical three-pass formulation (pinned by
+    pytest), so every rounded log-prob is bit-identical.
     """
+    from pyspark.sql.window import Window
+
     from .dedup import spread_if_narrow
 
     docs = spread_if_narrow(docs)  # tokenize+explode must use every core
     words = F.split("text", " ")
+    # one row per token occurrence: (token, successor-or-NULL sentinel);
+    # try_element_at past the end is NULL under ANSI and legacy alike
+    occ_pairs = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 1),
+        lambda i: F.struct(
+            F.element_at(words, i + 1).alias("w1"),
+            F.try_element_at(words, i + 2).alias("w2"),
+        ),
+    )
+    counts = (
+        docs.select(F.explode(occ_pairs).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_bg"))
+    )
+    # c_uni(w) == total occurrences of w: every occurrence emits exactly
+    # one row with w1 = w (the last token of each doc pairs with NULL)
+    lp = F.round(
+        F.log(
+            F.col("c_bg").cast("double")
+            / F.sum("c_bg").over(Window.partitionBy("w1"))
+        ), 9
+    ).cast("decimal(12,9)")
+    lp_tbl = (
+        counts.select("w1", "w2", lp.alias("lp"))
+        .filter(F.col("w2").isNotNull())
+    )
     seq = F.sequence(F.lit(0), F.size(words) - 2)
     bigs = F.transform(
         seq,
@@ -625,18 +668,9 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     bigrams = docs.select(
         "doc_id", F.explode(guarded).alias("b")
     ).select("doc_id", "b.w1", "b.w2")
-    uni = (
-        docs.select(F.explode(words).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count("*").alias("c_uni"))
-    )
-    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
-    lp = F.round(
-        F.log(F.col("c_bg").cast("double") / F.col("c_uni")), 9
-    ).cast("decimal(12,9)")
     return (
-        bigrams.join(bg, ["w1", "w2"]).join(uni, "w1")
-        .select("doc_id", lp.alias("lp"))
+        bigrams.join(lp_tbl, ["w1", "w2"])
+        .select("doc_id", "lp")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_bigrams"), F.sum("lp").alias("slp"))
         .select(

@@ -40,12 +40,14 @@ def sql_count(alias: str = "cnt") -> str:
 
 def _top_level_fields(ddl: str) -> list[str]:
     """Field names of a DDL schema string, splitting only on top-level
-    commas (nested ``array<struct<a:int, b:int>>`` commas don't count)."""
+    commas (nested ``array<struct<a:int, b:int>>`` commas don't count,
+    and neither do parameterized-type commas like ``decimal(10,2)`` —
+    ADVICE r13)."""
     parts, depth, cur = [], 0, []
     for ch in ddl:
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         if ch == "," and depth == 0:
             parts.append("".join(cur))
@@ -74,9 +76,27 @@ def tiny_df(spark, rows, schema):
     Contract: ``rows`` must not contain float NaN — the Arrow path
     coerces NaN to NULL where pickle keeps NaN (the guide §4.3 coercion
     caveat). Callers here pass ints / strings / bools / finite doubles
-    only. Falls back to the pickle path when pandas is unavailable.
+    only; the contract is ENFORCED below (ADVICE r13: a future NaN
+    producer must fail loudly, not silently change semantics — route
+    such rows through :func:`collected_df`, whose pickle path keeps
+    NaN). Falls back to the pickle path when pandas is unavailable.
     """
+    import math
+
+    def _no_nan(v):
+        if isinstance(v, float) and math.isnan(v):
+            raise ValueError(
+                "tiny_df: float NaN in rows — the Arrow path would "
+                "silently coerce it to NULL; use collected_df (pickle "
+                "semantics) for NaN-bearing control tables"
+            )
+        if isinstance(v, (list, tuple)):
+            for e in v:
+                _no_nan(e)
+
     rows = [tuple(r) for r in rows]
+    for r in rows:
+        _no_nan(r)
     try:
         import pandas as pd
     except ImportError:  # pragma: no cover - pandas ships with pyspark here

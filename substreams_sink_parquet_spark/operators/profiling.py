@@ -91,6 +91,16 @@ def profile_table(df: DataFrame, cols: list[str],
     aggregate is unpivoted driver-free: a literal-array inline on the
     1-row result, so the plan is Aggregate → tiny Generate, never a
     per-column job or a driver collect-and-reshape.
+
+    Determinism assumption (ADVICE r13): exact mode scans ``df`` TWICE
+    (stats aggregate crossJoin distinct aggregate). For a deterministic
+    input — every catalog producer; any file-backed frame — the halves
+    see identical data and the split is result-identical to the
+    historical single aggregate (pytest-pinned). A non-deterministic
+    unpersisted lineage (rand()-derived columns, a re-sampled source)
+    could feed the two halves different data: persist such a frame
+    before profiling with ``exact_distinct=True``, or use the single-
+    pass approx mode.
     """
     if not cols:
         raise ValueError("profile_table needs at least one column")
